@@ -1,0 +1,115 @@
+"""Query registry — the single source of truth for the driver contract.
+
+Every operator the engine claims is registered here via the ``@query``
+decorator, pairing a (spark, sf_dir) -> DataFrame callable with the
+equivalent ANSI SQL that DuckDB runs on the same parquet tables. The
+driver hash-compares both at sf0.01 (CORRECTNESS gate), so the pair must
+agree on column NAMES and VALUES exactly.
+
+Cross-engine determinism conventions (applied in both the Spark code and
+the oracle SQL; deviations are bugs):
+
+1.  Alias every computed column identically on both sides.
+2.  Double aggregation: per-row arithmetic stays in IEEE double (bit-
+    identical across engines), but the SUM is done in DECIMAL(38,10)
+    (exact, order-independent) and cast back to double:
+    Spark  ``F.sum(expr.cast("decimal(38,10)")).cast("double")``
+    DuckDB ``CAST(SUM(CAST(expr AS DECIMAL(38,10))) AS DOUBLE)``
+    AVG = decimal-sum / count (double division is deterministic).
+3.  Integer aggregates: cast to BIGINT in SQL (DuckDB SUM(int) is
+    HUGEINT, Spark's is long).
+4.  Timestamps are TIMESTAMP_NTZ on the Spark side (matches DuckDB's
+    naive timestamps); events.ts is truncated to microseconds by the
+    loader.
+5.  Any LIMIT/top-k is preceded by a TOTAL ordering (unique tiebreaker
+    column included).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class RegisteredQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, RegisteredQuery] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` as a driver-visible query named ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = RegisteredQuery(
+            name=name, fn=fn, oracle=oracle, doc=(fn.__doc__ or "").strip()
+        )
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_all()
+    return {n: r.fn for n, r in _REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all()
+    return {n: r.oracle for n, r in _REGISTRY.items() if r.oracle is not None}
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from .operators import dedup, llm_text, multimodal, relational, similarity  # noqa: F401
+    from .streaming import events as streaming_events  # noqa: F401
+
+    _LOADED = True
+
+
+# --- shared helpers used by operator modules -------------------------------
+
+
+def dsum(col):
+    """Order-independent SUM of a double expression (convention #2)."""
+    from pyspark.sql import functions as F
+
+    return F.sum(col.cast("decimal(38,10)")).cast("double")
+
+
+# The VARCHAR round-trip matters: DuckDB's direct DECIMAL→DOUBLE cast is
+# not correctly rounded (verified: 289473120.0300000000 → …03000003), but
+# DECIMAL→VARCHAR→DOUBLE is, and matches Spark's BigDecimal.doubleValue.
+DSUM_SQL = "CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+
+
+def davg(col):
+    """Order-independent AVG of a double expression (convention #2)."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.sum(col.cast("decimal(38,10)")).cast("double") / F.count(col)
+    )
+
+
+DAVG_SQL = (
+    "CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+    " / COUNT({expr})"
+)

@@ -1,0 +1,60 @@
+"""Test-corpus table loaders.
+
+The driver materializes a deterministic TPC-H-ish corpus (see TESTDATA.md)
+as one parquet file per table under ``/root/testdata/sf{0.001,0.01,0.1}/``.
+All engine queries take an ``sf_dir`` and read through these helpers so
+the scan config (pushdown, schema) is uniform.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    if name == "events":
+        # The driver may hand us a vanilla session; this SQL conf is
+        # runtime-settable and required to read TIMESTAMP(NANOS) parquet.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS): with
+        # spark.sql.legacy.parquet.nanosAsLong it arrives as int64 nanos.
+        # Normalize to microsecond TIMESTAMP_NTZ (matches the other
+        # tables' timestamp type and DuckDB's CAST(ts AS TIMESTAMP)).
+        # integer `div` — a double division would lose precision above
+        # 2^53 ns (~1970+104 days; 2024 epoch-nanos are ~1.7e18).
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view (for the SQL API)."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
