@@ -73,3 +73,516 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scan / filter / projection — the reference's only query capability was
+# projection with masking (src/parquet_reader.cpp:92-101); here projection +
+# predicate both push into the parquet scan (PushedFilters in .explain).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q2_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity >= 45 AND l_returnflag = 'R'
+    """,
+)
+def q2_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection pushdown into the parquet scan."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") >= 45) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way star join. Scale: lineitem⨝orders shuffles on the join key;
+# customer/nation/region are broadcast (dims ≪ fact). At 100 TB only the
+# fact-fact exchange moves data; AQE handles skew.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_star_join_revenue",
+    oracle=f"""
+    SELECT r.r_name,
+           {DSUM_SQL.format(expr="l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def q3_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact shuffle join + broadcast dimension joins, revenue by region."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k with total ordering (deterministic LIMIT). Spark's physical plan is
+# TakeOrderedAndProject — no global sort materialization.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q4_top_revenue_orders",
+    oracle=f"""
+    SELECT l_orderkey,
+           {DSUM_SQL.format(expr="l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q4_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 orders by revenue (agg → TakeOrderedAndProject)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (EXISTS / NOT EXISTS).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q5_semi_join_segments",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q5_semi_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers having at least one order, by segment."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q6_anti_join_no_orders",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q6_anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no pending ('P') orders, per nation.
+
+    (Every customer has at least one order in the corpus, so the anti
+    join is against the filtered order set to keep the result non-trivial.)
+    """
+    cust = load(spark, sf_dir, "customer")
+    pending = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        cust.join(pending, cust.c_custkey == pending.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions. Partition key = the natural distribution key, so at
+# scale the sort is per-partition after one hash exchange.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q7_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def q7_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ROW_NUMBER with a unique tiebreaker."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q8_running_qty_per_supplier",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           SUM(l_quantity) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS running_qty
+    FROM lineitem
+    """,
+)
+def q8_running_qty_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total window frame over a total per-partition order."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("l_quantity").over(w).alias("running_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LAG/LEAD over event streams. Time arithmetic stays on epoch microseconds
+# (ts_us, TZ-free) — NTZ↔LTZ casts would silently depend on the driver's
+# session timezone.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q9_event_gaps",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) AS gap_us,
+           LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) AS next_type
+    FROM events
+    """,
+)
+def q9_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap (LAG) and next event type (LEAD)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation (exact). Spark plans COUNT(DISTINCT) as a two-phase
+# expand+agg — partial per partition, so the shuffle carries distinct keys,
+# not rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_distinct_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_finished
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q10_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT + conditional aggregation per group."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("n_finished"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP / CUBE / GROUPING SETS. Subtotal rows carry NULL group keys in
+# both engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q11_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {DSUM_SQL.format(expr="l_quantity")} AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q12_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {DSUM_SQL.format(expr="o_totalprice")} AS sum_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations via CUBE."""
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q13_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_suppkey,
+           {DSUM_SQL.format(expr="l_extendedprice")} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey))
+    """,
+)
+def q13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (via the SQL API — same Catalyst plan)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    # Spark dialect spells the roundtrip type STRING, not VARCHAR.
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_suppkey,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS STRING)
+                    AS DOUBLE) AS sum_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row-level set operations.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_set_ops",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+    SELECT 'both' AS tag, nationkey FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+    UNION ALL
+    SELECT 'cust_only' AS tag, nationkey FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+    UNION ALL
+    SELECT 'supp_only' AS tag, nationkey FROM (SELECT nationkey FROM sn EXCEPT SELECT nationkey FROM cn)
+    """,
+)
+def q14_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over distinct key sets."""
+    cn = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    tag = lambda df, t: df.select(F.lit(t).alias("tag"), "nationkey")  # noqa: E731
+    return (
+        tag(cn.intersect(sn), "both")
+        .unionAll(tag(cn.subtract(sn), "cust_only"))
+        .unionAll(tag(sn.subtract(cn), "supp_only"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families. Only cross-engine-deterministic functions are
+# oracle-matched (sqrt is IEEE-exact; round() on doubles is NOT — Spark
+# rounds the shortest-decimal repr, DuckDB the binary value).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_math_funcs",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(floor(sqrt(l_extendedprice) * 1000000.0) AS BIGINT))
+                AS BIGINT) AS sum_sqrt_price_micro,
+           {DSUM_SQL.format(expr="abs(l_discount - 0.05)")} AS sum_abs_disc,
+           CAST(SUM(CAST(floor(l_quantity / 7) AS BIGINT)) AS BIGINT) AS sum_floor_q7,
+           CAST(SUM(CAST(ceil(l_tax * 100) AS BIGINT)) AS BIGINT) AS sum_ceil_tax,
+           CAST(SUM(CAST(l_partkey % 13 AS BIGINT)) AS BIGINT) AS sum_mod_part
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q15_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt/abs/floor/ceil/modulo arithmetic, aggregated per flag.
+
+    sqrt values are irrational, so even DECIMAL-casting disagrees across
+    engines at the 10th decimal; the deterministic form is a floor-scaled
+    integer sum (floor/multiply are exact IEEE ops in both engines).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.floor(F.sqrt(F.col("l_extendedprice")) * 1000000.0)
+            ).alias("sum_sqrt_price_micro"),
+            dsum(F.abs(F.col("l_discount") - 0.05)).alias("sum_abs_disc"),
+            F.sum(F.floor(F.col("l_quantity") / 7)).alias("sum_floor_q7"),
+            F.sum(F.ceil(F.col("l_tax") * 100)).alias("sum_ceil_tax"),
+            F.sum(F.col("l_partkey") % 13).alias("sum_mod_part"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q16_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len,
+           substring(p_name, 1, 5) AS name_pfx,
+           replace(p_name, ' ', '_') AS name_snake,
+           concat(p_brand, '/', p_type) AS brand_type,
+           split_part(p_name, ' ', 1) AS first_token,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           trim('  ' || p_brand || ' ') AS brand_trimmed
+    FROM part
+    """,
+)
+def q16_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/length/substring/replace/concat/split/lpad/trim."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_token"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias(
+            "brand_trimmed"
+        ),
+    )
+
+
+@query(
+    "q17_date_funcs",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           date_trunc('month', o_orderdate) AS month_start,
+           COUNT(*) AS n_orders,
+           {DSUM_SQL.format(expr="o_totalprice")} AS sum_price
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q17_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/quarter extraction + date_trunc bucketing."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("timestamp_ntz")
+            .alias("month_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )

@@ -55,6 +55,7 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
         # parquet reader rejects; read it as raw nanos and normalize in
         # tables.load (distributed, no driver materialization).

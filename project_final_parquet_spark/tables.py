@@ -48,7 +48,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # tables' timestamp type and DuckDB's CAST(ts AS TIMESTAMP)).
         # integer `div` — a double division would lose precision above
         # 2^53 ns (~1970+104 days; 2024 epoch-nanos are ~1.7e18).
-        df = df.withColumn(
+        # ts_us (epoch microseconds, TZ-free) is kept alongside because
+        # time arithmetic through TIMESTAMP_NTZ↔LTZ casts would depend on
+        # the (driver-controlled, unknown) session timezone.
+        df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         )
     return df
