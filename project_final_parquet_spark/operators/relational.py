@@ -586,3 +586,367 @@ def q17_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice")).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Array functions over the embeddings table. Spark's F.aggregate and
+# DuckDB's list_aggregate are both sequential left folds over doubles —
+# verified bit-identical — so no scaled-integer workaround is needed.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q18_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')
+             AS vec_sum,
+           list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'sum')
+             AS l1_norm,
+           list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS max_val
+    FROM embeddings
+    """,
+)
+def q18_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size / element access / transform+aggregate fold / array_max."""
+    emb = load(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.col("embedding").getItem(0).cast("double").alias("first_val"),
+        F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x).alias("vec_sum"),
+        F.aggregate(
+            F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("l1_norm"),
+        F.array_max(as_double).alias("max_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction (events.props is a JSON string column).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q19_json_funcs",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q19_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object + typed extraction, aggregated per event type."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(
+                F.get_json_object("props", "$.k").cast("int")
+            ).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries: IN (uncorrelated) and correlated scalar.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_in_subquery",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q20_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (Catalyst rewrites to a left-semi join)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_q20")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_q20")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_orders
+        FROM orders_q20
+        WHERE o_custkey IN (
+          SELECT c_custkey FROM customer_q20 WHERE c_mktsegment = 'BUILDING'
+        )
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "q21_correlated_scalar",
+    oracle="""
+    SELECT n.n_name,
+           (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+             AS n_customers,
+           (SELECT COUNT(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+             AS n_suppliers
+    FROM nation n
+    ORDER BY n.n_name
+    """,
+)
+def q21_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (decorrelated to aggregated joins)."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_q21")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_q21")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_q21")
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               (SELECT COUNT(*) FROM customer_q21 c
+                WHERE c.c_nationkey = n.n_nationkey) AS n_customers,
+               (SELECT COUNT(*) FROM supplier_q21 s
+                WHERE s.s_nationkey = n.n_nationkey) AS n_suppliers
+        FROM nation_q21 n
+        ORDER BY n.n_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (theta) join: equi key + BETWEEN residual. Spark executes the equi
+# part as the join key and evaluates the range as a post-join filter, so
+# there's no candidate-pair explosion.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q22_range_join",
+    oracle=f"""
+    SELECT p.p_brand,
+           COUNT(*) AS n_matched,
+           {DSUM_SQL.format(expr="l.l_extendedprice")} AS sum_price
+    FROM lineitem l
+    JOIN part p
+      ON l.l_partkey = p.p_partkey
+     AND l.l_quantity BETWEEN p.p_size - 2 AND p.p_size + 2
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def q22_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range-predicate join with broadcast of the dim side."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(part),
+            (li.l_partkey == part.p_partkey)
+            & (li.l_quantity >= part.p_size - 2)
+            & (li.l_quantity <= part.p_size + 2),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles. Spark's percentile() and DuckDB's quantile_cont()
+# interpolate identically (verified bit-identical on this corpus).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q24_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS median_price,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.75) AS p75_price,
+           quantile_cont(l_quantity, 0.9) AS p90_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q24_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.5).alias("median_price"),
+            F.percentile("l_extendedprice", 0.25).alias("p25_price"),
+            F.percentile("l_extendedprice", 0.75).alias("p75_price"),
+            F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q25_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {DSUM_SQL.format(expr="CASE WHEN l_linestatus = 'O' THEN l_quantity END")}
+             AS qty_O,
+           {DSUM_SQL.format(expr="CASE WHEN l_linestatus = 'F' THEN l_quantity END")}
+             AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q25_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot l_linestatus into columns (explicit value list => no extra
+    distinct-scan job at scale)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum(F.col("l_quantity")))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q27_unpivot",
+    oracle=f"""
+    WITH agg AS (
+      SELECT l_returnflag,
+             {DSUM_SQL.format(expr="l_quantity")} AS qty,
+             {DSUM_SQL.format(expr="l_discount")} AS disc,
+             {DSUM_SQL.format(expr="l_tax")} AS tax
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty' AS metric, qty AS total FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'disc' AS metric, disc AS total FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'tax' AS metric, tax AS total FROM agg
+    """,
+)
+def q27_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide metrics → long) after aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dsum(F.col("l_quantity")).alias("qty"),
+        dsum(F.col("l_discount")).alias("disc"),
+        dsum(F.col("l_tax")).alias("tax"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["qty", "disc", "tax"], "metric", "total"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer joins / HAVING / cross join / distinct.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q26_full_outer_join",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+                FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+                FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+           COALESCE(cn.n_cust, 0) AS n_cust,
+           COALESCE(sn.n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    ORDER BY nationkey
+    """,
+)
+def q26_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates with COALESCE null handling."""
+    cn = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cn.join(sn, cn.nk == sn.nk, "full_outer")
+        .select(
+            F.coalesce(cn.nk, sn.nk).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "q28_having",
+    oracle=f"""
+    SELECT l_suppkey, {DSUM_SQL.format(expr="l_quantity")} AS total_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING {DSUM_SQL.format(expr="l_quantity")} > 15000
+    ORDER BY l_suppkey
+    """,
+)
+def q28_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation HAVING filter."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 15000)
+        .orderBy("l_suppkey")
+    )
+
+
+@query(
+    "q29_cross_join",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    ORDER BY r.r_name, s.o_orderstatus
+    """,
+)
+def q29_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two (small) inputs."""
+    region = load(spark, sf_dir, "region").select("r_name")
+    statuses = load(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return region.crossJoin(statuses).orderBy("r_name", "o_orderstatus")
+
+
+@query(
+    "q30_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def q30_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (hash-aggregate without aggregates)."""
+    return load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()

@@ -78,7 +78,14 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .operators import dedup, llm_text, multimodal, relational, similarity  # noqa: F401
+    from .operators import (  # noqa: F401
+        asof,
+        dedup,
+        llm_text,
+        multimodal,
+        relational,
+        similarity,
+    )
     from .streaming import events as streaming_events  # noqa: F401
 
     _LOADED = True
