@@ -1,0 +1,82 @@
+"""Driver-gate queries exercising the encryption operators on the
+documents corpus (reference O1-O3, O8-O12 — SURVEY.md §2.1).
+
+Encrypted bytes are never hash-comparable (random IV per value, same as
+the reference's per-column random IV, src/crypto_utils.cpp:35-47,61), so
+— exactly like the reference's own validator (src/main.cpp:61-97) — the
+oracle checks DECRYPTED results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..encryption import EncryptionConfig, MockKMS
+from ..encryption.cell import decrypt_columns, encrypt_columns
+from ..registry import query
+from ..tables import load
+
+_CONFIG = EncryptionConfig(
+    column_keys={
+        "text": "00112233445566778899AABBCCDDEEFF",
+        "lang": "FFEEDDCCBBAA99887766554433221100",
+    },
+    master_key_hex="0123456789ABCDEF0123456789ABCDEF",
+    fallback_key_hex="A1B2C3D4E5F60718293A4B5C6D7E8F90",
+    use_kms=True,
+    kms_key_id="example-kms-id",
+)
+
+
+def _encrypted_documents(spark: SparkSession, sf_dir: str):
+    docs = load(spark, sf_dir, "documents")
+    kms = MockKMS()
+    enc, footer = encrypt_columns(docs, _CONFIG, kms, row_count=-1)
+    return enc, footer, kms
+
+
+@query(
+    "enc_selective_mask",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           text,
+           '[ENCRYPTED]' AS lang,
+           '[ENCRYPTED]' AS source,
+           '[ENCRYPTED]' AS n_chars
+    FROM documents
+    """,
+)
+def enc_selective_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encrypt documents per the key cascade, then selectively decrypt
+    only {doc_id, text}: every other column must read back as the
+    [ENCRYPTED] placeholder (reference golden-scenario semantics,
+    src/main.cpp:130-141)."""
+    enc, footer, kms = _encrypted_documents(spark, sf_dir)
+    return decrypt_columns(enc, _CONFIG, footer, ["doc_id", "text"], kms)
+
+
+@query(
+    "enc_roundtrip_agg",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def enc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full encrypt→decrypt round-trip composed with a downstream
+    aggregation — decryption is an ordinary expression, so Catalyst
+    pipelines it into the same stage as the aggregate."""
+    enc, footer, kms = _encrypted_documents(spark, sf_dir)
+    dec = decrypt_columns(enc, _CONFIG, footer, None, kms)
+    return (
+        dec.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

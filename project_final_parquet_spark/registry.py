@@ -81,6 +81,7 @@ def _load_all() -> None:
     from .operators import (  # noqa: F401
         asof,
         dedup,
+        encrypted,
         llm_text,
         multimodal,
         relational,
