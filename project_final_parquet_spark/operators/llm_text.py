@@ -1,1 +1,241 @@
-"""Text-analysis operators for LLM data pipelines. Filled in Phase 3."""
+"""Text-analysis operators for LLM data pipelines over ``documents``.
+
+Not present in the reference (its only string ops are the `"col: value"`
+codec, SURVEY.md §2.2) — these are the driver-mandated extension surface:
+token statistics, quality scoring, language-ID heuristics, and document
+fingerprinting. Everything is built-in `pyspark.sql.functions` (JVM,
+whole-stage codegen): tokenization is `split`, set ops are array
+functions, hashes are md5 — zero Python in the data path.
+
+Scale (100 TB): all per-document ops are pure map-side (no shuffle);
+aggregates shuffle only partially-aggregated group rows; top-k terms is
+the only explode+shuffle and is bounded by vocabulary size after
+map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+# Shared tokenizer: documents.text is space-separated tokens.
+def _tokens(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+_STOP_SQL = "['" + "','".join(STOPWORDS) + "']"
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+             AS n_distinct_tokens,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + distinct-token and length statistics."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_intersect(list_distinct(toks), {_STOP_SQL})) AS INT)
+             AS n_stopword_kinds,
+           CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+             / n AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / n AS uniq_ratio,
+           CASE
+             WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / n >= 0.60 THEN 'high'
+             WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / n >= 0.35 THEN 'mid'
+             ELSE 'low'
+           END AS quality_bucket
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals: stopword ratio, uniqueness ratio, bucket."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    n = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    return docs.select(
+        "doc_id",
+        F.size(F.array_intersect(F.array_distinct(toks), stop)).alias(
+            "n_stopword_kinds"
+        ),
+        (
+            F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).cast(
+                "double"
+            )
+            / n
+        ).alias("stopword_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        F.when(uniq_ratio >= 0.60, "high")
+        .when(uniq_ratio >= 0.35, "mid")
+        .otherwise("low")
+        .alias("quality_bucket"),
+    )
+
+
+# Tiny per-language marker vocabularies for the n-gram/keyword language-ID
+# heuristic. (The synthetic corpus shares one vocabulary across langs, so
+# accuracy is meaningless here — the operator and its determinism are
+# what's oracle-checked.)
+_LANG_MARKERS = {
+    "en": ["the", "fast", "key"],
+    "de": ["der", "und", "schnell"],
+    "es": ["el", "la", "rapido"],
+    "fr": ["le", "et", "rapide"],
+    "zh": ["de", "kuai", "jian"],
+}
+
+
+def _marker_sql(lang: str) -> str:
+    return "['" + "','".join(_LANG_MARKERS[lang]) + "']"
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                 {_marker_sql('de')})) AS s_de,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                 {_marker_sql('en')})) AS s_en,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                 {_marker_sql('es')})) AS s_es,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                 {_marker_sql('fr')})) AS s_fr,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                 {_marker_sql('zh')})) AS s_zh
+      FROM documents
+    ),
+    pred AS (
+      SELECT doc_id, lang,
+             CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+               WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+               WHEN s_fr THEN 'fr' ELSE 'zh'
+             END AS predicted
+      FROM scored
+    )
+    SELECT lang, predicted, COUNT(*) AS n
+    FROM pred GROUP BY lang, predicted ORDER BY lang, predicted
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-overlap language ID; returns the (actual, predicted)
+    confusion counts. Ties break lexicographically (de<en<es<fr<zh)."""
+    docs = load(spark, sf_dir, "documents")
+    uniq = F.array_distinct(_tokens())
+    scores = {
+        lang: F.size(
+            F.array_intersect(uniq, F.array(*[F.lit(m) for m in markers]))
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    predicted = (
+        F.when(scores["de"] == best, "de")
+        .when(scores["en"] == best, "en")
+        .when(scores["es"] == best, "es")
+        .when(scores["fr"] == best, "fr")
+        .otherwise("zh")
+    )
+    return (
+        docs.select("doc_id", "lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp_content,
+           list_min(list_transform(range(len(toks) - 2),
+             i -> md5(concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))))
+             AS fp_min_shingle
+    FROM t
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: order-insensitive content hash + winnowing-
+    style minimum shingle hash (the md5-min is a 1-permutation MinHash)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            )
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+            "fp_content"
+        ),
+        F.array_min(shingle_hashes).alias("fp_min_shingle"),
+    )
+
+
+@query(
+    "text_top_terms",
+    oracle="""
+    SELECT term, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY term
+    ORDER BY freq DESC, term
+    LIMIT 20
+    """,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide term frequency top-20 (explode → partial agg → top-k)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term"))
+        .limit(20)
+    )
