@@ -1,1 +1,170 @@
-"""Event-stream operators (windowed aggs, sessionization). Filled in Phase 4."""
+"""Event-stream operators: tumbling / sliding / session windows.
+
+The reference is strictly batch (whole-file materialization, SURVEY.md
+§2.2 — no streaming of any kind); this module supplies the streaming
+surface the driver mandates, written as ONE set of transformations that
+run identically under batch and Structured Streaming (the unified
+Dataset semantics). The driver-gate queries run them in batch mode with
+DuckDB oracles; tests/test_streaming.py runs the same transformations
+under ``readStream`` with watermarks and asserts batch-equivalence.
+
+Timezone discipline: ``F.window``/``F.session_window`` over TIMESTAMP_NTZ
+aligns windows on session-local wall time, so results would depend on the
+(driver-controlled, unknown) session timezone. All windowing here runs on
+TIMESTAMP (LTZ) built from epoch microseconds — absolute instants with
+epoch-aligned windows — and emits TZ-free epoch-microsecond boundaries.
+
+Scale (100 TB of events): windowed aggregation shuffles once on
+(window, key) with map-side partial aggregation; the watermark bounds
+streaming state (late rows beyond it are dropped, state evicted);
+session windows merge in the state store keyed by user — the gap
+parameter is the state-size lever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import DSUM_SQL, dsum, query
+from ..tables import load
+
+
+# --- shared transformations (batch ≡ streaming) ----------------------------
+# Contract: input carries ``ts`` as TIMESTAMP (LTZ). The batch loaders
+# provide ts_us (epoch µs); _with_event_time derives the LTZ column.
+
+
+def _with_event_time(events: DataFrame) -> DataFrame:
+    return events.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows per event type (epoch-aligned)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in 2)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessions per user: start=min(ts), end=max(ts)+gap."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+# --- driver-gate batch queries with oracles --------------------------------
+
+_US_30MIN = 30 * 60 * 1_000_000
+_US_HOUR = 60 * 60 * 1_000_000
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle=f"""
+    SELECT epoch_us(ts) - epoch_us(ts) % {_US_HOUR} AS window_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           {DSUM_SQL.format(expr="value")} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows; boundaries emitted as epoch µs (TZ-free)."""
+    ev = _with_event_time(load(spark, sf_dir, "events"))
+    return tumbling_counts(ev).orderBy("window_start_us", "event_type")
+
+
+@query(
+    "stream_sliding_counts",
+    oracle=f"""
+    WITH starts AS (
+      SELECT value,
+             epoch_us(ts) - epoch_us(ts) % {_US_30MIN} - k * {_US_30MIN}
+               AS window_start_us
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offs
+    )
+    SELECT window_start_us, COUNT(*) AS n_events,
+           {DSUM_SQL.format(expr="value")} AS sum_value
+    FROM starts
+    GROUP BY window_start_us
+    ORDER BY window_start_us
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30min windows — every event contributes to exactly two
+    windows; the oracle materializes both starts by integer arithmetic."""
+    ev = _with_event_time(load(spark, sf_dir, "events"))
+    return sliding_counts(ev).orderBy("window_start_us")
+
+
+@query(
+    "stream_session_windows",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_US_30MIN}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    numbered AS (
+      SELECT user_id, t,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(t) AS session_start_us,
+           MAX(t) + {_US_30MIN} AS session_end_us,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (session_window); the oracle is the
+    classic lag-gap-cumsum construction — identical session boundaries.
+
+    Spark merges sessions with gap strictly-greater semantics (a new
+    session starts when delta > gap), mirrored in the oracle."""
+    ev = _with_event_time(load(spark, sf_dir, "events"))
+    return session_windows(ev).orderBy("user_id", "session_start_us")

@@ -1,0 +1,148 @@
+"""Structured Streaming tests: the same transformations used by the
+batch driver-gate queries run under readStream and must produce the
+identical results (unified semantics), plus a custom stateful operator
+via applyInPandasWithState."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from project_final_parquet_spark.streaming.events import (
+    _with_event_time,
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+from project_final_parquet_spark.tables import load
+
+_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as nanos
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+_STREAM_DIR = None
+
+
+def _event_stream(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource needs a DIRECTORY; stage the single parquet file.
+    global _STREAM_DIR
+    if _STREAM_DIR is None:
+        import shutil
+        import tempfile
+
+        _STREAM_DIR = tempfile.mkdtemp(prefix="events_stream_")
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(_STREAM_DIR, "events.parquet"),
+        )
+    raw = spark.readStream.schema(_RAW_SCHEMA).parquet(_STREAM_DIR)
+    # watermarks require TIMESTAMP (LTZ), not NTZ — the test session pins
+    # UTC, so window starts match the batch loader's NTZ values exactly.
+    return raw.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+
+
+def _run_to_completion(stream_df, name, mode="complete"):
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize(
+    "xform,name",
+    [(tumbling_counts, "t_tumble"), (sliding_counts, "t_slide")],
+    ids=["tumbling", "sliding"],
+)
+def test_windowed_agg_batch_equivalence(spark, sf_dir, xform, name):
+    stream = xform(_event_stream(spark, sf_dir).withWatermark("ts", "10 minutes"))
+    _run_to_completion(stream, name)
+    got = spark.sql(f"SELECT * FROM {name}")
+    exp = xform(_with_event_time(load(spark, sf_dir, "events")))
+    assert _rows(got) == _rows(exp)
+
+
+def test_session_windows_batch_equivalence(spark, sf_dir):
+    stream = session_windows(
+        _event_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    )
+    _run_to_completion(stream, "t_sessions")
+    got = spark.sql("SELECT * FROM t_sessions")
+    exp = session_windows(_with_event_time(load(spark, sf_dir, "events")))
+    assert _rows(got) == _rows(exp)
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    """Custom stateful operator: per-user running event count/value via
+    applyInPandasWithState, checked against the batch aggregate."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def make_fn():
+        # nested => cloudpickle by value (workers can't import this repo)
+        def fn(key, pdfs, state: GroupState):
+            n, total = state.get if state.exists else (0, 0.0)
+            for pdf in pdfs:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            state.update((n, total))
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        return fn
+
+    stream = (
+        _event_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_fn(),
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    _run_to_completion(stream, "t_state", mode="update")
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.sql(
+            # last update per user wins (single batch => totals)
+            "SELECT * FROM t_state"
+        ).collect()
+    }
+    exp = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == exp
