@@ -197,19 +197,14 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: order-insensitive content hash + winnowing-
     style minimum shingle hash (the md5-min is a 1-permutation MinHash)."""
+    from .dedup import _ngrams
+
     docs = load(spark, sf_dir, "documents")
     toks = _tokens()
-    shingle_hashes = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.md5(
-            F.concat_ws(
-                " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
-            )
-        ),
-    )
+    # _ngrams (slice+zip) avoids the quadratic lambda-inlining trap; the
+    # reference fingerprint is over ALL shingles incl. duplicates, but
+    # md5-min over distinct shingles is identical (min ignores repeats).
+    shingle_hashes = F.transform(_ngrams(toks, 3), lambda s: F.md5(s))
     return docs.select(
         "doc_id",
         F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
