@@ -85,6 +85,7 @@ def _load_all() -> None:
         llm_text,
         multimodal,
         relational,
+        relational2,
         similarity,
     )
     from .streaming import events as streaming_events  # noqa: F401
