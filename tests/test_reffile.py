@@ -1,0 +1,80 @@
+"""Byte-layout and round-trip tests for the reference file format layer."""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import pytest
+
+from project_final_parquet_spark.encryption import EncryptionConfig
+from project_final_parquet_spark.encryption.cell import sparse_rows_df
+from project_final_parquet_spark.encryption.io import _aes_bytes
+from project_final_parquet_spark.encryption.reffile import (
+    ReferenceCompatKMS,
+    read_reference_format,
+    write_reference_format,
+)
+from tests.test_encryption import ALL_COLS, CONFIG, EMPLOYEE_ROWS, expected_rows
+
+
+@pytest.fixture(scope="module")
+def ref_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("reffmt") / "employees.bin")
+    write_reference_format(sparse_rows_df(spark, EMPLOYEE_ROWS), path, CONFIG)
+    return path
+
+
+@pytest.mark.parametrize(
+    "requested",
+    [ALL_COLS, ["Salary", "Department"], ["Location"], ["Name"]],
+    ids=lambda r: "+".join(r),
+)
+def test_golden_scenarios_through_reference_format(spark, ref_path, requested):
+    got = read_reference_format(spark, ref_path, CONFIG, requested).collect()
+    exp = expected_rows(requested)
+    assert sorted(tuple(r[c] for c in ALL_COLS) for r in got) == sorted(
+        tuple(r[c] for c in ALL_COLS) for r in exp
+    )
+
+
+def test_file_layout_matches_spec(spark, ref_path):
+    data = open(ref_path, "rb").read()
+    (flen,) = struct.unpack("<Q", data[-8:])
+    footer = json.loads(
+        _aes_bytes(
+            spark, data[-8 - flen : -8], CONFIG.master_key_hex, encrypt=False
+        ).decode()
+    )
+    assert footer["row_count"] == len(EMPLOYEE_ROWS)
+    # columns laid out contiguously from offset 0, footer directly after
+    offset = 0
+    for col in sorted(footer["columns"]):
+        meta = footer["columns"][col]
+        assert meta["offset"] == offset
+        offset += meta["size"]
+        # GCM blob overhead: 12B IV + 16B tag around the ciphertext
+        if meta["mode"] == "AES_GCM":
+            assert meta["size"] == meta["cipher_size"] + 28
+            assert bytes.fromhex(meta["iv"]) == data[meta["offset"]:meta["offset"]+12]
+    assert offset == len(data) - 8 - flen
+    # KMS-keyed column persists only the WRAPPED key
+    assert "kms_encrypted_key" in footer["columns"]["Location"]
+
+
+def test_kms_contract_roundtrip():
+    kms = ReferenceCompatKMS()
+    plain, wrapped = kms.generate_data_key("example-kms-id")
+    assert wrapped != plain
+    assert kms.decrypt_data_key(wrapped, "example-kms-id") == plain
+
+
+def test_wrong_master_key_rejected(spark, ref_path):
+    bad = EncryptionConfig(
+        column_keys=CONFIG.column_keys,
+        master_key_hex="00000000000000000000000000000000",
+        use_kms=True,
+        kms_key_id=CONFIG.kms_key_id,
+    )
+    with pytest.raises(Exception):
+        read_reference_format(spark, ref_path, bad, ["Name"])
