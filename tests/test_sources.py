@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 
 from pyspark.sql import functions as F
 
@@ -30,8 +31,16 @@ def test_partition_filter_prunes_directories(spark, sf_dir):
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     """bucketBy co-locates both sides: the join plan must contain zero
     Exchange operators — the 100 TB repeated-join strategy."""
+    import shutil
+
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    # a fresh session has no metastore memory of old tables, but their
+    # warehouse directories persist — remove them or saveAsTable throws
+    # LOCATION_ALREADY_EXISTS
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("li_bucketed", "ord_bucketed"):
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     load(spark, sf_dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
         "l_orderkey"
     ).mode("overwrite").saveAsTable("li_bucketed")
