@@ -215,6 +215,82 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                AS INT) AS bpe_ish_tokens,
+           CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INT)
+             AS vowel_groups
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex segmenter
+    (letter runs / digit runs / single punctuation — the pre-tokenizer
+    shape GPT-style BPE vocabularies assume). Both are map-side
+    expressions; the regex path is the honest proxy for estimating LLM
+    token budgets over 100 TB of text."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+            )
+        ).alias("bpe_ish_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[aeiou]+"), 0)).alias(
+            "vowel_groups"
+        ),
+    )
+
+
+# Polynomial rolling hash: h = (h*B + byte) mod P, the Rabin-Karp form.
+# B/P chosen so (P-1)*B + 255 < 2^63 — no overflow in either engine.
+_RH_B = 257
+_RH_P = 1_000_000_007
+
+
+@query(
+    "text_rolling_hash",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(range(length(text)),
+                            i -> ascii(substr(text, i + 1, 1))) AS bytes
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                               list_transform(bytes, b -> CAST(b AS BIGINT))),
+                  (h, b) -> (h * {_RH_B} + b) % {_RH_P}) AS BIGINT)
+             AS rolling_hash
+    FROM t
+    """,
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling hash over document bytes — the classic
+    content-defined fingerprint (and the primitive for content-defined
+    chunking). A sequential integer fold, identical in both engines."""
+    docs = load(spark, sf_dir, "documents")
+    bytes_arr = F.transform(
+        F.split(F.col("text"), ""),
+        lambda ch: F.ascii(ch).cast("long"),
+    )
+    return docs.select(
+        "doc_id",
+        F.aggregate(
+            bytes_arr,
+            F.lit(0).cast("long"),
+            lambda h, b: (h * _RH_B + b) % _RH_P,
+        ).alias("rolling_hash"),
+    )
+
+
+@query(
     "text_top_terms",
     oracle="""
     SELECT term, COUNT(*) AS freq

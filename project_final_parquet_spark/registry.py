@@ -87,6 +87,7 @@ def _load_all() -> None:
         relational,
         relational2,
         similarity,
+        skew,
         sources,
     )
     from .streaming import events as streaming_events  # noqa: F401
