@@ -310,6 +310,34 @@ def q41_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "orc")
 
 
+@query(
+    "q43_left_outer_join",
+    oracle="""
+    SELECT c.c_custkey, p.n_pending
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n_pending
+      FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey
+    ) p ON c.c_custkey = p.o_custkey
+    ORDER BY c.c_custkey
+    """,
+)
+def q43_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving unmatched left rows as NULLs."""
+    cust = load(spark, sf_dir, "customer")
+    pending = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_pending"))
+    )
+    return (
+        cust.join(pending, cust.c_custkey == pending.o_custkey, "left")
+        .select("c_custkey", "n_pending")
+        .orderBy("c_custkey")
+    )
+
+
 @query("q42_approx_aggs")  # no oracle: approximate results by design
 def q42_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates (HLL++ distinct, GK quantiles) — the
