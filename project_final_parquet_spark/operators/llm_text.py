@@ -290,6 +290,105 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK = 16  # tokens per chunk (small so the corpus yields multi-chunk docs)
+
+
+@query(
+    "text_chunking",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+           CAST(len(toks[ci*{_CHUNK}+1 : (ci+1)*{_CHUNK}]) AS INT)
+             AS n_chunk_tokens,
+           md5(array_to_string(toks[ci*{_CHUNK}+1 : (ci+1)*{_CHUNK}], ' '))
+             AS chunk_hash
+    FROM t CROSS JOIN LATERAL (
+      SELECT unnest(range(CAST(ceil(len(toks) / {_CHUNK}.0) AS INT))) AS ci
+    ) c
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking — the context-window splitter of a
+    pretraining pipeline. Declarative: explode over chunk indices +
+    array slice; no UDTF needed, fully distributed, last chunk ragged."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(_CHUNK))).cast("int")
+    t = docs.select("doc_id", toks.alias("toks"), n_chunks.alias("nc"))
+    exploded = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * _CHUNK + 1, _CHUNK)
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_PACK_BUDGET = 256  # tokens per packed sequence
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT lang,
+           CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM c
+    GROUP BY lang, pack_id
+    ORDER BY lang, pack_id
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (per lang, in id order) to
+    ~fixed-token-budget packs via a cumulative-sum window — the
+    offset-based approximation of greedy packing that stays one window
+    pass instead of a sequential loop (the 100 TB-compatible form)."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.select(
+            "lang",
+            ((F.col("cum") - F.col("n_tokens")) / _PACK_BUDGET)
+            .cast("bigint")
+            .alias("pack_id"),
+            "n_tokens",
+        )
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
 @query(
     "text_top_terms",
     oracle="""
