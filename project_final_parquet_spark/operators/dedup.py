@@ -176,6 +176,14 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 calls than per-seed hashing. Banding keeps the self-join to
     bucket-mates. Candidate recall is 1-(1-j^R)^B — ≈1 for the
     ~0.99-Jaccard clusters in this corpus."""
+    return _minhash_pairs(spark, sf_dir, persist=False)
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str, persist: bool) -> DataFrame:
+    """MinHash+LSH pair pipeline. ``persist`` materializes the signature
+    frame so downstream multi-pass consumers (the connected-components
+    iteration) stop recomputing it; a one-shot cold run is faster
+    WITHOUT it (materialization blocks pipelining)."""
     docs = load(spark, sf_dir, "documents")
     sh = docs.select("doc_id", _shingles3(_toks()).alias("sh"))
     base = sh.select(
@@ -198,6 +206,8 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.array_min(F.transform("bh", _perm(s))) for s in range(_MINHASH_K)]
         ).alias("sig"),
     )
+    if persist:
+        sig = sig.persist()
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -225,8 +235,8 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
@@ -344,6 +354,74 @@ def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _HAMMING_T)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- near-dup cluster resolution (connected components) --------------------
+
+_CC_ITERS = 6
+
+
+def _minhash_pairs_sql() -> str:
+    """The minhash oracle as a nested subquery (DuckDB allows WITH inside
+    a derived table)."""
+    from ..registry import _REGISTRY
+
+    return _REGISTRY["dedup_near_minhash_lsh"].oracle
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_minhash_pairs_sql()}) p),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, label) AS (
+      SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges) n
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+    )
+    SELECT u AS doc_id, CAST(MIN(label) AS BIGINT) AS component_id
+    FROM reach GROUP BY u
+    ORDER BY doc_id
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve near-dup pairs into duplicate CLUSTERS: connected
+    components by iterative min-label propagation ({_CC_ITERS} rounds —
+    converges for any component diameter ≤ {_CC_ITERS}; this corpus's
+    clusters are pairs/triples). The survivor of each cluster is its
+    component_id (lowest doc_id). Oracle: DuckDB recursive CTE computing
+    the exact min reachable label.
+
+    At 100 TB this is the standard large-graph CC pattern: each round is
+    one self-join + min-aggregate, and the iteration count is the graph
+    diameter after large-star/small-star style shortcutting."""
+    pairs = _minhash_pairs(spark, sf_dir, persist=True).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnsRenamed({"doc_a": "u", "doc_b": "v"})
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(_CC_ITERS):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("label").alias("component_id")
+    ).orderBy("doc_id")
 
 
 # --- blocked n-gram Jaccard ------------------------------------------------

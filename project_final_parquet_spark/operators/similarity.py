@@ -197,6 +197,96 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF-style probe search ------------------------------------------------
+
+_IVF_SCALE = 1_000_000_000_000  # 1e12: (c-q)^2 distances are ~1e-4
+
+
+@query(
+    "sim_ivf_probe",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, j,
+             (CAST(SUM(CAST(floor(CAST(embedding[j+1] AS DOUBLE)
+                   * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0)
+               / COUNT(*) AS c
+      FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS j) dims
+      GROUP BY label, j
+    ),
+    q AS (
+      SELECT j, CAST(embedding[j+1] AS DOUBLE) AS qv
+      FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS j) dims
+      WHERE vec_id = 0
+    ),
+    dist AS (
+      SELECT cent.label,
+             SUM(CAST(floor((cent.c - q.qv) * (cent.c - q.qv)
+                 * {_IVF_SCALE}.0) AS BIGINT)) AS d2
+      FROM cent JOIN q ON cent.j = q.j
+      GROUP BY cent.label
+    ),
+    best AS (SELECT label FROM dist ORDER BY d2, label LIMIT 1)
+    SELECT e.vec_id, e.label,
+           {_DOT_SQL.format(dim=_DIM, a='e.embedding', b='qq.embedding')}
+             / ({_NORM_SQL.format(dim=_DIM, a='e.embedding')}
+                * {_NORM_SQL.format(dim=_DIM, a='qq.embedding')}) AS cosine
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) qq
+    WHERE e.label = (SELECT label FROM best) AND e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN with nprobe=1: coarse cells are the label partitions,
+    the query probes its nearest cell centroid, and only that cell is
+    scored exactly. Distances to centroids sum as floor-scaled integers
+    so the argmin cell is bit-deterministic cross-engine.
+
+    At 100 TB the inverted-file layout is a bucket/partition column:
+    probing reads one partition per (query, probe) instead of the corpus."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("j", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = (
+        dims.groupBy("label", "j")
+        .agg(
+            (
+                (
+                    F.sum(F.floor(F.col("val") * 1e9)).cast("double") / 1e9
+                )
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    qdims = dims.filter(F.col("vec_id") == 0).select(
+        F.col("j").alias("qj"), F.col("val").alias("qv")
+    )
+    dist = (
+        cent.join(F.broadcast(qdims), cent.j == qdims.qj)
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.floor((F.col("c") - F.col("qv")) * (F.col("c") - F.col("qv")) * _IVF_SCALE)
+            ).alias("d2")
+        )
+    )
+    best = dist.orderBy("d2", "label").limit(1).select(F.col("label").alias("best_label"))
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cosine = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    return (
+        emb.join(F.broadcast(best), emb.label == F.col("best_label"))
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
 @query(
     "sim_centroids",
     oracle="""
