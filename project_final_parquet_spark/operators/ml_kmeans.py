@@ -1,0 +1,158 @@
+"""Iterative distributed k-means (Lloyd's algorithm) over embeddings —
+the engine's iterative-algorithm pattern (not in the reference; SURVEY.md
+§2.2 has no iterative/ML surface at all).
+
+Determinism discipline (what makes an EXACT DuckDB oracle possible for an
+iterative float algorithm):
+- init: centroids = embeddings of vec_id 0..k-1 (fixed, no RNG);
+- assignment: squared-L2 distance summed as floor-scaled integers →
+  argmin is integer comparison, ties break on cluster id;
+- update: per-dimension mean via floor-scaled integer sums (exact,
+  order-independent) — the same convention as sim_centroids;
+- fixed iteration count (the cross-engine-comparable form of a
+  convergence loop).
+
+Scale (100 TB): each iteration is one broadcast of k×64 centroid values
++ one map-side assignment + one (cluster, dim)-keyed partial-agg shuffle
+whose size is k×64 rows per task — the textbook distributed k-means
+shuffle budget. The iteration loop lives on the driver; data never does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+_K = 4
+_ITERS = 3
+_DIM = 64
+_CSCALE = 1_000_000_000  # centroid mean scaling (exact integer sums)
+_DSCALE = 1_000_000_000_000  # distance scaling ((v-c)^2 ~ 1e-4)
+
+
+# --- DuckDB oracle generation ----------------------------------------------
+
+
+def _sql_dist(vec: str, cent: str) -> str:
+    """Σ_d floor((v_d - c_d)² · S) as BIGINT — deterministic distance."""
+    return f"""list_aggregate(list_transform(range({_DIM}),
+      d -> CAST(floor((CAST({vec}[d+1] AS DOUBLE) - {cent}[d+1])
+                      * (CAST({vec}[d+1] AS DOUBLE) - {cent}[d+1])
+                      * {_DSCALE}.0) AS BIGINT)), 'sum')"""
+
+
+def _kmeans_oracle() -> str:
+    parts = [
+        f"""
+    WITH cent0 AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+      FROM embeddings WHERE vec_id < {_K}
+    )"""
+    ]
+    prev = "cent0"
+    for i in range(_ITERS):
+        parts.append(
+            f""",
+    assign{i} AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c0.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sql_dist('e.embedding', 'c0.c')}, c0.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN {prev} c0
+      ) ranked WHERE rn = 1
+    ),
+    cent{i + 1} AS (
+      SELECT cid, list(cd ORDER BY d) AS c FROM (
+        SELECT cid, d,
+               (CAST(SUM(CAST(floor(CAST(embedding[d+1] AS DOUBLE)
+                    * {_CSCALE}.0) AS BIGINT)) AS DOUBLE) / {_CSCALE}.0)
+                 / COUNT(*) AS cd
+        FROM assign{i} CROSS JOIN (SELECT unnest(range({_DIM})) AS d) dims
+        GROUP BY cid, d
+      ) t GROUP BY cid
+    )"""
+        )
+        prev = f"cent{i + 1}"
+    parts.append(
+        f"""
+    SELECT a.cid AS cluster_id, COUNT(*) AS n_points,
+           CAST(MIN(a.vec_id) AS BIGINT) AS min_vec_id
+    FROM assign{_ITERS - 1} a
+    GROUP BY a.cid
+    ORDER BY a.cid
+    """
+    )
+    return "".join(parts)
+
+
+# --- Spark implementation --------------------------------------------------
+
+
+def _spark_dist(vec, cent):
+    diff2 = F.zip_with(
+        vec,
+        cent,
+        lambda x, y: F.floor(
+            (x.cast("double") - y) * (x.cast("double") - y) * _DSCALE
+        ),
+    )
+    return F.aggregate(diff2, F.lit(0).cast("long"), lambda a, v: a + v)
+
+
+@query("ml_kmeans", oracle=_kmeans_oracle())
+def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means(k=4, 3 Lloyd iterations) cluster sizes over embeddings."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+    assigned = None
+    for _ in range(_ITERS):
+        # assignment: broadcast k centroid arrays, argmin by (dist, cid)
+        scored = emb.crossJoin(F.broadcast(centroids)).select(
+            "vec_id",
+            "embedding",
+            "cid",
+            _spark_dist(F.col("embedding"), F.col("c")).alias("dist"),
+        )
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("vec_id").orderBy("dist", "cid")
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cid")
+        )
+        # update: exact per-dimension means via scaled-integer sums
+        exploded = assigned.select(
+            "cid", F.posexplode("embedding").alias("d", "val")
+        ).withColumn("sv", F.floor(F.col("val").cast("double") * _CSCALE))
+        per_dim = (
+            exploded.groupBy("cid", "d")
+            .agg(
+                (
+                    (F.sum("sv").cast("double") / _CSCALE) / F.count(F.lit(1))
+                ).alias("cd")
+            )
+        )
+        centroids = per_dim.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cd"))),
+                lambda s: s["cd"],
+            ).alias("c")
+        )
+    return (
+        assigned.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("cluster_id")
+    )

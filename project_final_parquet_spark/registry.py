@@ -83,6 +83,7 @@ def _load_all() -> None:
         dedup,
         encrypted,
         llm_text,
+        ml_kmeans,
         multimodal,
         relational,
         relational2,

@@ -1,66 +1,71 @@
 """Plan-shape assertions: the optimizations SCALE.md claims must be
-visible in the physical plans (pushdown, pruning, broadcast, top-k)."""
+visible in the physical plans (pushdown, pruning, broadcast, top-k),
+via the plans.audit utilities."""
 
 from __future__ import annotations
 
-import contextlib
-import io
-
-import pytest
-
+from project_final_parquet_spark.plans import plan_facts
 from project_final_parquet_spark.registry import all_queries
 
 BIG_SF = "/root/testdata/sf0.01"
 
 
-def plan_of(spark, name: str) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        all_queries()[name](spark, BIG_SF).explain("formatted")
-    return buf.getvalue()
+def facts_of(spark, name: str):
+    return plan_facts(all_queries()[name](spark, BIG_SF))
 
 
 def test_filter_pushdown_reaches_scan(spark):
-    p = plan_of(spark, "q2_filter_project")
-    assert "GreaterThanOrEqual(l_quantity,45.0)" in p
-    assert "EqualTo(l_returnflag,R)" in p
+    f = facts_of(spark, "q2_filter_project")
+    joined = ";".join(f.pushed_filters)
+    assert "GreaterThanOrEqual(l_quantity,45.0)" in joined
+    assert "EqualTo(l_returnflag,R)" in joined
 
 
 def test_column_pruning_reaches_scan(spark):
-    p = plan_of(spark, "q2_filter_project")
-    # only the 4 projected + 2 filtered columns may be read
-    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," in p.replace(
-        "\n", ""
-    )
-    assert "l_shipdate" not in p.split("ReadSchema")[1].split("\n")[0]
+    f = facts_of(spark, "q2_filter_project")
+    assert len(f.read_schemas) == 1
+    schema = f.read_schemas[0]
+    assert schema.startswith("struct<l_orderkey:bigint,l_linenumber:int,")
+    assert "l_shipdate" not in schema
 
 
 def test_q1_prunes_and_pushes(spark):
-    p = plan_of(spark, "q1_pricing_summary")
-    assert "LessThanOrEqual(l_shipdate" in p
-    read = p.split("ReadSchema: ")[1].split("\n")[0]
-    assert "l_orderkey" not in read  # unused column never read
+    f = facts_of(spark, "q1_pricing_summary")
+    assert any("LessThanOrEqual(l_shipdate" in x for x in f.pushed_filters)
+    assert all("l_orderkey" not in s for s in f.read_schemas)
 
 
 def test_star_join_broadcasts_dims(spark):
-    p = plan_of(spark, "q3_star_join_revenue")
-    assert p.count("BroadcastHashJoin") >= 3  # customer, nation, region
-    assert "CartesianProduct" not in p
+    f = facts_of(spark, "q3_star_join_revenue")
+    assert f.n_broadcast_joins >= 3  # customer, nation, region
+    assert f.n_nested_loop_joins == 0
 
 
 def test_topk_plans_as_take_ordered(spark):
-    p = plan_of(spark, "q4_top_revenue_orders")
-    assert "TakeOrderedAndProject" in p
+    assert facts_of(spark, "q4_top_revenue_orders").has_take_ordered
 
 
 def test_range_join_is_equi_plus_filter(spark):
-    p = plan_of(spark, "q22_range_join")
-    assert "BroadcastHashJoin" in p
-    assert "BroadcastNestedLoopJoin" not in p  # range pred must not demote the join
+    f = facts_of(spark, "q22_range_join")
+    assert f.n_broadcast_joins >= 1
+    assert f.n_nested_loop_joins == 0  # range pred must not demote the join
 
 
 def test_partial_aggregation_before_shuffle(spark):
-    p = plan_of(spark, "q1_pricing_summary")
-    # partial + final HashAggregate pair around one exchange
-    assert p.count("HashAggregate") >= 2
-    assert p.count("Exchange") >= 1
+    f = facts_of(spark, "q1_pricing_summary")
+    assert f.n_hash_aggregates >= 2  # partial + final
+    assert f.n_exchanges >= 1
+
+
+def test_partitioned_read_prunes(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from project_final_parquet_spark.operators.sources import (
+        partitioned_orders_path,
+    )
+    from project_final_parquet_spark.plans import plan_facts as pf
+
+    path = partitioned_orders_path(spark, "/root/testdata/sf0.01")
+    df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    f = pf(df)
+    assert any("o_orderstatus" in x for x in f.partition_filters)
