@@ -288,6 +288,54 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH buck AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_DOT_SQL.format(dim=_DIM, a='a.embedding', b='b.embedding')}
+             / ({_NORM_SQL.format(dim=_DIM, a='a.embedding')}
+                * {_NORM_SQL.format(dim=_DIM, a='b.embedding')}) AS cosine
+    FROM buck a JOIN buck b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_DOT_SQL.format(dim=_DIM, a='a.embedding', b='b.embedding')}
+             / ({_NORM_SQL.format(dim=_DIM, a='a.embedding')}
+                * {_NORM_SQL.format(dim=_DIM, a='b.embedding')}) >= 0.3
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, LSH-bucketed: candidate
+    pairs share a hyperplane bucket (no label blocking — semantic dups
+    cross labels), then exact cosine ≥ 0.3 verifies. The embedding-space
+    sibling of MinHash dedup: bucket fan-in bounds the pair space at
+    100 TB; recall tunes with plane count / multiprobe."""
+    emb = load(spark, sf_dir, "embeddings")
+    buck = emb.select(
+        "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
+    )
+    a = buck.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        "bucket",
+    )
+    b = buck.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cosine = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        a.join(b, (a.bucket == b.bucket_b) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query(
     "sim_centroids",
     oracle="""
     SELECT label, j AS dim_idx,
