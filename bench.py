@@ -29,8 +29,12 @@ HEADLINE = [
     "q8_running_qty_per_supplier",
     "q23_asof_join",
     "dedup_near_minhash_lsh",
+    "dedup_cluster_components",
     "sim_topk_cosine",
+    "sim_ann_lsh",
+    "ml_kmeans",
     "text_token_stats",
+    "text_chunking",
     "stream_session_windows",
     "enc_roundtrip_agg",
 ]

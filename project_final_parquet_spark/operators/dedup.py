@@ -400,9 +400,22 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     one self-join + min-aggregate, and the iteration count is the graph
     diameter after large-star/small-star style shortcutting."""
     pairs = _minhash_pairs(spark, sf_dir, persist=True).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).withColumnsRenamed({"doc_a": "u", "doc_b": "v"})
+    # truncate lineage on the loop-carried frames: without this every
+    # iteration re-nests the full upstream plan (minhash pipeline ×
+    # 2^iters) and Spark builds the duplicated broadcast exchanges
+    # concurrently — observed as driver-heap exhaustion at 6 iterations.
+    # Eager localCheckpoint cuts the DAG at each round (the standard
+    # iterative-algorithm pattern; cluster jobs use checkpoint() on
+    # fault-tolerant storage instead).
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .withColumnsRenamed({"doc_a": "u", "doc_b": "v"})
+        .localCheckpoint()
+    )
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     for _ in range(_CC_ITERS):
         neighbor_min = (
@@ -418,6 +431,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
+            .localCheckpoint()
         )
     return labels.select(
         F.col("u").alias("doc_id"), F.col("label").alias("component_id")

@@ -142,11 +142,18 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("cd")
             )
         )
-        centroids = per_dim.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "cd"))),
-                lambda s: s["cd"],
-            ).alias("c")
+        # truncate lineage on the loop-carried centroids: otherwise each
+        # iteration's broadcast subtree re-nests all previous iterations
+        # and the duplicated broadcast builds exhaust driver heap
+        centroids = (
+            per_dim.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "cd"))),
+                    lambda s: s["cd"],
+                ).alias("c")
+            )
+            .localCheckpoint()
         )
     return (
         assigned.groupBy(F.col("cid").alias("cluster_id"))
