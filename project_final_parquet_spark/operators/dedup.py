@@ -179,11 +179,14 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir, persist=False)
 
 
-def _minhash_pairs(spark: SparkSession, sf_dir: str, persist: bool) -> DataFrame:
+def _minhash_pairs(
+    spark: SparkSession, sf_dir: str, persist: bool, ordered: bool = True
+) -> DataFrame:
     """MinHash+LSH pair pipeline. ``persist`` materializes the signature
-    frame so downstream multi-pass consumers (the connected-components
-    iteration) stop recomputing it; a one-shot cold run is faster
-    WITHOUT it (materialization blocks pipelining)."""
+    frame for multi-pass consumers within the pipeline itself; a one-shot
+    cold run is faster WITHOUT it (materialization blocks pipelining).
+    ``ordered=False`` drops the output sort for consumers that reshuffle
+    anyway (the connected-components iteration)."""
     docs = load(spark, sf_dir, "documents")
     sh = docs.select("doc_id", _shingles3(_toks()).alias("sh"))
     base = sh.select(
@@ -240,13 +243,13 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, persist: bool) -> DataFrame
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return (
+    out = (
         cand.join(x, "doc_a")
         .join(y, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _JACCARD_T)
-        .orderBy("doc_a", "doc_b")
     )
+    return out.orderBy("doc_a", "doc_b") if ordered else out
 
 
 # --- SimHash near-dup ------------------------------------------------------
@@ -358,7 +361,7 @@ def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- near-dup cluster resolution (connected components) --------------------
 
-_CC_ITERS = 6
+_CC_ITERS = 4  # pointer doubling => covers component diameter 2^4 = 16
 
 
 def _minhash_pairs_sql() -> str:
@@ -390,52 +393,73 @@ def _minhash_pairs_sql() -> str:
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resolve near-dup pairs into duplicate CLUSTERS: connected
-    components by iterative min-label propagation ({_CC_ITERS} rounds —
-    converges for any component diameter ≤ {_CC_ITERS}; this corpus's
-    clusters are pairs/triples). The survivor of each cluster is its
-    component_id (lowest doc_id). Oracle: DuckDB recursive CTE computing
-    the exact min reachable label.
+    components by min-label propagation WITH pointer doubling — each
+    round hops one edge and then jumps label→label-of-label, so
+    {_CC_ITERS} rounds converge for component diameter ≤ 2^{_CC_ITERS}
+    (= 16; this corpus's clusters are pairs/triples). The survivor of
+    each cluster is its component_id (lowest doc_id). Oracle: DuckDB
+    recursive CTE computing the exact min reachable label.
 
     At 100 TB this is the standard large-graph CC pattern: each round is
-    one self-join + min-aggregate, and the iteration count is the graph
-    diameter after large-star/small-star style shortcutting."""
-    pairs = _minhash_pairs(spark, sf_dir, persist=True).select("doc_a", "doc_b")
-    # truncate lineage on the loop-carried frames: without this every
-    # iteration re-nests the full upstream plan (minhash pipeline ×
-    # 2^iters) and Spark builds the duplicated broadcast exchanges
-    # concurrently — observed as driver-heap exhaustion at 6 iterations.
-    # Eager localCheckpoint cuts the DAG at each round (the standard
-    # iterative-algorithm pattern; cluster jobs use checkpoint() on
-    # fault-tolerant storage instead).
-    edges = (
-        pairs.union(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
-        )
-        .withColumnsRenamed({"doc_a": "u", "doc_b": "v"})
+    two joins + a min-aggregate, iteration count logarithmic in the
+    diameter thanks to the doubling step."""
+    # checkpoint the PAIR LIST once (the expensive minhash pipeline runs
+    # exactly one pass, unordered, nothing stays cached); the union then
+    # reads the materialized pairs twice for free. Lineage truncation per
+    # round below is what keeps the loop from re-nesting the upstream
+    # plan 2^iters times (observed as driver-heap exhaustion from the
+    # duplicated concurrent broadcast builds). Eager localCheckpoint is
+    # the local form; cluster jobs use checkpoint() on fault-tolerant
+    # storage. NOTE: this query therefore executes during construction
+    # (see registry.py on iterative queries).
+    pairs = (
+        _minhash_pairs(spark, sf_dir, persist=False, ordered=False)
+        .select("doc_a", "doc_b")
         .localCheckpoint()
     )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnsRenamed({"doc_a": "u", "doc_b": "v"})
+    labels = connected_components(edges, _CC_ITERS)
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("label").alias("component_id")
+    ).orderBy("doc_id")
+
+
+def connected_components(edges: DataFrame, iters: int) -> DataFrame:
+    """Min-label propagation with pointer doubling over a symmetric edge
+    list (u, v) → (u, label). Each round: hop one edge, then jump
+    label := min(label, label(label)); effective propagation distance
+    doubles per round, so ``iters`` rounds cover diameter ≤ 2^iters.
+    Lineage is truncated per round (eager localCheckpoint)."""
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
-    for _ in range(_CC_ITERS):
+    for _ in range(iters):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
+        hopped = labels.join(neighbor_min, "u", "left").select(
+            "u",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+        )
+        via = hopped.select(
+            F.col("u").alias("lbl_node"), F.col("label").alias("lbl_label")
+        )
         labels = (
-            labels.join(neighbor_min, "u", "left")
+            hopped.join(via, hopped.label == via.lbl_node, "left")
             .select(
                 "u",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    F.col("label"),
+                    F.coalesce(F.col("lbl_label"), F.col("label")),
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-    return labels.select(
-        F.col("u").alias("doc_id"), F.col("label").alias("component_id")
-    ).orderBy("doc_id")
+    return labels
 
 
 # --- blocked n-gram Jaccard ------------------------------------------------

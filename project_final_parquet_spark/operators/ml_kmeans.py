@@ -125,10 +125,17 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import Window as W
 
         w = W.partitionBy("vec_id").orderBy("dist", "cid")
+        # checkpoint the ASSIGNMENT (not the centroids): it truncates
+        # lineage equally, the final round's centroid update then never
+        # executes (nothing reads it), and the returned aggregation
+        # reuses the materialized assignment instead of recomputing it.
+        # NOTE: eager — this query executes during construction (see
+        # registry.py on iterative queries).
         assigned = (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", "embedding", "cid")
+            .localCheckpoint()
         )
         # update: exact per-dimension means via scaled-integer sums
         exploded = assigned.select(
@@ -142,18 +149,11 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("cd")
             )
         )
-        # truncate lineage on the loop-carried centroids: otherwise each
-        # iteration's broadcast subtree re-nests all previous iterations
-        # and the duplicated broadcast builds exhaust driver heap
-        centroids = (
-            per_dim.groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("d", "cd"))),
-                    lambda s: s["cd"],
-                ).alias("c")
-            )
-            .localCheckpoint()
+        centroids = per_dim.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cd"))),
+                lambda s: s["cd"],
+            ).alias("c")
         )
     return (
         assigned.groupBy(F.col("cid").alias("cluster_id"))

@@ -23,6 +23,12 @@ the oracle SQL; deviations are bugs):
     loader.
 5.  Any LIMIT/top-k is preceded by a TOTAL ordering (unique tiebreaker
     column included).
+
+Contract note — iterative queries (dedup_cluster_components, ml_kmeans)
+truncate lineage with eager localCheckpoint each round, so calling their
+query function EXECUTES the iterations at construction time; the
+returned DataFrame is the (cheap) final aggregation over materialized
+state. Every other query returns a fully lazy plan.
 """
 
 from __future__ import annotations
