@@ -38,15 +38,26 @@ def asof_join(
 
     ``tiebreak`` is a unique right-side column ordering simultaneous
     right rows (latest wins). Left columns pass through unchanged.
+
+    The payload forward-fill is ONE struct, not per-column: filling each
+    payload column independently with last(ignorenulls) would resurrect
+    a stale value wherever the matched row holds a NULL — tearing columns
+    from different right rows (DuckDB ASOF and pandas merge_asof attach
+    the matched row wholesale, NULLs included).
     """
+    from pyspark.sql import types as T
+
     l_cols = left.columns
+    payload_struct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_payload]
+    )
     tagged_l = left.select(
         F.col(on).alias("__key"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.lit(None).cast("long").alias("__tie"),
         *[F.col(c) for c in l_cols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_payload],
+        F.lit(None).cast(payload_struct_type).alias("__payload"),
     )
     tagged_r = right.select(
         F.col(on).alias("__key"),
@@ -54,7 +65,7 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         F.col(tiebreak).cast("long").alias("__tie"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
-        *[F.col(c) for c in right_payload],
+        F.struct(*[F.col(c) for c in right_payload]).alias("__payload"),
     )
     # right rows sort before left rows at equal time (<= semantics); the
     # window is rows-unbounded-preceding so last() sees only earlier rows.
@@ -63,12 +74,16 @@ def asof_join(
         .orderBy("__t", "__is_left", "__tie")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    filled: list[Column] = [F.col(c) for c in l_cols] + [
-        F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload
+    filled_payload = F.last("__payload", ignorenulls=True).over(w)
+    out_cols: list[Column] = [F.col(c) for c in l_cols] + [
+        filled_payload.getField(c).alias(c) for c in right_payload
     ]
-    return tagged_l.unionByName(tagged_r).select(*filled, F.col("__is_left")).filter(
-        F.col("__is_left") == 1
-    ).drop("__is_left")
+    return (
+        tagged_l.unionByName(tagged_r)
+        .select(*out_cols, F.col("__is_left"))
+        .filter(F.col("__is_left") == 1)
+        .drop("__is_left")
+    )
 
 
 @query(

@@ -106,7 +106,11 @@ def dedup_fingerprint_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     template-duplicate clusters exact hashing misses."""
     docs = load(spark, sf_dir, "documents")
     toks = _toks()
-    fp = F.concat_ws(" ", *[F.element_at(toks, i) for i in range(1, 6)])
+    # slice+concat_ws, not element_at(1..5): under Spark 4's default ANSI
+    # mode element_at throws on out-of-bounds (short docs), while the
+    # oracle's toks[i] yields NULL and concat_ws skips it — slice matches
+    # that semantics and never errors
+    fp = F.concat_ws(" ", F.slice(toks, 1, 5))
     return (
         docs.select("doc_id", fp.alias("fp"))
         .groupBy("fp")
@@ -268,10 +272,6 @@ def _simhash_sql() -> str:
         f"(CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)"
         for i in range(_SIMHASH_BITS)
     )
-    bands = ", ".join(
-        f"((sim >> {b * _SIM_BAND_BITS}) & 32767) AS band{b}" for b in range(4)
-    )
-    band_match = " OR ".join(f"a.band{b} = b.band{b}" for b in range(4))
     return f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -287,12 +287,20 @@ def _simhash_sql() -> str:
       FROM h GROUP BY doc_id
     ),
     sim AS (SELECT doc_id, {bits} AS sim FROM bitsum),
-    banded AS (SELECT doc_id, sim, {bands} FROM sim)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
-    FROM banded a JOIN banded b
-      ON a.doc_id < b.doc_id AND ({band_match})
-    WHERE bit_count(xor(a.sim, b.sim)) <= {_HAMMING_T}
+    banded AS (
+      SELECT doc_id, sim, b, (sim >> (b * {_SIM_BAND_BITS})) & 32767 AS bv
+      FROM sim CROSS JOIN (SELECT unnest(range(4)) AS b) bands
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.sim AS sim_a,
+             b.doc_id AS doc_b, b.sim AS sim_b
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= {_HAMMING_T}
     ORDER BY doc_a, doc_b
     """
 
@@ -304,7 +312,9 @@ def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Banding gives exact recall for Hamming ≤ 3 (pigeonhole: some band is
     untouched) and probabilistic recall above — identical determinism in
-    the oracle, which runs the same construction."""
+    the oracle, which runs the same construction. Candidates come from an
+    exploded (band_idx, band_value) EQUI-join — an OR of band equalities
+    would plan as a nested-loop O(n²) comparison."""
     docs = load(spark, sf_dir, "documents")
     h = docs.select(
         "doc_id", F.explode(_toks()).alias("tok")
@@ -334,26 +344,39 @@ def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = bitsum.select("doc_id", sim_expr.alias("sim")).select(
         "doc_id",
         "sim",
-        *[
-            (F.shiftright(F.col("sim"), b * _SIM_BAND_BITS).bitwiseAND(F.lit(32767))).alias(
-                f"band{b}"
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("sim"), b * _SIM_BAND_BITS)
+                        .bitwiseAND(F.lit(32767))
+                        .alias("bv"),
+                    )
+                    for b in range(4)
+                ]
             )
-            for b in range(4)
-        ],
-    )
+        ).alias("band"),
+    ).select("doc_id", "sim", "band.b", "band.bv")
     a, b = banded.alias("a"), banded.alias("b")
-    band_match = reduce(
-        lambda x, y: x | y,
-        [F.col(f"a.band{i}") == F.col(f"b.band{i}") for i in range(4)],
-    )
-    hamming = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
-    return (
-        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & band_match)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
+            F.col("a.sim").alias("sim_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.cast("int").alias("hamming"),
+            F.col("b.sim").alias("sim_b"),
         )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= _HAMMING_T)
         .orderBy("doc_a", "doc_b")
     )
@@ -494,9 +517,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh2 = _ngrams(toks, 2)
     t = docs.select(
         "doc_id",
-        F.concat_ws(
-            " ", F.element_at(toks, 1), F.element_at(toks, 2)
-        ).alias("block"),
+        # slice, not element_at: ANSI-safe for single-token docs
+        F.concat_ws(" ", F.slice(toks, 1, 2)).alias("block"),
         sh2.alias("sh"),
     )
     a = t.select(

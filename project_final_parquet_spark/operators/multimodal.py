@@ -76,16 +76,24 @@ def make_fake_decoder():
 
         for pdf in batches:
             payloads = pdf["payload"]
+            # features are computed over decoded CODEPOINTS, not raw
+            # UTF-8 bytes: byte-level len()/b[0] would diverge from the
+            # character-based oracle (length()/ascii()) on any non-ASCII
+            # text. A real media decoder would parse codec structures
+            # here instead.
+            texts = payloads.map(lambda b: b.decode("utf-8"))
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": payloads.map(len).astype("int32"),
-                    "first_byte": payloads.map(
-                        lambda b: b[0] if len(b) else -1
+                    "n_units": texts.map(len).astype("int32"),
+                    "first_cp": texts.map(
+                        lambda s: ord(s[0]) if s else -1
                     ).astype("int32"),
-                    "mean_byte": payloads.map(
-                        lambda b: (float(sum(b)) / len(b)) if len(b) else 0.0
+                    "mean_cp": texts.map(
+                        lambda s: (float(sum(map(ord, s))) / len(s))
+                        if s
+                        else 0.0
                     ),
                 }
             )
@@ -97,7 +105,7 @@ fake_decode_features = make_fake_decoder()
 
 
 _DECODE_SCHEMA = (
-    "doc_id long, kind string, n_bytes int, first_byte int, mean_byte double"
+    "doc_id long, kind string, n_units int, first_cp int, mean_cp double"
 )
 
 
@@ -107,7 +115,7 @@ _DECODE_SCHEMA = (
     WITH m AS (
       SELECT doc_id,
              ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
-             length(text) AS n_bytes
+             octet_length(encode(text)) AS n_bytes
       FROM documents
     )
     SELECT kind, COUNT(*) AS n_items,
@@ -140,11 +148,11 @@ def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
-           CAST(length(text) AS INT) AS n_bytes,
-           CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+           CAST(length(text) AS INT) AS n_units,
+           CAST(ascii(substr(text, 1, 1)) AS INT) AS first_cp,
            CAST(list_aggregate(list_transform(range(length(text)),
                 i -> ascii(substr(text, i+1, 1))), 'sum') AS DOUBLE)
-             / length(text) AS mean_byte
+             / length(text) AS mean_cp
     FROM documents
     """,
 )

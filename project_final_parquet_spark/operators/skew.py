@@ -92,14 +92,17 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage salted COUNT(DISTINCT): stage 1 dedups (type, salt,
-    user) partitions, stage 2 merges per-salt distinct sets — the manual
-    rewrite for distinct-aggregation skew when one group dominates."""
+    user) — the salt comes from event_id, NOT the distinct key, so a hot
+    (type, user) pair genuinely spreads over _SALTS partitions — and
+    stage 2 merges the per-salt sets with a second distinct before
+    counting (a user can appear under several salts)."""
     ev = load(spark, sf_dir, "events").withColumn(
-        "__salt", F.pmod(F.col("user_id"), F.lit(_SALTS)).cast("int")
+        "__salt", F.pmod(F.col("event_id"), F.lit(_SALTS)).cast("int")
     )
     stage1 = ev.select("event_type", "__salt", "user_id").distinct()
+    stage2 = stage1.select("event_type", "user_id").distinct()
     return (
-        stage1.groupBy("event_type")
+        stage2.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("event_type")
     )

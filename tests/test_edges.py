@@ -74,6 +74,27 @@ def test_asof_join_latest_tiebreak_wins(spark):
     assert out[0].payload == 2.0
 
 
+def test_asof_join_null_payload_not_torn(spark):
+    """A NULL inside the matched right row must come through as NULL —
+    per-column forward-fill would resurrect the older row's value and
+    tear columns from different rows (review finding, fixed via atomic
+    struct fill)."""
+    left = _mk(spark, [(1, "2024-01-10 00:00:00")], "k long, lts string")
+    right = _mk(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 1, 5, 50.0),
+            (1, "2024-01-02 00:00:00", 2, None, 70.0),  # matched row, pa NULL
+        ],
+        "k long, rts string, rid long, pa int, pb double",
+    )
+    out = asof_join(
+        left, right, on="k", left_time="lts", right_time="rts",
+        right_payload=["pa", "pb"], tiebreak="rid",
+    ).collect()
+    assert out[0].pa is None and out[0].pb == 70.0
+
+
 def test_approx_aggs_close_to_exact(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     r = li.agg(

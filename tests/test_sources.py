@@ -3,21 +3,13 @@
 
 from __future__ import annotations
 
-import contextlib
-import io
 import os
 
 from pyspark.sql import functions as F
 
 from project_final_parquet_spark.operators.sources import partitioned_orders_path
+from project_final_parquet_spark.plans import physical_plan as _plan
 from project_final_parquet_spark.tables import load
-
-
-def _plan(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
 
 
 def test_partition_filter_prunes_directories(spark, sf_dir):

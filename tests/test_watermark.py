@@ -67,9 +67,12 @@ def test_late_rows_behind_watermark_are_dropped(spark):
             ],
         )
         q.processAllAvailable()
-        after = {r.ws: (r.n, r.v) for r in spark.sql(f"SELECT * FROM {sink}").collect()}
+        # collect ROWS (not a dict) so duplicate emissions are visible
+        after_rows = [
+            (r.ws, r.n, r.v) for r in spark.sql(f"SELECT * FROM {sink}").collect()
+        ]
+        ten_am_rows = [t for t in after_rows if t[0] == ten_am]
         # the finalized 10:00 window was NOT re-emitted or amended
-        assert after[ten_am] == (3, 7.0)
-        assert sum(1 for ws in after if ws == ten_am) == 1
+        assert ten_am_rows == [(ten_am, 3, 7.0)]
     finally:
         q.stop()
