@@ -338,6 +338,61 @@ def q43_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q44_null_semantics",
+    oracle="""
+    WITH g AS (
+      SELECT c_custkey,
+             NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+             CASE WHEN c_acctbal < 1000 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer
+    )
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           COALESCE(a.seg_or_null, 'masked') AS seg_filled,
+           (a.bal IS NULL) AS bal_missing
+    FROM g a JOIN g b
+      ON a.seg_or_null IS NOT DISTINCT FROM b.seg_or_null
+     AND a.c_custkey + 1 = b.c_custkey
+    ORDER BY cust_a
+    """,
+)
+def q44_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics: NULLIF/COALESCE/IS NULL plus a NULL-SAFE equality
+    join (<=> / IS NOT DISTINCT FROM) — ordinary equality would silently
+    drop every NULL=NULL pair."""
+    c = load(spark, sf_dir, "customer")
+    g = c.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+        F.when(F.col("c_acctbal") < 1000, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    a = g.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("seg_or_null").alias("seg_a"),
+        F.col("bal").alias("bal_a"),
+    )
+    b = g.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("seg_or_null").alias("seg_b"),
+    )
+    return (
+        a.join(
+            b,
+            a.seg_a.eqNullSafe(b.seg_b)
+            & (F.col("cust_a") + 1 == F.col("cust_b")),
+        )
+        .select(
+            "cust_a",
+            "cust_b",
+            F.coalesce("seg_a", F.lit("masked")).alias("seg_filled"),
+            F.col("bal_a").isNull().alias("bal_missing"),
+        )
+        .orderBy("cust_a")
+    )
+
+
 @query("q42_approx_aggs")  # no oracle: approximate results by design
 def q42_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates (HLL++ distinct, GK quantiles) — the
