@@ -7,6 +7,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Execution is forced through the noop sink so timings measure the
 distributed plan (scan→shuffle→agg), not driver-side row transfer.
+
+Per-query deltas vs the newest committed BENCH_r{N}.json ride along in
+"delta_vs_prev" (positive = slower than last round) so regressions are
+mechanically visible round-over-round.
 """
 
 from __future__ import annotations
@@ -64,7 +68,35 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+
+    prev = _latest_prev_bench()
+    if prev is not None:
+        prev_q = prev.get("queries", {})
+        out["delta_vs_prev"] = {
+            name: round(sec - prev_q[name], 3)
+            for name, sec in timings.items()
+            if name in prev_q
+        }
+        if isinstance(prev.get("value"), (int, float)):
+            out["delta_vs_prev_total"] = round(out["value"] - prev["value"], 3)
+
     print(json.dumps(out))
+
+
+def _latest_prev_bench() -> dict | None:
+    """Newest BENCH_r{N}.json next to this script, if any."""
+    here = Path(__file__).resolve().parent
+    best: tuple[int, Path] | None = None
+    for p in here.glob("BENCH_r*.json"):
+        digits = "".join(ch for ch in p.stem if ch.isdigit())
+        if digits and (best is None or int(digits) > best[0]):
+            best = (int(digits), p)
+    if best is None:
+        return None
+    try:
+        return json.loads(best[1].read_text())
+    except (OSError, json.JSONDecodeError):
+        return None
 
 
 if __name__ == "__main__":

@@ -98,7 +98,9 @@ def write_reference_format(
         plain = _encode_column(col, values)
         if keys[col] is None:
             blob = plain.encode()
-            entry = {"mode": "NONE", "key_type": "plaintext"}
+            # the reference writer spells the plaintext (key-failure) case
+            # mode='PLAINTEXT', key_type='none' (src/parquet_writer.cpp:146)
+            entry = {"mode": "PLAINTEXT", "key_type": "none"}
         else:
             blob = _aes_bytes(spark, plain, keys[col], encrypt=True)
             entry = {
@@ -156,7 +158,10 @@ def read_reference_format(
             columns[col] = [ENCRYPTED_PLACEHOLDER] * n
             continue
         blob = data[meta["offset"] : meta["offset"] + meta["size"]]
-        if meta["key_type"] == "plaintext":
+        # plaintext detection keys off mode != AES_GCM (the reference writes
+        # mode='PLAINTEXT', key_type='none'; older files from this module
+        # spelled it mode='NONE', key_type='plaintext' — accept both)
+        if meta["mode"] != "AES_GCM" or meta["key_type"] in ("plaintext", "none"):
             plain = blob.decode()
         else:
             key_hex = config.column_keys.get(col)

@@ -44,8 +44,15 @@ def asof_join(
     a stale value wherever the matched row holds a NULL — tearing columns
     from different right rows (DuckDB ASOF and pandas merge_asof attach
     the matched row wholesale, NULLs included).
+
+    NULL join keys never match: ``Window.partitionBy`` groups NULL keys
+    into one partition (unlike SQL equality, where NULL = NULL is not
+    true), so NULL-key right rows are dropped up front — NULL-key left
+    rows still pass through, payload NULL, matching ASOF LEFT JOIN.
     """
     from pyspark.sql import types as T
+
+    right = right.filter(F.col(on).isNotNull())
 
     l_cols = left.columns
     payload_struct_type = T.StructType(

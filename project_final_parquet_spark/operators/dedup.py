@@ -449,43 +449,130 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One pointer-doubling round: hop one edge, then jump
+    label := min(label, label(label)). Returns a checkpointed frame."""
+    neighbor_min = (
+        edges.join(labels.withColumnRenamed("u", "v"), "v")
+        .groupBy("u")
+        .agg(F.min("label").alias("nlabel"))
+    )
+    hopped = labels.join(neighbor_min, "u", "left").select(
+        "u",
+        F.least(
+            F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+        ).alias("label"),
+    )
+    via = hopped.select(
+        F.col("u").alias("lbl_node"), F.col("label").alias("lbl_label")
+    )
+    return (
+        hopped.join(via, hopped.label == via.lbl_node, "left")
+        .select(
+            "u",
+            F.least(
+                F.col("label"),
+                F.coalesce(F.col("lbl_label"), F.col("label")),
+            ).alias("label"),
+        )
+        .localCheckpoint()
+    )
+
+
 def connected_components(edges: DataFrame, iters: int) -> DataFrame:
     """Min-label propagation with pointer doubling over a symmetric edge
     list (u, v) → (u, label). Each round: hop one edge, then jump
     label := min(label, label(label)); effective propagation distance
     doubles per round, so ``iters`` rounds cover diameter ≤ 2^iters.
-    Lineage is truncated per round (eager localCheckpoint)."""
+    Lineage is truncated per round (eager localCheckpoint).
+
+    Fixed iteration count is the cross-engine-comparable (oracle) form;
+    ``connected_components_converged`` is the production form that stops
+    at the fixed point and cannot silently split large-diameter
+    components."""
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     for _ in range(iters):
-        neighbor_min = (
-            edges.join(labels.withColumnRenamed("u", "v"), "v")
-            .groupBy("u")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        hopped = labels.join(neighbor_min, "u", "left").select(
-            "u",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-            ).alias("label"),
-        )
-        via = hopped.select(
-            F.col("u").alias("lbl_node"), F.col("label").alias("lbl_label")
-        )
-        labels = (
-            hopped.join(via, hopped.label == via.lbl_node, "left")
-            .select(
-                "u",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("lbl_label"), F.col("label")),
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
+        labels = _cc_round(edges, labels)
     return labels
 
 
+def connected_components_converged(
+    edges: DataFrame, max_iters: int = 32
+) -> tuple[DataFrame, int]:
+    """Convergence-detecting connected components: iterate until a round
+    changes NO label (labels only ever decrease under min-propagation, so
+    an unchanged round is a fixed point = exact components), bounded by
+    ``max_iters`` (pointer doubling ⇒ diameter 2^max_iters; 32 covers any
+    graph that fits on disk). Returns (labels, rounds_executed).
+
+    The per-round convergence probe is one anti-join count over the
+    (small, checkpointed) label frame — negligible next to the round's
+    edge joins at any scale, and what prevents the fixed-iteration
+    variant's silent-split failure mode on diameter > 2^iters graphs."""
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    rounds = 0
+    for _ in range(max_iters):
+        new_labels = _cc_round(edges, labels)
+        rounds += 1
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+        )
+        converged = changed.isEmpty()
+        labels = new_labels
+        if converged:
+            break
+    return labels, rounds
+
+
 # --- blocked n-gram Jaccard ------------------------------------------------
+
+_TILE_CAP = 64  # max a-side rows per (block, tile) join bucket
+
+
+def tiled_block_pairs(t: DataFrame, cap: int = _TILE_CAP) -> DataFrame:
+    """Candidate pairs from a blocked self-join of ``t`` (doc_id, block,
+    sh) — output-identical to ``a JOIN b ON block AND doc_a < doc_b`` but
+    with each block's quadratic pair space SPLIT ACROSS TASKS.
+
+    A block of m docs produces m² candidate pairs; naively that entire
+    grid lands in the single task owning the block's join key, so one hot
+    prefix (boilerplate header shared by millions of docs at 100 TB) is
+    an unbounded straggler. Here each block gets ntiles = ⌈m / cap⌉
+    salts: the a-side takes a deterministic hash salt in [0, ntiles), the
+    b-side is replicated to every salt, and the join key becomes
+    (block, salt) — so each task holds ≈ cap × m pairs (linear in m,
+    capped fan-in) instead of m². A pair (x, y) with doc_a < doc_b
+    appears exactly once: x sits on the a-side in exactly one salt.
+
+    Small blocks (m ≤ cap) get ntiles = 1 — the plan degenerates to the
+    plain blocked join with zero replication."""
+    sizes = t.groupBy("block").agg(F.count(F.lit(1)).alias("__bn"))
+    # plain equi-join on block (AQE broadcasts it when small); the block
+    # cardinality can be huge at scale, so no forced broadcast here
+    tt = t.join(sizes, "block")
+    ntiles = F.greatest(
+        F.ceil(F.col("__bn") / F.lit(cap)).cast("int"), F.lit(1)
+    )
+    a = tt.select(
+        F.col("doc_id").alias("doc_a"),
+        "block",
+        F.col("sh").alias("sh_a"),
+        F.pmod(F.xxhash64("doc_id"), ntiles).cast("int").alias("__tile"),
+    )
+    b = tt.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("block").alias("block_b"),
+        F.col("sh").alias("sh_b"),
+        F.explode(F.sequence(F.lit(0), ntiles - F.lit(1))).alias("__tile_b"),
+    )
+    return a.join(
+        b,
+        (a.block == b.block_b)
+        & (F.col("__tile") == F.col("__tile_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
 
 
 @query(
@@ -511,7 +598,8 @@ def connected_components(edges: DataFrame, iters: int) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-Jaccard near-dup with first-2-token blocking: the
     quadratic comparison never leaves a block (LSH above is the
-    unblocked companion)."""
+    unblocked companion), and oversized blocks are tile-salted so a hot
+    prefix spreads over ⌈m/cap⌉ tasks instead of one straggler."""
     docs = load(spark, sf_dir, "documents")
     toks = _toks()
     sh2 = _ngrams(toks, 2)
@@ -521,19 +609,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice(toks, 1, 2)).alias("block"),
         sh2.alias("sh"),
     )
-    a = t.select(
-        F.col("doc_id").alias("doc_a"), "block", F.col("sh").alias("sh_a")
-    )
-    b = t.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("block").alias("block_b"),
-        F.col("sh").alias("sh_b"),
-    )
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        a.join(b, (a.block == b.block_b) & (F.col("doc_a") < F.col("doc_b")))
+        tiled_block_pairs(t)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _JACCARD_T)
         .orderBy("doc_a", "doc_b")

@@ -105,16 +105,26 @@ def _spark_dist(vec, cent):
     return F.aggregate(diff2, F.lit(0).cast("long"), lambda a, v: a + v)
 
 
-@query("ml_kmeans", oracle=_kmeans_oracle())
-def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-means(k=4, 3 Lloyd iterations) cluster sizes over embeddings."""
-    emb = load(spark, sf_dir, "embeddings")
+def _lloyd(
+    emb: DataFrame, iters: int, *, converge: bool = False
+) -> tuple[DataFrame, int]:
+    """Run Lloyd iterations; returns (assignment frame, rounds executed).
+
+    ``converge=False``: exactly ``iters`` rounds (the oracle form).
+    ``converge=True``: stop as soon as a round leaves the assignment
+    unchanged (Lloyd's fixed point — once assignments repeat, centroids
+    repeat and so does every later round), bounded by ``iters``. The
+    stability probe is one join-count over the checkpointed (vec_id, cid)
+    frames — tiny next to the round's scoring pass."""
+    from pyspark.sql import Window as W
+
     centroids = emb.filter(F.col("vec_id") < _K).select(
         F.col("vec_id").alias("cid"),
         F.transform("embedding", lambda x: x.cast("double")).alias("c"),
     )
     assigned = None
-    for _ in range(_ITERS):
+    rounds = 0
+    for _ in range(iters):
         # assignment: broadcast k centroid arrays, argmin by (dist, cid)
         scored = emb.crossJoin(F.broadcast(centroids)).select(
             "vec_id",
@@ -122,8 +132,6 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
             _spark_dist(F.col("embedding"), F.col("c")).alias("dist"),
         )
-        from pyspark.sql import Window as W
-
         w = W.partitionBy("vec_id").orderBy("dist", "cid")
         # checkpoint the ASSIGNMENT (not the centroids): it truncates
         # lineage equally, the final round's centroid update then never
@@ -131,12 +139,27 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # reuses the materialized assignment instead of recomputing it.
         # NOTE: eager — this query executes during construction (see
         # registry.py on iterative queries).
+        prev = assigned
         assigned = (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", "embedding", "cid")
             .localCheckpoint()
         )
+        rounds += 1
+        if converge and prev is not None:
+            moved = (
+                assigned.select("vec_id", "cid")
+                .join(
+                    prev.select(
+                        "vec_id", F.col("cid").alias("prev_cid")
+                    ),
+                    "vec_id",
+                )
+                .filter(F.col("cid") != F.col("prev_cid"))
+            )
+            if moved.isEmpty():
+                break
         # update: exact per-dimension means via scaled-integer sums
         exploded = assigned.select(
             "cid", F.posexplode("embedding").alias("d", "val")
@@ -155,6 +178,10 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["cd"],
             ).alias("c")
         )
+    return assigned, rounds
+
+
+def _cluster_sizes(assigned: DataFrame) -> DataFrame:
     return (
         assigned.groupBy(F.col("cid").alias("cluster_id"))
         .agg(
@@ -163,3 +190,24 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query("ml_kmeans", oracle=_kmeans_oracle())
+def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means(k=4, 3 Lloyd iterations) cluster sizes over embeddings."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = _lloyd(emb, _ITERS)
+    return _cluster_sizes(assigned)
+
+
+def ml_kmeans_converged(
+    spark: SparkSession, sf_dir: str, max_iters: int = 25
+) -> tuple[DataFrame, int]:
+    """Production k-means: Lloyd with assignment-stability early stop
+    (bounded by ``max_iters``). Returns (cluster sizes, rounds run); a
+    round whose assignment matches the previous one is the fixed point,
+    so the result equals any longer fixed-iteration run from the same
+    init."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, rounds = _lloyd(emb, max_iters, converge=True)
+    return _cluster_sizes(assigned), rounds

@@ -82,18 +82,25 @@ def make_fake_decoder():
             # text. A real media decoder would parse codec structures
             # here instead.
             texts = payloads.map(lambda b: b.decode("utf-8"))
+            # empty-payload sentinels follow the oracle's SQL semantics:
+            # ascii('') is 0 and sum-over-empty / 0 is NULL in DuckDB, so
+            # emit first_cp=0 and mean_cp=NULL (None → Arrow null) rather
+            # than inventing a Python-only -1/0.0 convention.
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "kind": pdf["kind"],
                     "n_units": texts.map(len).astype("int32"),
                     "first_cp": texts.map(
-                        lambda s: ord(s[0]) if s else -1
+                        lambda s: ord(s[0]) if s else 0
                     ).astype("int32"),
-                    "mean_cp": texts.map(
-                        lambda s: (float(sum(map(ord, s))) / len(s))
-                        if s
-                        else 0.0
+                    "mean_cp": _pd.Series(
+                        [
+                            (float(sum(map(ord, s))) / len(s)) if s else None
+                            for s in texts
+                        ],
+                        index=pdf.index,
+                        dtype="object",
                     ),
                 }
             )

@@ -393,14 +393,48 @@ def q44_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q42_approx_aggs")  # no oracle: approximate results by design
+@query(
+    "q42_approx_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS hll_ok,
+           TRUE AS median_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def q42_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates (HLL++ distinct, GK quantiles) — the
-    100 TB substitutes for their exact cousins; rows-only check since
-    approximation is engine-specific by design."""
+    100 TB substitutes for their exact cousins — gated by ERROR BOUND,
+    not by value: the sketch outputs are engine-specific by design, so
+    the query emits booleans asserting |approx − exact| within the
+    sketches' documented bounds (HLL++ rsd 0.05 → 3σ = 15% relative;
+    GK accuracy 1000 → rank error 1e-3, checked against the generous
+    exact 45th–55th percentile envelope) and the oracle emits literal
+    TRUE — a hash match IS the epsilon check."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    price = F.col("l_extendedprice").cast("double")
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias(
+            "approx_median"
+        ),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile(price, F.lit(0.45)).alias("lo"),
+        F.percentile(price, F.lit(0.55)).alias("hi"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.15
+        ).alias("hll_ok"),
+        F.col("approx_median")
+        .cast("double")
+        .between(F.col("lo"), F.col("hi"))
+        .alias("median_ok"),
+    ).orderBy("l_returnflag")

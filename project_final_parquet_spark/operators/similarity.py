@@ -197,6 +197,75 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROBE_RADIUS = 2  # Hamming ball probed around the query bucket
+
+
+def ann_multiprobe(
+    spark: SparkSession, sf_dir: str, radius: int = _PROBE_RADIUS
+) -> DataFrame:
+    """Multiprobe LSH ANN: score every vector whose bucket lies within
+    Hamming ``radius`` plane-bit flips of the query's bucket —
+    ``bit_count(bucket XOR qb) <= radius`` is one map-side expression
+    against the broadcast 1-row query, no bucket enumeration.
+
+    Multiprobe is THE recall knob for hyperplane LSH without
+    re-bucketing: this corpus's true top-10 sit at cosine ≈ 0.27–0.33
+    (≈71° — each plane agrees with only p ≈ 0.6), so they land at
+    Hamming 1–4 from the query bucket and measured recall@10 climbs
+    0.0 → 0.2 → 0.7 → 0.9 for radius 0..3 (tests/test_recall.py) while
+    the scanned fraction is Σ C(6,i)/64 ≈ 2%, 11%, 34%, 66%. Production
+    corpora with tighter neighbors (cosine ≥ 0.7) get high recall at
+    radius ≤ 1; the orthogonal lever is multiple independent plane
+    tables (union of per-table probes)."""
+    emb = load(spark, sf_dir, "embeddings")
+    buck = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _bucket_expr(F.col("embedding")).alias("bucket"),
+    )
+    q = buck.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qb")
+    )
+    probe = (
+        F.bit_count(F.col("bucket").bitwiseXOR(F.col("qb"))) <= radius
+    )
+    cosine = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    return (
+        buck.crossJoin(F.broadcast(q))
+        .filter(probe & (F.col("vec_id") != 0))
+        .select("vec_id", "label", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "sim_ann_multiprobe",
+    oracle=f"""
+    WITH buck AS (
+      SELECT vec_id, label, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qv, bucket AS qb FROM buck WHERE vec_id = 0)
+    SELECT b.vec_id, b.label,
+           {_DOT_SQL.format(dim=_DIM, a='b.embedding', b='q.qv')}
+             / ({_NORM_SQL.format(dim=_DIM, a='b.embedding')}
+                * {_NORM_SQL.format(dim=_DIM, a='q.qv')}) AS cosine
+    FROM buck b CROSS JOIN q
+    WHERE bit_count(xor(b.bucket, q.qb)) <= {_PROBE_RADIUS}
+      AND b.vec_id <> 0
+    ORDER BY cosine DESC, b.vec_id
+    LIMIT 10
+    """,
+)
+def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-{_PROBE_RADIUS} multiprobe ANN (see ``ann_multiprobe``)."""
+    return ann_multiprobe(spark, sf_dir, _PROBE_RADIUS)
+
+
 # --- IVF-style probe search ------------------------------------------------
 
 _IVF_SCALE = 1_000_000_000_000  # 1e12: (c-q)^2 distances are ~1e-4

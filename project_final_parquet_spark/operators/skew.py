@@ -35,9 +35,15 @@ def salted_join(
     """Equi-join with the fact's hot keys spread across ``n_salts``
     partitions. ``salt_source`` is any well-distributed fact column
     (deterministic salt keeps results reproducible; at scale use
-    pmod(hash(...), S) on a unique id)."""
+    pmod(hash(...), S) on a unique id). NULL salt_source rows fall into
+    salt bucket 0 — the rewrite must stay semantics-preserving even when
+    the salt column is NULL (pmod(NULL, S) is NULL and would silently
+    drop the row from the equi-join otherwise)."""
     salted_fact = fact.withColumn(
-        "__salt", F.pmod(F.col(salt_source), F.lit(n_salts)).cast("int")
+        "__salt",
+        F.coalesce(
+            F.pmod(F.col(salt_source), F.lit(n_salts)).cast("int"), F.lit(0)
+        ),
     )
     salted_dim = dim.withColumn(
         "__salt",

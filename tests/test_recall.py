@@ -1,0 +1,32 @@
+"""Measured ANN recall (VERDICT r1 item 6): multiprobe radius is the
+recall knob, and the curve must be monotone with quantified values.
+Everything here is deterministic — md5-derived planes, fixed corpus —
+so the recall values are stable constants, not flaky thresholds.
+"""
+
+from __future__ import annotations
+
+from project_final_parquet_spark.operators.similarity import (
+    ann_multiprobe,
+    sim_topk_cosine,
+)
+
+
+def _ids(df):
+    return [r.vec_id for r in df.collect()]
+
+
+def test_multiprobe_radius_is_the_recall_knob(spark, sf_dir):
+    exact = set(_ids(sim_topk_cosine(spark, sf_dir)))
+    recall = [
+        len(set(_ids(ann_multiprobe(spark, sf_dir, radius=r))) & exact)
+        / len(exact)
+        for r in range(4)
+    ]
+    # monotone: widening the probe ball never loses a true neighbor
+    # (candidate sets are nested)
+    assert recall == sorted(recall)
+    # measured curve on this corpus: 0.0, 0.2, 0.7, 0.9 — the gated
+    # query probes radius 2, radius 3 clears the 0.8 bar
+    assert recall[2] >= 0.7
+    assert recall[3] >= 0.8

@@ -78,3 +78,37 @@ def test_wrong_master_key_rejected(spark, ref_path):
     )
     with pytest.raises(Exception):
         read_reference_format(spark, ref_path, bad, ["Name"])
+
+
+REF_ARTIFACT = "/root/reference/test_kms.parquet"
+
+# every key in the reference's current config (src/main.cpp:104-111)
+_REF_CONFIG_KEYS = [
+    "0123456789ABCDEF0123456789ABCDEF",  # master_key
+    "00112233445566778899AABBCCDDEEFF",  # fallback + Name column
+    "FFEEDDCCBBAA99887766554433221100",  # Salary column
+    "A1B2C3D4E5F60718293A4B5C6D7E8F90",  # Department column
+]
+
+
+def test_reference_artifact_predates_current_config(spark):
+    """Executable form of the forensics note in reffile.py: the committed
+    ``test_kms.parquet`` artifact's footer fails AES-GCM tag
+    authentication under EVERY key in the reference's current config —
+    in both plausible key encodings (the 32-hex-char strings decoded to
+    16 key bytes, and used raw as 32 ASCII key bytes) — proving the
+    artifact predates the current code rather than witnessing a working
+    round-trip (SURVEY.md §5.1 item 3)."""
+    import pyspark.errors
+
+    data = open(REF_ARTIFACT, "rb").read()
+    (flen,) = struct.unpack("<Q", data[-8:])
+    assert 0 < flen < len(data)  # the layout itself parses fine
+    enc_footer = data[-8 - flen : -8]
+    attempted = 0
+    for key in _REF_CONFIG_KEYS:
+        for key_hex in (key, key.encode().hex()):
+            attempted += 1
+            with pytest.raises(pyspark.errors.PySparkException):
+                _aes_bytes(spark, enc_footer, key_hex, encrypt=False)
+    assert attempted == 8
