@@ -2,29 +2,41 @@
 
 The reference's design is explicitly "Parquet Modular Encryption
 inspired" (its README) — per-column keys, an encrypted footer, and KMS
-envelope wrapping. PME is the standardized form of exactly that, so this
-module provides it natively:
+envelope wrapping. PME is the standardized form of exactly that, and
+this module provides it through BOTH stacks:
 
-- AES-GCM-encrypted column chunks + encrypted footer inside one standard
-  parquet file (readable by any PME-aware reader with the keys — not by
-  anyone else, verified: keyless reads fail);
-- envelope encryption through the standard ``KmsClient`` contract
-  (wrap_key/unwrap_key ≙ reference KMS::GenerateDataKey/DecryptDataKey,
-  src/kms.cpp:8-30).
+1. **JVM-native (primary, distributed):** parquet-hadoop's
+   ``PropertiesDrivenCryptoFactory`` driven through ``df.write.parquet``
+   / ``spark.read.parquet`` — executors encrypt/decrypt partitions in
+   parallel, nothing funnels through the driver. The KMS side is a
+   compiled ``LocalWrapKmsClient`` subclass (jvm/InMemoryKmsClient.java;
+   parquet-mr ships only abstract/test KMS clients) whose jar rides on
+   ``sparkContext.addJar`` — so the path works on a VANILLA session, no
+   session-create classpath needed. All crypto confs travel as
+   per-operation reader/writer options, so nothing leaks into unrelated
+   scans in the same session.
 
-This path uses pyarrow's CryptoFactory (driver-side, single files) —
-the pragmatic local harness for the format. On a cluster the identical
-properties drive the JVM implementation shipped in parquet-hadoop
-(org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory via
-``parquet.encryption.column.keys`` / ``parquet.encryption.footer.key``),
-with executors encrypting partitions in parallel; the cell-level layer
-(cell.py) remains the fully-distributed in-plan alternative either way.
+2. **pyarrow (fallback, driver-side):** single-file CryptoFactory
+   harness, kept for environments without the jar/javac and for
+   artifact-level format poking.
+
+Both implement the same contract as the reference: envelope encryption
+through a KmsClient (wrap_key/unwrap_key ≙ reference
+KMS::GenerateDataKey/DecryptDataKey, src/kms.cpp:8-30), per-column
+master-key ids (≙ column_keys config, src/main.cpp:109-111), encrypted
+footer (≙ footer master key, src/parquet_writer.cpp:223-234). Keyless
+reads fail tag authentication in the scan task (tests/test_pme.py).
 """
 
 from __future__ import annotations
 
 import base64
 import hashlib
+import os
+import subprocess
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
 
 try:  # gate: pyarrow PME needs an encryption-enabled build
     import pyarrow as pa
@@ -35,14 +47,101 @@ try:  # gate: pyarrow PME needs an encryption-enabled build
 except ImportError:  # pragma: no cover
     PME_AVAILABLE = False
 
-from pyspark.sql import DataFrame, SparkSession
-
 
 def _master_key(key_id: str) -> bytes:
     """Deterministic mock master-key derivation (stand-in for a real KMS
     backend, same spirit as the reference's stub kms.cpp:10-15)."""
     return hashlib.sha256(f"master:{key_id}".encode()).digest()[:16]
 
+
+# --- JVM-native distributed PME --------------------------------------------
+
+JVM_FACTORY = "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory"
+JVM_KMS_CLASS = "sparkgraft.pme.InMemoryKmsClient"
+KEY_LIST_PROPERTY = "sparkgraft.pme.key.list"
+
+_JVM_DIR = Path(__file__).resolve().parent / "jvm"
+_JAR = _JVM_DIR / "sparkgraft-pme-kms.jar"
+_JAVA_SRC = _JVM_DIR / "InMemoryKmsClient.java"
+
+
+def _build_jar() -> None:  # pragma: no cover - exercised on clean checkouts
+    """Compile the KmsClient from the committed source (javac 17 + the
+    parquet/hadoop jars Spark already ships)."""
+    spark_home = os.environ.get("SPARK_HOME", "/opt/spark")
+    jars = Path(spark_home) / "jars"
+    cp = os.pathsep.join(
+        str(next(jars.glob(pat)))
+        for pat in (
+            "parquet-hadoop-*.jar",
+            "parquet-common-*.jar",
+            "hadoop-client-api-*.jar",
+        )
+    )
+    classes = _JVM_DIR / "classes"
+    subprocess.run(
+        ["javac", "-encoding", "UTF-8", "-proc:none", "-cp", cp,
+         "-d", str(classes), str(_JAVA_SRC)],
+        check=True,
+    )
+    subprocess.run(
+        ["jar", "cf", str(_JAR), "-C", str(classes), "."], check=True
+    )
+
+
+def ensure_pme_jar(spark: SparkSession) -> str:
+    """Make the KMS jar visible to this session's executors (idempotent;
+    addJar is the one session-global step — confs stay per-operation)."""
+    if not _JAR.exists():
+        _build_jar()
+    spark.sparkContext._jsc.addJar(str(_JAR))
+    return str(_JAR)
+
+
+def _crypto_options(key_ids: list[str]) -> dict[str, str]:
+    key_list = ", ".join(
+        f"{kid}:{base64.b64encode(_master_key(kid)).decode()}"
+        for kid in key_ids
+    )
+    return {
+        "parquet.crypto.factory.class": JVM_FACTORY,
+        "parquet.encryption.kms.client.class": JVM_KMS_CLASS,
+        KEY_LIST_PROPERTY: key_list,
+    }
+
+
+def write_pme_distributed(
+    df: DataFrame,
+    path: str,
+    column_keys: dict[str, list[str]],
+    footer_key: str = "footer-master-key",
+) -> None:
+    """Executor-parallel PME write: standard ``df.write.parquet`` with
+    the crypto factory + key confs as writer options. ``column_keys``
+    maps master-key-id → column list; unlisted columns (and the footer)
+    are protected by ``footer_key``. Output is ordinary partitioned
+    parquet — every part file PME-encrypted — readable by ANY PME-aware
+    reader holding the keys."""
+    ensure_pme_jar(df.sparkSession)
+    opts = _crypto_options([footer_key, *column_keys])
+    opts["parquet.encryption.footer.key"] = footer_key
+    opts["parquet.encryption.column.keys"] = ";".join(
+        f"{kid}:{','.join(cols)}" for kid, cols in column_keys.items()
+    )
+    df.write.mode("overwrite").options(**opts).parquet(path)
+
+
+def read_pme_distributed(
+    spark: SparkSession, path: str, key_ids: list[str]
+) -> DataFrame:
+    """Executor-parallel PME read: footer/column decryption happens in
+    the scan tasks; column pruning still applies INSIDE the encrypted
+    file (unrequested encrypted chunks are never fetched or decrypted)."""
+    ensure_pme_jar(spark)
+    return spark.read.options(**_crypto_options(key_ids)).parquet(path)
+
+
+# --- pyarrow fallback (driver-side, single file) ----------------------------
 
 if PME_AVAILABLE:
 
@@ -78,11 +177,10 @@ if PME_AVAILABLE:
         column_keys: dict[str, list[str]],
         footer_key: str = "footer-master-key",
     ) -> None:
-        """Write ``df`` as ONE PME-encrypted parquet file.
-
-        ``column_keys`` maps master-key-id → column list (the PME
-        property shape). Unlisted columns are footer-key encrypted.
-        """
+        """FALLBACK: write ``df`` as ONE PME-encrypted parquet file via
+        pyarrow on the driver — a local format harness for when the JVM
+        path (``write_pme_distributed``, the scale-correct form) can't
+        run. The ``toPandas`` funnel is the reason it's the fallback."""
         table = pa.Table.from_pandas(df.toPandas(), preserve_index=False)
         enc_cfg = pe.EncryptionConfiguration(
             footer_key=footer_key,
@@ -98,11 +196,7 @@ if PME_AVAILABLE:
     def read_pme_encrypted(
         spark: SparkSession, path: str, columns: list[str] | None = None
     ) -> DataFrame:
-        """Read a PME-encrypted parquet file back into a DataFrame.
-
-        Column pruning happens inside the encrypted file: unrequested
-        column chunks are never decrypted (and unlike the reference's
-        whole-file slurp, never read)."""
+        """FALLBACK: read a single pyarrow-written PME file on the driver."""
         dec = _factory().file_decryption_properties(
             pe.KmsConnectionConfig(), pe.DecryptionConfiguration()
         )

@@ -9,6 +9,9 @@ oracle checks DECRYPTED results.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -77,6 +80,55 @@ def enc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "enc_pme_roundtrip",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS total_text_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def enc_pme_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-native Parquet Modular Encryption round-trip: documents are
+    written with ``df.write.parquet`` + PropertiesDrivenCryptoFactory
+    (per-column master keys for text/lang, footer key for the rest —
+    reference O1/O11/O13 in their format-standard form,
+    src/parquet_writer.cpp:223-234) and read back with
+    ``spark.read.parquet``; encryption and decryption both run in
+    EXECUTOR tasks, partition-parallel. The aggregate over the decrypted
+    frame must match the plaintext oracle exactly; a keyless session
+    fails the same read at the first scan task (tests/test_pme.py)."""
+    from ..encryption.pme import read_pme_distributed, write_pme_distributed
+
+    docs = load(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_pme",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    write_pme_distributed(
+        docs,
+        path,
+        column_keys={"key-text": ["text"], "key-meta": ["lang"]},
+        footer_key="footer-master-key",
+    )
+    back = read_pme_distributed(
+        spark, path, ["footer-master-key", "key-text", "key-meta"]
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+            F.sum(F.length("text").cast("long")).alias("total_text_chars"),
         )
         .orderBy("lang")
     )
