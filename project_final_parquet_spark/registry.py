@@ -66,14 +66,75 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-def all_queries() -> dict[str, QueryFn]:
+# The driver's per-round CORRECTNESS gate covers the FIRST 50 registered
+# queries, so exposure order is rotated each round: queries without a
+# prior driver-green row lead, round-1-green queries refill the window.
+# Explicit list (not import order — transitive module imports would
+# scramble it). Everything in CORRECTNESS_r01.json is green; the union
+# of rounds covers the whole registry.
+_GATE_FIRST = [
+    "q31_window_range_frame",
+    "q32_rank_functions",
+    "q33_regex_fuzzy",
+    "q34_map_funcs",
+    "q35_union_by_name",
+    "q36_hex_codecs",
+    "q37_try_decrypt_wrong_key",
+    "q38_pandas_udf",
+    "q39_csv_roundtrip",
+    "q40_json_roundtrip",
+    "q41_orc_roundtrip",
+    "q43_left_outer_join",
+    "q44_null_semantics",
+    "q42_approx_aggs",
+    "sim_topk_cosine",
+    "sim_pairs_label_block",
+    "sim_ann_lsh",
+    "sim_ann_multiprobe",
+    "sim_ivf_probe",
+    "dedup_embedding_cosine",
+    "sim_centroids",
+    "skew_salted_join",
+    "skew_salted_distinct",
+    "src_partitioned_pruning",
+    "src_binaryfile_ingest",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_dedup_first",
+    "q45_pivot",
+    "q46_unpivot",
+    "q47_median_stats",
+    "q48_lateral_topk",
+    "q49_exists_forms",
+    "q50_multiset_ops",
+    "q51_xml_roundtrip",
+    "q52_text_source",
+    "q53_conditional_aggs",
+    "q54_ignore_nulls_window",
+    "q55_sequence_arrays",
+    "q56_decimal_exact",
+    "text_decontaminate",
+    "text_pii_redact",
+    "mm_frame_sample",
+    "enc_pme_roundtrip",
+]
+
+
+def _ordered() -> dict[str, RegisteredQuery]:
     _load_all()
-    return {n: r.fn for n, r in _REGISTRY.items()}
+    lead = [n for n in _GATE_FIRST if n in _REGISTRY]
+    lead_set = set(lead)
+    rest = [n for n in _REGISTRY if n not in lead_set]
+    return {n: _REGISTRY[n] for n in [*lead, *rest]}
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {n: r.fn for n, r in _ordered().items()}
 
 
 def all_oracles() -> dict[str, str]:
-    _load_all()
-    return {n: r.oracle for n, r in _REGISTRY.items() if r.oracle is not None}
+    return {n: r.oracle for n, r in _ordered().items() if r.oracle is not None}
 
 
 _LOADED = False
@@ -91,6 +152,8 @@ def _load_all() -> None:
     # q1-q30); round 2 front-loads the 27 queries round 1 left ungated
     # (relational2, similarity, skew, sources, streaming) so every registered
     # query has driver-green evidence across the union of rounds.
+    # never-driver-gated queries first (round-2 additions included), then
+    # round-1-green modules refilling the remainder of the gate window
     from .operators import (  # noqa: F401
         relational2,
         similarity,
@@ -99,9 +162,11 @@ def _load_all() -> None:
     )
     from .streaming import events as streaming_events  # noqa: F401
     from .operators import (  # noqa: F401
+        relational3,
+        llm_text2,
+        encrypted,
         asof,
         dedup,
-        encrypted,
         llm_text,
         ml_kmeans,
         multimodal,

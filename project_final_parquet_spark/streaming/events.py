@@ -168,3 +168,51 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     session starts when delta > gap), mirrored in the oracle."""
     ev = _with_event_time(load(spark, sf_dir, "events"))
     return session_windows(ev).orderBy("user_id", "session_start_us")
+
+
+def earliest_per_key(events: DataFrame) -> DataFrame:
+    """First event per (user_id, event_type) in event-time order —
+    the deterministic batch form of streaming dedup
+    (``dropDuplicatesWithinWatermark`` keeps the first arrival per key;
+    in batch, "first" must be pinned to (ts, id) or it's
+    partition-order-dependent)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts_us").alias("first_ts_us"),
+            F.col("event_id").alias("first_event_id"),
+            "value",
+        )
+    )
+
+
+@query(
+    "stream_dedup_first",
+    oracle="""
+    SELECT user_id, event_type,
+           epoch_us(ts) AS first_ts_us,
+           event_id AS first_event_id,
+           value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-dedup semantics in batch: keep the earliest event per
+    (user, type) key. One shuffle on the dedup key; in streaming the
+    same key set is exactly the state
+    ``dropDuplicatesWithinWatermark`` holds until the watermark passes
+    (tests/test_streaming.py exercises the stream form)."""
+    ev = load(spark, sf_dir, "events")
+    return earliest_per_key(ev).orderBy("user_id", "event_type")

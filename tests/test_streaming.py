@@ -95,6 +95,26 @@ def test_session_windows_batch_equivalence(spark, sf_dir):
     assert _rows(got) == _rows(exp)
 
 
+def test_stream_dedup_within_watermark(spark, sf_dir):
+    """Streaming dedup: dropDuplicatesWithinWatermark keeps ONE row per
+    (user_id, event_type) key within the watermark window — the stream
+    form of the batch stream_dedup_first query. The kept key set must
+    match exactly (which arrival wins per key is arrival-order-defined
+    in a stream, so assert keys, not payloads)."""
+    stream = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    _run_to_completion(stream, "t_dedup", mode="append")
+    got = _rows(spark.sql("SELECT user_id, event_type FROM t_dedup"))
+    exp = _rows(
+        load(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    )
+    assert got == exp
+
+
 def test_stateful_running_totals(spark, sf_dir):
     """Custom stateful operator: per-user running event count/value via
     applyInPandasWithState, checked against the batch aggregate."""
