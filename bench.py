@@ -94,9 +94,23 @@ def _latest_prev_bench() -> dict | None:
     if best is None:
         return None
     try:
-        return json.loads(best[1].read_text())
+        rec = json.loads(best[1].read_text())
     except (OSError, json.JSONDecodeError):
         return None
+    if isinstance(rec, dict) and "queries" in rec:
+        return rec
+    # driver wrapper: our JSON line is the last parseable line of "tail"
+    if isinstance(rec, dict) and isinstance(rec.get("tail"), str):
+        for line in reversed(rec["tail"].splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    inner = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if isinstance(inner, dict) and "queries" in inner:
+                    return inner
+    return None
 
 
 if __name__ == "__main__":

@@ -1,0 +1,82 @@
+"""Relational coverage, fourth tranche: interval/date arithmetic and
+ordered string aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "q57_interval_arith",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(date_trunc('quarter', o_orderdate + INTERVAL 3 MONTH))
+             AS min_due_quarter,
+           MAX(datediff('day', DATE '1995-01-01', o_orderdate))
+             AS max_days_since
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q57_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/date arithmetic: due-date shifted a quarter out
+    (add_months + trunc) and day deltas vs an epoch date, aggregated
+    per priority. All date math is JVM expressions evaluated map-side;
+    the shuffle moves only the 5-row aggregate."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min(
+                F.date_trunc(
+                    "quarter", F.add_months(F.col("o_orderdate"), 3)
+                )
+            ).alias("min_due_quarter"),
+            F.max(
+                F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+            ).alias("max_days_since"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q58_string_agg",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+)
+def q58_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): nations per region as a
+    sorted comma-joined string. Spark spells it
+    array_join(array_sort(collect_list(...))) — the sort pins the
+    intra-group order that collect_list alone leaves
+    partition-dependent, which is exactly the nondeterminism SQL's
+    WITHIN GROUP (ORDER BY) exists to remove."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )

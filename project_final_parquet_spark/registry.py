@@ -118,6 +118,15 @@ _GATE_FIRST = [
     "text_pii_redact",
     "mm_frame_sample",
     "enc_pme_roundtrip",
+    # batch-3 additions: the first few take the round-1-green refill
+    # slots; overflow rotates into round 3's window
+    "text_repetition_filter",
+    "sample_stratified_hash",
+    "sample_uniform_topk",
+    "mix_source_weights",
+    "sim_scalar_quant",
+    "q57_interval_arith",
+    "q58_string_agg",
 ]
 
 
@@ -163,7 +172,10 @@ def _load_all() -> None:
     from .streaming import events as streaming_events  # noqa: F401
     from .operators import (  # noqa: F401
         relational3,
+        relational4,
         llm_text2,
+        llm_text3,
+        similarity2,
         encrypted,
         asof,
         dedup,

@@ -69,3 +69,48 @@ def test_partitioned_read_prunes(spark, sf_dir):
     df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
     f = pf(df)
     assert any("o_orderstatus" in x for x in f.partition_filters)
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark n-gram set must join as a broadcast (semi) join —
+    a shuffle of the full exploded-gram corpus here would be the 100 TB
+    bottleneck."""
+    f = facts_of(spark, "text_decontaminate")
+    assert f.n_broadcast_joins >= 1
+    assert f.n_nested_loop_joins == 0
+
+
+def test_uniform_sample_is_take_ordered(spark):
+    """Hash-ranked k-row sampling must plan as TakeOrderedAndProject,
+    not a global sort."""
+    f = facts_of(spark, "sample_uniform_topk")
+    assert f.has_take_ordered
+
+
+def test_stratified_sample_is_scan_side_filter(spark):
+    """Hash sampling is a predicate, not a repartition: no joins, no
+    aggregates — the only exchange allowed is the final presentation
+    sort."""
+    f = facts_of(spark, "sample_stratified_hash")
+    assert f.n_joins == 0
+    assert f.n_hash_aggregates == 0
+    assert f.n_exchanges <= 1
+
+
+def test_quantized_topk_broadcasts_query(spark):
+    """int8-quantized scoring: the 1-row query vector rides a broadcast
+    cross join (BroadcastNestedLoopJoin Cross with a 1-row build side IS
+    the map-side plan here — not a demotion), top-k short-circuits via
+    TakeOrderedAndProject, and the corpus is never shuffled."""
+    f = facts_of(spark, "sim_scalar_quant")
+    assert f.has_take_ordered
+    assert f.n_exchanges == 0  # no shuffle of the big side
+    assert f.n_sortmerge_joins == 0
+
+
+def test_repetition_filter_partial_aggs(spark):
+    """Both counting aggregations must partial-aggregate map-side
+    before their doc_id shuffles."""
+    f = facts_of(spark, "text_repetition_filter")
+    assert f.n_hash_aggregates >= 4  # 2 aggs x (partial + final)
+    assert f.n_nested_loop_joins == 0
