@@ -41,6 +41,13 @@ HEADLINE = [
     "text_chunking",
     "stream_session_windows",
     "enc_roundtrip_agg",
+    # round-2 additions
+    "text_decontaminate",
+    "text_repetition_filter",
+    "text_oov_rate",
+    "sim_scalar_quant",
+    "events_rollup_multigrain",
+    "upsert_snapshot",
 ]
 
 
@@ -77,8 +84,15 @@ def main() -> None:
             for name, sec in timings.items()
             if name in prev_q
         }
-        if isinstance(prev.get("value"), (int, float)):
-            out["delta_vs_prev_total"] = round(out["value"] - prev["value"], 3)
+        # total delta over the INTERSECTION of query sets, so adding new
+        # headline queries doesn't read as a regression
+        shared = [n for n in timings if n in prev_q]
+        if shared:
+            out["delta_vs_prev_total"] = round(
+                sum(timings[n] for n in shared)
+                - sum(prev_q[n] for n in shared),
+                3,
+            )
 
     print(json.dumps(out))
 

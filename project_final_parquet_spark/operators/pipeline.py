@@ -1,0 +1,218 @@
+"""Dataset-assembly operators: reproducible splits, vocabulary-based
+quality scoring, and CDC-style snapshot merge.
+
+These are the glue ops of a training-data pipeline: after filtering
+(llm_text*.py) and dedup (dedup.py), the corpus gets split, scored
+against a learned vocabulary, and periodically reconciled against
+change feeds. All decisions are content-hash or integer based — the
+same split assignment and the same scores on any cluster size, any
+retry, and in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+# --- reproducible train/val/test split -------------------------------------
+
+# split by the first two hex digits of a salted content hash, compared
+# LEXICOGRAPHICALLY (hex strings order consistently in both engines):
+# 'e6' = 230/256 ≈ 90% train, 'f3' = 243/256 ≈ 5% val, rest test.
+_TRAIN_HI = "e6"
+_VAL_HI = "f3"
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_tok,
+             substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) AS hp
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN hp < '{_TRAIN_HI}' THEN 'train'
+                WHEN hp < '{_VAL_HI}' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM s GROUP BY lang, split ORDER BY lang, split
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~90/5/5 train/val/test split: assignment is a pure
+    function of the salted document hash, so re-running the pipeline —
+    on more executors, after a retry, next month on a grown corpus —
+    never moves an existing document across splits (the leakage
+    guarantee rand() splits cannot give). Map-side assignment; the
+    shuffle moves only the (lang × split) aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    hp = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 2
+    )
+    split = (
+        F.when(hp < _TRAIN_HI, "train")
+        .when(hp < _VAL_HI, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(
+            "lang",
+            split.alias("split"),
+            F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+# --- out-of-vocabulary rate vs a learned corpus vocabulary -----------------
+
+_VOCAB_K = 1000
+
+
+@query(
+    "text_oov_rate",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS c FROM w GROUP BY w
+      ) ORDER BY c DESC, w LIMIT {_VOCAB_K}
+    ),
+    scored AS (
+      SELECT w.doc_id,
+             COUNT(*) AS n_tokens,
+             COUNT(*) FILTER (WHERE v.w IS NULL) AS n_oov
+      FROM w LEFT JOIN vocab v USING (w) GROUP BY w.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           10 * n_oov > n_tokens AS oov_flagged
+    FROM scored ORDER BY doc_id
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary quality signal: learn the top-{_VOCAB_K} corpus
+    vocabulary (total-ordered: count desc, term asc), then score every
+    document's OOV token fraction against it; flag docs with >10% OOV.
+    The vocabulary is tiny and BROADCAST — the corpus-side scan is
+    joined map-side, and the only big shuffles are the two word-count
+    aggregations with map-side partial combine. This is the distributed
+    form of every 'score against a learned artifact' pipeline stage
+    (vocab, classifier weights, centroids): learn small, broadcast,
+    score map-side."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(_VOCAB_K)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    scored = (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count_if(F.col("in_vocab").isNull()).alias("n_oov"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        (10 * F.col("n_oov") > F.col("n_tokens")).alias("oov_flagged"),
+    ).orderBy("doc_id")
+
+
+# --- CDC-style snapshot merge ----------------------------------------------
+
+
+@query(
+    "upsert_snapshot",
+    oracle="""
+    WITH delta AS (
+      SELECT o_custkey AS k,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                  AS DECIMAL(38,10)) AS d
+      FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+      GROUP BY o_custkey
+    ),
+    changes AS (
+      SELECT k, d FROM delta
+      UNION ALL
+      SELECT o_custkey + 10000000 AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(38,10)) AS DECIMAL(38,10)) AS d
+      FROM orders WHERE o_orderkey % 1000 = 0
+    ),
+    merged AS (
+      SELECT COALESCE(c.c_custkey, ch.k) AS k,
+             CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                  WHEN ch.k IS NULL THEN 'keep'
+                  ELSE 'update' END AS op,
+             CAST(COALESCE(CAST(c.c_acctbal AS DECIMAL(38,10)), 0)
+                  + COALESCE(ch.d, 0) AS DECIMAL(38,10)) AS new_bal
+      FROM customer c FULL OUTER JOIN changes ch ON c.c_custkey = ch.k
+    )
+    SELECT op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(new_bal) AS DOUBLE) AS total_balance
+    FROM merged GROUP BY op ORDER BY op
+    """,
+)
+def upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO semantics on plain parquet: reconcile a customer
+    snapshot with a change feed (recent-order balance deltas, plus
+    synthetic never-seen keys to exercise the insert path) via FULL
+    OUTER JOIN — rows classify as insert / update / keep exactly as a
+    SQL MERGE would. The join shuffles both sides on the key (the
+    change feed is normally << snapshot, and AQE will broadcast it when
+    small enough); balances accumulate in DECIMAL(38,10) per the
+    cross-engine float convention."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    dec = lambda c: F.col(c).cast("decimal(38,10)")  # noqa: E731
+    delta = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(38,10)").alias("d"))
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_custkey") + 10000000).alias("k"),
+        dec("o_totalprice").cast("decimal(38,10)").alias("d"),
+    )
+    changes = delta.unionByName(inserts)
+    merged = customer.join(
+        changes, customer.c_custkey == changes.k, "full_outer"
+    ).select(
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("k").isNull(), "keep")
+        .otherwise("update")
+        .alias("op"),
+        (
+            F.coalesce(dec("c_acctbal"), F.lit(0).cast("decimal(38,10)"))
+            + F.coalesce(F.col("d"), F.lit(0).cast("decimal(38,10)"))
+        )
+        .cast("decimal(38,10)")
+        .alias("new_bal"),
+    )
+    return (
+        merged.groupBy("op")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("new_bal").cast("double").alias("total_balance"),
+        )
+        .orderBy("op")
+    )

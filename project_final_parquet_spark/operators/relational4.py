@@ -80,3 +80,62 @@ def q58_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+@query(
+    "events_rollup_multigrain",
+    oracle="""
+    WITH b AS (
+      SELECT (epoch_us(ts) // 60000000) * 60000000 AS m,
+             (epoch_us(ts) // 3600000000) * 3600000000 AS h,
+             (epoch_us(ts) // 86400000000) * 86400000000 AS d,
+             value
+      FROM events
+    )
+    SELECT CASE WHEN GROUPING(m) = 0 THEN 'minute'
+                WHEN GROUPING(h) = 0 THEN 'hour'
+                ELSE 'day' END AS grain,
+           COALESCE(m, h, d) AS bucket_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS total_value
+    FROM b GROUP BY GROUPING SETS ((m), (h), (d))
+    ORDER BY grain, bucket_us
+    """,
+)
+def events_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: minute, hour, and
+    day grains materialized in ONE pass via GROUPING SETS — the
+    timeseries-db pattern (e.g. TimescaleDB continuous aggregates)
+    expressed as a single Spark aggregation. Buckets are integer
+    epoch-microsecond arithmetic (ts_us), never NTZ↔LTZ casts, so the
+    result is timezone-independent; partial aggregation combines
+    map-side before the one shuffle that carries all three grains."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        (F.expr("ts_us div 60000000") * 60000000).alias("m"),
+        (F.expr("ts_us div 3600000000") * 3600000000).alias("h"),
+        (F.expr("ts_us div 86400000000") * 86400000000).alias("d"),
+        "value",
+    )
+    return (
+        b.groupingSets([["m"], ["h"], ["d"]], "m", "h", "d")
+        .agg(
+            # grouping() is only legal inside the grouping-sets agg
+            F.grouping("m").alias("gm"),
+            F.grouping("h").alias("gh"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.when(F.col("gm") == 0, "minute")
+            .when(F.col("gh") == 0, "hour")
+            .otherwise("day")
+            .alias("grain"),
+            F.coalesce("m", "h", "d").alias("bucket_us"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("grain", "bucket_us")
+    )

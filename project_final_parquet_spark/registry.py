@@ -127,6 +127,10 @@ _GATE_FIRST = [
     "sim_scalar_quant",
     "q57_interval_arith",
     "q58_string_agg",
+    "split_train_val_test",
+    "text_oov_rate",
+    "upsert_snapshot",
+    "events_rollup_multigrain",
 ]
 
 
@@ -176,6 +180,7 @@ def _load_all() -> None:
         llm_text2,
         llm_text3,
         similarity2,
+        pipeline,
         encrypted,
         asof,
         dedup,
