@@ -1,0 +1,180 @@
+"""Event-analytics operators: funnel conversion, cohort retention, and
+transition paths — the product-analytics query family (Amplitude/
+Mixpanel-style) over the events stream.
+
+All time math is integer epoch-microseconds (ts_us) per the TZ
+convention; every per-user computation is a window or aggregation
+partitioned on user_id, so the family costs one user_id shuffle and
+scales with users × events-per-user, not events².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+_DAY_US = 86_400_000_000
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT *, MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                  OVER (PARTITION BY user_id) AS t_view
+      FROM events
+    ),
+    c AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND epoch_us(ts) > t_view
+                          AND epoch_us(ts) <= t_view + 3600000000
+                         THEN epoch_us(ts) END)
+                  OVER (PARTITION BY user_id) AS t_click
+      FROM v
+    ),
+    p AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase'
+                          AND epoch_us(ts) > t_click
+                          AND epoch_us(ts) <= t_click + 3600000000
+                         THEN epoch_us(ts) END)
+                  OVER (PARTITION BY user_id) AS t_purchase
+      FROM c
+    ),
+    u AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN t_purchase IS NOT NULL THEN 3
+                  WHEN t_click IS NOT NULL THEN 2
+                  WHEN t_view IS NOT NULL THEN 1
+                  ELSE 0 END AS funnel_step
+      FROM p
+    )
+    SELECT funnel_step, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM u GROUP BY funnel_step ORDER BY funnel_step
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase, each step
+    strictly after the previous and within a 1-hour conversion
+    window): per-user step times via chained
+    conditional window minima — all three windows share the user_id
+    partitioning, so Catalyst plans ONE shuffle and evaluates the
+    windows in sequence on the sorted runs. The final per-step count
+    shuffles 150 user rows, not 10k events."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    v = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w),
+    )
+    c = v.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts_us") > F.col("t_view"))
+                & (F.col("ts_us") <= F.col("t_view") + _HOUR_US),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    p = c.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_us") > F.col("t_click"))
+                & (F.col("ts_us") <= F.col("t_click") + _HOUR_US),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    step = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    u = p.select("user_id", step.alias("funnel_step")).distinct()
+    return (
+        u.groupBy("funnel_step")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("funnel_step")
+    )
+
+
+@query(
+    "events_cohort_retention",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) // {_DAY_US} AS day
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id
+    )
+    SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+           CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_active
+    FROM d JOIN firsts f USING (user_id)
+    GROUP BY f.cohort_day, day_offset
+    ORDER BY f.cohort_day, day_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted distinct per (cohort, day-offset). The cohort assignment is
+    a window min over the SAME user_id partitioning the activity rows
+    already shuffle on — one shuffle feeds both steps, and the final
+    (cohort × offset) grid is tiny at any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.expr(f"ts_us div {_DAY_US}").alias("day")
+    )
+    w = W.partitionBy("user_id")
+    joined = d.withColumn("cohort_day", F.min("day").over(w))
+    return (
+        joined.groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@query(
+    "events_transitions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM o WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY event_type, next_type
+    """,
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix (the Markov view of user paths):
+    consecutive event pairs per user via LEAD over (ts, event_id) —
+    the unique tiebreaker keeps the sequence engine-deterministic —
+    then a count per (from, to). One user_id shuffle for the window;
+    the 5×5 transition matrix is the only thing aggregated."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return (
+        o.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("event_type", "next_type")
+    )

@@ -139,3 +139,71 @@ def events_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grain", "bucket_us")
     )
+
+
+@query(
+    "q59_stat_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR)
+                  AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10)))
+                  AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10)))
+                  AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                  AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(l_quantity * l_extendedprice
+                  AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           sx / n AS mean_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           (sxy - sx * sy / n)
+             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))
+             AS corr_qty_price
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def q59_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments — sample stddev and Pearson correlation —
+    computed from DECIMAL(38,10)-exact power sums, then combined in
+    double (every per-row product here is exact in IEEE double, and
+    the closed-form combination is the same correctly-rounded op
+    sequence on both engines). NOT Spark's stddev_samp/corr: their
+    streaming-update formulas are aggregation-order-dependent, which
+    breaks cross-engine hashing — the power-sum form is also the
+    map-side-combinable one a distributed engine wants anyway."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(38,10)")  # noqa: E731
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(F.col("l_quantity"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("l_quantity") * F.col("l_quantity")))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("l_extendedprice") * F.col("l_extendedprice")))
+        .cast("double")
+        .alias("syy"),
+        F.sum(dec(F.col("l_quantity") * F.col("l_extendedprice")))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var_x = (sxx - sx * sx / n) / (n - 1)
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        (sx / n).alias("mean_qty"),
+        F.sqrt(var_x).alias("stddev_qty"),
+        (
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")

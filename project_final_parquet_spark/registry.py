@@ -131,6 +131,10 @@ _GATE_FIRST = [
     "text_oov_rate",
     "upsert_snapshot",
     "events_rollup_multigrain",
+    "q59_stat_moments",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_transitions",
 ]
 
 
@@ -181,6 +185,7 @@ def _load_all() -> None:
         llm_text3,
         similarity2,
         pipeline,
+        events_analytics,
         encrypted,
         asof,
         dedup,
