@@ -207,3 +207,103 @@ def q59_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
         ).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q60_try_funcs",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_totalprice / NULLIF(o_orderkey % 5, 0)
+                         IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_divisible,
+           CAST(COUNT(TRY_CAST(o_orderpriority AS INT)) AS BIGINT)
+             AS n_numeric_priority,
+           CAST(COUNT(string_split(o_orderpriority, '-')[3]) AS BIGINT)
+             AS n_has_third_part
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q60_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error handling: Spark 4 runs ANSI mode by default, so
+    division by zero / bad casts / out-of-bounds indexing THROW unless
+    routed through the try_* family — try_divide, try_cast,
+    try_element_at — which return NULL exactly like DuckDB's
+    NULLIF-guarded division, TRY_CAST, and (natively NULL-padding) list
+    indexing. Counting the NULLs proves each soft-failure path."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    F.try_divide(
+                        F.col("o_totalprice"), F.col("o_orderkey") % 5
+                    ).isNotNull(),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_divisible"),
+            F.count(F.expr("try_cast(o_orderpriority AS INT)"))
+            .cast("long")
+            .alias("n_numeric_priority"),
+            F.count(
+                F.try_element_at(F.split("o_orderpriority", "-"), F.lit(3))
+            )
+            .cast("long")
+            .alias("n_has_third_part"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q61_struct_explode",
+    oracle="""
+    SELECT o_orderpriority, u.scn AS scenario,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(u.px AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+             AS sum_px
+    FROM orders,
+         UNNEST([struct_pack(scn := 'p90', px := o_totalprice * 0.9),
+                 struct_pack(scn := 'p75', px := o_totalprice * 0.75)]) AS t(u)
+    GROUP BY o_orderpriority, scenario
+    ORDER BY o_orderpriority, scenario
+    """,
+)
+def q61_struct_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type construction and flattening: build an array of
+    scenario structs per row (what-if discount pricing), explode it,
+    access struct fields, aggregate per (priority, scenario). The
+    explode doubles row count map-side BEFORE the partial agg shrinks
+    it back — no shuffle ever carries the exploded rows, only the
+    (priority × scenario) partials."""
+    orders = load(spark, sf_dir, "orders")
+    from ..registry import dsum
+
+    scenarios = F.array(
+        F.struct(
+            F.lit("p90").alias("scn"),
+            (F.col("o_totalprice") * 0.9).alias("px"),
+        ),
+        F.struct(
+            F.lit("p75").alias("scn"),
+            (F.col("o_totalprice") * 0.75).alias("px"),
+        ),
+    )
+    return (
+        orders.select("o_orderpriority", F.explode(scenarios).alias("u"))
+        .select(
+            "o_orderpriority",
+            F.col("u.scn").alias("scenario"),
+            F.col("u.px").alias("px"),
+        )
+        .groupBy("o_orderpriority", "scenario")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dsum(F.col("px")).alias("sum_px"),
+        )
+        .orderBy("o_orderpriority", "scenario")
+    )

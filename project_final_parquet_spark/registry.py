@@ -135,6 +135,8 @@ _GATE_FIRST = [
     "events_funnel",
     "events_cohort_retention",
     "events_transitions",
+    "q60_try_funcs",
+    "q61_struct_explode",
 ]
 
 
