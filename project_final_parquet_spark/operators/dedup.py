@@ -618,3 +618,59 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _JACCARD_T)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             string_split(text, ' ')[1] AS t1,
+             length(text) // 20 AS lb
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))
+                AS INT) AS prefix_dist
+    FROM d a JOIN d b
+      ON a.t1 = b.t1 AND a.lb = b.lb AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 10
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching within blocks: candidate pairs share a
+    (first-token, length-bucket) block — an equi-join, never n² — and
+    survive if the edit distance of their 40-char prefixes is ≤ 10.
+    Levenshtein is O(k²) per pair, so the block bound + prefix cap is
+    what keeps this feasible at scale (same blocking discipline as
+    dedup_ngram_jaccard; LSH is the unblocked alternative)."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "text",
+        F.split(F.col("text"), " ").getItem(0).alias("t1"),
+        F.expr("length(text) div 20").alias("lb"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("ta"),
+        "t1",
+        "lb",
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("tb"),
+        "t1",
+        "lb",
+    )
+    dist = F.levenshtein(
+        F.substring("ta", 1, 40), F.substring("tb", 1, 40)
+    )
+    return (
+        a.join(b, ["t1", "lb"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", dist.cast("int").alias("prefix_dist"))
+        .filter(F.col("prefix_dist") <= 10)
+        .orderBy("doc_a", "doc_b")
+    )

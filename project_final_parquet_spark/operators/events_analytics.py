@@ -178,3 +178,86 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("event_type", "next_type")
     )
+
+
+@query(
+    "events_gap_fill",
+    oracle=f"""
+    WITH hours AS (
+      SELECT user_id, epoch_us(ts) // {_HOUR_US} AS h
+      FROM events GROUP BY user_id, h
+    ),
+    spans AS (
+      SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hours GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM spans
+    ),
+    missing AS (
+      SELECT g.user_id, g.h FROM grid g
+      LEFT JOIN hours a ON g.user_id = a.user_id AND g.h = a.h
+      WHERE a.h IS NULL
+    ),
+    runs AS (
+      SELECT user_id, h,
+             h - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY h) AS run
+      FROM missing
+    ),
+    runlen AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+      FROM runs GROUP BY user_id, run
+    )
+    SELECT s.user_id,
+           CAST(s.h1 - s.h0 + 1 AS BIGINT) AS n_hours_span,
+           CAST(COALESCE(m.n_missing, 0) AS BIGINT) AS n_missing,
+           CAST(COALESCE(m.max_gap_run, 0) AS BIGINT) AS max_gap_run
+    FROM spans s LEFT JOIN (
+      SELECT user_id, SUM(len) AS n_missing, MAX(len) AS max_gap_run
+      FROM runlen GROUP BY user_id
+    ) m ON s.user_id = m.user_id
+    ORDER BY s.user_id
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap analysis (gaps-and-islands): build each user's
+    dense hourly grid with sequence+explode, anti-match the observed
+    hours, then find the longest consecutive missing run via the
+    h − row_number() islands trick. Everything partitions on user_id —
+    the grid explode is map-side from a 1-row-per-user span table, so
+    the generated grid (users × span) never inflates the shuffle
+    beyond the missing-hour rows themselves."""
+    ev = load(spark, sf_dir, "events")
+    hours = (
+        ev.select("user_id", F.expr(f"ts_us div {_HOUR_US}").alias("h"))
+        .distinct()
+    )
+    spans = hours.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    missing = grid.join(hours, ["user_id", "h"], "left_anti")
+    runs = missing.withColumn(
+        "run",
+        F.col("h")
+        - F.row_number().over(W.partitionBy("user_id").orderBy("h")),
+    )
+    runlen = runs.groupBy("user_id", "run").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    per_user = runlen.groupBy("user_id").agg(
+        F.sum("len").alias("n_missing"), F.max("len").alias("max_gap_run")
+    )
+    return (
+        spans.join(per_user, "user_id", "left")
+        .select(
+            "user_id",
+            (F.col("h1") - F.col("h0") + 1).cast("long").alias("n_hours_span"),
+            F.coalesce("n_missing", F.lit(0)).cast("long").alias("n_missing"),
+            F.coalesce("max_gap_run", F.lit(0))
+            .cast("long")
+            .alias("max_gap_run"),
+        )
+        .orderBy("user_id")
+    )

@@ -16,7 +16,8 @@ from ..tables import load
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           MIN(date_trunc('quarter', o_orderdate + INTERVAL 3 MONTH))
+           strftime(CAST(MIN(date_trunc('quarter',
+                    o_orderdate + INTERVAL 3 MONTH)) AS DATE), '%Y-%m-%d')
              AS min_due_quarter,
            MAX(datediff('day', DATE '1995-01-01', o_orderdate))
              AS max_days_since
@@ -34,10 +35,12 @@ def q57_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.min(
-                F.date_trunc(
-                    "quarter", F.add_months(F.col("o_orderdate"), 3)
-                )
+            # trunc() returns DATE (TZ-free); date_trunc() would return
+            # an LTZ timestamp whose value shifts with the session TZ.
+            # Emit as a yyyy-MM-dd string so both engines canon equal.
+            F.date_format(
+                F.min(F.trunc(F.add_months(F.col("o_orderdate"), 3), "quarter")),
+                "yyyy-MM-dd",
             ).alias("min_due_quarter"),
             F.max(
                 F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))

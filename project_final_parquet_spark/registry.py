@@ -137,6 +137,8 @@ _GATE_FIRST = [
     "events_transitions",
     "q60_try_funcs",
     "q61_struct_explode",
+    "events_gap_fill",
+    "dedup_fuzzy_levenshtein",
 ]
 
 

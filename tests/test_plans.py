@@ -114,3 +114,47 @@ def test_repetition_filter_partial_aggs(spark):
     f = facts_of(spark, "text_repetition_filter")
     assert f.n_hash_aggregates >= 4  # 2 aggs x (partial + final)
     assert f.n_nested_loop_joins == 0
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime row-level filtering: with a selective dim-side filter,
+    Spark injects a bloom_filter_agg on the creation side and a
+    might-contain probe on the fact side — at 100 TB this prunes fact
+    rows BEFORE the join shuffle. Size thresholds are lowered to make
+    the optimization fire at test scale (at real scale the defaults —
+    10 GB application side — gate it to where it pays)."""
+    from pyspark.sql import functions as F
+
+    from project_final_parquet_spark.plans import physical_plan
+    from project_final_parquet_spark.tables import load
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": (
+            "100MB"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load(spark, BIG_SF, "lineitem")
+        o = load(spark, BIG_SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        p = physical_plan(j)
+        assert "bloom_filter_agg" in p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
