@@ -261,3 +261,63 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) // {_DAY_US} AS day,
+             CAST(COUNT(*) AS DOUBLE) AS c
+      FROM events GROUP BY user_id, day
+    ),
+    s AS (
+      SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(c AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(c * c AS DECIMAL(38,10))) AS DOUBLE) AS sxx
+      FROM d GROUP BY user_id
+    )
+    SELECT d.user_id, CAST(d.day AS BIGINT) AS day, CAST(d.c AS BIGINT)
+             AS n_events,
+           (d.c - s.sx / s.n)
+             / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)) AS z
+    FROM d JOIN s USING (user_id)
+    WHERE s.n > 1 AND (s.sxx - s.sx * s.sx / s.n) > 0
+      AND abs((d.c - s.sx / s.n)
+              / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1))) > 2
+    ORDER BY d.user_id, day
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity anomalies: daily event counts z-scored against
+    the user's own mean/stddev (power-sum form — exact decimal sums
+    combined in deterministic double math, same discipline as
+    q59_stat_moments), keeping |z| > 2 days. Both aggregations and the
+    join partition on user_id — one logical shuffle; the flagged-day
+    output is a vanishing fraction of the input at any scale."""
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.select("user_id", F.expr(f"ts_us div {_DAY_US}").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    dec = lambda c: c.cast("decimal(38,10)")  # noqa: E731
+    s = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(F.col("c"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("c") * F.col("c"))).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    var = (sxx - sx * sx / n) / (n - 1)
+    z = (F.col("c") - sx / n) / F.sqrt(var)
+    return (
+        d.join(s, "user_id")
+        .filter((n > 1) & ((sxx - sx * sx / n) > 0) & (F.abs(z) > 2))
+        .select(
+            "user_id",
+            F.col("day").cast("long").alias("day"),
+            F.col("c").cast("long").alias("n_events"),
+            z.alias("z"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -210,3 +210,60 @@ def mix_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "lang", "n_docs", "n_tokens", "weight_ppm")
         .orderBy("source", "lang")
     )
+
+
+# --- rare-token density scoring --------------------------------------------
+
+
+@query(
+    "text_rare_token_score",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY w),
+    scored AS (
+      SELECT w.doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(64 - length(bin(cnt.c))) AS rarity_sum
+      FROM w JOIN cnt USING (w) GROUP BY w.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(rarity_sum AS BIGINT) AS rarity_sum,
+           CAST((100 * rarity_sum) // n_tokens AS BIGINT)
+             AS avg_rarity_x100
+    FROM scored ORDER BY doc_id
+    """,
+)
+def text_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token density — an integer stand-in for unigram surprisal:
+    each token scores 64 − bitwidth(corpus_count), i.e. ~−log2 of its
+    corpus frequency, summed per document (transcendental log2 would
+    not be bit-reproducible across engines; the bin()-length form is
+    exact integer math on both). Two corpus passes: the term-count
+    aggregation, then a co-partitioned-on-token join back — both with
+    map-side partial aggregation; no vocabulary ever sits on one node
+    (contrast text_oov_rate, which broadcasts a top-K vocab — this is
+    the unbounded-vocabulary variant of the same scoring template)."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    cnt = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    rarity = F.lit(64) - F.length(F.bin(F.col("c")))
+    scored = (
+        words.join(cnt, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(rarity).cast("long").alias("rarity_sum"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "rarity_sum",
+        F.expr("CAST((100 * rarity_sum) DIV n_tokens AS BIGINT)").alias(
+            "avg_rarity_x100"
+        ),
+    ).orderBy("doc_id")

@@ -139,6 +139,9 @@ _GATE_FIRST = [
     "q61_struct_explode",
     "events_gap_fill",
     "dedup_fuzzy_levenshtein",
+    "sim_random_projection",
+    "text_rare_token_score",
+    "events_anomaly_zscore",
 ]
 
 
@@ -188,6 +191,7 @@ def _load_all() -> None:
         llm_text2,
         llm_text3,
         similarity2,
+        similarity3,
         pipeline,
         events_analytics,
         encrypted,
