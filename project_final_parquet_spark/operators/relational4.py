@@ -310,3 +310,61 @@ def q61_struct_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "scenario")
     )
+
+
+@query(
+    "udaf_grouped_pandas",
+    oracle="""
+    WITH d AS (
+      SELECT lang, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars * n_tok) AS BIGINT) AS wsum,
+           CAST(SUM(n_tok) AS BIGINT) AS wtot,
+           CAST((100 * SUM(n_chars * n_tok)) // SUM(n_tok) AS BIGINT)
+             AS wmean_x100
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregation through applyInPandas (the UDAF
+    surface): token-weighted character stats per language, computed in
+    Arrow-batched pandas with INTEGER arithmetic only — float
+    accumulation in Python would be partition-order-dependent and break
+    the cross-engine hash; int64 sums are exact and order-free. The
+    group-by shuffle is the same as a native agg; what's lost vs
+    built-ins is map-side partial aggregation (each group's rows must
+    co-locate), which is exactly why the native power-sum forms
+    elsewhere are preferred when expressible."""
+    import pandas as pd  # noqa: F401
+
+    docs = load(spark, sf_dir, "documents").select("lang", "n_chars", "text")
+
+    def weighted_stats(pdf):
+        import pandas as _pd
+
+        n_tok = pdf["text"].str.split(" ").map(len).astype("int64")
+        w = (pdf["n_chars"].astype("int64") * n_tok).sum()
+        t = int(n_tok.sum())
+        return _pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "wsum": [int(w)],
+                "wtot": [t],
+                "wmean_x100": [(100 * int(w)) // t],
+            }
+        )
+
+    return (
+        docs.groupBy("lang")
+        .applyInPandas(
+            weighted_stats,
+            schema="lang string, n_docs long, wsum long, wtot long, "
+            "wmean_x100 long",
+        )
+        .orderBy("lang")
+    )

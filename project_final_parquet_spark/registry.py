@@ -142,6 +142,7 @@ _GATE_FIRST = [
     "sim_random_projection",
     "text_rare_token_score",
     "events_anomaly_zscore",
+    "udaf_grouped_pandas",
 ]
 
 
