@@ -1,0 +1,171 @@
+"""Product quantization (PQ) with asymmetric distance computation.
+
+The scale path for billion-vector ANN (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+64-dim vector into M=4 subvectors of 16 dims, quantize each subvector
+to one of K=8 codewords, and rank candidates by ADC — the sum of
+query-to-codeword distances, looked up instead of recomputed. A stored
+code is M small ints (4 bytes here vs 256 bytes of float32), a 64×
+compression of the scan footprint.
+
+Determinism: the codebook is a seeded sample — the K=8 vectors with the
+smallest md5(vec_id), totally ordered by (hash, vec_id) — rather than a
+trained one, so the DuckDB oracle reproduces it exactly. Production
+training is per-subspace k-means, which this repo already provides
+(``ml_kmeans``, same broadcast-assign/shuffle-update shape); the sample
+stands in for the trained codebook without changing the encode/ADC
+dataflow.
+
+Scale (100 TB of vectors):
+- codebook: a global TakeOrdered(8) — tiny, then broadcast; no shuffle
+  touches the big table.
+- encode: map-side per row (M×K subvector distances, ~512 mults); at
+  rest you'd persist only (vec_id, code) — the 64× smaller scan set.
+- ADC query: map-side lookup + TakeOrderedAndProject top-k merge; no
+  shuffle of vector data at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+_DIM = 64
+_M = 4  # subspaces
+_SUB = _DIM // _M  # dims per subspace
+_K = 8  # codewords per subspace
+
+
+def _sq_sub(a, b, t: int):
+    """Squared L2 between 16-dim subvectors t of full vectors a, b."""
+    sa = F.slice(a, t * _SUB + 1, _SUB)
+    sb = F.slice(b, t * _SUB + 1, _SUB)
+    return F.aggregate(
+        F.zip_with(
+            sa,
+            sb,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sq_sub_sql(a: str, b: str, t: int) -> str:
+    off = t * _SUB
+    d = f"(CAST({a}[{off}+j+1] AS DOUBLE) - CAST({b}[{off}+j+1] AS DOUBLE))"
+    return (
+        f"list_aggregate(list_transform(range({_SUB}), "
+        f"j -> {d} * {d}), 'sum')"
+    )
+
+
+_PQ_ORACLE = f"""
+WITH cbrows AS (
+  SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, embedding
+  FROM embeddings ORDER BY h, vec_id LIMIT {_K}
+),
+cb AS (SELECT list(embedding ORDER BY h, vec_id) AS cbs FROM cbrows),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+enc AS (
+  SELECT e.vec_id, e.label, e.embedding, cb.cbs, q.qv
+  FROM embeddings e CROSS JOIN cb CROSS JOIN q
+  WHERE e.vec_id <> 0
+),
+coded AS (
+  SELECT vec_id, label, cbs, qv,
+    {", ".join(
+        f"list_transform(cbs, cw -> {_sq_sub_sql('embedding', 'cw', t)})"
+        f" AS dt{t}"
+        for t in range(_M)
+    )}
+  FROM enc
+),
+codes AS (
+  SELECT vec_id, label, cbs, qv,
+    {", ".join(
+        f"CAST(list_position(dt{t}, list_aggregate(dt{t}, 'min')) - 1"
+        f" AS INTEGER) AS c{t}"
+        for t in range(_M)
+    )}
+  FROM coded
+)
+SELECT vec_id, label,
+  concat_ws('-', {", ".join(f"c{t}" for t in range(_M))}) AS pq_code,
+  {" + ".join(_sq_sub_sql("qv", f"cbs[c{t}+1]", t) for t in range(_M))}
+    AS adc
+FROM codes
+ORDER BY adc, vec_id
+LIMIT 10
+"""
+
+
+@query("sim_pq_adc", oracle=_PQ_ORACLE)
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode (M=4 subspaces × K=8 codewords, seeded-sample
+    codebook) + ADC top-10 against the vec_id=0 query. Encoding is
+    argmin over per-subspace squared L2 (first-index tie-break via
+    array_position of the min — both engines take the first hit); ADC
+    sums the 4 query-to-assigned-codeword distances in a fixed textual
+    order so the doubles match the oracle bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+
+    cbrows = (
+        emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(_K)
+    )
+    cb = cbrows.agg(
+        F.array_sort(
+            F.collect_list(F.struct("h", "vec_id", "embedding"))
+        ).alias("s")
+    ).select(F.transform("s", lambda r: r["embedding"]).alias("cbs"))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+
+    enc = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(q))
+    )
+
+    def _code_col(t: int):
+        # closure factory: a 2-arg lambda would receive the array INDEX
+        # as its second argument (transform's (element, index) form)
+        dists = F.transform(
+            F.col("cbs"), lambda cw: _sq_sub(F.col("embedding"), cw, t)
+        )
+        return (
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"c{t}")
+        )
+
+    codes = enc.select(
+        "vec_id", "label", "cbs", "qv", *[_code_col(t) for t in range(_M)]
+    )
+
+    adc = None
+    for t in range(_M):
+        term = _sq_sub(
+            F.col("qv"), F.element_at(F.col("cbs"), F.col(f"c{t}") + 1), t
+        )
+        adc = term if adc is None else adc + term
+
+    return (
+        codes.select(
+            "vec_id",
+            "label",
+            F.concat_ws(
+                "-", *[F.col(f"c{t}").cast("string") for t in range(_M)]
+            ).alias("pq_code"),
+            adc.alias("adc"),
+        )
+        .orderBy("adc", "vec_id")
+        .limit(10)
+    )

@@ -143,6 +143,9 @@ _GATE_FIRST = [
     "text_rare_token_score",
     "events_anomaly_zscore",
     "udaf_grouped_pandas",
+    "sim_pq_adc",
+    "text_inverted_index",
+    "text_bm25_rank",
 ]
 
 
@@ -193,6 +196,8 @@ def _load_all() -> None:
         llm_text3,
         similarity2,
         similarity3,
+        similarity4,
+        text_index,
         pipeline,
         events_analytics,
         encrypted,
