@@ -1,0 +1,104 @@
+"""Z-order (Morton) multi-dimensional clustering for data layout.
+
+1-D sorting gives tight parquet min/max stats on ONE column
+(tests/test_layout.py proves the row-group-skipping effect); Z-order
+interleaves the bits of TWO filter columns so a sort by the Morton code
+keeps BOTH columns' value ranges narrow within every file/row-group —
+the standard layout trick (Delta/Iceberg `ZORDER BY`) for tables
+filtered on either or both of two keys.
+
+Everything here is integer bit arithmetic (8-bit quantization per
+dimension, 16-bit Morton code, unrolled shift/mask expressions), so the
+DuckDB oracle is exact. The query reports per-Z-bucket min/max spans of
+both source columns: narrow spans == effective skipping.
+
+Scale: the Morton code is a map-side expression; clustering a 100 TB
+table is `repartitionByRange(zcode).sortWithinPartitions(zcode)` +
+write — one range shuffle, after which scans filtered on either key
+prune most files by footer stats alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+_BITS = 8  # per-dimension quantization
+_BUCKET_SHIFT = 8  # z >> 8 → 256 buckets
+
+
+def _morton_spark(a: str, b: str):
+    """Interleave the low 8 bits of integer columns a (even positions)
+    and b (odd positions) into a 16-bit Morton code."""
+    z = F.lit(0)
+    for i in range(_BITS):
+        z = z + F.shiftleft(
+            F.shiftright(F.col(a), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        z = z + F.shiftleft(
+            F.shiftright(F.col(b), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return z
+
+
+def _morton_sql(a: str, b: str) -> str:
+    terms = []
+    for i in range(_BITS):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "layout_zorder_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT l_partkey % 256 AS pk8, l_suppkey % 256 AS sk8
+      FROM lineitem
+    ),
+    z AS (
+      SELECT pk8, sk8,
+             ({_morton_sql("pk8", "sk8")}) >> {_BUCKET_SHIFT} AS zbucket
+      FROM q
+    )
+    SELECT zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(pk8) AS BIGINT) AS pk_min,
+           CAST(MAX(pk8) AS BIGINT) AS pk_max,
+           CAST(MIN(sk8) AS BIGINT) AS sk_min,
+           CAST(MAX(sk8) AS BIGINT) AS sk_max
+    FROM z
+    GROUP BY zbucket
+    ORDER BY zbucket
+    """,
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-code lineitem on (l_partkey, l_suppkey) quantized to 8
+    bits each, bucket by the high byte of the 16-bit code, and report
+    each bucket's min/max span on BOTH dimensions. Every bucket spans at
+    most 16 consecutive values in each dimension (the Z-curve locality
+    guarantee: the high byte fixes the top 4 bits of both coordinates) —
+    the property that makes footer-stat pruning work on either filter
+    column after a Z-sort."""
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("pk8"),
+        (F.col("l_suppkey") % 256).alias("sk8"),
+    )
+    z = li.withColumn(
+        "zbucket",
+        F.shiftright(_morton_spark("pk8", "sk8"), _BUCKET_SHIFT),
+    )
+    return (
+        z.groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("pk8").alias("pk_min"),
+            F.max("pk8").alias("pk_max"),
+            F.min("sk8").alias("sk_min"),
+            F.max("sk8").alias("sk_max"),
+        )
+        .orderBy("zbucket")
+    )

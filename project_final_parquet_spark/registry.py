@@ -146,6 +146,9 @@ _GATE_FIRST = [
     "sim_pq_adc",
     "text_inverted_index",
     "text_bm25_rank",
+    "stream_static_enrich",
+    "dedup_canonicalize",
+    "layout_zorder_stats",
 ]
 
 
@@ -198,6 +201,8 @@ def _load_all() -> None:
         similarity3,
         similarity4,
         text_index,
+        dedup2,
+        layout,
         pipeline,
         events_analytics,
         encrypted,

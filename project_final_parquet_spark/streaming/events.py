@@ -216,3 +216,66 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_streaming.py exercises the stream form)."""
     ev = load(spark, sf_dir, "events")
     return earliest_per_key(ev).orderBy("user_id", "event_type")
+
+
+# --- stream-static enrichment ----------------------------------------------
+
+_US_DAY = 24 * 60 * 60 * 1_000_000
+
+
+def static_enrich(events: DataFrame, dims: DataFrame) -> DataFrame:
+    """Enrich the event stream with a broadcast static dimension
+    (user → nation) and aggregate 1-day tumbling windows per nation.
+
+    Stream-static joins are the canonical streaming enrichment shape:
+    the static side is broadcast to every task (re-planned per
+    micro-batch, so a refreshed dim table is picked up), the stream side
+    never shuffles for the join, and the only stateful operator is the
+    windowed aggregation. Identical code path in batch."""
+    return (
+        events.join(F.broadcast(dims), events["user_id"] == dims["c_custkey"])
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("n_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_name",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _nation_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return cust.join(
+        nat, cust["c_nationkey"] == nat["n_nationkey"]
+    ).select("c_custkey", "n_name")
+
+
+@query(
+    "stream_static_enrich",
+    oracle=f"""
+    SELECT epoch_us(ts) - epoch_us(ts) % {_US_DAY} AS window_start_us,
+           n_name,
+           COUNT(*) AS n_events,
+           {DSUM_SQL.format(expr="value")} AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: events enriched with the customer→nation
+    dimension (broadcast, no stream-side shuffle), then 1-day tumbling
+    windows per nation. tests/test_stream_static.py runs the identical
+    transformation under readStream and asserts batch equivalence."""
+    ev = _with_event_time(load(spark, sf_dir, "events"))
+    return static_enrich(ev, _nation_dims(spark, sf_dir)).orderBy(
+        "window_start_us", "n_name"
+    )
