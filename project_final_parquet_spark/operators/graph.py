@@ -1,0 +1,158 @@
+"""PageRank over the customer↔supplier trade graph — the iterative
+link-analysis representative (beside connected components and k-means,
+the third classic iterate-until-stable distributed algorithm).
+
+Graph: bipartite, nodes = customers ∪ suppliers (supplier ids offset to
+disjoint range), one undirected edge per distinct (customer, supplier)
+trading pair from orders⋈lineitem; undirected = each edge contributes
+in both directions, so out-degree == degree.
+
+Determinism: contributions rank/degree are per-edge double math
+(bit-identical cross-engine), then quantized to a 1e-9 fixed-point
+BIGINT (floor of an identical double is identical) and summed as exact
+integers — order-free and engine-free, with no decimal-rounding
+semantics in play at all. The damping update 0.15 + 0.85·s is a fixed
+textual expression over the de-quantized sum, so 3 unrolled rounds
+match the DuckDB oracle exactly (the chained-iteration analog of the
+scaled-integer trick sim_ivf_probe uses for centroid distances).
+
+Scale (100 TB of edges): per round = one join (ranks⋈edges, both
+pre-partitioned on node id — co-partitioned, no re-shuffle of the edge
+list after the first round) + one aggregate with map-side combine.
+Lineage is truncated per round (localCheckpoint; cluster jobs use
+checkpoint()); the production form adds an |Δrank|<ε early stop like
+connected_components_converged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+_ITERS = 3
+_SUPP_OFFSET = 1_000_000
+_DAMP = "0.85"
+_TELEPORT = "0.15"
+_SCALE = 1_000_000_000  # fixed-point quantum for contributions
+
+
+def _edges_sql() -> str:
+    return f"""
+    SELECT DISTINCT o.o_custkey AS u,
+           l.l_suppkey + {_SUPP_OFFSET} AS v
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """
+
+
+def _pagerank_oracle() -> str:
+    sql = f"""
+    WITH pair AS ({_edges_sql()}),
+    edges AS (
+      SELECT u, v FROM pair
+      UNION ALL
+      SELECT v AS u, u AS v FROM pair
+    ),
+    deg AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY u
+    ),
+    r0 AS (SELECT u, 1.0 AS rank FROM deg)
+    """
+    prev = "r0"
+    cq = (
+        "CAST(floor(r.rank / CAST(d.deg AS DOUBLE) "
+        f"* {_SCALE}.0 + 0.5) AS BIGINT)"
+    )
+    for k in range(1, _ITERS + 1):
+        sql += f""",
+    s{k} AS (
+      SELECT e.v AS u, CAST(SUM({cq}) AS BIGINT) AS s
+      FROM edges e
+      JOIN {prev} r ON e.u = r.u
+      JOIN deg d ON e.u = d.u
+      GROUP BY e.v
+    ),
+    r{k} AS (
+      SELECT deg.u,
+             {_TELEPORT} + {_DAMP}
+               * (CAST(COALESCE(s{k}.s, 0) AS DOUBLE) / {_SCALE}.0) AS rank
+      FROM deg LEFT JOIN s{k} ON deg.u = s{k}.u
+    )
+    """
+        prev = f"r{k}"
+    sql += f"""
+    SELECT u AS node_id,
+           CASE WHEN u >= {_SUPP_OFFSET} THEN 'supplier'
+                ELSE 'customer' END AS node_type,
+           rank
+    FROM {prev}
+    ORDER BY rank DESC, node_id
+    LIMIT 20
+    """
+    return sql
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 unrolled PageRank rounds (damping 0.85) on the bipartite
+    customer↔supplier graph; top-20 nodes by rank. Executes iterations
+    at construction (registry contract note on iterative queries)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pair = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("v"),
+        )
+        .distinct()
+    )
+    edges = pair.union(
+        pair.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+
+    ranks = deg.select("u", F.lit(1.0).alias("rank"))
+    damp, tele = float(_DAMP), float(_TELEPORT)
+    for _ in range(_ITERS):
+        contrib = edges.join(ranks, "u").join(deg, "u").select(
+            F.col("v").alias("dst"),
+            F.floor(
+                F.col("rank")
+                / F.col("deg").cast("double")
+                * F.lit(float(_SCALE))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cq"),
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("cq").alias("s"))
+        ranks = (
+            deg.join(sums, deg["u"] == sums["dst"], "left")
+            .select(
+                "u",
+                (
+                    F.lit(tele)
+                    + F.lit(damp)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                        / F.lit(float(_SCALE))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+
+    return (
+        ranks.select(
+            F.col("u").alias("node_id"),
+            F.when(F.col("u") >= _SUPP_OFFSET, F.lit("supplier"))
+            .otherwise(F.lit("customer"))
+            .alias("node_type"),
+            "rank",
+        )
+        .orderBy(F.desc("rank"), "node_id")
+        .limit(20)
+    )

@@ -11,7 +11,7 @@ retry, and in the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -215,4 +215,71 @@ def upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_bal").cast("double").alias("total_balance"),
         )
         .orderBy("op")
+    )
+
+
+@query(
+    "sample_rebalance_classes",
+    oracle="""
+    WITH t AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM documents GROUP BY lang
+    ),
+    tgt AS (SELECT MIN(n_total) AS target FROM t),
+    rk AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':rb'), doc_id
+             ) AS rn
+      FROM documents
+    ),
+    kept AS (
+      SELECT lang, doc_id FROM rk CROSS JOIN tgt WHERE rn <= tgt.target
+    )
+    SELECT t.lang, t.n_total,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(SUM(k.doc_id) AS BIGINT) AS kept_checksum
+    FROM t JOIN kept k ON t.lang = k.lang
+    GROUP BY t.lang, t.n_total
+    ORDER BY t.lang
+    """,
+)
+def sample_rebalance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing: downsample every language to the size of the
+    SMALLEST language (uniform class distribution for a training mix),
+    selecting members by salted-hash order — deterministic on any
+    cluster size, no RNG state. Emits per-class totals plus an exact
+    integer checksum of the kept ids so the oracle verifies WHICH rows
+    survived, not just how many.
+
+    Scale: exact per-class top-`target` needs a per-class ordered rank
+    (one reducer per class — fine for 10s of classes, skewed for few
+    huge ones); the constant-factor scale path is the pure-predicate
+    hash filter (sample_stratified_hash), trading exact counts for
+    map-only selection. This op is the exact-count complement."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    target = totals.agg(F.min("n_total").alias("target"))
+    rk = docs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":rb"))),
+                "doc_id",
+            )
+        ),
+    )
+    kept = rk.crossJoin(F.broadcast(target)).filter(
+        F.col("rn") <= F.col("target")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("kept_checksum"),
+        )
+        .join(F.broadcast(totals), "lang")
+        .select("lang", "n_total", "n_kept", "kept_checksum")
+        .orderBy("lang")
     )

@@ -149,6 +149,9 @@ _GATE_FIRST = [
     "stream_static_enrich",
     "dedup_canonicalize",
     "layout_zorder_stats",
+    "graph_pagerank",
+    "profile_table",
+    "sample_rebalance_classes",
 ]
 
 
@@ -203,6 +206,8 @@ def _load_all() -> None:
         text_index,
         dedup2,
         layout,
+        graph,
+        profiling,
         pipeline,
         events_analytics,
         encrypted,

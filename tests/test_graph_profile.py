@@ -1,0 +1,54 @@
+"""PageRank / profiling / class-rebalance behavioral tests (sf0.001)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from project_final_parquet_spark.operators.graph import graph_pagerank
+from project_final_parquet_spark.operators.pipeline import (
+    sample_rebalance_classes,
+)
+from project_final_parquet_spark.operators.profiling import (
+    _COLS,
+    profile_table,
+)
+
+
+def test_pagerank_properties(spark, sf_dir):
+    rows = graph_pagerank(spark, sf_dir).collect()
+    assert len(rows) == 20
+    ranks = [r.rank for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    # teleport term bounds every rank below by 0.15
+    assert all(r > 0.15 for r in ranks)
+    # bipartite hubs: the most-connected side should surface in top-20
+    assert {r.node_type for r in rows} <= {"customer", "supplier"}
+
+
+def test_pagerank_deterministic(spark, sf_dir):
+    a = graph_pagerank(spark, sf_dir).collect()
+    b = graph_pagerank(spark, sf_dir).collect()
+    assert a == b
+
+
+def test_profile_table_invariants(spark, sf_dir):
+    rows = {r.column_name: r for r in profile_table(spark, sf_dir).collect()}
+    assert set(rows) == {c for c, _ in _COLS}
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    for r in rows.values():
+        assert r.n_rows == n
+        assert 0 <= r.n_nulls <= n
+        assert 1 <= r.n_distinct <= n
+        assert r.min_value <= r.max_value
+
+
+def test_rebalance_uniform_classes(spark, sf_dir):
+    rows = sample_rebalance_classes(spark, sf_dir).collect()
+    assert rows
+    kept = {r.n_kept for r in rows}
+    assert len(kept) == 1, "all classes must be downsampled to one size"
+    target = kept.pop()
+    assert target == min(r.n_total for r in rows)
+    for r in rows:
+        assert r.n_kept <= r.n_total
+        assert r.kept_checksum > 0
