@@ -48,6 +48,11 @@ HEADLINE = [
     "sim_scalar_quant",
     "events_rollup_multigrain",
     "upsert_snapshot",
+    # round-2 late additions
+    "sim_pq_adc",
+    "text_bm25_rank",
+    "graph_pagerank",
+    "stream_static_enrich",
 ]
 
 
