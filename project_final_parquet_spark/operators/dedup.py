@@ -183,15 +183,12 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir, persist=False)
 
 
-def _minhash_pairs(
-    spark: SparkSession, sf_dir: str, persist: bool, ordered: bool = True
-) -> DataFrame:
-    """MinHash+LSH pair pipeline. ``persist`` materializes the signature
-    frame for multi-pass consumers within the pipeline itself; a one-shot
-    cold run is faster WITHOUT it (materialization blocks pipelining).
-    ``ordered=False`` drops the output sort for consumers that reshuffle
-    anyway (the connected-components iteration)."""
-    docs = load(spark, sf_dir, "documents")
+def _minhash_candidates(docs: DataFrame, persist: bool = False):
+    """Signature + banding + candidate stages over an arbitrary docs
+    frame (doc_id, text). Returns (sig, cand): the signature frame
+    (doc_id, sh, sig) and the UNVERIFIED candidate pairs — split out so
+    dedup_eval_recall can measure the candidate stage against exact
+    ground truth on the same universe."""
     sh = docs.select("doc_id", _shingles3(_toks()).alias("sh"))
     base = sh.select(
         "doc_id",
@@ -242,6 +239,19 @@ def _minhash_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    return sig, cand
+
+
+def _minhash_pairs(
+    spark: SparkSession, sf_dir: str, persist: bool, ordered: bool = True
+) -> DataFrame:
+    """MinHash+LSH pair pipeline. ``persist`` materializes the signature
+    frame for multi-pass consumers within the pipeline itself; a one-shot
+    cold run is faster WITHOUT it (materialization blocks pipelining).
+    ``ordered=False`` drops the output sort for consumers that reshuffle
+    anyway (the connected-components iteration)."""
+    docs = load(spark, sf_dir, "documents")
+    sig, cand = _minhash_candidates(docs, persist=persist)
     x = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     y = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(

@@ -105,3 +105,137 @@ def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component_id")
     )
+
+
+# --- candidate-generation quality measurement ------------------------------
+
+_EV_SAMPLE_SQL = (
+    "substr(md5(CAST(doc_id AS VARCHAR) || ':ev'), 1, 1) "
+    "IN ('0', '1', '2', '3')"
+)
+
+
+def _eval_oracle() -> str:
+    from .dedup import _JACCARD_T, _LSH_BANDS, _MH_SIG_SQL, _SH3_SQL
+
+    jac = (
+        "CAST(len(list_intersect({a}.sh, {b}.sh)) AS DOUBLE)"
+        " / len(list_distinct({a}.sh || {b}.sh))"
+    )
+    return f"""
+    WITH universe AS (
+      SELECT doc_id, text FROM documents WHERE {_EV_SAMPLE_SQL}
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM universe),
+    sh AS (SELECT doc_id, {_SH3_SQL} AS sh FROM tok),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE {jac.format(a='a', b='b')} >= {_JACCARD_T}
+    ),
+    base AS (
+      SELECT doc_id, sh,
+             list_transform(sh,
+               x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS bh
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, sh, {_MH_SIG_SQL} AS sig FROM base),
+    bands AS (
+      SELECT doc_id, b, sig[2*b + 1] AS v1, sig[2*b + 2] AS v2
+      FROM sig CROSS JOIN (SELECT unnest(range({_LSH_BANDS})) AS b) t
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.v1 = b.v1 AND a.v2 = b.v2
+           AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b
+      WHERE {jac.format(a='x', b='y')} >= {_JACCARD_T}
+    ),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+             (SELECT COUNT(*) FROM cand) AS n_cand,
+             (SELECT COUNT(*) FROM verified) AS n_cand_true
+    )
+    SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_cand_true AS BIGINT) AS n_cand_true,
+           CAST(CASE WHEN n_true > 0
+                     THEN (1000 * n_cand_true) // n_true END AS BIGINT)
+             AS recall_x1000,
+           CAST(CASE WHEN n_cand > 0
+                     THEN (1000 * n_cand_true) // n_cand END AS BIGINT)
+             AS cand_precision_x1000
+    FROM counts
+    """
+
+
+@query("dedup_eval_recall", oracle=_eval_oracle())
+def dedup_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured quality of the MinHash+LSH candidate stage vs exact
+    all-pairs Jaccard ground truth, on a deterministic 1/4 hash sample
+    of the corpus — the "measure, don't guess" eval harness for the
+    dedup family. Emits candidate-stage recall and precision (×1000,
+    integer floor) against truth = pairs with Jaccard ≥ 0.5.
+
+    The all-pairs ground truth is intentionally confined to the hash
+    sample: evaluation runs on a sampled universe at any corpus size
+    (O((n/16)²) pairs on n docs here), while the LSH path being
+    measured is the 100 TB-scale path. Verified candidates are a subset
+    of truth by construction (same threshold, same Jaccard), so recall
+    is verified/truth and the candidate stage's precision is
+    verified/candidates."""
+    from .dedup import _JACCARD_T, _minhash_candidates, _shingles3, _toks
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    universe = docs.filter(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ev"))),
+            1,
+            1,
+        ).isin("0", "1", "2", "3")
+    )
+
+    sh = universe.select("doc_id", _shingles3(_toks()).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(jac >= _JACCARD_T)
+        .select("doc_a", "doc_b")
+    )
+
+    sig, cand = _minhash_candidates(universe)
+    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(x, "doc_a").join(y, "doc_b").filter(jac >= _JACCARD_T)
+    ).select("doc_a", "doc_b")
+
+    counts = (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+        .crossJoin(verified.agg(F.count(F.lit(1)).alias("n_cand_true")))
+    )
+    return counts.select(
+        "n_true",
+        "n_cand",
+        "n_cand_true",
+        F.when(
+            F.col("n_true") > 0,
+            F.expr("1000 * n_cand_true div n_true"),
+        ).alias("recall_x1000"),
+        F.when(
+            F.col("n_cand") > 0,
+            F.expr("1000 * n_cand_true div n_cand"),
+        ).alias("cand_precision_x1000"),
+    )

@@ -321,3 +321,97 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "events_percentiles_exact",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS p50,
+           MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS p95,
+           MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+    FROM r
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of value per event type by rank selection
+    (ceil(p·n) via pure integer arithmetic, row_number with event_id
+    tiebreak) — no interpolation, no engine-specific percentile
+    semantics: the selected values are rows passed through untouched,
+    so they compare bit-for-bit. One event_type shuffle; the window
+    sort is the distributed sort an exact percentile fundamentally
+    needs (the approximate path for 100 TB is q42's approx_percentile,
+    gated with epsilon bounds)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    w = W.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w.orderBy("value", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+
+    def pick(p: int):
+        idx = F.expr(f"({p} * n + 99) div 100")
+        return F.max(F.when(F.col("rn") == idx, F.col("value"))).alias(
+            f"p{p}"
+        )
+
+    return (
+        r.groupBy("event_type")
+        .agg(F.max("n").alias("n"), pick(50), pick(95), pick(99))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_rolling_1h",
+    oracle="""
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER w AS VARCHAR)
+                AS DOUBLE) AS sum_1h
+    FROM events
+    WHERE user_id < 5
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts_us, event_id
+    """,
+)
+def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour count and sum via a RANGE frame over
+    epoch-µs — the time-series moving aggregate (rate limiting, rolling
+    usage) as one window over the user_id shuffle, no self-join. The
+    frame bound is integer µs so both engines resolve identical peer
+    sets; the windowed double sum uses the decimal convention (frame
+    accumulation order is engine-internal). Restricted to 5 users for
+    the gate; the plan is user-count-independent."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "ts_us",
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .over(w)
+            .cast("double")
+            .alias("sum_1h"),
+        )
+        .orderBy("user_id", "ts_us", "event_id")
+    )

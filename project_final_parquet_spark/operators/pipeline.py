@@ -283,3 +283,47 @@ def sample_rebalance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n_total", "n_kept", "kept_checksum")
         .orderBy("lang")
     )
+
+
+@query(
+    "scd2_build",
+    oracle="""
+    SELECT user_id,
+           epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) AS valid_to_us,
+           event_id AS version_event_id,
+           value,
+           CASE WHEN lead(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                ) IS NULL THEN TRUE ELSE FALSE END AS is_current
+    FROM events
+    WHERE user_id < 10
+    ORDER BY user_id, valid_from_us, version_event_id
+    """,
+)
+def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change stream: each
+    change event becomes a version row with a [valid_from, valid_to)
+    interval — valid_to = next change's timestamp (lead), NULL + flag
+    for the open current version. The complement of upsert_snapshot
+    (latest-state CDC): SCD2 keeps full history for as-of joins.
+
+    One user_id shuffle + one window; at 100 TB the dimension is
+    partitioned by key and each key's history is a bounded window
+    partition. Restricted to 10 users for the gate."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    valid_to = F.lead("ts_us").over(w)
+    return (
+        ev.select(
+            "user_id",
+            F.col("ts_us").alias("valid_from_us"),
+            valid_to.alias("valid_to_us"),
+            F.col("event_id").alias("version_event_id"),
+            "value",
+            valid_to.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from_us", "version_event_id")
+    )

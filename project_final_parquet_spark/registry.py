@@ -152,6 +152,10 @@ _GATE_FIRST = [
     "graph_pagerank",
     "profile_table",
     "sample_rebalance_classes",
+    "dedup_eval_recall",
+    "events_percentiles_exact",
+    "events_rolling_1h",
+    "scd2_build",
 ]
 
 

@@ -1,0 +1,57 @@
+"""Batch-13 behavioral tests: dedup eval harness, SCD2 intervals,
+exact percentiles, rolling window (sf0.001)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from project_final_parquet_spark.operators.dedup2 import dedup_eval_recall
+from project_final_parquet_spark.operators.events_analytics import (
+    events_percentiles_exact,
+    events_rolling_1h,
+)
+from project_final_parquet_spark.operators.pipeline import scd2_build
+
+
+def test_dedup_eval_metric_consistency(spark, sf_dir):
+    (r,) = dedup_eval_recall(spark, sf_dir).collect()
+    assert r.n_cand_true <= r.n_cand
+    assert r.n_cand_true <= r.n_true or r.n_true == 0
+    if r.n_true > 0:
+        assert 0 <= r.recall_x1000 <= 1000
+    if r.n_cand > 0:
+        assert 0 <= r.cand_precision_x1000 <= 1000
+
+
+def test_scd2_intervals_partition_time(spark, sf_dir):
+    """Per user: versions tile time — each valid_to equals the next
+    valid_from, intervals never overlap, exactly one open (current)
+    version."""
+    rows = scd2_build(spark, sf_dir).collect()
+    assert rows
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: (r.valid_from_us, r.version_event_id))
+        opens = [r for r in vs if r.is_current]
+        assert len(opens) == 1 and vs[-1].is_current
+        for prev, nxt in zip(vs, vs[1:]):
+            assert prev.valid_to_us == nxt.valid_from_us
+            assert prev.valid_from_us <= prev.valid_to_us
+
+
+def test_percentiles_ordered(spark, sf_dir):
+    rows = events_percentiles_exact(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n > 0
+        assert r.p50 <= r.p95 <= r.p99
+
+
+def test_rolling_window_counts(spark, sf_dir):
+    rows = events_rolling_1h(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_1h >= 1  # frame always includes the current row
+        assert r.user_id < 5
