@@ -132,3 +132,55 @@ def enc_pme_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_ROTATED_CONFIG = EncryptionConfig(
+    column_keys={
+        "text": "112233445566778899AABBCCDDEEFF00",
+        "lang": "EEDDCCBBAA998877665544332211000F",
+    },
+    master_key_hex="123456789ABCDEF0123456789ABCDEF0",
+    fallback_key_hex="B1C2D3E4F5061728394A5B6C7D8E9F00",
+    use_kms=True,
+    kms_key_id="example-kms-id-v2",
+)
+
+
+@query(
+    "enc_key_rotation",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def enc_key_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key rotation: decrypt under the v1 key set, re-encrypt every
+    protected column under a DISJOINT v2 key set (new column keys, new
+    master, new KMS key id), then decrypt under v2 and aggregate — the
+    operational path for retiring a compromised or aged key (reference
+    key-cascade semantics O8–O12 applied twice; the reference itself
+    has no rotation flow — this is the capability its key cascade
+    exists to enable). All three crypto passes are ordinary column
+    expressions, so Catalyst pipelines decrypt(v1)→encrypt(v2) into one
+    map stage with no intermediate materialization; the v1 ciphertext
+    never needs to be co-resident with v2 keys on any executor."""
+    enc_v1, footer_v1, kms = _encrypted_documents(spark, sf_dir)
+    dec_v1 = decrypt_columns(enc_v1, _CONFIG, footer_v1, None, kms)
+    # n_chars comes back as string after the decrypt round-trip; restore
+    # the original typed frame before re-encrypting under v2
+    plain = dec_v1.withColumn("doc_id", F.col("doc_id").cast("long"))
+    enc_v2, footer_v2 = encrypt_columns(
+        plain, _ROTATED_CONFIG, kms, row_count=-1
+    )
+    dec_v2 = decrypt_columns(enc_v2, _ROTATED_CONFIG, footer_v2, None, kms)
+    return (
+        dec_v2.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

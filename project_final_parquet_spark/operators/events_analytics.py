@@ -415,3 +415,52 @@ def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts_us", "event_id")
     )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    WITH s AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+    b AS (
+      SELECT LEAST(CAST(floor((value - mn) / ((mx - mn) / 20.0))
+                        AS BIGINT), 19) AS bin,
+             mn, mx
+      FROM events CROSS JOIN s
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(mn + bin * ((mx - mn) / 20.0)) AS bin_lo,
+           MAX(mn + (bin + 1) * ((mx - mn) / 20.0)) AS bin_hi
+    FROM b
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of event values: global min/max from
+    one agg (broadcast as a 1-row frame), bin assignment map-side by
+    floor division on identical doubles, one bin shuffle for counts —
+    the distribution profile behind skew diagnosis and outlier caps.
+    The top edge folds into bin 19 (LEAST), the standard closed-last-
+    bucket convention."""
+    ev = load(spark, sf_dir, "events").select("value")
+    s = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / F.lit(20.0)
+    b = ev.crossJoin(F.broadcast(s)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("mn")) / width).cast("long"),
+            F.lit(19),
+        ).alias("bin"),
+        "mn",
+        "mx",
+    )
+    width2 = (F.col("mx") - F.col("mn")) / F.lit(20.0)
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.col("mn") + F.col("bin") * width2).alias("bin_lo"),
+            F.max(F.col("mn") + (F.col("bin") + 1) * width2).alias("bin_hi"),
+        )
+        .orderBy("bin")
+    )

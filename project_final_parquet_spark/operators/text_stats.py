@@ -1,0 +1,170 @@
+"""Corpus-distribution diagnostics: per-source divergence from the
+corpus token distribution, and vocabulary coverage curves — the
+mixture-health checks a pretraining pipeline runs when deciding source
+weights and tokenizer vocab size.
+
+Determinism: divergence uses the chi-square statistic (pure rational
+arithmetic — no log/KL, whose libm evaluations aren't guaranteed
+bit-identical across engines); coverage accumulates INTEGER token
+counts in the window (exact) and divides once at the end. Per-term
+double sums use the DECIMAL(38,10)+VARCHAR convention.
+
+Scale: token counts are one explode + one token shuffle (map-side
+combined); the (source × vocab) grid and the global distribution are
+tiny and broadcast; the coverage window runs over the vocab-sized
+aggregate, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import DSUM_SQL, dsum, query
+from ..tables import load
+
+
+def _tok_sql(src: str) -> str:
+    return (
+        f"SELECT doc_id, source, unnest(string_split(text, ' ')) AS token "
+        f"FROM {src}"
+    )
+
+
+@query(
+    "text_source_divergence",
+    oracle=f"""
+    WITH tok AS ({_tok_sql("documents")}),
+    t2 AS (SELECT source, token FROM tok WHERE token <> ''),
+    g AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t2 GROUP BY token
+    ),
+    gt AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM g),
+    s AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cs
+      FROM t2 GROUP BY source, token
+    ),
+    st AS (
+      SELECT source, CAST(SUM(cs) AS BIGINT) AS tots
+      FROM s GROUP BY source
+    ),
+    grid AS (
+      SELECT st.source, st.tots, g.token, g.c, gt.tot,
+             COALESCE(s.cs, 0) AS cs
+      FROM st CROSS JOIN g CROSS JOIN gt
+      LEFT JOIN s ON s.source = st.source AND s.token = g.token
+    ),
+    terms AS (
+      SELECT source, tots,
+        (CAST(cs AS DOUBLE) / CAST(tots AS DOUBLE)
+         - CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+        * (CAST(cs AS DOUBLE) / CAST(tots AS DOUBLE)
+           - CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+        / (CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) AS term
+      FROM grid
+    )
+    SELECT source, CAST(MAX(tots) AS BIGINT) AS n_tokens,
+           {DSUM_SQL.format(expr="term")} AS chi_square
+    FROM terms
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square divergence of each source's token distribution from
+    the whole-corpus distribution — the mixture diagnostic that flags a
+    source whose text is statistically unlike the rest (or a dup-heavy
+    source whose distribution collapsed). Zero-count cells contribute
+    p_t (the (0−p)²/p term), so the full (source × vocab) grid is
+    materialized — vocab-sized, broadcast, never corpus-sized."""
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    t2 = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+
+    g = t2.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    gt = g.agg(F.sum("c").alias("tot"))
+    s = t2.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cs"))
+    st = s.groupBy("source").agg(F.sum("cs").alias("tots"))
+
+    grid = (
+        st.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(gt))
+        .join(F.broadcast(s), ["source", "token"], "left")
+        .withColumn("cs", F.coalesce(F.col("cs"), F.lit(0)))
+    )
+    ps = F.col("cs").cast("double") / F.col("tots").cast("double")
+    pg = F.col("c").cast("double") / F.col("tot").cast("double")
+    terms = grid.select(
+        "source", "tots", ((ps - pg) * (ps - pg) / pg).alias("term")
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("tots").alias("n_tokens"),
+            dsum(F.col("term")).alias("chi_square"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    g AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE token <> '' GROUP BY token
+    ),
+    gt AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM g),
+    r AS (
+      SELECT token, c, tot,
+             ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rank,
+             SUM(c) OVER (ORDER BY c DESC, token
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM g CROSS JOIN gt
+    )
+    SELECT rank, token, c,
+           CAST(cum AS BIGINT) AS cum_count,
+           CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+    FROM r
+    WHERE rank <= 20
+    ORDER BY rank
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: cumulative share of corpus tokens
+    covered by the top-k vocabulary entries (k ≤ 20) — the tokenizer
+    vocab-size trade-off made visible. The running total is an INTEGER
+    window sum (exact, order fixed by (count desc, token)); the share
+    division happens once per row on identical operands."""
+    docs = load(spark, sf_dir, "documents").select("text")
+    g = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    gt = g.agg(F.sum("c").alias("tot"))
+    w = W.orderBy(F.desc("c"), "token")
+    r = (
+        g.crossJoin(F.broadcast(gt))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("cum", F.sum("c").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    return (
+        r.filter(F.col("rank") <= 20)
+        .select(
+            "rank",
+            "token",
+            "c",
+            F.col("cum").alias("cum_count"),
+            (F.col("cum").cast("double") / F.col("tot").cast("double")).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("rank")
+    )

@@ -156,6 +156,10 @@ _GATE_FIRST = [
     "events_percentiles_exact",
     "events_rolling_1h",
     "scd2_build",
+    "text_source_divergence",
+    "text_vocab_coverage",
+    "events_value_histogram",
+    "enc_key_rotation",
 ]
 
 
@@ -212,6 +216,7 @@ def _load_all() -> None:
         layout,
         graph,
         profiling,
+        text_stats,
         pipeline,
         events_analytics,
         encrypted,

@@ -1,0 +1,47 @@
+"""Batch-14 behavioral tests: source divergence, vocab coverage,
+histogram, key rotation (sf0.001)."""
+
+from __future__ import annotations
+
+from project_final_parquet_spark.operators.encrypted import enc_key_rotation
+from project_final_parquet_spark.operators.events_analytics import (
+    events_value_histogram,
+)
+from project_final_parquet_spark.operators.text_stats import (
+    text_source_divergence,
+    text_vocab_coverage,
+)
+
+
+def test_source_divergence_nonnegative(spark, sf_dir):
+    rows = text_source_divergence(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.chi_square >= 0.0
+        assert r.n_tokens > 0
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    rows = text_vocab_coverage(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 20
+    shares = [r.cum_share for r in rows]
+    assert shares == sorted(shares)
+    assert all(0.0 < s <= 1.0 for s in shares)
+    counts = [r.c for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_histogram_partitions_rows(spark, sf_dir):
+    rows = events_value_histogram(spark, sf_dir).collect()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r.n for r in rows) == n_events
+    for r in rows:
+        assert 0 <= r.bin <= 19
+        assert r.bin_lo < r.bin_hi
+
+
+def test_key_rotation_roundtrip(spark, sf_dir):
+    rows = enc_key_rotation(spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
