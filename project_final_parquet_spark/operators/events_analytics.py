@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..registry import query
+from ..registry import DSUM_SQL, dsum, query
 from ..tables import load
 
 _DAY_US = 86_400_000_000
@@ -463,4 +463,114 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("mn") + (F.col("bin") + 1) * width2).alias("bin_hi"),
         )
         .orderBy("bin")
+    )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS t,
+             MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_us
+      FROM events
+    ),
+    attributed AS (
+      SELECT user_id, event_id, value, t, last_click_us
+      FROM tagged
+      WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(CASE WHEN last_click_us IS NOT NULL
+                            AND t - last_click_us <= 3600000000
+                           THEN 1 END) AS BIGINT) AS n_attributed,
+           {dsum} AS attributed_value
+    FROM attributed
+    GROUP BY user_id
+    ORDER BY user_id
+    """.format(
+        dsum=DSUM_SQL.format(
+            expr="""CASE WHEN last_click_us IS NOT NULL
+                         AND t - last_click_us <= 3600000000
+                        THEN value ELSE 0.0 END"""
+        )
+    ),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent PRECEDING click if it happened within 1 hour (the as-of-join
+    pattern expressed as a running MAX over a ROWS frame ending at
+    1 PRECEDING — no self-join, one user_id shuffle). Emits per-user
+    purchase counts, attributed counts, and attributed revenue."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.col("ts_us").alias("t"),
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("ts_us"))
+        ).over(w).alias("last_click_us"),
+    )
+    attributed = tagged.filter(F.col("event_type") == "purchase")
+    hit = F.col("last_click_us").isNotNull() & (
+        F.col("t") - F.col("last_click_us") <= 3_600_000_000
+    )
+    return (
+        attributed.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count(F.when(hit, F.lit(1))).alias("n_attributed"),
+            dsum(F.when(hit, F.col("value")).otherwise(F.lit(0.0))).alias(
+                "attributed_value"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_value_deciles",
+    oracle="""
+    WITH t AS (
+      SELECT value, NTILE(10) OVER (ORDER BY value, event_id) AS decile
+      FROM events
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM t GROUP BY decile ORDER BY decile
+    """,
+)
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram via NTILE(10) over a total order — the
+    complement of events_value_histogram's equi-width bins (feature
+    binning / quantile bucketing for model inputs). Bucket boundaries
+    are selected row values passed through untouched. The global NTILE
+    needs one total sort; at 100 TB the same binning is done with
+    approx quantile cutpoints + a map-side bucket join (q42's sketch
+    family), trading exactness for no global sort."""
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    t = ev.select(
+        "value",
+        F.ntile(10).over(W.orderBy("value", "event_id")).alias("decile"),
+    )
+    return (
+        t.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("decile")
     )

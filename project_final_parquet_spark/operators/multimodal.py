@@ -170,3 +170,75 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reproduces them from the (ASCII) source text."""
     mf = media_frame(spark, sf_dir).select("doc_id", "kind", "payload")
     return mf.mapInPandas(fake_decode_features, schema=_DECODE_SCHEMA)
+
+
+@query(
+    "mm_arrow_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+             octet_length(encode(text)) AS n_bytes,
+             ascii(substr(text, 1, 1)) AS first_byte
+      FROM documents
+    )
+    SELECT kind,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(MIN(first_byte) AS BIGINT) AS min_first_byte,
+           CAST(MAX(first_byte) AS BIGINT) AS max_first_byte
+    FROM m GROUP BY kind ORDER BY kind
+    """,
+)
+def mm_arrow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level feature extraction through ``mapInArrow`` — the
+    zero-copy tier of the UDF surface (below pandas UDFs: no
+    Arrow→pandas conversion at all; batches stay as RecordBatches, the
+    right level for codec-style byte work that pandas would only slow
+    down). Features: payload byte length (vectorized Arrow kernel) and
+    first byte (0 sentinel for empty payloads). The corpus is ASCII, so
+    the first-byte equals the oracle's ascii() of the first character —
+    asserted in bulk by the gate, byte-vs-codepoint caveat documented
+    where it matters (make_fake_decoder).
+
+    Scale: same Arrow batch dataflow as mapInPandas (pipeline-parallel,
+    no shuffle), minus the pandas materialization per batch."""
+    mf = media_frame(spark, sf_dir).select("doc_id", "kind", "payload")
+
+    def make_arrow_mapper():
+        # nested: cloudpickle serializes by value (see make_fake_decoder)
+        def mapper(batches):
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            for batch in batches:
+                payload = batch.column("payload")
+                n_bytes = _pc.cast(
+                    _pc.binary_length(payload), _pa.int64()
+                )
+                first = _pa.array(
+                    [b[0] if len(b) else 0 for b in payload.to_pylist()],
+                    type=_pa.int64(),
+                )
+                yield _pa.RecordBatch.from_arrays(
+                    [batch.column("doc_id"), batch.column("kind"),
+                     n_bytes, first],
+                    names=["doc_id", "kind", "n_bytes", "first_byte"],
+                )
+
+        return mapper
+
+    feats = mf.mapInArrow(
+        make_arrow_mapper(),
+        schema="doc_id long, kind string, n_bytes long, first_byte long",
+    )
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("first_byte").alias("min_first_byte"),
+            F.max("first_byte").alias("max_first_byte"),
+        )
+        .orderBy("kind")
+    )

@@ -160,6 +160,9 @@ _GATE_FIRST = [
     "text_vocab_coverage",
     "events_value_histogram",
     "enc_key_rotation",
+    "mm_arrow_features",
+    "events_attribution_last_touch",
+    "events_value_deciles",
 ]
 
 

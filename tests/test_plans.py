@@ -158,3 +158,56 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --- late round-2 operators -------------------------------------------------
+
+
+def test_bm25_broadcasts_stats(spark):
+    """df + global stats must broadcast; the only SMJ-eligible shuffle
+    joins are on the big (doc) side."""
+    f = facts_of(spark, "text_bm25_rank")
+    assert f.n_broadcast_joins >= 2  # df_t and the 1-row glob stats
+    assert f.has_take_ordered
+
+
+def test_stream_static_enrich_broadcasts_dim(spark):
+    f = facts_of(spark, "stream_static_enrich")
+    assert f.n_broadcast_joins >= 1  # user→nation dim
+    assert f.n_nested_loop_joins == 0
+
+
+def test_pq_adc_no_vector_shuffle(spark):
+    """PQ: codebook and query are 1-row/8-row broadcast sides; the big
+    embeddings table must not shuffle at all before TakeOrdered (the
+    two crossJoins plan as BroadcastNestedLoopJoin over 1-row frames —
+    the correct plan for scalar broadcast, see registry notes)."""
+    f = facts_of(spark, "sim_pq_adc")
+    assert f.has_take_ordered
+    assert f.n_sortmerge_joins == 0
+    assert f.n_shuffled_hash_joins == 0
+
+
+def test_inverted_index_single_token_shuffle(spark):
+    """No joins anywhere; the explode+agg pipeline shuffles on token
+    (twice: countDistinct expansion) plus the output sort — collect_set
+    aggs plan as ObjectHashAggregate, so assert via exchanges/joins."""
+    f = facts_of(spark, "text_inverted_index")
+    assert f.n_exchanges <= 3
+    assert (
+        f.n_broadcast_joins == f.n_sortmerge_joins
+        == f.n_shuffled_hash_joins == f.n_nested_loop_joins == 0
+    )
+
+
+def test_zorder_stats_single_shuffle(spark):
+    """Morton coding is map-side; only the bucket agg may shuffle."""
+    f = facts_of(spark, "layout_zorder_stats")
+    assert f.n_exchanges <= 2  # bucket agg + output ordering
+    assert f.n_broadcast_joins == 0 and f.n_sortmerge_joins == 0
+
+
+def test_histogram_broadcasts_minmax(spark):
+    f = facts_of(spark, "events_value_histogram")
+    assert f.n_sortmerge_joins == 0  # stats row joins via broadcast NLJ
+    assert f.n_hash_aggregates >= 2
