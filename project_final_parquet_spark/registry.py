@@ -163,6 +163,8 @@ _GATE_FIRST = [
     "mm_arrow_features",
     "events_attribution_last_touch",
     "events_value_deciles",
+    "sim_binary_quant",
+    "udtf_token_positions",
 ]
 
 
@@ -220,6 +222,8 @@ def _load_all() -> None:
         graph,
         profiling,
         text_stats,
+        similarity5,
+        udtf_ops,
         pipeline,
         events_analytics,
         encrypted,
