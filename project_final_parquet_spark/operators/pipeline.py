@@ -327,3 +327,83 @@ def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from_us", "version_event_id")
     )
+
+
+@query(
+    "cdc_tombstone_merge",
+    oracle="""
+    WITH ops AS (
+      SELECT user_id AS k,
+             epoch_us(ts) AS t,
+             event_id,
+             CASE WHEN event_type = 'click' THEN 'D' ELSE 'U' END AS op,
+             value
+      FROM events
+    ),
+    last_op AS (
+      SELECT k, op, value
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY k ORDER BY t DESC, event_id DESC) AS rn
+        FROM ops
+      ) WHERE rn = 1
+    ),
+    survivors AS (SELECT k, value FROM last_op WHERE op = 'U'),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM last_op) AS n_keys,
+             (SELECT COUNT(*) FROM survivors) AS n_live,
+             (SELECT COUNT(*) FROM last_op WHERE op = 'D') AS n_deleted
+    )
+    SELECT CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(n_live AS BIGINT) AS n_live,
+           CAST(n_deleted AS BIGINT) AS n_deleted,
+           (SELECT {dsum} FROM survivors) AS live_value_sum
+    FROM stats
+    """.format(dsum="CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"),
+)
+def cdc_tombstone_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction WITH DELETE TOMBSTONES: the change stream carries
+    upserts and deletes (here: 'click' events act as delete markers,
+    everything else upserts); last-writer-wins per key by (ts,
+    event_id), and a key whose final operation is a delete vanishes
+    from the snapshot — the log-compaction semantics of a Kafka
+    compacted topic / Delta MERGE WHEN MATCHED DELETE. Emits snapshot
+    stats: total keys seen, live keys, tombstoned keys, live value sum.
+
+    One key shuffle (window) — same cost shape as upsert_snapshot's
+    merge; at 100 TB the ops log is partitioned by key and compaction
+    is embarrassingly parallel across keys."""
+    ev = load(spark, sf_dir, "events")
+    ops = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts_us").alias("t"),
+        "event_id",
+        F.when(F.col("event_type") == "click", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("t"), F.desc("event_id"))
+    last_op = (
+        ops.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "op", "value")
+    )
+    survivors = last_op.filter(F.col("op") == "U")
+    stats = (
+        last_op.agg(F.count(F.lit(1)).alias("n_keys"))
+        .crossJoin(survivors.agg(F.count(F.lit(1)).alias("n_live")))
+        .crossJoin(
+            last_op.filter(F.col("op") == "D").agg(
+                F.count(F.lit(1)).alias("n_deleted")
+            )
+        )
+        .crossJoin(
+            survivors.agg(
+                F.sum(F.col("value").cast("decimal(38,10)"))
+                .cast("double")
+                .alias("live_value_sum")
+            )
+        )
+    )
+    return stats.select("n_keys", "n_live", "n_deleted", "live_value_sum")

@@ -165,6 +165,7 @@ _GATE_FIRST = [
     "events_value_deciles",
     "sim_binary_quant",
     "udtf_token_positions",
+    "cdc_tombstone_merge",
 ]
 
 

@@ -55,3 +55,19 @@ def test_rolling_window_counts(spark, sf_dir):
     for r in rows:
         assert r.n_1h >= 1  # frame always includes the current row
         assert r.user_id < 5
+
+
+def test_cdc_tombstone_partitions_keys(spark, sf_dir):
+    from project_final_parquet_spark.operators.pipeline import (
+        cdc_tombstone_merge,
+    )
+
+    (r,) = cdc_tombstone_merge(spark, sf_dir).collect()
+    assert r.n_keys == r.n_live + r.n_deleted
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r.n_keys == n_users
