@@ -437,3 +437,93 @@ def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("j", "dim_idx")
         .orderBy("label", "dim_idx")
     )
+
+
+@query(
+    "sim_ivf_multiprobe",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, j,
+             (CAST(SUM(CAST(floor(CAST(embedding[j+1] AS DOUBLE)
+                   * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0)
+               / COUNT(*) AS c
+      FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS j) dims
+      GROUP BY label, j
+    ),
+    q AS (
+      SELECT j, CAST(embedding[j+1] AS DOUBLE) AS qv
+      FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS j) dims
+      WHERE vec_id = 0
+    ),
+    dist AS (
+      SELECT cent.label,
+             SUM(CAST(floor((cent.c - q.qv) * (cent.c - q.qv)
+                 * {_IVF_SCALE}.0) AS BIGINT)) AS d2
+      FROM cent JOIN q ON cent.j = q.j
+      GROUP BY cent.label
+    ),
+    best2 AS (SELECT label FROM dist ORDER BY d2, label LIMIT 2)
+    SELECT e.vec_id, e.label,
+           {_DOT_SQL.format(dim=_DIM, a='e.embedding', b='qq.embedding')}
+             / ({_NORM_SQL.format(dim=_DIM, a='e.embedding')}
+                * {_NORM_SQL.format(dim=_DIM, a='qq.embedding')}) AS cosine
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) qq
+    WHERE e.label IN (SELECT label FROM best2) AND e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2: the recall knob of the inverted-file family —
+    probe the TWO nearest coarse cells instead of one, scoring 2/k of
+    the corpus. Same deterministic scaled-integer centroid distances as
+    sim_ivf_probe; tests/test_recall.py-style comparison against the
+    exact baseline shows where the extra probe pays. At 100 TB nprobe
+    is the per-query cost dial: cells-read scales linearly with it
+    while recall saturates."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("j", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = dims.groupBy("label", "j").agg(
+        (
+            (F.sum(F.floor(F.col("val") * 1e9)).cast("double") / 1e9)
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    qdims = dims.filter(F.col("vec_id") == 0).select(
+        F.col("j").alias("qj"), F.col("val").alias("qv")
+    )
+    dist = (
+        cent.join(F.broadcast(qdims), cent.j == qdims.qj)
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("c") - F.col("qv"))
+                    * (F.col("c") - F.col("qv"))
+                    * _IVF_SCALE
+                )
+            ).alias("d2")
+        )
+    )
+    best2 = (
+        dist.orderBy("d2", "label")
+        .limit(2)
+        .select(F.col("label").alias("best_label"))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    cosine = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    return (
+        emb.join(F.broadcast(best2), emb.label == F.col("best_label"))
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )

@@ -111,3 +111,79 @@ def src_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def corrupt_json_path(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a JSON-lines fixture with deterministic corruption: orders
+    with o_orderkey < 400; every key divisible by 10 becomes a broken
+    line. Driver-side setup code (like the .bin staging above), not the
+    query path."""
+    import json
+
+    path = os.path.join(
+        _IO_ROOT, os.path.basename(sf_dir.rstrip("/")), "orders_corrupt.json"
+    )
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        rows = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") < 400)
+            .select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey")
+            .collect()
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            for r in rows:
+                if r.o_orderkey % 10 == 0:
+                    fh.write('{"o_orderkey": BROKEN\n')
+                else:
+                    fh.write(
+                        json.dumps(
+                            {
+                                "o_orderkey": r.o_orderkey,
+                                "o_totalprice": r.o_totalprice,
+                            }
+                        )
+                        + "\n"
+                    )
+        os.replace(tmp, path)
+    return path
+
+
+@query(
+    "src_json_corrupt_records",
+    oracle=f"""
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey < 400)
+    SELECT CAST(COUNT(CASE WHEN o_orderkey % 10 <> 0 THEN 1 END) AS BIGINT)
+             AS n_good,
+           CAST(COUNT(CASE WHEN o_orderkey % 10 = 0 THEN 1 END) AS BIGINT)
+             AS n_corrupt,
+           {DSUM_SQL.format(
+               expr="CASE WHEN o_orderkey % 10 <> 0 THEN o_totalprice "
+                    "ELSE 0.0 END")} AS sum_good_price
+    FROM base
+    """,
+)
+def src_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input tolerance (the bad-records path every 100 TB
+    ingest needs): read JSON lines in PERMISSIVE mode with a
+    _corrupt_record column — broken lines surface as quarantined rows
+    instead of failing the job, well-formed rows parse normally. The
+    oracle recomputes the same stats from the clean table using the
+    fixture's deterministic corruption rule (keys % 10 == 0 are
+    broken)."""
+    path = corrupt_json_path(spark, sf_dir)
+    df = spark.read.schema(
+        "o_orderkey long, o_totalprice double, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+    good = F.col("_corrupt_record").isNull()
+    return df.agg(
+        F.count(F.when(good, F.lit(1))).alias("n_good"),
+        F.count(F.when(~good, F.lit(1))).alias("n_corrupt"),
+        dsum(F.when(good, F.col("o_totalprice")).otherwise(F.lit(0.0))).alias(
+            "sum_good_price"
+        ),
+    )

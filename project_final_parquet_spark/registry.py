@@ -166,6 +166,8 @@ _GATE_FIRST = [
     "sim_binary_quant",
     "udtf_token_positions",
     "cdc_tombstone_merge",
+    "sim_ivf_multiprobe",
+    "src_json_corrupt_records",
 ]
 
 
