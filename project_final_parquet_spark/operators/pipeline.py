@@ -407,3 +407,92 @@ def cdc_tombstone_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stats.select("n_keys", "n_live", "n_deleted", "live_value_sum")
+
+
+@query(
+    "sample_negatives",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    anchors AS (SELECT doc_id FROM documents WHERE doc_id < 20),
+    raw AS (
+      SELECT a.doc_id AS anchor_id, k.k AS neg_idx,
+             CAST(concat('0x', substr(md5(
+               CAST(a.doc_id AS VARCHAR) || ':neg' || CAST(k.k AS VARCHAR)
+             ), 1, 15)) AS BIGINT) % n.n_docs AS neg_raw,
+             n.n_docs
+      FROM anchors a
+      CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+      CROSS JOIN n
+    ),
+    picked AS (
+      SELECT anchor_id, neg_idx,
+             CASE WHEN neg_raw = anchor_id
+                  THEN (neg_raw + 1) % n_docs ELSE neg_raw END AS neg_id
+      FROM raw
+    )
+    SELECT p.anchor_id, p.neg_idx, p.neg_id, d.lang AS neg_lang
+    FROM picked p JOIN documents d ON p.neg_id = d.doc_id
+    ORDER BY p.anchor_id, p.neg_idx
+    """,
+)
+def sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: 3
+    negatives per anchor, drawn by salted hash modulo the corpus size
+    (doc_ids are dense 0..N-1), anchor-collision bumped to the next id.
+    No RNG state, so the same (anchor, idx) → negative mapping on any
+    cluster size, any retry, and in the oracle — resumable sampling for
+    a 100 TB corpus is exactly this property. The negative lookup is a
+    join against the docs table on the sampled id (shuffle or broadcast
+    per AQE; map-only before it)."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    anchors = docs.filter(F.col("doc_id") < 20).select("doc_id")
+    ks = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("neg_idx")
+    raw = (
+        anchors.select(F.col("doc_id").alias("anchor_id"))
+        .select("anchor_id", ks)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "anchor_id",
+            "neg_idx",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("anchor_id").cast("string"),
+                                F.lit(":neg"),
+                                F.col("neg_idx").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n_docs")
+            ).alias("neg_raw"),
+            "n_docs",
+        )
+    )
+    picked = raw.select(
+        "anchor_id",
+        "neg_idx",
+        F.when(
+            F.col("neg_raw") == F.col("anchor_id"),
+            (F.col("neg_raw") + 1) % F.col("n_docs"),
+        )
+        .otherwise(F.col("neg_raw"))
+        .alias("neg_id"),
+    )
+    return (
+        picked.join(
+            docs.select(
+                F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang")
+            ),
+            "neg_id",
+        )
+        .select("anchor_id", "neg_idx", "neg_id", "neg_lang")
+        .orderBy("anchor_id", "neg_idx")
+    )

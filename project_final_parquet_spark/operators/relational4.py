@@ -368,3 +368,116 @@ def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q62_nested_order_lines",
+    oracle="""
+    WITH nested AS (
+      SELECT l_orderkey,
+             list(struct_pack(ln := l_linenumber,
+                              qty := l_quantity,
+                              price := l_extendedprice)
+                  ORDER BY l_linenumber) AS lines
+      FROM lineitem WHERE l_orderkey < 100
+      GROUP BY l_orderkey
+    )
+    SELECT l_orderkey AS o_orderkey,
+           CAST(len(lines) AS INT) AS n_lines,
+           list_aggregate(list_transform(lines, x -> x.qty), 'sum')
+             AS sum_qty,
+           list_aggregate(list_transform(lines, x -> x.price), 'max')
+             AS max_price
+    FROM nested
+    ORDER BY o_orderkey
+    """,
+)
+def q62_nested_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denormalized (document-style) modeling: collapse each order's
+    line items into an array<struct> column ordered by line number,
+    then compute per-order stats WITH HIGHER-ORDER FUNCTIONS over the
+    nested column — no second shuffle, no re-join. The fold order is
+    pinned by the array sort, so the double sum is deterministic and
+    cross-engine (same property the similarity dot products rely on).
+    At 100 TB nesting is the read-amplification play: one row per
+    order, lines co-located, no orders⋈lineitem join at query time."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("ln"),
+                    F.col("l_quantity").alias("qty"),
+                    F.col("l_extendedprice").alias("price"),
+                )
+            )
+        ).alias("lines")
+    )
+    return (
+        nested.select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.size("lines").alias("n_lines"),
+            F.aggregate(
+                F.transform("lines", lambda x: x["qty"]),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("sum_qty"),
+            F.array_max(F.transform("lines", lambda x: x["price"])).alias(
+                "max_price"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q63_hll_sketch_union",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct,
+           TRUE AS within_bounds
+    FROM tok WHERE token <> ''
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q63_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch cardinality: build Apache DataSketches HLL
+    sketches of the token set per (lang, source) PARTIAL group, then
+    hll_union_agg the partial sketches up to lang and estimate. The
+    two-level build/merge is the point — mergeability is what makes
+    sketch cardinality work at 100 TB (partials combine map-side and
+    across days/partitions without re-reading data; exact
+    COUNT(DISTINCT) cannot). HLL registers are max-of-hashes, so the
+    result is insensitive to row order and partitioning — the estimate
+    is deterministic. Gate: estimate must sit within HLL's error bound
+    of the exact count (the oracle pins within_bounds TRUE)."""
+    docs = load(spark, sf_dir, "documents").select("lang", "source", "text")
+    tok = docs.select(
+        "lang",
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    partials = tok.groupBy("lang", "source").agg(
+        F.hll_sketch_agg("token").alias("sk")
+    )
+    merged = partials.groupBy("lang").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = tok.groupBy("lang").agg(
+        F.countDistinct("token").alias("exact_distinct")
+    )
+    return (
+        exact.join(merged, "lang")
+        .select(
+            "lang",
+            "exact_distinct",
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                <= F.lit(0.05) * F.col("exact_distinct") + F.lit(1.0)
+            ).alias("within_bounds"),
+        )
+        .orderBy("lang")
+    )

@@ -168,6 +168,9 @@ _GATE_FIRST = [
     "cdc_tombstone_merge",
     "sim_ivf_multiprobe",
     "src_json_corrupt_records",
+    "q62_nested_order_lines",
+    "q63_hll_sketch_union",
+    "sample_negatives",
 ]
 
 

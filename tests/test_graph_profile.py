@@ -52,3 +52,50 @@ def test_rebalance_uniform_classes(spark, sf_dir):
     for r in rows:
         assert r.n_kept <= r.n_total
         assert r.kept_checksum > 0
+
+
+def test_negative_sampling_properties(spark, sf_dir):
+    from project_final_parquet_spark.operators.pipeline import sample_negatives
+
+    rows = sample_negatives(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == 20 * 3
+    for r in rows:
+        assert r.neg_id != r.anchor_id  # collision bump
+        assert 0 <= r.neg_id < n_docs
+    # deterministic
+    assert rows == sample_negatives(spark, sf_dir).collect()
+
+
+def test_nested_lines_match_flat_agg(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from project_final_parquet_spark.operators.relational4 import (
+        q62_nested_order_lines,
+    )
+
+    nested = {
+        r.o_orderkey: (r.n_lines, r.max_price)
+        for r in q62_nested_order_lines(spark, sf_dir).collect()
+    }
+    flat = {
+        r.l_orderkey: (r.n, r.mx)
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter("l_orderkey < 100")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        .collect()
+    }
+    assert nested == flat
+
+
+def test_hll_union_within_bounds(spark, sf_dir):
+    from project_final_parquet_spark.operators.relational4 import (
+        q63_hll_sketch_union,
+    )
+
+    rows = q63_hll_sketch_union(spark, sf_dir).collect()
+    assert rows
+    assert all(r.within_bounds for r in rows)
