@@ -90,3 +90,85 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for spec in _COLS[1:]:
         out = out.union(branch(*spec))
     return out.orderBy("column_name")
+
+
+@query(
+    "dq_constraint_checks",
+    oracle="""
+    SELECT 'customer_pk_unique' AS check_name,
+           CAST((SELECT COUNT(*) FROM
+                 (SELECT c_custkey FROM customer
+                  GROUP BY c_custkey HAVING COUNT(*) > 1)) AS BIGINT)
+             AS n_violations
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders_date_not_null',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_qty_positive',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+                AS BIGINT)
+    ORDER BY check_name
+    """,
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (dbt-test / Deequ-style): primary-
+    key uniqueness, two referential-integrity checks (left-anti joins —
+    the distributed form of NOT EXISTS), a not-null check, and a value
+    constraint, emitted as one (check, violations) table a pipeline can
+    alert on. Each check is a single pass or one anti-join; at 100 TB
+    the FK anti-joins broadcast the key side when it fits and the rest
+    are map-side predicates with map-side-combined counts."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+
+    def one(name: str, n_col) -> DataFrame:
+        return n_col.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    pk_dupes = (
+        customer.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    li_orphans = lineitem.join(
+        orders.select("o_orderkey"),
+        lineitem["l_orderkey"] == orders["o_orderkey"],
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    o_orphans = orders.join(
+        customer.select("c_custkey"),
+        orders["o_custkey"] == customer["c_custkey"],
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    null_dates = orders.filter(F.col("o_orderdate").isNull()).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bad_qty = lineitem.filter(F.col("l_quantity") <= 0).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+    out = (
+        one("customer_pk_unique", pk_dupes)
+        .union(one("lineitem_orderkey_fk", li_orphans))
+        .union(one("orders_custkey_fk", o_orphans))
+        .union(one("orders_date_not_null", null_dates))
+        .union(one("lineitem_qty_positive", bad_qty))
+    )
+    return out.orderBy("check_name")

@@ -171,6 +171,7 @@ _GATE_FIRST = [
     "q62_nested_order_lines",
     "q63_hll_sketch_union",
     "sample_negatives",
+    "dq_constraint_checks",
 ]
 
 
