@@ -239,3 +239,74 @@ def dedup_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("1000 * n_cand_true div n_cand"),
         ).alias("cand_precision_x1000"),
     )
+
+
+def _containment_oracle() -> str:
+    from .dedup import _LSH_BANDS, _MH_SIG_SQL, _SH3_SQL
+
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SH3_SQL} AS sh FROM tok),
+    base AS (
+      SELECT doc_id, sh,
+             list_transform(sh,
+               x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS bh
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, sh, {_MH_SIG_SQL} AS sig FROM base),
+    bands AS (
+      SELECT doc_id, b, sig[2*b + 1] AS v1, sig[2*b + 2] AS v2
+      FROM sig CROSS JOIN (SELECT unnest(range({_LSH_BANDS})) AS b) t
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.v1 = b.v1 AND a.v2 = b.v2
+           AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(x.sh) AS containment_ab,
+             CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(y.sh) AS containment_ba
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, containment_ab, containment_ba
+    FROM scored
+    WHERE containment_ab >= 0.5 OR containment_ba >= 0.5
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("dedup_containment", oracle=_containment_oracle())
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup scoring: Jaccard CONTAINMENT |A∩B|/|A| in
+    both directions over the MinHash+LSH candidate pairs. Containment
+    catches what symmetric Jaccard misses — a short document embedded
+    inside a longer one (quote, boilerplate, partial copy), the shape
+    decontamination actually hunts for: benchmark items are near-fully
+    CONTAINED in training docs whose overall Jaccard is small. Same
+    bucketed candidate generation as the dedup family (never all-pairs);
+    scoring adds two divisions per candidate."""
+    from .dedup import _minhash_candidates
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sig, cand = _minhash_candidates(docs)
+    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    cab = (inter / F.size("sh_a")).alias("containment_ab")
+    cba = (inter / F.size("sh_b")).alias("containment_ba")
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", cab, cba)
+        .filter(
+            (F.col("containment_ab") >= 0.5)
+            | (F.col("containment_ba") >= 0.5)
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -574,3 +574,117 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "events_late_data_metrics",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type, event_id, epoch_us(ts) AS t,
+             MAX(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING) AS hwm
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN hwm - t > 600000000 THEN 1 END) AS BIGINT)
+             AS n_late,
+           CAST(MAX(hwm - t) AS BIGINT) AS max_lateness_us
+    FROM arr
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-design diagnostic: replay each type's stream in arrival
+    order (event_id), track the event-time high-water mark, and measure
+    how many events arrive more than 10 minutes behind it and the worst
+    observed lateness — exactly the numbers that justify a
+    withWatermark delay (too small drops these rows; too large holds
+    state). One running max per type partition, one shuffle."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    arr = ev.select(
+        "event_type",
+        F.col("ts_us").alias("t"),
+        F.max("ts_us").over(w).alias("hwm"),
+    )
+    late = F.col("hwm") - F.col("t") > 600_000_000
+    return (
+        arr.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(late, F.lit(1))).alias("n_late"),
+            F.max(F.col("hwm") - F.col("t")).alias("max_lateness_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_asof_nearest",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+             MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS back_t,
+             MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS fwd_t
+      FROM events WHERE user_id < 20
+    )
+    SELECT user_id, event_id,
+           CAST(CASE
+             WHEN back_t IS NULL AND fwd_t IS NULL THEN NULL
+             WHEN back_t IS NULL THEN fwd_t - t
+             WHEN fwd_t IS NULL THEN back_t - t
+             WHEN t - back_t <= fwd_t - t THEN back_t - t
+             ELSE fwd_t - t END AS BIGINT) AS nearest_click_delta_us
+    FROM tagged
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, event_id
+    """,
+)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of: each purchase finds its closest click in
+    EITHER time direction (backward wins ties) — the merge_asof
+    direction='nearest' semantics, built from two frame-bounded window
+    extrema over one user shuffle instead of two joins. Signed delta:
+    negative = click before purchase."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    base = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    click_t = F.when(F.col("event_type") == "click", F.col("ts_us"))
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts_us").alias("t"),
+        F.max(click_t)
+        .over(base.rowsBetween(W.unboundedPreceding, -1))
+        .alias("back_t"),
+        F.min(click_t)
+        .over(base.rowsBetween(1, W.unboundedFollowing))
+        .alias("fwd_t"),
+    )
+    back, fwd, t = F.col("back_t"), F.col("fwd_t"), F.col("t")
+    delta = (
+        F.when(back.isNull() & fwd.isNull(), F.lit(None))
+        .when(back.isNull(), fwd - t)
+        .when(fwd.isNull(), back - t)
+        .when(t - back <= fwd - t, back - t)
+        .otherwise(fwd - t)
+        .cast("long")
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", delta.alias("nearest_click_delta_us"))
+        .orderBy("user_id", "event_id")
+    )

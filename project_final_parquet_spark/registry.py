@@ -172,6 +172,9 @@ _GATE_FIRST = [
     "q63_hll_sketch_union",
     "sample_negatives",
     "dq_constraint_checks",
+    "dedup_containment",
+    "events_late_data_metrics",
+    "events_asof_nearest",
 ]
 
 

