@@ -688,3 +688,79 @@ def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", delta.alias("nearest_click_delta_us"))
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "events_user_rfm",
+    oracle=f"""
+    WITH g AS (SELECT MAX(epoch_us(ts)) AS now_us FROM events),
+    base AS (
+      SELECT user_id,
+             MAX(epoch_us(ts)) AS last_us,
+             CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS BIGINT) AS frequency,
+             {DSUM_SQL.format(
+                 expr="CASE WHEN event_type = 'purchase' "
+                      "THEN value ELSE 0.0 END")} AS monetary
+      FROM events GROUP BY user_id
+    ),
+    rfm AS (
+      SELECT user_id,
+             CAST((g.now_us - last_us) // 86400000000 AS BIGINT)
+               AS recency_days,
+             frequency, monetary,
+             NTILE(5) OVER (ORDER BY last_us DESC, user_id) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS m_score
+      FROM base CROSS JOIN g
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           concat_ws('-', r_score, f_score, m_score) AS segment
+    FROM rfm
+    ORDER BY user_id
+    """,
+)
+def events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation per user —
+    the classic customer-scoring aggregate: one user shuffle for the
+    base stats, then three NTILE quintile ranks over the USER-level
+    aggregate (150 rows here; user-count-sized at any corpus scale, so
+    the global sorts are over the small frame, not the event log).
+    Deterministic tiebreak by user_id in every quintile ordering."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts_us").alias("now_us"))
+    is_p = F.col("event_type") == "purchase"
+    base = ev.groupBy("user_id").agg(
+        F.max("ts_us").alias("last_us"),
+        F.count(F.when(is_p, F.lit(1))).alias("frequency"),
+        dsum(F.when(is_p, F.col("value")).otherwise(F.lit(0.0))).alias(
+            "monetary"
+        ),
+    )
+    rfm = base.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        F.expr("(now_us - last_us) div 86400000000").alias("recency_days"),
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(W.orderBy(F.desc("last_us"), "user_id"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("frequency"), "user_id"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("monetary"), "user_id"))
+        .alias("m_score"),
+    )
+    return rfm.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.concat_ws(
+            "-",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    ).orderBy("user_id")

@@ -168,3 +168,52 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@query(
+    "text_bigram_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(len(toks) - 1),
+                    i -> concat_ws(' ', toks[i+1], toks[i+2]))) AS bigram
+      FROM tok
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs
+    WHERE bigram NOT LIKE ' %' AND bigram NOT LIKE '% ' 
+          AND bigram NOT LIKE '%  %'
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 15
+    """,
+)
+def text_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token bigram counts, top 15 — the pair-counting step at
+    the heart of BPE merge learning and collocation mining. Bigrams are
+    built with the slice+zip construction (NOT element_at inside a HOF
+    lambda — Catalyst re-evaluates the split per element, the measured
+    O(tokens²) trap documented at dedup._ngrams), WITHOUT the
+    per-document dedup the shingle path applies: counts here are
+    occurrences, not document frequencies. One token shuffle after a
+    map-side explode."""
+    docs = load(spark, sf_dir, "documents").select("text")
+    toks = F.split(F.col("text"), " ")
+    cnt = F.greatest(F.size(toks) - 1, F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, cnt).alias("a"), F.slice(toks, 2, cnt).alias("b")
+    )
+    bigrams = F.transform(zipped, lambda s: F.concat_ws(" ", s["a"], s["b"]))
+    pairs = docs.select(F.explode(bigrams).alias("bigram")).filter(
+        ~F.col("bigram").startswith(" ")
+        & ~F.col("bigram").endswith(" ")
+        & ~F.col("bigram").contains("  ")
+    )
+    return (
+        pairs.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(15)
+    )

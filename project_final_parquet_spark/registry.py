@@ -175,6 +175,8 @@ _GATE_FIRST = [
     "dedup_containment",
     "events_late_data_metrics",
     "events_asof_nearest",
+    "text_bigram_stats",
+    "events_user_rfm",
 ]
 
 

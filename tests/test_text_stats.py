@@ -45,3 +45,32 @@ def test_key_rotation_roundtrip(spark, sf_dir):
     assert rows
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert sum(r.n_docs for r in rows) == docs.count()
+
+
+def test_bigram_counts_positive_and_wellformed(spark, sf_dir):
+    from project_final_parquet_spark.operators.text_stats import (
+        text_bigram_stats,
+    )
+
+    rows = text_bigram_stats(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 15
+    for r in rows:
+        assert r.n >= 1
+        assert len(r.bigram.split(" ")) == 2
+
+
+def test_rfm_segments_complete(spark, sf_dir):
+    from project_final_parquet_spark.operators.events_analytics import (
+        events_user_rfm,
+    )
+
+    rows = events_user_rfm(spark, sf_dir).collect()
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert len(rows) == n_users
+    for r in rows:
+        parts = [int(x) for x in r.segment.split("-")]
+        assert len(parts) == 3 and all(1 <= p <= 5 for p in parts)
+        assert r.recency_days >= 0
