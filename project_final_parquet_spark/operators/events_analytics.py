@@ -764,3 +764,160 @@ def events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("segment"),
     ).orderBy("user_id")
+
+
+@query(
+    "events_winsorized_stats",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    cuts AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = (5 * n + 99) // 100 THEN value END) AS p5,
+             MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS p95
+      FROM r GROUP BY event_type
+    ),
+    clipped AS (
+      SELECT e.event_type,
+             CASE WHEN e.value < c.p5 THEN c.p5
+                  WHEN e.value > c.p95 THEN c.p95
+                  ELSE e.value END AS wv,
+             CASE WHEN e.value < c.p5 OR e.value > c.p95
+                  THEN 1 ELSE 0 END AS clipped
+      FROM events e JOIN cuts c ON e.event_type = c.event_type
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+           {DSUM_SQL.format(expr="wv")} AS winsorized_sum
+    FROM clipped
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics via winsorizing: clip each type's values at
+    its exact p5/p95 (rank-selected, no interpolation) and aggregate
+    the clipped series — the outlier-capping every metrics pipeline
+    applies before averaging telemetry. Cutpoints come from the same
+    rank-selection machinery as events_percentiles_exact; the clip is
+    a broadcast join of the tiny per-type cutpoint table + a map-side
+    CASE; sums follow the decimal convention."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    w = W.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w.orderBy("value", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+
+    def cut(p: int):
+        idx = F.expr(f"({p} * n + 99) div 100")
+        return F.max(F.when(F.col("rn") == idx, F.col("value"))).alias(
+            f"p{p}"
+        )
+
+    cuts = r.groupBy("event_type").agg(cut(5), cut(95))
+    clipped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        F.when(F.col("value") < F.col("p5"), F.col("p5"))
+        .when(F.col("value") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("value"))
+        .alias("wv"),
+        F.when(
+            (F.col("value") < F.col("p5")) | (F.col("value") > F.col("p95")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("clipped"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("clipped").alias("n_clipped"),
+            dsum(F.col("wv")).alias("winsorized_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle=f"""
+    WITH seg AS (
+      SELECT user_id, value, epoch_us(ts) AS t, event_id,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS t_next
+      FROM events
+    ),
+    held AS (
+      SELECT user_id, value, t_next - t AS dur_us
+      FROM seg WHERE t_next IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(SUM(dur_us) AS BIGINT) AS total_held_us,
+           CAST(SUM(CAST(floor(value * (CAST(dur_us AS DOUBLE)
+                / 3600000000.0) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS weighted_sum,
+           (CAST(SUM(CAST(floor(value * (CAST(dur_us AS DOUBLE)
+                / 3600000000.0) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000.0)
+             / (CAST(SUM(dur_us) AS DOUBLE) / 3600000000.0) AS twap
+    FROM held
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) per user: each event's value is
+    held until the user's next event (lead), weighted by the integer µs
+    holding duration — the correct mean for irregularly-sampled series
+    (sensor states, position marks), where the arithmetic mean
+    over-weights bursts. One user shuffle; weights are exact integers,
+    the weighted sum uses the decimal convention, and the final
+    division is one double op on identical operands."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seg = ev.select(
+        "user_id",
+        "value",
+        F.col("ts_us").alias("t"),
+        F.lead("ts_us").over(w).alias("t_next"),
+    )
+    held = seg.filter(F.col("t_next").isNotNull()).select(
+        "user_id",
+        "value",
+        (F.col("t_next") - F.col("t")).alias("dur_us"),
+    )
+    # fixed-point (1e-6) integer quantization of the per-row value·hours
+    # weight, NOT the decimal-sum convention: these weights are division
+    # results with full 53-bit mantissas, where DuckDB's double→DECIMAL
+    # conversion (double-arithmetic ×10^10 then round) can disagree with
+    # Spark's exact BigDecimal expansion in the last decimal ulp. floor
+    # of an identical double is identical everywhere; integer sums are
+    # exact (same resolution as graph_pagerank's contributions).
+    whrs = F.col("value") * (
+        F.col("dur_us").cast("double") / F.lit(3600000000.0)
+    )
+    q = F.floor(whrs * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    wsum = F.sum(q).cast("double") / F.lit(1000000.0)
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.sum("dur_us").alias("total_held_us"),
+            wsum.alias("weighted_sum"),
+            (
+                wsum
+                / (F.sum("dur_us").cast("double") / F.lit(3600000000.0))
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )

@@ -44,7 +44,9 @@ def _sql_dist(vec: str, cent: str) -> str:
                       * {_DSCALE}.0) AS BIGINT)), 'sum')"""
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_cte_prefix() -> tuple[str, str]:
+    """The shared iterative CTE chain (cent0 → assign{N-1}) and the name
+    of the final assignment CTE — reused by the purity eval oracle."""
     parts = [
         f"""
     WITH cent0 AS (
@@ -79,16 +81,21 @@ def _kmeans_oracle() -> str:
     )"""
         )
         prev = f"cent{i + 1}"
-    parts.append(
-        f"""
+    return "".join(parts), f"assign{_ITERS - 1}"
+
+
+def _kmeans_oracle() -> str:
+    prefix, last = _kmeans_cte_prefix()
+    return (
+        prefix
+        + f"""
     SELECT a.cid AS cluster_id, COUNT(*) AS n_points,
            CAST(MIN(a.vec_id) AS BIGINT) AS min_vec_id
-    FROM assign{_ITERS - 1} a
+    FROM {last} a
     GROUP BY a.cid
     ORDER BY a.cid
     """
     )
-    return "".join(parts)
 
 
 # --- Spark implementation --------------------------------------------------
@@ -211,3 +218,73 @@ def ml_kmeans_converged(
     emb = load(spark, sf_dir, "embeddings")
     assigned, rounds = _lloyd(emb, max_iters, converge=True)
     return _cluster_sizes(assigned), rounds
+
+
+def _purity_oracle() -> str:
+    prefix, last = _kmeans_cte_prefix()
+    return (
+        prefix
+        + f""",
+    lab AS (
+      SELECT a.cid, e2.label, COUNT(*) AS c
+      FROM {last} a JOIN embeddings e2 ON a.vec_id = e2.vec_id
+      GROUP BY a.cid, e2.label
+    ),
+    best AS (
+      SELECT cid, label, c,
+             ROW_NUMBER() OVER (
+               PARTITION BY cid ORDER BY c DESC, label) AS rn,
+             SUM(c) OVER (PARTITION BY cid) AS n
+      FROM lab
+    )
+    SELECT cid AS cluster_id,
+           CAST(n AS BIGINT) AS n_points,
+           CAST(label AS INT) AS majority_label,
+           CAST(c AS BIGINT) AS majority_count,
+           CAST((1000 * c) // n AS BIGINT) AS purity_x1000
+    FROM best WHERE rn = 1
+    ORDER BY cluster_id
+    """
+    )
+
+
+@query("ml_cluster_purity", oracle=_purity_oracle())
+def ml_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation: per k-means cluster, the majority
+    ground-truth label and purity (majority share, ×1000 integer) — the
+    standard external validation metric, making cluster quality a
+    MEASURED number like dedup_eval_recall does for LSH recall. Runs
+    the same 3 Lloyd iterations (exact iterative oracle), then one
+    (cid, label) count and a cluster-sized window. Executes iterations
+    at construction (registry contract note)."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = _lloyd(emb, _ITERS)
+    lab = (
+        assigned.select("vec_id", "cid")
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("cid")
+    best = lab.select(
+        "cid",
+        "label",
+        "c",
+        F.row_number()
+        .over(w.orderBy(F.desc("c"), "label"))
+        .alias("rn"),
+        F.sum("c").over(w).alias("n"),
+    )
+    return (
+        best.filter(F.col("rn") == 1)
+        .select(
+            F.col("cid").alias("cluster_id"),
+            F.col("n").alias("n_points"),
+            F.col("label").cast("int").alias("majority_label"),
+            F.col("c").alias("majority_count"),
+            F.expr("1000 * c div n").alias("purity_x1000"),
+        )
+        .orderBy("cluster_id")
+    )

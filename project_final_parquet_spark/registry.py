@@ -177,6 +177,9 @@ _GATE_FIRST = [
     "events_asof_nearest",
     "text_bigram_stats",
     "events_user_rfm",
+    "ml_cluster_purity",
+    "events_winsorized_stats",
+    "events_time_weighted_avg",
 ]
 
 

@@ -96,3 +96,47 @@ def test_containment_bounds(spark, sf_dir):
         assert 0.0 <= r.containment_ab <= 1.0
         assert 0.0 <= r.containment_ba <= 1.0
         assert max(r.containment_ab, r.containment_ba) >= 0.5
+
+
+def test_cluster_purity_bounds(spark, sf_dir):
+    from project_final_parquet_spark.operators.ml_kmeans import (
+        ml_cluster_purity,
+    )
+
+    rows = ml_cluster_purity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.majority_count <= r.n_points
+        assert 0 < r.purity_x1000 <= 1000
+        # majority share is at least 1/k of the cluster
+        assert r.purity_x1000 * r.n_points >= 1000 * r.majority_count - r.n_points * 1000 // r.n_points
+
+
+def test_twap_between_min_max(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from project_final_parquet_spark.operators.events_analytics import (
+        events_time_weighted_avg,
+    )
+
+    rows = {r.user_id: r.twap for r in
+            events_time_weighted_avg(spark, sf_dir).collect()}
+    bounds = {
+        r.user_id: (r.mn, r.mx)
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    for uid, twap in rows.items():
+        mn, mx = bounds[uid]
+        assert mn - 1e-6 <= twap <= mx + 1e-6
+
+
+def test_winsorized_clips_bounded_fraction(spark, sf_dir):
+    from project_final_parquet_spark.operators.events_analytics import (
+        events_winsorized_stats,
+    )
+
+    for r in events_winsorized_stats(spark, sf_dir).collect():
+        # at most ~10% of rows clipped (5% each tail) + rank rounding
+        assert r.n_clipped <= r.n * 0.12 + 2
