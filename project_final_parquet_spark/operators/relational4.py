@@ -481,3 +481,69 @@ def q63_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "basket_part_pairs",
+    oracle="""
+    WITH lines AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 200 AS part_grp
+      FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.part_grp AS part_a, b.part_grp AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.part_grp < b.part_grp
+      GROUP BY a.part_grp, b.part_grp
+    ),
+    singles AS (
+      SELECT part_grp, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM lines GROUP BY part_grp
+    )
+    SELECT p.part_a, p.part_b, p.support,
+           CAST((1000 * p.support) // s.n_orders AS BIGINT)
+             AS confidence_x1000
+    FROM pairs p JOIN singles s ON p.part_a = s.part_grp
+    ORDER BY p.support DESC, p.part_a, p.part_b
+    LIMIT 15
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: support and confidence for pairs of
+    part groups bought in the same order (parts bucketed to 200 groups
+    so pairs repeat at gate scale). The pair join is WITHIN-ORDER only
+    — an equi-self-join on the order key where each side is an order's
+    distinct part list (≤7 lines in TPC-H-ish data), so the blowup is
+    bounded per order, never corpus-quadratic; the same blocking
+    argument as the dedup family. Confidence = support/orders(A) as an
+    integer ratio (×1000, floor)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 200).alias("part_grp")
+    ).distinct()
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("part_grp").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("part_grp").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    singles = li.groupBy(F.col("part_grp").alias("part_a")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        pairs.join(F.broadcast(singles), "part_a")
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.expr("1000 * support div n_orders").alias("confidence_x1000"),
+        )
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(15)
+    )

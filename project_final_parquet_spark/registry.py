@@ -180,6 +180,7 @@ _GATE_FIRST = [
     "ml_cluster_purity",
     "events_winsorized_stats",
     "events_time_weighted_avg",
+    "basket_part_pairs",
 ]
 
 
