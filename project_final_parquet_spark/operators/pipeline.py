@@ -496,3 +496,50 @@ def sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", "neg_idx", "neg_id", "neg_lang")
         .orderBy("anchor_id", "neg_idx")
     )
+
+
+@query(
+    "ivm_merge_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR)
+                AS DOUBLE) AS sum_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ivm_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the materialized aggregate over
+    yesterday's data (events with even ids) is MERGED with the delta
+    batch's partial aggregate (odd ids) — count adds, decimal sums add,
+    max takes max — and must equal the full recompute (the oracle).
+    This algebraic-merge property is what lets a 100 TB rollup absorb a
+    new partition by aggregating ONLY the delta: the merge runs over
+    two group-count-sized frames, never re-reading history. (The
+    DECIMAL sum is the order-independent representation that makes the
+    merge exact; a double running sum would drift.)"""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,10)")).alias("s"),
+            F.max("value").alias("mx"),
+        )
+
+    old = partial(ev.filter(F.col("event_id") % 2 == 0))
+    delta = partial(ev.filter(F.col("event_id") % 2 == 1))
+    merged = (
+        old.select("event_type", "n", "s", "mx")
+        .unionByName(delta.select("event_type", "n", "s", "mx"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").cast("double").alias("sum_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )
+    return merged.orderBy("event_type")

@@ -547,3 +547,45 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "part_a", "part_b")
         .limit(15)
     )
+
+
+@query(
+    "sql_text_frontend",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10)))
+                AS VARCHAR) AS DOUBLE) AS revenue
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY n.n_name
+    HAVING COUNT(o.o_orderkey) > 0
+    ORDER BY n.n_name
+    """,
+)
+def sql_text_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text front end as a first-class surface: the query is
+    SUBMITTED AS SQL over registered temp views (not built with the
+    DataFrame API), proving a reference user can bring plain SQL and
+    get the same Catalyst plan — same broadcast of the nation dim, same
+    partial/final aggregation — as the fluent API produces. The decimal
+    sum convention applies identically inside SQL text."""
+    for t in ("nation", "customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"sqlv_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               COUNT(DISTINCT c.c_custkey) AS n_customers,
+               COUNT(o.o_orderkey) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))) AS DOUBLE)
+                 AS revenue
+        FROM sqlv_nation n
+        JOIN sqlv_customer c ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN sqlv_orders o ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name
+        HAVING COUNT(o.o_orderkey) > 0
+        ORDER BY n.n_name
+        """
+    )

@@ -181,6 +181,8 @@ _GATE_FIRST = [
     "events_winsorized_stats",
     "events_time_weighted_avg",
     "basket_part_pairs",
+    "ivm_merge_agg",
+    "sql_text_frontend",
 ]
 
 

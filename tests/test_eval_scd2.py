@@ -140,3 +140,24 @@ def test_winsorized_clips_bounded_fraction(spark, sf_dir):
     for r in events_winsorized_stats(spark, sf_dir).collect():
         # at most ~10% of rows clipped (5% each tail) + rank rounding
         assert r.n_clipped <= r.n * 0.12 + 2
+
+
+def test_ivm_merge_equals_full_recompute(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from project_final_parquet_spark.operators.pipeline import ivm_merge_agg
+
+    merged = {tuple(r) for r in ivm_merge_agg(spark, sf_dir).collect()}
+    full = {
+        tuple(r)
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert merged == full
