@@ -921,3 +921,114 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_quantile_normalize",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_id, event_type,
+           (CAST(rn AS DOUBLE) - 0.5) / CAST(n AS DOUBLE) AS qnorm
+    FROM r
+    WHERE event_id < 500
+    ORDER BY event_id
+    """,
+)
+def events_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization of a feature column: value →
+    (rank − 0.5)/n within its event-type distribution, mapping any
+    distribution onto uniform(0,1) — the robust feature-scaling
+    transform (immune to outliers, unlike z-scores). Rank is integer,
+    the map is one division on identical operands; one type shuffle.
+    Output limited to event_id < 500 for the gate."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    w = W.partitionBy("event_type")
+    r = ev.select(
+        "event_id",
+        "event_type",
+        F.row_number().over(w.orderBy("value", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return (
+        r.filter(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            "event_type",
+            (
+                (F.col("rn").cast("double") - F.lit(0.5))
+                / F.col("n").cast("double")
+            ).alias("qnorm"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "events_longest_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, day,
+             day - ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS g
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, g, CAST(COUNT(*) AS BIGINT) AS len,
+             CAST(MIN(day) AS BIGINT) AS start_day
+      FROM grp GROUP BY user_id, g
+    ),
+    best AS (
+      SELECT user_id, len, start_day,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY len DESC, start_day) AS rn
+      FROM streaks
+    )
+    SELECT user_id, len AS longest_streak_days, start_day
+    FROM best WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active DAYS per user — engagement
+    streaks via the classic day − row_number() grouping trick (runs of
+    consecutive integers share the difference), entirely integer
+    arithmetic on epoch-day numbers. Two window passes over one user
+    shuffle; ties between equal-length streaks break on the earliest
+    start."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr("ts_us div 86400000000").alias("day")
+    ).distinct()
+    grp = days.withColumn(
+        "g",
+        F.col("day")
+        - F.row_number().over(W.partitionBy("user_id").orderBy("day")),
+    )
+    streaks = grp.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start_day")
+    )
+    best = streaks.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy(F.desc("len"), "start_day")
+        ),
+    )
+    return (
+        best.filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak_days"),
+            "start_day",
+        )
+        .orderBy("user_id")
+    )

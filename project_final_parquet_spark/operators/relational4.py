@@ -589,3 +589,58 @@ def sql_text_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name
         """
     )
+
+
+@query(
+    "q64_groupwise_ols",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR)
+                  AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10)))
+                  AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10)))
+                  AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity * l_extendedprice
+                  AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def q64_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise simple linear regression (extendedprice ~ quantity)
+    in closed form from DECIMAL-exact power sums — the distributed OLS
+    pattern: one map-side-combinable aggregation collects (n, Σx, Σx²,
+    Σy, Σxy) per group, the normal-equation solve is a handful of
+    double ops on identical operands (q59's moments machinery extended
+    to model fitting). Per-group model fitting over 100 TB costs
+    exactly one shuffle of five numbers per group."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(38,10)")  # noqa: E731
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(F.col("l_quantity"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("l_quantity") * F.col("l_quantity")))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("l_quantity") * F.col("l_extendedprice")))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sxx, sy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    ).orderBy("l_returnflag")

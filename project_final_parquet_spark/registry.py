@@ -183,6 +183,9 @@ _GATE_FIRST = [
     "basket_part_pairs",
     "ivm_merge_agg",
     "sql_text_frontend",
+    "q64_groupwise_ols",
+    "events_quantile_normalize",
+    "events_longest_streak",
 ]
 
 

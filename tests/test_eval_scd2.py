@@ -161,3 +161,51 @@ def test_ivm_merge_equals_full_recompute(spark, sf_dir):
         .collect()
     }
     assert merged == full
+
+
+def test_ols_slope_positive_price_vs_qty(spark, sf_dir):
+    from project_final_parquet_spark.operators.relational4 import (
+        q64_groupwise_ols,
+    )
+
+    from pyspark.sql import functions as F
+
+    rows = q64_groupwise_ols(spark, sf_dir).collect()
+    assert rows
+    means = {
+        r.l_returnflag: (r.mq, r.mp)
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+            F.avg("l_quantity").alias("mq"),
+            F.avg("l_extendedprice").alias("mp"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r.n_rows > 2
+        # the OLS line passes through the group's mean point
+        mq, mp = means[r.l_returnflag]
+        assert abs(r.intercept + r.slope * mq - mp) < 1e-6 * abs(mp)
+
+
+def test_quantile_normalize_uniform_range(spark, sf_dir):
+    from project_final_parquet_spark.operators.events_analytics import (
+        events_quantile_normalize,
+    )
+
+    rows = events_quantile_normalize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.qnorm < 1.0
+
+
+def test_longest_streak_sane(spark, sf_dir):
+    from project_final_parquet_spark.operators.events_analytics import (
+        events_longest_streak,
+    )
+
+    rows = events_longest_streak(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.longest_streak_days >= 1
