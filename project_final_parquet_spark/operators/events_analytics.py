@@ -1032,3 +1032,104 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_abtest_lift",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    conv AS (
+      SELECT a.variant, e.user_id,
+             CASE WHEN COUNT(CASE WHEN e.event_type = 'purchase' THEN 1 END)
+                       > COUNT(CASE WHEN e.event_type = 'click' THEN 1 END)
+                  THEN 1 ELSE 0 END AS converted
+      FROM events e JOIN assign a ON e.user_id = a.user_id
+      GROUP BY a.variant, e.user_id
+    ),
+    s AS (
+      SELECT variant,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(converted) AS DOUBLE) AS conv
+      FROM conv GROUP BY variant
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN variant = 'A' THEN n END) AS na,
+             MAX(CASE WHEN variant = 'A' THEN conv END) AS ca,
+             MAX(CASE WHEN variant = 'B' THEN n END) AS nb,
+             MAX(CASE WHEN variant = 'B' THEN conv END) AS cb
+      FROM s
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+           ca / na AS rate_a,
+           cb / nb AS rate_b,
+           CASE WHEN (ca + cb) = 0 OR (ca + cb) = (na + nb) THEN NULL
+                ELSE (cb / nb - ca / na)
+                  / sqrt(((ca + cb) / (na + nb))
+                         * (1.0 - (ca + cb) / (na + nb))
+                         * (1.0 / na + 1.0 / nb)) END AS z_score
+    FROM wide
+    """,
+)
+def events_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test on user conversion (here: more
+    purchases than clicks — a criterion that actually splits this
+    corpus; purchase-ever is degenerate at rate 1.0): variants assigned
+    by user-id parity (the deterministic stand-in for an experiment
+    bucketing hash), pooled-proportion z-score in closed form, NULL
+    when the pooled rate is degenerate (0 or 1 — the statistic is
+    undefined, and ANSI mode would otherwise raise on the 0/0). sqrt is
+    IEEE-correctly-rounded, so the statistic is bit-identical
+    cross-engine (same rule that lets q59 use stddev). One user shuffle
+    for per-user conversion, then constant-size arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    variant = F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+    conv = (
+        ev.select("user_id", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.count(F.when(F.col("event_type") == "purchase", 1))
+                > F.count(F.when(F.col("event_type") == "click", 1)),
+                1,
+            )
+            .otherwise(0)
+            .alias("converted")
+        )
+        .select(variant.alias("variant"), "converted")
+    )
+    s = conv.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("converted").cast("double").alias("conv"),
+    )
+    wide = s.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("conv"))).alias("cb"),
+    )
+    na, ca, nb, cb = (F.col(c) for c in ("na", "ca", "nb", "cb"))
+    pooled = (ca + cb) / (na + nb)
+    z = F.when(
+        ((ca + cb) == 0) | ((ca + cb) == (na + nb)), F.lit(None)
+    ).otherwise(
+        (cb / nb - ca / na)
+        / F.sqrt(
+            pooled
+            * (F.lit(1.0) - pooled)
+            * (F.lit(1.0) / na + F.lit(1.0) / nb)
+        )
+    )
+    return wide.select(
+        na.cast("long").alias("n_a"),
+        ca.cast("long").alias("conv_a"),
+        nb.cast("long").alias("n_b"),
+        cb.cast("long").alias("conv_b"),
+        (ca / na).alias("rate_a"),
+        (cb / nb).alias("rate_b"),
+        z.alias("z_score"),
+    )

@@ -543,3 +543,134 @@ def ivm_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.orderBy("event_type")
+
+
+def _e2e_oracle() -> str:
+    from .dedup import _minhash_pairs_sql
+
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_minhash_pairs_sql()}) p
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, label) AS (
+      SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges) n
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    labels AS (
+      SELECT u AS doc_id, CAST(MIN(label) AS BIGINT) AS component_id
+      FROM reach GROUP BY u
+    ),
+    ranked AS (
+      SELECT l.doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY l.component_id
+               ORDER BY d.n_chars DESC, l.doc_id) AS rn
+      FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+    ),
+    kept AS (
+      SELECT doc_id FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM labels)
+    ),
+    filtered AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+      WHERE d.n_chars BETWEEN 80 AND 520
+    ),
+    assigned AS (
+      SELECT lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                              1, 2) < 'e6' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                              1, 2) < 'f3' THEN 'val'
+                  ELSE 'test' END AS split,
+             len(string_split(text, ' ')) AS n_tok
+      FROM filtered
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM assigned
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """
+
+
+@query("pipeline_e2e_pretrain", oracle=_e2e_oracle())
+def pipeline_e2e_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretraining data pipeline as one composition:
+    near-dup clustering (MinHash+LSH → connected components) →
+    canonical-survivor selection (richest doc per cluster, singletons
+    pass through) → quality filter (length band) → leakage-proof hash
+    split → per-(split, lang) manifest counts. Every stage is one of
+    this repo's gated operators; composing them is a plain DataFrame
+    expression — the plan fuses the filter and split into the
+    post-dedup scan, and only the tiny manifest aggregate reaches the
+    driver. This is the lifecycle a 100 TB corpus actually runs, end to
+    end in one lazy job (iterative CC executes at construction, per the
+    registry contract)."""
+    from .dedup import _CC_ITERS, _minhash_pairs, connected_components
+
+    docs = load(spark, sf_dir, "documents")
+
+    pairs = (
+        _minhash_pairs(spark, sf_dir, persist=False, ordered=False)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    edges = pairs.union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).withColumnsRenamed({"doc_a": "u", "doc_b": "v"})
+    labels = connected_components(edges, _CC_ITERS).select(
+        F.col("u").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+    ranked = labels.join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("component_id").orderBy(
+                F.desc("n_chars"), "doc_id"
+            )
+        ),
+    )
+    survivors = ranked.filter(F.col("rn") == 1).select("doc_id")
+    singletons = docs.select("doc_id").join(
+        labels.select("doc_id"), "doc_id", "left_anti"
+    )
+    kept = survivors.union(singletons)
+
+    filtered = docs.join(kept, "doc_id").filter(
+        F.col("n_chars").between(80, 520)
+    )
+    hp = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 2
+    )
+    split = (
+        F.when(hp < _TRAIN_HI, "train")
+        .when(hp < _VAL_HI, "val")
+        .otherwise("test")
+    )
+    return (
+        filtered.select(
+            split.alias("split"),
+            "lang",
+            F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )

@@ -186,6 +186,8 @@ _GATE_FIRST = [
     "q64_groupwise_ols",
     "events_quantile_normalize",
     "events_longest_streak",
+    "pipeline_e2e_pretrain",
+    "events_abtest_lift",
 ]
 
 

@@ -209,3 +209,32 @@ def test_longest_streak_sane(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.longest_streak_days >= 1
+
+
+def test_e2e_pipeline_manifest_consistent(spark, sf_dir):
+    from project_final_parquet_spark.operators.pipeline import (
+        pipeline_e2e_pretrain,
+    )
+
+    rows = pipeline_e2e_pretrain(spark, sf_dir).collect()
+    assert rows
+    splits = {r.split for r in rows}
+    assert "train" in splits
+    total = sum(r.n_docs for r in rows)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # dedup + quality filter can only shrink the corpus
+    assert 0 < total <= n_docs
+    # train dominates the ~90/5/5 split
+    train = sum(r.n_docs for r in rows if r.split == "train")
+    assert train >= total * 0.7
+
+
+def test_abtest_rates_consistent(spark, sf_dir):
+    from project_final_parquet_spark.operators.events_analytics import (
+        events_abtest_lift,
+    )
+
+    (r,) = events_abtest_lift(spark, sf_dir).collect()
+    assert r.n_a + r.n_b > 0
+    assert 0 <= r.conv_a <= r.n_a and 0 <= r.conv_b <= r.n_b
+    assert abs(r.rate_a - r.conv_a / r.n_a) < 1e-12
