@@ -1133,3 +1133,98 @@ def events_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cb / nb).alias("rate_b"),
         z.alias("z_score"),
     )
+
+
+@query(
+    "events_active_users",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM d GROUP BY day
+    ),
+    span AS (
+      SELECT day, dau,
+             CAST((SELECT COUNT(DISTINCT user_id) FROM d d2
+                   WHERE d2.day BETWEEN dau.day - 27 AND dau.day)
+                  AS BIGINT) AS mau
+      FROM dau
+    )
+    SELECT day, dau, mau,
+           CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness
+    FROM span
+    ORDER BY day
+    """,
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-28-day MAU / stickiness per day — the growth
+    dashboard staple. The MAU is a windowed COUNT DISTINCT over a
+    28-day RANGE, expressed as a range self-join of the (user, day)
+    distinct frame (days × active-users sized, tiny next to the event
+    log; Spark's windowed countDistinct limitation makes the join form
+    the portable one). Day bucketing is integer epoch-day arithmetic,
+    TZ-free."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.expr("ts_us div 86400000000").alias("day")
+    ).distinct()
+    dau = d.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    d2 = d.select(F.col("user_id").alias("u2"), F.col("day").alias("day2"))
+    mau = (
+        dau.select("day")
+        .join(
+            d2,
+            (F.col("day2") >= F.col("day") - 27)
+            & (F.col("day2") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("u2").alias("mau"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "events_seasonality_profile",
+    oracle="""
+    SELECT (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+           ((epoch_us(ts) // 86400000000) + 4) % 7 AS day_of_week,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity matrix (UTC; epoch day 0 was
+    a Thursday, hence the +4 for Monday=0 … Sunday=6) — the seasonality
+    fingerprint behind capacity planning and anomaly baselines. Pure
+    integer epoch arithmetic, immune to session timezones; one
+    (hour, dow) shuffle with map-side combine."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr("(ts_us div 3600000000) % 24").alias("hour_of_day"),
+            F.expr("((ts_us div 86400000000) + 4) % 7").alias("day_of_week"),
+            "user_id",
+        )
+        .groupBy("hour_of_day", "day_of_week")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour_of_day", "day_of_week")
+    )

@@ -92,3 +92,88 @@ def sim_binary_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "vec_id")
         .limit(10)
     )
+
+
+_PFX = 16
+
+
+@query(
+    "sim_matryoshka_prefix",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             list_aggregate(list_transform(range({_PFX}),
+               j -> CAST(e.embedding[j+1] AS DOUBLE)
+                    * CAST(q.qv[j+1] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(range({_PFX}),
+                    j -> CAST(e.embedding[j+1] AS DOUBLE)
+                         * CAST(e.embedding[j+1] AS DOUBLE)), 'sum'))
+                  * sqrt(list_aggregate(list_transform(range({_PFX}),
+                    j -> CAST(q.qv[j+1] AS DOUBLE)
+                         * CAST(q.qv[j+1] AS DOUBLE)), 'sum')))
+               AS prefix_cosine,
+             list_aggregate(list_transform(range(64),
+               j -> CAST(e.embedding[j+1] AS DOUBLE)
+                    * CAST(q.qv[j+1] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(64),
+                    j -> CAST(e.embedding[j+1] AS DOUBLE)
+                         * CAST(e.embedding[j+1] AS DOUBLE)), 'sum'))
+                  * sqrt(list_aggregate(list_transform(range(64),
+                    j -> CAST(q.qv[j+1] AS DOUBLE)
+                         * CAST(q.qv[j+1] AS DOUBLE)), 'sum')))
+               AS full_cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, prefix_cosine, full_cosine
+    FROM scored
+    ORDER BY prefix_cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_matryoshka_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix retrieval: rank by cosine over only the
+    FIRST 16 of 64 dims (MRL-trained embeddings pack the coarse
+    semantics into the prefix), carrying the full-dim cosine alongside
+    so prefix-vs-full agreement is inspectable row by row. The scan
+    reads ¼ of the vector bytes at ranking time and the exact full-dim
+    score re-ranks the short list — the third compression axis beside
+    quantization (int8/PQ/1-bit) and projection (JL): truncation."""
+    emb = load(spark, sf_dir, "embeddings")
+
+    def cos(a, b, dims: int):
+        sa, sb = F.slice(a, 1, dims), F.slice(b, 1, dims)
+        dot = F.aggregate(
+            F.zip_with(
+                sa, sb, lambda x, y: x.cast("double") * y.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+        def nrm(c):
+            return F.sqrt(
+                F.aggregate(
+                    F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            )
+
+        return dot / (nrm(sa) * nrm(sb))
+
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    e, qv = F.col("embedding"), F.col("qv")
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            cos(e, qv, _PFX).alias("prefix_cosine"),
+            cos(e, qv, 64).alias("full_cosine"),
+        )
+        .orderBy(F.desc("prefix_cosine"), "vec_id")
+        .limit(10)
+    )

@@ -188,6 +188,9 @@ _GATE_FIRST = [
     "events_longest_streak",
     "pipeline_e2e_pretrain",
     "events_abtest_lift",
+    "sim_matryoshka_prefix",
+    "events_active_users",
+    "events_seasonality_profile",
 ]
 
 

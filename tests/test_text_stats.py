@@ -74,3 +74,39 @@ def test_rfm_segments_complete(spark, sf_dir):
         parts = [int(x) for x in r.segment.split("-")]
         assert len(parts) == 3 and all(1 <= p <= 5 for p in parts)
         assert r.recency_days >= 0
+
+
+def test_active_users_stickiness_bounds(spark, sf_dir):
+    from project_final_parquet_spark.operators.events_analytics import (
+        events_active_users,
+    )
+
+    rows = events_active_users(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.dau <= r.mau
+        assert 0.0 < r.stickiness <= 1.0
+
+
+def test_seasonality_covers_all_events(spark, sf_dir):
+    from project_final_parquet_spark.operators.events_analytics import (
+        events_seasonality_profile,
+    )
+
+    rows = events_seasonality_profile(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r.n_events for r in rows) == n
+    for r in rows:
+        assert 0 <= r.hour_of_day <= 23 and 0 <= r.day_of_week <= 6
+
+
+def test_matryoshka_scores_bounded(spark, sf_dir):
+    from project_final_parquet_spark.operators.similarity5 import (
+        sim_matryoshka_prefix,
+    )
+
+    rows = sim_matryoshka_prefix(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.prefix_cosine <= 1.0 + 1e-9
+        assert -1.0 - 1e-9 <= r.full_cosine <= 1.0 + 1e-9
