@@ -1228,3 +1228,65 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_of_day", "day_of_week")
     )
+
+
+@query(
+    "events_pareto_concentration",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_users FROM per_user),
+    ranked AS (
+      SELECT n, total, n_users,
+             ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rnk,
+             SUM(n) OVER (ORDER BY n DESC, user_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM per_user CROSS JOIN tot
+    )
+    SELECT CAST((10 * rnk + n_users - 1) // n_users AS BIGINT) AS decile,
+           CAST(MAX(cum) AS BIGINT) AS cum_events,
+           CAST(MAX(cum) AS DOUBLE) / CAST(MAX(total) AS DOUBLE)
+             AS cum_share
+    FROM ranked
+    GROUP BY 1
+    ORDER BY decile
+    """,
+)
+def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration (Pareto/Lorenz): users ranked by event
+    count, bucketed into deciles, with the cumulative share of all
+    events contributed by the top k/10 of users — the who-generates-
+    the-load diagnostic that motivates the skew operators (a steep
+    curve here is exactly when skew_salted_join earns its keep). All
+    window math is over the user-sized aggregate; integer cumsum."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = per_user.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_users")
+    )
+    w = W.orderBy(F.desc("n"), "user_id")
+    ranked = per_user.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "total",
+        "n_users",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("n").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    return (
+        ranked.select(
+            F.expr("(10 * rnk + n_users - 1) div n_users").alias("decile"),
+            "cum",
+            "total",
+        )
+        .groupBy("decile")
+        .agg(
+            F.max("cum").alias("cum_events"),
+            (
+                F.max("cum").cast("double") / F.max("total").cast("double")
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )

@@ -184,3 +184,56 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(15)
     )
+
+
+@query(
+    "text_prefix_autocomplete",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok WHERE token <> '' GROUP BY token
+    ),
+    ranked AS (
+      SELECT substr(token, 1, 2) AS prefix, token, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY substr(token, 1, 2)
+               ORDER BY n DESC, token) AS rn
+      FROM counts
+    )
+    SELECT prefix, rn AS rank, token, n
+    FROM ranked WHERE rn <= 3
+    ORDER BY prefix, rank
+    """,
+)
+def text_prefix_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete index construction: top-3 tokens by frequency per
+    2-character prefix — the materialized lookup a type-ahead serves
+    from. Token counts are one shuffle; the per-prefix top-k is a
+    window over the vocab-sized aggregate. At 100 TB the same build
+    writes the index partitioned by prefix range so a lookup touches
+    one partition."""
+    docs = load(spark, sf_dir, "documents").select("text")
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = counts.select(
+        F.substring("token", 1, 2).alias("prefix"), "token", "n"
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("prefix").orderBy(F.desc("n"), "token")
+        ),
+    )
+    return (
+        ranked.filter(F.col("rn") <= 3)
+        .select("prefix", F.col("rn").alias("rank"), "token", "n")
+        .orderBy("prefix", "rank")
+    )

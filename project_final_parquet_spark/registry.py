@@ -191,6 +191,8 @@ _GATE_FIRST = [
     "sim_matryoshka_prefix",
     "events_active_users",
     "events_seasonality_profile",
+    "text_prefix_autocomplete",
+    "events_pareto_concentration",
 ]
 
 

@@ -110,3 +110,36 @@ def test_matryoshka_scores_bounded(spark, sf_dir):
     for r in rows:
         assert -1.0 - 1e-9 <= r.prefix_cosine <= 1.0 + 1e-9
         assert -1.0 - 1e-9 <= r.full_cosine <= 1.0 + 1e-9
+
+
+def test_autocomplete_topk_per_prefix(spark, sf_dir):
+    from collections import defaultdict
+    from project_final_parquet_spark.operators.text_index import (
+        text_prefix_autocomplete,
+    )
+
+    rows = text_prefix_autocomplete(spark, sf_dir).collect()
+    by_prefix = defaultdict(list)
+    for r in rows:
+        assert r.token.startswith(r.prefix[: len(r.token)]) or r.token.startswith(r.prefix)
+        by_prefix[r.prefix].append(r.n)
+    for counts in by_prefix.values():
+        assert len(counts) <= 3
+        assert counts == sorted(counts, reverse=True)
+
+
+def test_pareto_monotone_to_one(spark, sf_dir):
+    from project_final_parquet_spark.operators.events_analytics import (
+        events_pareto_concentration,
+    )
+
+    rows = events_pareto_concentration(spark, sf_dir).collect()
+    shares = [r.cum_share for r in rows]
+    assert shares == sorted(shares)
+    assert abs(shares[-1] - 1.0) < 1e-12
+    # users are ranked most-active-first, so every decile's cumulative
+    # share is at least proportional to its cumulative USER fraction —
+    # which with few users can be below k/10 (ceil bucketing), so
+    # compare against the running event count directly
+    events = [r.cum_events for r in rows]
+    assert events == sorted(events)
