@@ -1,0 +1,137 @@
+"""Event-analytics operators, part 2: batch sessionization and rolling
+distinct-user windows.
+
+Both are pure-integer time math over ``ts_us`` (epoch microseconds) per
+the TZ convention, and both cost exactly one user_id (resp. day)
+shuffle — the window work happens on the already-partitioned sorted
+runs, so the family scales with events-per-user, never events².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+_DAY_US = 86_400_000_000
+_GAP_US = 1_800_000_000  # 30-minute inactivity gap
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS prev_us
+      FROM events
+    ),
+    f AS (
+      SELECT *, CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us > {_GAP_US} THEN 1 ELSE 0 END
+                  AS new_session
+      FROM o
+    ),
+    s AS (
+      SELECT *, SUM(new_session) OVER
+                  (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM f
+    ),
+    per AS (
+      SELECT user_id, session_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(ts_us) - MIN(ts_us) AS dur_us
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           CAST(SUM(dur_us) AS BIGINT) AS total_active_us
+    FROM per GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap) — the gaps-and-
+    islands pattern applied to user activity: a lag() flags session
+    starts, a running sum of flags numbers the sessions, and two
+    grouped aggregations roll up to per-session then per-user stats.
+    The lag, the running sum, and the first groupBy all share the
+    user_id partitioning, so Catalyst plans ONE shuffle for the whole
+    chain; (ts_us, event_id) is a total order, making session ids
+    deterministic under ties. This is the batch twin of
+    streaming/events.py's session_window aggregation."""
+    ev = load(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.select("user_id", "event_id", "ts_us").withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts_us").over(wo).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(wo) > F.lit(_GAP_US)),
+            1,
+        ).otherwise(0),
+    )
+    sessioned = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wo.rowsBetween(W.unboundedPreceding, 0))
+    )
+    per = sessioned.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("dur_us").alias("total_active_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_rolling_distinct",
+    oracle=f"""
+    WITH d AS (
+      SELECT epoch_us(ts) // {_DAY_US} AS day,
+             list(DISTINCT user_id) AS ul,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_1d
+      FROM events GROUP BY day
+    )
+    SELECT day, users_1d,
+           CAST(len(list_distinct(flatten(list(ul) OVER
+             (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))))
+             AS BIGINT) AS users_7d
+    FROM d ORDER BY day
+    """,
+)
+def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users — COUNT(DISTINCT) over a sliding
+    window, which no engine supports directly. The scalable form:
+    collapse to day grain first (collect_set per day — one shuffle on
+    a bounded-cardinality key), then merge the per-day sets over a
+    7-row frame and count the union. The frame runs over day-grain
+    rows (≤ a few thousand for years of data), so the unpartitioned
+    window is a deliberate post-aggregation single-task step on a
+    tiny frame, not a scale hazard; the heavy distinct work happened
+    map-side in collect_set. "7 days" = the last 7 observed activity
+    days (rows-frame), identical on both engines."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.expr(f"ts_us div {_DAY_US}").alias("day")).agg(
+        F.collect_set("user_id").alias("ul"),
+        F.countDistinct("user_id").alias("users_1d"),
+    )
+    w7 = W.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "day",
+            "users_1d",
+            F.size(F.array_distinct(F.flatten(F.collect_list("ul").over(w7))))
+            .cast("long")
+            .alias("users_7d"),
+        )
+        .orderBy("day")
+    )

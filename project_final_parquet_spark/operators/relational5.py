@@ -1,0 +1,193 @@
+"""Advanced correlated-subquery query shapes — the three hardest TPC-H
+decorrelation patterns (Q20/Q21/Q22 analogs), adapted to this corpus's
+schema (no partsupp/receiptdate/phone columns; the *shapes* — nested
+aggregate subquery, double correlated EXISTS on the same table, scalar
+aggregate subquery + anti join — are the point).
+
+These exercise exactly the plans a distributed engine must get right:
+Catalyst decorrelates each subquery into a join (semi / anti / scalar
+broadcast) instead of re-running it per outer row. All joins are
+equi-joins on the natural keys, so every step is one hash/SMJ shuffle
+that scales linearly; nothing is nested-loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import DSUM_SQL, dsum, query
+from ..tables import load
+
+
+@query(
+    "q65_excess_share_suppliers",
+    oracle=f"""
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey,
+             {DSUM_SQL.format(expr="l_quantity")} AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+    ),
+    tot AS (
+      SELECT l_partkey, {DSUM_SQL.format(expr="l_quantity")} AS tot_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS n_excess_parts
+    FROM sp JOIN tot ON sp.l_partkey = tot.l_partkey
+    JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+    WHERE sp.qty > 0.3 * tot.tot_qty
+    GROUP BY s.s_name
+    ORDER BY n_excess_parts DESC, s_name
+    """,
+)
+def q65_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (reference capability class: none — standard
+    relational extension): suppliers holding an outsized share of a
+    part's 1996 shipments. The correlated "more than 30% of this
+    part's total" subquery is decorrelated into a partkey equi-join
+    between two aggregations over the SAME filtered scan — Catalyst
+    reuses the pushed shipdate filter on both branches, and both aggs
+    shuffle on (partkey[, suppkey]) so the final join is co-located
+    with the finer grouping. Quantity sums follow the DECIMAL
+    convention; the 30%-share compare is double-on-identical-operands.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(dsum(F.col("l_quantity")).alias("qty"))
+    tot = li.groupBy("l_partkey").agg(dsum(F.col("l_quantity")).alias("tot_qty"))
+    sup = load(spark, sf_dir, "supplier")
+    return (
+        sp.join(tot, "l_partkey")
+        .filter(F.col("qty") > 0.3 * F.col("tot_qty"))
+        .join(F.broadcast(sup), sp["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_excess_parts"))
+        .orderBy(F.desc("n_excess_parts"), "s_name")
+    )
+
+
+@query(
+    "q66_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q66_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole supplier at fault in a multi-supplier
+    finalized order ('R' returnflag stands in for the missing
+    receipt>commit lateness columns). Two correlated EXISTS over the
+    same table decorrelate into a LEFT SEMI + LEFT ANTI join pair on
+    l_orderkey with a non-equi residual (suppkey <>) — three scans of
+    lineitem all shuffled on orderkey, so at scale the three sorted
+    runs merge without re-partitioning; the supplier dim broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    sup = load(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    cand = (
+        l1.join(orders, F.col("l1.l_orderkey") == F.col("o_orderkey"))
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "leftsemi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "leftanti",
+        )
+    )
+    return (
+        cand.join(F.broadcast(sup), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@query(
+    "q67_dormant_rich_accounts",
+    oracle=f"""
+    WITH pool AS (
+      SELECT c_custkey, c_custkey % 10 AS cntrycode, c_acctbal
+      FROM customer WHERE c_custkey % 10 IN (1, 3, 5, 7, 9)
+    ),
+    thr AS (
+      SELECT {DSUM_SQL.format(expr="c_acctbal")} / COUNT(*) AS avg_bal
+      FROM pool WHERE c_acctbal > 0.0
+    )
+    SELECT cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {DSUM_SQL.format(expr="c_acctbal")} AS totacctbal
+    FROM pool, thr
+    WHERE c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = pool.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def q67_dormant_rich_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers in selected
+    country codes with no CURRENT-YEAR order (custkey%10 stands in
+    for the missing phone prefix; every customer in this corpus has
+    SOME order, so "dormant" = none since 2001). The scalar AVG
+    subquery becomes a 1-row broadcast cross join (cheapest possible
+    plan for a scalar), the NOT EXISTS an anti join on custkey whose
+    orderdate filter is pushed below the join. AVG follows the
+    decimal-sum/count convention so the threshold double is
+    bit-identical."""
+    cust = load(spark, sf_dir, "customer")
+    pool = cust.filter((F.col("c_custkey") % 10).isin(1, 3, 5, 7, 9)).select(
+        "c_custkey",
+        (F.col("c_custkey") % 10).alias("cntrycode"),
+        "c_acctbal",
+    )
+    thr = (
+        pool.filter(F.col("c_acctbal") > 0.0)
+        .agg((dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2001-01-01")
+        .select("o_custkey")
+    )
+    return (
+        pool.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, pool["c_custkey"] == orders["o_custkey"], "leftanti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

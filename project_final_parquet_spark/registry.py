@@ -239,6 +239,8 @@ def _load_all() -> None:
     from .operators import (  # noqa: F401
         relational3,
         relational4,
+        relational5,
+        events_analytics2,
         llm_text2,
         llm_text3,
         similarity2,

@@ -211,3 +211,47 @@ def test_histogram_broadcasts_minmax(spark):
     f = facts_of(spark, "events_value_histogram")
     assert f.n_sortmerge_joins == 0  # stats row joins via broadcast NLJ
     assert f.n_hash_aggregates >= 2
+
+
+def test_q65_no_nested_loop_both_aggs_partial(spark):
+    """The decorrelated 30%-share compare stays an equi-join on
+    partkey; both aggregation branches keep partial+final stages."""
+    f = facts_of(spark, "q65_excess_share_suppliers")
+    assert f.n_nested_loop_joins == 0
+    assert f.n_hash_aggregates >= 4
+
+
+def test_q66_exists_pair_stays_equi(spark):
+    """EXISTS / NOT EXISTS decorrelate to semi/anti equi-joins on
+    l_orderkey; the suppkey<> residual must not demote them to
+    nested-loop."""
+    f = facts_of(spark, "q66_waiting_suppliers")
+    assert f.n_nested_loop_joins == 0
+    assert f.n_joins >= 4  # orders + semi + anti + supplier dim
+
+
+def test_q67_scalar_is_only_nlj(spark):
+    """The 1-row scalar-avg broadcast is the single permitted
+    BroadcastNestedLoopJoin; the NOT EXISTS must be a real anti
+    equi-join, not a second NLJ."""
+    f = facts_of(spark, "q67_dormant_rich_accounts")
+    assert f.n_nested_loop_joins <= 1
+    assert f.n_joins >= 2
+
+
+def test_sessionize_single_data_shuffle(spark):
+    """lag + running sum + both roll-ups all share the user_id
+    partitioning: one hash exchange, plus the final presentation
+    sort."""
+    f = facts_of(spark, "events_sessionize")
+    assert f.n_exchanges <= 2
+    assert f.n_joins == 0
+
+
+def test_rolling_distinct_day_grain_only(spark):
+    """The distinct-user merge happens on day-grain rows (bounded
+    cardinality): no joins, and the single-partition window sits
+    above the day aggregation, never over raw events."""
+    f = facts_of(spark, "events_rolling_distinct")
+    assert f.n_joins == 0
+    assert f.n_exchanges <= 3
