@@ -61,41 +61,67 @@ JVM_KMS_CLASS = "sparkgraft.pme.InMemoryKmsClient"
 KEY_LIST_PROPERTY = "sparkgraft.pme.key.list"
 
 _JVM_DIR = Path(__file__).resolve().parent / "jvm"
-_JAR = _JVM_DIR / "sparkgraft-pme-kms.jar"
 _JAVA_SRC = _JVM_DIR / "InMemoryKmsClient.java"
+# Build products live in a gitignored cache keyed by the source hash —
+# NO prebuilt jar is committed (unreviewable bytecode), every session
+# loads bytecode compiled from the reviewed .java in this checkout.
+_BUILD_DIR = _JVM_DIR / "build"
 
 
-def _build_jar() -> None:  # pragma: no cover - exercised on clean checkouts
+def _jar_path() -> Path:
+    src_hash = hashlib.sha256(_JAVA_SRC.read_bytes()).hexdigest()[:16]
+    return _BUILD_DIR / f"sparkgraft-pme-kms-{src_hash}.jar"
+
+
+def _resolve_dep_jar(jars: Path, pat: str) -> str:
+    matches = sorted(jars.glob(pat))
+    if not matches:
+        raise FileNotFoundError(
+            f"PME build dependency {pat!r} not found in {jars} "
+            f"(SPARK_HOME={os.environ.get('SPARK_HOME', '<unset>')}). "
+            "The JVM PME path needs the parquet/hadoop jars Spark ships."
+        )
+    # Deterministic pick: highest version sorts last.
+    return str(matches[-1])
+
+
+def _build_jar(jar: Path) -> None:
     """Compile the KmsClient from the committed source (javac 17 + the
     parquet/hadoop jars Spark already ships)."""
     spark_home = os.environ.get("SPARK_HOME", "/opt/spark")
     jars = Path(spark_home) / "jars"
     cp = os.pathsep.join(
-        str(next(jars.glob(pat)))
+        _resolve_dep_jar(jars, pat)
         for pat in (
             "parquet-hadoop-*.jar",
             "parquet-common-*.jar",
             "hadoop-client-api-*.jar",
         )
     )
-    classes = _JVM_DIR / "classes"
+    classes = _BUILD_DIR / "classes"
     subprocess.run(
         ["javac", "-encoding", "UTF-8", "-proc:none", "-cp", cp,
          "-d", str(classes), str(_JAVA_SRC)],
         check=True,
     )
+    tmp = jar.with_suffix(".jar.tmp")
     subprocess.run(
-        ["jar", "cf", str(_JAR), "-C", str(classes), "."], check=True
+        ["jar", "cf", str(tmp), "-C", str(classes), "."], check=True
     )
+    os.replace(tmp, jar)
 
 
 def ensure_pme_jar(spark: SparkSession) -> str:
     """Make the KMS jar visible to this session's executors (idempotent;
-    addJar is the one session-global step — confs stay per-operation)."""
-    if not _JAR.exists():
-        _build_jar()
-    spark.sparkContext._jsc.addJar(str(_JAR))
-    return str(_JAR)
+    addJar is the one session-global step — confs stay per-operation).
+    Always built from the committed .java source, cached by source hash
+    (a source edit invalidates the cache and recompiles)."""
+    jar = _jar_path()
+    if not jar.exists():
+        _BUILD_DIR.mkdir(parents=True, exist_ok=True)
+        _build_jar(jar)
+    spark.sparkContext._jsc.addJar(str(jar))
+    return str(jar)
 
 
 def _crypto_options(key_ids: list[str]) -> dict[str, str]:

@@ -109,9 +109,19 @@ def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- candidate-generation quality measurement ------------------------------
 
-_EV_SAMPLE_SQL = (
-    "substr(md5(CAST(doc_id AS VARCHAR) || ':ev'), 1, 1) "
-    "IN ('0', '1', '2', '3')"
+# ABSOLUTE truth-universe cap: the all-pairs ground truth runs on the
+# EVAL_TRUTH_CAP docs with the lowest md5(doc_id:ev) — a deterministic
+# top-k (TakeOrderedAndProject), so the truth stage is O(CAP²) pairs at
+# ANY corpus size. A fixed *fraction* (the round-2 form: 1/4 hash
+# sample) still explodes quadratically at 100 TB; a fixed count never
+# does. CAP=256 binds even at sf0.01 (500 docs), so the capped path is
+# what tests exercise.
+EVAL_TRUTH_CAP = 256
+
+_EV_UNIVERSE_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR) || ':ev'), doc_id "
+    f"LIMIT {EVAL_TRUTH_CAP}"
 )
 
 
@@ -124,7 +134,7 @@ def _eval_oracle() -> str:
     )
     return f"""
     WITH universe AS (
-      SELECT doc_id, text FROM documents WHERE {_EV_SAMPLE_SQL}
+      {_EV_UNIVERSE_SQL}
     ),
     tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM universe),
     sh AS (SELECT doc_id, {_SH3_SQL} AS sh FROM tok),
@@ -178,27 +188,30 @@ def _eval_oracle() -> str:
 @query("dedup_eval_recall", oracle=_eval_oracle())
 def dedup_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured quality of the MinHash+LSH candidate stage vs exact
-    all-pairs Jaccard ground truth, on a deterministic 1/4 hash sample
-    of the corpus — the "measure, don't guess" eval harness for the
-    dedup family. Emits candidate-stage recall and precision (×1000,
-    integer floor) against truth = pairs with Jaccard ≥ 0.5.
+    all-pairs Jaccard ground truth, on the ``EVAL_TRUTH_CAP`` (=256)
+    docs with the lowest eval-hash — the "measure, don't guess" eval
+    harness for the dedup family. Emits candidate-stage recall and
+    precision (×1000, integer floor) against truth = pairs with
+    Jaccard ≥ 0.5.
 
-    The all-pairs ground truth is intentionally confined to the hash
-    sample: evaluation runs on a sampled universe at any corpus size
-    (O((n/16)²) pairs on n docs here), while the LSH path being
-    measured is the 100 TB-scale path. Verified candidates are a subset
-    of truth by construction (same threshold, same Jaccard), so recall
-    is verified/truth and the candidate stage's precision is
+    The all-pairs ground truth is confined to an ABSOLUTE-size sampled
+    universe: the truth stage is O(CAP²) pairs regardless of corpus
+    size (a fractional sample would still be quadratic at 100 TB),
+    selected by deterministic hash order so the sample is unbiased and
+    stable across runs/cluster sizes; the top-k itself is a
+    TakeOrderedAndProject, no global sort. Verified candidates are a
+    subset of truth by construction (same threshold, same Jaccard), so
+    recall is verified/truth and the candidate stage's precision is
     verified/candidates."""
     from .dedup import _JACCARD_T, _minhash_candidates, _shingles3, _toks
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    universe = docs.filter(
-        F.substring(
+    universe = (
+        docs.orderBy(
             F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ev"))),
-            1,
-            1,
-        ).isin("0", "1", "2", "3")
+            "doc_id",
+        )
+        .limit(EVAL_TRUTH_CAP)
     )
 
     sh = universe.select("doc_id", _shingles3(_toks()).alias("sh"))

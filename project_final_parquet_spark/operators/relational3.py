@@ -396,8 +396,9 @@ def q55_sequence_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q56_decimal_exact",
     oracle="""
     SELECT o_orderstatus,
-           SUM(CAST(o_orderkey % 100000 AS DECIMAL(18,2))
-               * CAST('0.01' AS DECIMAL(4,2))) AS sum_cents,
+           CAST(CAST(SUM(CAST(o_orderkey % 100000 AS DECIMAL(18,2))
+               * CAST('0.01' AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE)
+               AS sum_cents,
            COUNT(*) AS n
     FROM orders
     GROUP BY o_orderstatus
@@ -407,9 +408,16 @@ def q55_sequence_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q56_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DECIMAL arithmetic: integer-derived decimal amounts scaled
     by a DECIMAL factor (division would degrade to DOUBLE in DuckDB) and
-    summed without float involvement — bit-identical across engines and
-    insensitive to aggregation order (what money columns should use
-    instead of double)."""
+    summed without float involvement — insensitive to aggregation order
+    (what money columns should use instead of double).
+
+    The SUM itself is exact decimal; only the FINAL result is cast to
+    DOUBLE for output (registry convention #2): Spark types the sum
+    DECIMAL(33,4), DuckDB DECIMAL(38,4), and the two clients render raw
+    decimals differently (round-2 driver hash mismatch). The sum's
+    magnitude (scale 4, < 2^49) is exactly representable in double, so
+    the cast loses nothing; DuckDB goes through VARCHAR because its
+    direct DECIMAL->DOUBLE cast is not correctly rounded."""
     orders = load(spark, sf_dir, "orders")
     cents = (F.col("o_orderkey") % 100000).cast("decimal(18,2)") * F.lit(
         "0.01"
@@ -417,7 +425,7 @@ def q56_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_orderstatus")
         .agg(
-            F.sum(cents).alias("sum_cents"),
+            F.sum(cents).cast("double").alias("sum_cents"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("o_orderstatus")

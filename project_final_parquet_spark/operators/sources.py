@@ -67,19 +67,34 @@ def src_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def staged_binary_dir(spark: SparkSession, sf_dir: str, n: int = 20) -> str:
     """Stage the first ``n`` documents as standalone .bin files (stand-in
-    for a directory of media blobs)."""
+    for a directory of media blobs).
+
+    Executor-side export: each task writes its own partition's blobs
+    directly (``foreachPartition``), never routing bytes through the
+    driver — the same shape a 100 TB blob export takes, where tasks
+    write to shared object storage. Local mode shares one filesystem,
+    so the files land in place; a driver-written marker records
+    completion (task-level writes are idempotent per doc_id)."""
     path = os.path.join(_IO_ROOT, os.path.basename(sf_dir.rstrip("/")), "blobs")
-    if not os.path.isdir(path) or len(os.listdir(path)) != n:
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
         os.makedirs(path, exist_ok=True)
-        rows = (
+
+        def write_blobs(rows):  # nested: pickled by value to executors
+            for r in rows:
+                tmp = os.path.join(path, f".{r.doc_id:06d}.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(r.text.encode())
+                os.replace(tmp, os.path.join(path, f"{r.doc_id:06d}.bin"))
+
+        (
             load(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < n)
             .select("doc_id", "text")
-            .collect()
+            .foreachPartition(write_blobs)
         )
-        for r in rows:
-            with open(os.path.join(path, f"{r.doc_id:06d}.bin"), "wb") as f:
-                f.write(r.text.encode())
+        with open(marker, "w") as f:
+            f.write(str(n))
     return path
 
 
@@ -116,38 +131,30 @@ def src_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corrupt_json_path(spark: SparkSession, sf_dir: str) -> str:
     """Stage a JSON-lines fixture with deterministic corruption: orders
     with o_orderkey < 400; every key divisible by 10 becomes a broken
-    line. Driver-side setup code (like the .bin staging above), not the
-    query path."""
-    import json
-
+    line. Spark-native staging: the lines are BUILT as a column
+    (``to_json`` for good rows, a literal broken fragment for corrupt
+    ones) and written with ``df.write.text`` — no driver-side loop, so
+    the same code stages a 100 TB fixture (drop the ``coalesce``)."""
     path = os.path.join(
-        _IO_ROOT, os.path.basename(sf_dir.rstrip("/")), "orders_corrupt.json"
+        _IO_ROOT, os.path.basename(sf_dir.rstrip("/")), "orders_corrupt_json"
     )
-    if not os.path.exists(path):
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        rows = (
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        key = F.col("o_orderkey")
+        (
             load(spark, sf_dir, "orders")
-            .filter(F.col("o_orderkey") < 400)
-            .select("o_orderkey", "o_totalprice")
-            .orderBy("o_orderkey")
-            .collect()
+            .filter(key < 400)
+            .select(
+                F.when(key % 10 == 0, F.lit('{"o_orderkey": BROKEN'))
+                .otherwise(
+                    F.to_json(F.struct("o_orderkey", "o_totalprice"))
+                )
+                .alias("value")
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(path)
         )
-        tmp = path + ".tmp"
-        with open(tmp, "w") as fh:
-            for r in rows:
-                if r.o_orderkey % 10 == 0:
-                    fh.write('{"o_orderkey": BROKEN\n')
-                else:
-                    fh.write(
-                        json.dumps(
-                            {
-                                "o_orderkey": r.o_orderkey,
-                                "o_totalprice": r.o_totalprice,
-                            }
-                        )
-                        + "\n"
-                    )
-        os.replace(tmp, path)
     return path
 
 

@@ -66,14 +66,28 @@ def test_jvm_pme_keyless_session_cannot_read(jvm_pme_dir):
             spark.read.parquet({path!r}).count()
             print("READ_OK")
         except Exception as e:
-            print("READ_FAILED")
+            # Emit the exception chain so the asserting side can verify
+            # the failure is FOOTER DECRYPTION, not startup/path/OOM.
+            seen, cur = [], e
+            while cur is not None and len(seen) < 8:
+                seen.append(f"{{type(cur).__name__}}: {{cur}}")
+                cur = cur.__cause__
+            print("READ_FAILED :: " + " | ".join(seen))
         """
     )
     out = subprocess.run(
         [sys.executable, "-c", script], capture_output=True, text=True,
         timeout=300,
     )
-    assert "READ_FAILED" in out.stdout
+    assert "READ_FAILED" in out.stdout, out.stdout + out.stderr
+    # The denial must come from parquet-mr's crypto layer (encrypted
+    # footer without keys), not from any incidental failure.
+    failure = out.stdout[out.stdout.index("READ_FAILED") :]
+    assert (
+        "ParquetCrypto" in failure
+        or "encrypted footer" in failure.lower()
+        or "no encryption key list" in failure.lower()
+    ), failure
 
 
 # --- pyarrow fallback -------------------------------------------------------

@@ -34,7 +34,13 @@ def canon_val(v) -> str:
     if isinstance(v, (np.integer,)):
         return str(int(v))
     if isinstance(v, Decimal):
-        return canon_val(float(v))
+        # Raw string, scale preserved — NOT float(): float() hid exactly
+        # the rendering difference the driver hash caught on round-2
+        # q56 (Spark DECIMAL(33,4) vs DuckDB DECIMAL(38,4)). Stricter
+        # than any reasonable driver canon: queries must not emit raw
+        # DECIMAL output at all (registry convention #2 — cast the final
+        # exact sum to DOUBLE on both sides).
+        return str(v)
     if isinstance(v, (datetime, date)):
         return v.isoformat()
     if isinstance(v, np.datetime64):
