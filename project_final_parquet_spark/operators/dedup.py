@@ -426,16 +426,20 @@ def _minhash_pairs_sql() -> str:
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resolve near-dup pairs into duplicate CLUSTERS: connected
-    components by min-label propagation WITH pointer doubling — each
-    round hops one edge and then jumps label→label-of-label, so
-    {_CC_ITERS} rounds converge for component diameter ≤ 2^{_CC_ITERS}
-    (= 16; this corpus's clusters are pairs/triples). The survivor of
-    each cluster is its component_id (lowest doc_id). Oracle: DuckDB
-    recursive CTE computing the exact min reachable label.
+    components by min-label propagation WITH pointer doubling,
+    iterating UNTIL THE FIXED POINT (``connected_components_converged``
+    — a round that changes no label is exact convergence, so the result
+    equals the oracle's exact min-reachable-label regardless of round
+    count; this corpus needs 2 rounds where the round-2 fixed form
+    always ran 4). The survivor of each cluster is its component_id
+    (lowest doc_id). Oracle: DuckDB recursive CTE computing the exact
+    min reachable label.
 
     At 100 TB this is the standard large-graph CC pattern: each round is
     two joins + a min-aggregate, iteration count logarithmic in the
-    diameter thanks to the doubling step."""
+    diameter thanks to the doubling step, and the convergence probe
+    (one anti-join count per round) means no diameter assumption is
+    baked in — a 2^4-diameter chain can't be silently split."""
     # checkpoint the PAIR LIST once (the expensive minhash pipeline runs
     # exactly one pass, unordered, nothing stays cached); the union then
     # reads the materialized pairs twice for free. Lineage truncation per
@@ -453,7 +457,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnsRenamed({"doc_a": "u", "doc_b": "v"})
-    labels = connected_components(edges, _CC_ITERS)
+    labels, _rounds = connected_components_converged(edges)
     return labels.select(
         F.col("u").alias("doc_id"), F.col("label").alias("component_id")
     ).orderBy("doc_id")

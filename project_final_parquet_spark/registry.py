@@ -153,6 +153,9 @@ _GATE_FIRST = [
     "q67_dormant_rich_accounts",
     "events_sessionize",
     "events_rolling_distinct",
+    # re-gate: implementation swapped to the convergence-detecting form
+    # in round 3 (r1-green under the fixed-iteration form)
+    "dedup_cluster_components",
 ]
 
 

@@ -53,6 +53,49 @@ def test_cc_converged_survives_diameter_beyond_fixed_budget(spark):
     assert rounds <= 8  # log-diameter + 1 detection round, not 32
 
 
+def test_pagerank_eps_stop_bounds_final_error(spark, sf_dir):
+    # eps-stop PageRank: terminates well under the budget, and the
+    # geometric tail bound holds — once a round's max delta < eps, all
+    # later movement is < eps * damp/(1-damp) ≈ 5.67·eps, so ranks are
+    # within 6.7·eps of a longer fixed run.
+    from project_final_parquet_spark.operators.graph import (
+        _ITERS,
+        graph_pagerank,
+        graph_pagerank_converged,
+    )
+
+    # deltas shrink 0.85× per round, so rounds-to-eps ≈ ln(Δ₁/eps)/0.1625
+    # — eps=0.02 lands ≈ 30 rounds on this graph, safely inside budget
+    eps = 0.02
+    top, rounds = graph_pagerank_converged(spark, sf_dir, eps=eps, max_iters=45)
+    assert _ITERS < rounds < 45  # converged past the gated form's budget
+    got = {r.node_id: r.rank for r in top.collect()}
+    # reference: a fixed run 5 rounds longer (safely past the stop)
+    from project_final_parquet_spark.operators.graph import (
+        _pagerank_ranks,
+        _SUPP_OFFSET,
+    )
+    from project_final_parquet_spark.tables import load
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pair = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("v"),
+        )
+        .distinct()
+    )
+    edges = pair.union(
+        pair.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    longer, _ = _pagerank_ranks(edges, deg, iters=rounds + 5)
+    ref = {r.u: r.rank for r in longer.collect()}
+    assert all(abs(ref[n] - got[n]) < 6.7 * eps for n in got)
+
+
 def test_kmeans_converged_equals_fixed_point(spark, sf_dir):
     sizes, rounds = ml_kmeans_converged(spark, sf_dir, max_iters=25)
     got = [(r.cluster_id, r.n_points, r.min_vec_id) for r in sizes.collect()]
