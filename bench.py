@@ -53,6 +53,11 @@ HEADLINE = [
     "text_bm25_rank",
     "graph_pagerank",
     "stream_static_enrich",
+    # round-3 additions: heaviest families that had no bench coverage
+    "scd2_build",
+    "dedup_containment",
+    "q63_hll_sketch_union",
+    "pipeline_e2e_pretrain",
 ]
 
 
