@@ -135,3 +135,69 @@ def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- exponentially weighted moving average ---------------------------------
+
+# EWMA needs a recursive state; the cross-engine-exact form bounds the
+# memory to 8 taps so the whole thing is ONE fixed arithmetic expression
+# over lag() columns — identical text on both engines, so IEEE-double
+# evaluation order is identical and the result is bit-exact. (The
+# geometric tail beyond 8 taps is < 0.4% of the weight at alpha=0.5.)
+_EWMA_EXPR = (
+    "("
+    "value"
+    + "".join(f" + {0.5 ** k!r} * COALESCE(l{k}, 0.0)" for k in range(1, 8))
+    + ") / (1.0"
+    + "".join(
+        f" + CASE WHEN l{k} IS NULL THEN 0.0 ELSE {0.5 ** k!r} END"
+        for k in range(1, 8)
+    )
+    + ")"
+)
+
+
+@query(
+    "events_ewma",
+    oracle=f"""
+    WITH lagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+             {", ".join(
+               f"LAG(value, {k}) OVER (PARTITION BY user_id "
+               f"ORDER BY epoch_us(ts), event_id) AS l{k}"
+               for k in range(1, 8))}
+      FROM events WHERE user_id < 5
+    )
+    SELECT user_id, event_id, ts_us,
+           {_EWMA_EXPR} AS ewma8
+    FROM lagged
+    ORDER BY user_id, ts_us, event_id
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average (alpha=0.5) over
+    each user's ordered event values, truncated at 8 taps — the
+    trend-smoothing signal of monitoring/feature pipelines. Weights
+    renormalize over the taps actually present, so early rows are
+    unbiased rather than damped toward zero.
+
+    Scale: one user_id shuffle; the 8 lag() columns share a single
+    window sort (one pass per partition run). The 8-tap truncation is
+    what makes EWMA distributable-exact: the untruncated recurrence
+    needs sequential state, while this form is a stateless expression
+    any engine evaluates identically."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "value",
+        *[F.lag("value", k).over(w).alias(f"l{k}") for k in range(1, 8)],
+    )
+    return lagged.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.expr(_EWMA_EXPR).alias("ewma8"),
+    ).orderBy("user_id", "ts_us", "event_id")

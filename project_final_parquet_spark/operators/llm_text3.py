@@ -267,3 +267,197 @@ def text_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_rarity_x100"
         ),
     ).orderBy("doc_id")
+
+
+# --- boilerplate n-gram detection ------------------------------------------
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(len(t) - 4),
+               i -> concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4], t[i+5]))))
+               AS gram
+      FROM tok
+    )
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM grams
+    GROUP BY gram
+    HAVING COUNT(*) >= 2
+    ORDER BY n_docs DESC, gram
+    LIMIT 50
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: word 5-grams shared by ≥2 documents
+    (counted once per doc — document frequency, not raw frequency), top
+    50. The CommonCrawl-style cleaning primitive: shared headers /
+    footers / license blocks surface as high-document-frequency long
+    n-grams, and the result set drives a removal pass (semi-join back
+    on the gram). On this corpus the hits are exactly the near-dup
+    cluster overlaps.
+
+    Scale: per-doc distinct 5-grams via the slice+arrays_zip shingle
+    pattern (dedup.py:_ngrams — no quadratic HOF re-evaluation), one
+    explode, one count-by-gram with map-side partials, top-k via
+    TakeOrdered. Document frequency means hot grams count once per doc,
+    bounding skew by corpus doc count, not token count."""
+    from .dedup import _ngrams, _toks
+
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_ngrams(_toks(), 5)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "gram")
+        .limit(50)
+    )
+
+
+# --- one BPE merge round ----------------------------------------------------
+
+
+@query(
+    "text_bpe_merge_pairs",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    words AS (SELECT unnest(t) AS w FROM tok),
+    pairs AS (
+      SELECT unnest(list_transform(range(len(w) - 1),
+               i -> substr(w, CAST(i + 1 AS INT), 2))) AS pair
+      FROM words
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One byte-pair-encoding merge round: corpus-wide counts of
+    adjacent symbol pairs inside words (every occurrence, not distinct)
+    — the argmax pair is BPE's next merge; top 20 shown. Iterating this
+    count→merge→recount loop IS tokenizer vocabulary induction, and
+    each round is exactly this shape.
+
+    Scale: explode to (pair) and count with map-side combine — the
+    classic word-count plan; no vocabulary table materializes anywhere,
+    and the per-word pair list is length-bounded by word length. The
+    empty-sequence guard matters: single-char words yield no pairs
+    (Spark's sequence() DESCENDS when stop < start — guarded with
+    when())."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    pair_arr = F.when(
+        F.length("w") >= 2,
+        F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        words.select(F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
+# --- deterministic Poisson bootstrap ---------------------------------------
+
+# Poisson(1) inverse-CDF thresholds on a 32-bit hash (floor(cdf·2^32)):
+# weight w = #{thresholds <= h32}, so P(w=k) matches Poisson(1) to
+# 2^-32. Shared literals keep both engines bit-identical.
+_POIS_T = [1580030168, 3160060337, 3950075421, 4213413783, 4279248373]
+_N_BOOT = 16
+
+
+@query(
+    "bootstrap_token_stats",
+    oracle=f"""
+    WITH reps AS (
+      SELECT d.doc_id,
+             len(string_split(d.text, ' ')) AS n_tok,
+             b.b,
+             CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':bs:'
+                  || CAST(b.b AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range({_N_BOOT})) AS b) b
+    ),
+    weighted AS (
+      SELECT b, n_tok,
+             {" + ".join(f"CASE WHEN h32 >= {t} THEN 1 ELSE 0 END"
+                         for t in _POIS_T)} AS w
+      FROM reps
+    )
+    SELECT CAST(b AS INT) AS replicate,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(w * n_tok) AS BIGINT) AS tok_sum,
+           CAST((1000 * SUM(w * n_tok)) // SUM(w) AS BIGINT)
+             AS mean_tok_x1000
+    FROM weighted
+    GROUP BY b
+    ORDER BY replicate
+    """,
+)
+def bootstrap_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap: {_N_BOOT} resampling replicates
+    of the corpus token-count mean, each document drawn Poisson(1)
+    times per replicate via inverse-CDF on a content hash — the
+    distributed bootstrap (Chamandy et al., "Estimating uncertainty for
+    massive data streams", Google 2012): no replicate ever
+    materializes, resampling is a per-row integer weight, and the
+    spread of the 16 means IS the standard error of the corpus mean.
+
+    Scale: one pass, map-side weights, one {_N_BOOT}-group partial agg;
+    hash-derived weights make every replicate reproducible on any
+    cluster size (rand() would be none of this). Integer-only output
+    (mean ×1000, floor) per the determinism conventions."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    reps = docs.select(
+        "doc_id",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_BOOT - 1))).alias("b"),
+    )
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":bs:"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = sum(
+        F.when(h32 >= t, 1).otherwise(0) for t in _POIS_T
+    )
+    weighted = reps.select(F.col("b"), "n_tok", w.alias("w"))
+    return (
+        weighted.groupBy(F.col("b").cast("int").alias("replicate"))
+        .agg(
+            F.sum("w").alias("n_eff"),
+            F.sum(F.col("w") * F.col("n_tok")).alias("tok_sum"),
+        )
+        .select(
+            "replicate",
+            "n_eff",
+            "tok_sum",
+            F.expr("CAST((1000 * tok_sum) DIV n_eff AS BIGINT)").alias(
+                "mean_tok_x1000"
+            ),
+        )
+        .orderBy("replicate")
+    )

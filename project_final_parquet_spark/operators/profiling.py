@@ -172,3 +172,67 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(one("lineitem_qty_positive", bad_qty))
     )
     return out.orderBy("check_name")
+
+
+_NSCALE = 1_000_000_000  # squared-norm fixed-point quantum
+
+
+@query(
+    "embeddings_norm_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT label,
+             list_aggregate(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                               * {_NSCALE}.0) AS BIGINT)), 'sum') AS ssq
+      FROM embeddings
+    )
+    SELECT CAST(label AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(CASE WHEN ssq < 1000000 THEN 1 END) AS BIGINT)
+             AS n_degenerate,
+           CAST(MIN(ssq) AS BIGINT) AS min_ssq,
+           CAST(MAX(ssq) AS BIGINT) AS max_ssq,
+           CAST(CAST(SUM(ssq) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_ssq
+    FROM q
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embeddings_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-quality audit over the embedding column: per ground-truth
+    label, the distribution of squared L2 norms (fixed-point 1e-9
+    quanta) and a degenerate-vector count (norm² < 1e-3 — zero or
+    collapsed embeddings, the classic upstream-encoder failure that
+    silently poisons ANN recall). The embedding-table complement of
+    profile_table.
+
+    Scale: per-row map-side quantized fold (same integer-distance
+    convention as ml_kmeans/sim_ivf), then one label-keyed partial-agg
+    shuffle of 5 small rows; min/max/avg on exact BIGINTs, avg as
+    integer div — no float aggregation anywhere."""
+    emb = load(spark, sf_dir, "embeddings")
+    ssq = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * x.cast("double") * _NSCALE
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    q = emb.select("label", ssq.alias("ssq"))
+    return (
+        q.groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count(F.when(F.col("ssq") < 1_000_000, 1)).alias(
+                "n_degenerate"
+            ),
+            F.min("ssq").alias("min_ssq"),
+            F.max("ssq").alias("max_ssq"),
+            F.expr("CAST(SUM(ssq) DIV COUNT(*) AS BIGINT)").alias("avg_ssq"),
+        )
+        .orderBy("label")
+    )

@@ -191,3 +191,109 @@ def q67_dormant_rich_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "q68_revenue_mom_change",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT o_orderpriority,
+             strftime(o_orderdate, '%Y-%m') AS month,
+             {DSUM_SQL.format(expr="o_totalprice")} AS revenue
+      FROM orders
+      WHERE o_orderdate >= DATE '2000-01-01'
+        AND o_orderdate < DATE '2001-01-01'
+      GROUP BY o_orderpriority, strftime(o_orderdate, '%Y-%m')
+    )
+    SELECT o_orderpriority, month, revenue,
+           CASE WHEN LAG(revenue) OVER w IS NULL
+                  OR LAG(revenue) OVER w = 0.0 THEN NULL
+                ELSE (revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w
+           END AS mom_change
+    FROM monthly
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+    ORDER BY o_orderpriority, month
+    """,
+)
+def q68_revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change per order priority (one year):
+    the reporting-layer lag-ratio pattern. Monthly revenue uses the
+    exact decimal-sum convention; the MoM ratio is then ONE double
+    division of two already-deterministic doubles (guarded NULL on a
+    missing or zero base month, the ANSI-mode-safe form).
+
+    Month keys are yyyy-MM STRINGS on both engines — date_trunc returns
+    a TZ-dependent timestamp in Spark (the tz-sweep trap), strings
+    don't. One (priority, month) shuffle + one tiny window per
+    priority."""
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "2000-01-01")
+        & (F.col("o_orderdate") < "2001-01-01")
+    )
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    w = W.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        "revenue",
+        F.when(
+            prev.isNull() | (prev == 0.0), F.lit(None).cast("double")
+        )
+        .otherwise((F.col("revenue") - prev) / prev)
+        .alias("mom_change"),
+    ).orderBy("o_orderpriority", "month")
+
+
+@query(
+    "q69_variant_shred",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT) AS k_sum,
+           CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k')
+                AS INT)) AS BIGINT) AS k_distinct,
+           CAST(COUNT(CASE WHEN json_extract_string(props, '$.missing')
+                IS NULL THEN 1 END) AS BIGINT) AS n_missing_path
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q69_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through the VARIANT type (Spark 4):
+    ``parse_json`` once into a binary-encoded variant, then typed-path
+    access with ``variant_get`` / null-safe ``try_variant_get`` — the
+    modern engine path for heterogeneous JSON at scale (parse once,
+    access many, no per-access string re-parse the get_json_object form
+    pays; q24/q34 keep the classic forms for contrast). The oracle is
+    engine-neutral JSON extraction — VARIANT is an encoding, not a
+    semantics change, which this equality demonstrates.
+
+    Scale: shredding is map-side; one event_type partial-agg shuffle;
+    the distinct ride-along re-shuffles (type, k) pairs — bounded by
+    value cardinality."""
+    ev = load(spark, sf_dir, "events")
+    shredded = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        F.expr(
+            "try_variant_get(parse_json(props), '$.missing', 'int')"
+        ).alias("m"),
+    )
+    return (
+        shredded.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.countDistinct("k").alias("k_distinct"),
+            F.count(F.when(F.col("m").isNull(), 1)).alias("n_missing_path"),
+        )
+        .orderBy("event_type")
+    )

@@ -194,3 +194,84 @@ def src_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_good_price"
         ),
     )
+
+
+def federated_paths(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Stage the same orders slice (o_orderkey < 1000) in three formats
+    — parquet, CSV, JSON lines — via Spark-native writes (once per
+    sf)."""
+    base = os.path.join(
+        _IO_ROOT, os.path.basename(sf_dir.rstrip("/")), "federated"
+    )
+    paths = {fmt: os.path.join(base, fmt) for fmt in ("parquet", "csv", "json")}
+    slice_df = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    for fmt, path in paths.items():
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            w = slice_df.coalesce(1).write.mode("overwrite")
+            if fmt == "csv":
+                w.option("header", "true").csv(path)
+            elif fmt == "json":
+                w.json(path)
+            else:
+                w.parquet(path)
+    return paths
+
+
+@query(
+    "src_federated_union",
+    oracle=f"""
+    WITH slice AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey < 1000
+    ),
+    fmts AS (
+      SELECT * FROM (VALUES ('csv'), ('json'), ('parquet')) t(fmt)
+    )
+    SELECT fmt, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {DSUM_SQL.format(expr="o_totalprice")} AS sum_price
+    FROM slice CROSS JOIN fmts
+    GROUP BY fmt, o_orderstatus
+    ORDER BY fmt, o_orderstatus
+    """,
+)
+def src_federated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated read: the SAME logical table served from parquet, CSV
+    (schema re-applied on read), and JSON lines, unioned by name with a
+    format lineage column and aggregated — the heterogeneous-lake
+    pattern where one query spans curated parquet plus raw landing
+    formats. Value equality across formats doubles as a round-trip
+    fidelity check for each connector (the oracle is format-agnostic:
+    the clean slice × 3 labels).
+
+    Scale: each format is its own distributed scan (CSV/JSON splittable
+    per-line, parquet per-rowgroup); unionByName concatenates plans
+    without a shuffle; the single shuffle is the final partial-agg on
+    (fmt, status)."""
+    paths = federated_paths(spark, sf_dir)
+    schema = "o_orderkey long, o_orderstatus string, o_totalprice double"
+    parts = [
+        spark.read.schema(schema).parquet(paths["parquet"]).withColumn(
+            "fmt", F.lit("parquet")
+        ),
+        spark.read.schema(schema)
+        .option("header", "true")
+        .csv(paths["csv"])
+        .withColumn("fmt", F.lit("csv")),
+        spark.read.schema(schema).json(paths["json"]).withColumn(
+            "fmt", F.lit("json")
+        ),
+    ]
+    df = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return (
+        df.groupBy("fmt", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+        .orderBy("fmt", "o_orderstatus")
+    )

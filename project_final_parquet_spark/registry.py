@@ -156,6 +156,18 @@ _GATE_FIRST = [
     # re-gate: implementation swapped to the convergence-detecting form
     # in round 3 (r1-green under the fixed-iteration form)
     "dedup_cluster_components",
+    # round-3 additions (never gated; round-4 window with the above)
+    "pack_sequences",
+    "curriculum_order",
+    "scd2_point_in_time_join",
+    "text_boilerplate_ngrams",
+    "text_bpe_merge_pairs",
+    "events_ewma",
+    "q68_revenue_mom_change",
+    "embeddings_norm_audit",
+    "q69_variant_shred",
+    "src_federated_union",
+    "bootstrap_token_stats",
 ]
 
 
@@ -223,6 +235,7 @@ def _load_all() -> None:
         similarity5,
         udtf_ops,
         pipeline,
+        pipeline2,
         events_analytics,
         encrypted,
         asof,
