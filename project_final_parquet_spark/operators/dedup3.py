@@ -1,0 +1,162 @@
+"""Semantic deduplication (SemDeDup-style): k-means cluster the
+embedding space, then drop near-duplicates *within* each cluster by
+exact cosine — the embedding-space analogue of MinHash-LSH dedup, and
+the standard semantic-dedup recipe for LLM pretraining corpora
+(Abbas et al., "SemDeDup", 2023 — public method).
+
+Not in the reference (its surface is the encrypted-columnar demo,
+SURVEY.md §2.1); this is part of the mandated LLM-pipeline extension
+family alongside operators/dedup.py (token-space) and
+operators/similarity.py (ANN retrieval).
+
+Determinism discipline (same conventions as ml_kmeans / sim_centroids):
+- clustering: one assignment pass against fixed seed centroids
+  (embeddings vec_id < K) — squared-L2 summed as floor-scaled BIGINTs,
+  argmin by integer compare with cluster-id tie-break. The production
+  form would run ml_kmeans_converged first; a single deterministic pass
+  keeps the cross-engine oracle exact while exercising the identical
+  plan shape (broadcast centroids → map-side assignment, no shuffle).
+- cosine: double-precision dot/norm folded in array order — the exact
+  convention dedup_embedding_cosine already gates green with.
+- drop rule: a vector is a duplicate iff some cluster-mate with a
+  LOWER vec_id has cosine ≥ τ; its canonical is the lowest such mate.
+  (SemDeDup keeps the vector closest to the centroid; seniority rank is
+  the deterministic, join-free variant of that choice.)
+
+Scale (100 TB): assignment is a broadcast of K×64 floats + one map-side
+argmin — no shuffle. The pair join shuffles once on the cluster id; its
+cost is Σ|cluster|², which is exactly the knob K controls (SemDeDup runs
+K ≈ √N .. 100k so clusters stay ~10³). Skewed/oversized clusters get the
+same tile-salting treatment as dedup_ngram_jaccard's hot blocks
+(tests/test_tiled_blocks.py) — the bound is structural, not data-luck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+from .similarity import _DOT_SQL, _NORM_SQL, _dot, _norm
+
+_K = 4  # seed clusters (vec_id < _K); production: ml_kmeans_converged
+_DIM = 64
+_DSCALE = 1_000_000_000_000  # (v-c)^2 ~ 1e-4 → integer-exact argmin
+_TAU = 0.35  # intra-cluster cosine above which the junior vector drops
+
+
+def _sq_dist_int(vec, cent):
+    """Σ_d floor((v_d - c_d)² · S) as BIGINT — bit-deterministic
+    cross-engine distance (ml_kmeans convention)."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            cent,
+            lambda x, c: F.floor(
+                (x.cast("double") - c.cast("double"))
+                * (x.cast("double") - c.cast("double"))
+                * F.lit(float(_DSCALE))
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+_SQL_DIST = f"""list_aggregate(list_transform(range({_DIM}),
+  d -> CAST(floor((CAST({{v}}[d+1] AS DOUBLE) - CAST({{c}}[d+1] AS DOUBLE))
+       * (CAST({{v}}[d+1] AS DOUBLE) - CAST({{c}}[d+1] AS DOUBLE))
+       * {_DSCALE}.0) AS BIGINT)), 'sum')"""
+
+_SQL_COS = (
+    _DOT_SQL.format(dim=_DIM, a="a.embedding", b="b.embedding")
+    + f""" / ({_NORM_SQL.format(dim=_DIM, a='a.embedding')}
+         * {_NORM_SQL.format(dim=_DIM, a='b.embedding')})"""
+)
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+    WITH assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c0.vec_id AS cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_DIST.format(v='e.embedding',
+                                            c='c0.embedding')},
+                          c0.vec_id
+               ) AS rn
+        FROM embeddings e
+        CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id < {_K}) c0
+      ) ranked WHERE rn = 1
+    ),
+    dup_pairs AS (
+      SELECT b.vec_id AS vec_id, a.cid AS cluster,
+             a.vec_id AS dup_of, {_SQL_COS} AS cosine
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_SQL_COS} >= {_TAU}
+    )
+    SELECT vec_id, cluster, dup_of, cosine FROM (
+      SELECT vec_id, cluster, dup_of, cosine,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dup_of)
+               AS rn
+      FROM dup_pairs
+    ) t WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-scoped cosine near-dup removal. Returns the
+    DROPPED vectors — (vec_id, cluster, dup_of, cosine) where dup_of is
+    the lowest-id cluster-mate above τ (the survivor it duplicates);
+    `anti-join this against the corpus` is the keep-side of the
+    pipeline (same shape as dedup_exact → dedup_canonicalize)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    # broadcast K centroids; map-side integer argmin — no shuffle
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        _sq_dist_int(F.col("embedding"), F.col("cvec")).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    a = assign.select(
+        F.col("vec_id").alias("dup_of"),
+        F.col("embedding").alias("ea"),
+        F.col("cid").alias("cluster"),
+    )
+    b = assign.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("eb"),
+        F.col("cid").alias("cid_b"),
+    )
+    cosine = _dot(F.col("ea"), F.col("eb")) / (
+        _norm(F.col("ea")) * _norm(F.col("eb"))
+    )
+    pairs = (
+        a.join(
+            b,
+            (a.cluster == b.cid_b) & (F.col("dup_of") < F.col("vec_id")),
+        )
+        .select("vec_id", "cluster", "dup_of", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _TAU)
+    )
+    wb = Window.partitionBy("vec_id").orderBy("dup_of")
+    return (
+        pairs.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster", "dup_of", "cosine")
+        .orderBy("vec_id")
+    )

@@ -169,3 +169,264 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc", "vec_id")
         .limit(10)
     )
+
+
+# --- trained-codebook PQ ----------------------------------------------------
+
+_TSCALE = 1_000_000_000  # codeword-mean fixed-point quantum (ml_kmeans conv.)
+
+
+def _trained_oracle() -> str:
+    """One per-subspace k-means round on top of the seeded init, then
+    encode + ADC with the TRAINED codebook (init codeword kept for any
+    empty cell)."""
+    parts = [f"""
+WITH cbrows AS (
+  SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, embedding
+  FROM embeddings ORDER BY h, vec_id LIMIT {_K}
+),
+cb AS (SELECT list(embedding ORDER BY h, vec_id) AS cbs FROM cbrows),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+enc AS (
+  SELECT e.vec_id, e.label, e.embedding, cb.cbs, q.qv
+  FROM embeddings e CROSS JOIN cb CROSS JOIN q
+  WHERE e.vec_id <> 0
+),
+assign0 AS (
+  SELECT vec_id, label, embedding, cbs, qv,
+    {", ".join(
+        f"CAST(list_position(list_transform(cbs, "
+        f"cw -> {_sq_sub_sql('embedding', 'cw', t)}), "
+        f"list_aggregate(list_transform(cbs, "
+        f"cw -> {_sq_sub_sql('embedding', 'cw', t)}), 'min')) - 1 "
+        f"AS INTEGER) AS a{t}"
+        for t in range(_M)
+    )}
+  FROM enc
+)"""]
+    for t in range(_M):
+        off = t * _SUB
+        parts.append(f""",
+mean{t} AS (
+  SELECT a{t} AS code, d,
+         (CAST(SUM(CAST(floor(CAST(embedding[{off} + d + 1] AS DOUBLE)
+              * {_TSCALE}.0) AS BIGINT)) AS DOUBLE) / {_TSCALE}.0)
+           / COUNT(*) AS cd
+  FROM assign0 CROSS JOIN (SELECT unnest(range({_SUB})) AS d) dims
+  GROUP BY a{t}, d
+),
+tr{t} AS (
+  SELECT code, list(cd ORDER BY d) AS cw FROM mean{t} GROUP BY code
+),
+book{t} AS (
+  SELECT list(COALESCE(tr{t}.cw,
+           list_transform(range({_SUB}),
+             j -> CAST(cb.cbs[k.k + 1][{off} + j + 1] AS DOUBLE)))
+         ORDER BY k.k) AS tcb
+  FROM (SELECT unnest(range({_K})) AS k) k
+  LEFT JOIN tr{t} ON tr{t}.code = k.k
+  CROSS JOIN cb
+)""")
+    subsq = []
+    for t in range(_M):
+        off = t * _SUB
+        d = (
+            f"(CAST(embedding[{off}+j+1] AS DOUBLE) - tcb{t}[j+1])"
+        )
+        subsq.append(
+            f"list_transform(book{t}.tcb, tcb{t} -> "
+            f"list_aggregate(list_transform(range({_SUB}), "
+            f"j -> {d} * {d}), 'sum'))"
+        )
+    qsq = []
+    for t in range(_M):
+        off = t * _SUB
+        d = f"(CAST(qv[{off}+j+1] AS DOUBLE) - tcb{t}_keep[c{t}+1][j+1])"
+        qsq.append(
+            f"list_aggregate(list_transform(range({_SUB}), "
+            f"j -> {d} * {d}), 'sum')"
+        )
+    parts.append(f""",
+coded AS (
+  SELECT vec_id, label, qv,
+    {", ".join(f"book{t}.tcb AS tcb{t}_keep" for t in range(_M))},
+    {", ".join(
+        f"CAST(list_position({subsq[t]}, "
+        f"list_aggregate({subsq[t]}, 'min')) - 1 AS INTEGER) AS c{t}"
+        for t in range(_M)
+    )}
+  FROM assign0 {" ".join(f"CROSS JOIN book{t}" for t in range(_M))}
+)
+SELECT vec_id, label,
+  concat_ws('-', {", ".join(f"c{t}" for t in range(_M))}) AS pq_code,
+  {" + ".join(qsq)} AS adc
+FROM coded
+ORDER BY adc, vec_id
+LIMIT 10""")
+    return "".join(parts)
+
+
+@query("sim_pq_trained", oracle=_trained_oracle())
+def sim_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with a TRAINED codebook: one per-subspace k-means update
+    round (assign to the seeded init codewords, recompute each codeword
+    as the per-dimension mean of its assigned subvectors — empty cells
+    keep their init codeword), then encode + ADC top-10 exactly as
+    sim_pq_adc. This is real Jégou-style PQ training, cross-engine
+    exact via the scaled-integer mean convention (ml_kmeans'), compared
+    bit-for-bit against a DuckDB replica of the whole train+encode
+    chain.
+
+    Scale: training adds one (code, dim) partial-agg shuffle per
+    subspace — M×K×16 output rows total, independent of corpus size —
+    and the trained codebook broadcasts back like the static one;
+    encode/ADC stay map-side + TakeOrdered. More Lloyd rounds repeat
+    the same constant-size shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+
+    cbrows = (
+        emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(_K)
+    )
+    cb = cbrows.agg(
+        F.array_sort(
+            F.collect_list(F.struct("h", "vec_id", "embedding"))
+        ).alias("s")
+    ).select(F.transform("s", lambda r: r["embedding"]).alias("cbs"))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    enc = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(q))
+    )
+
+    def _sq_sub_vs16(full_col, sub_col, t: int):
+        # like _sq_sub, but the codeword side is ALREADY a 16-dim
+        # subvector (trained codebooks store subvectors, not full 64s)
+        sa = F.slice(full_col, t * _SUB + 1, _SUB)
+        return F.aggregate(
+            F.zip_with(
+                sa,
+                sub_col,
+                lambda x, y: (x.cast("double") - y)
+                * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def _argmin_init(t: int, name: str):
+        # closure factory (transform's 2-arg lambda would get the index)
+        dists = F.transform(
+            F.col("cbs"), lambda cw: _sq_sub(F.col("embedding"), cw, t)
+        )
+        return (
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(name)
+        )
+
+    def _argmin_trained(t: int, name: str):
+        dists = F.transform(
+            F.col(f"tcb{t}"),
+            lambda cw: _sq_sub_vs16(F.col("embedding"), cw, t),
+        )
+        return (
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(name)
+        )
+
+    assign0 = enc.select(
+        "vec_id",
+        "label",
+        "embedding",
+        "cbs",
+        "qv",
+        *[_argmin_init(t, f"a{t}") for t in range(_M)],
+    ).localCheckpoint()  # training reads it M times; encode once more
+
+    # per-subspace trained codebooks (each a 1-row [K][16] DOUBLE array)
+    books = []
+    for t in range(_M):
+        off = t * _SUB
+        sub = assign0.select(
+            F.col(f"a{t}").alias("code"),
+            F.posexplode(F.slice("embedding", off + 1, _SUB)).alias(
+                "d", "val"
+            ),
+        )
+        means = sub.groupBy("code", "d").agg(
+            (
+                (
+                    F.sum(
+                        F.floor(F.col("val").cast("double") * _TSCALE).cast(
+                            "long"
+                        )
+                    ).cast("double")
+                    / _TSCALE
+                )
+                / F.count(F.lit(1))
+            ).alias("cd")
+        )
+        trained = means.groupBy("code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cd"))),
+                lambda s: s["cd"],
+            ).alias("cw")
+        )
+        init_sub = cb.select(
+            F.posexplode("cbs").alias("k", "vec")
+        ).select(
+            "k",
+            F.transform(
+                F.slice("vec", off + 1, _SUB), lambda x: x.cast("double")
+            ).alias("init_cw"),
+        )
+        full = init_sub.join(trained, init_sub["k"] == trained["code"], "left")
+        book = full.select(
+            "k", F.coalesce("cw", "init_cw").alias("cw")
+        ).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "cw"))),
+                lambda s: s["cw"],
+            ).alias(f"tcb{t}")
+        )
+        books.append(book)
+
+    scored = assign0.select("vec_id", "label", "embedding", "qv")
+    for book in books:
+        scored = scored.crossJoin(F.broadcast(book))
+
+    codes = scored.select(
+        "vec_id",
+        "label",
+        "qv",
+        *[F.col(f"tcb{t}") for t in range(_M)],
+        *[_argmin_trained(t, f"c{t}") for t in range(_M)],
+    )
+
+    adc = None
+    for t in range(_M):
+        term = _sq_sub_vs16(
+            F.col("qv"),
+            F.element_at(F.col(f"tcb{t}"), F.col(f"c{t}") + 1),
+            t,
+        )
+        adc = term if adc is None else adc + term
+
+    return (
+        codes.select(
+            "vec_id",
+            "label",
+            F.concat_ws(
+                "-", *[F.col(f"c{t}").cast("string") for t in range(_M)]
+            ).alias("pq_code"),
+            adc.alias("adc"),
+        )
+        .orderBy("adc", "vec_id")
+        .limit(10)
+    )

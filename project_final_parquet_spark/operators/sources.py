@@ -275,3 +275,74 @@ def src_federated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt", "o_orderstatus")
     )
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str, n_buckets: int = 8):
+    """Register orders + customer as bucketed tables (bucketBy custkey,
+    one sorted file per bucket), writing data under _IO_ROOT so nothing
+    lands in the (unknown, possibly read-only) driver cwd warehouse.
+
+    Bucket metadata lives in the session catalog; a fresh driver session
+    re-registers over the existing files (mode=overwrite keeps the write
+    idempotent). repartition(n, key) before bucketBy(n, key) uses the
+    SAME murmur3 hash partitioning as the bucket spec, so each task owns
+    exactly one bucket → one sorted file per bucket."""
+    sfkey = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(_IO_ROOT, sfkey, "bucketed")
+    names = {}
+    for tbl, key, cols in (
+        ("orders", "o_custkey", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        ("customer", "c_custkey", ["c_custkey", "c_mktsegment"]),
+    ):
+        name = f"bkt_{tbl}_{sfkey}"
+        names[tbl] = name
+        if not spark.catalog.tableExists(name):
+            (
+                load(spark, sf_dir, tbl)
+                .select(*cols)
+                .repartition(n_buckets, F.col(key))
+                .write.mode("overwrite")
+                .option("path", os.path.join(base, tbl))
+                .bucketBy(n_buckets, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+    return names
+
+
+@query(
+    "src_bucketed_join",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {DSUM_SQL.format(expr="o.o_totalprice")} AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def src_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join on bucketed tables: both sides bucketed 8 ways on
+    custkey, so the join runs with NO Exchange on either side (asserted
+    on the physical plan in tests/test_sources.py) — the scan itself
+    satisfies the join's HashPartitioning requirement. The only shuffle
+    in the whole query is the final partial-agg on mktsegment.
+
+    At 100 TB this is THE layout lever for repeated fact⋈dim joins on a
+    stable key: pay the partitioning once at write time, never again at
+    read time — bucket count is chosen so one bucket ≈ one task's
+    memory budget (e.g. 100 TB / 256 MB ≈ 400k buckets)."""
+    names = _bucketed_tables(spark, sf_dir)
+    o = spark.table(names["orders"])
+    # merge hint: at sf0.01 the dim side is broadcast-sized, which would
+    # sidestep the bucket layout this query exists to demonstrate
+    c = spark.table(names["customer"]).hint("merge")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )

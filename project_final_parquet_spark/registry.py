@@ -168,6 +168,9 @@ _GATE_FIRST = [
     "q69_variant_shred",
     "src_federated_union",
     "bootstrap_token_stats",
+    "sim_pq_trained",
+    "dedup_semantic",
+    "src_bucketed_join",
 ]
 
 
@@ -228,6 +231,7 @@ def _load_all() -> None:
         similarity4,
         text_index,
         dedup2,
+        dedup3,
         layout,
         graph,
         profiling,

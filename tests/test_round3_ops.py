@@ -151,3 +151,58 @@ def test_text_miners_return_sane_counts(spark, sf_dir):
     assert all(len(r.pair) == 2 for r in pairs)
     ns = [r.n for r in pairs]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_bucketed_join_query_is_exchange_free_until_agg(spark, sf_dir):
+    from project_final_parquet_spark.operators.sources import (
+        _bucketed_tables,
+        src_bucketed_join,
+    )
+    from project_final_parquet_spark.plans import physical_plan as _plan
+
+    names = _bucketed_tables(spark, sf_dir)
+    o = spark.table(names["orders"])
+    c = spark.table(names["customer"]).hint("merge")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    p = _plan(joined)
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p  # both scans satisfy the join partitioning
+    # the full gated query shuffles exactly twice: the mktsegment agg
+    # and the final presentation sort — never for the join
+    import re
+
+    full = _plan(src_bucketed_join(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", full)) == 2
+
+
+def test_semantic_dedup_drop_invariants(spark, sf_dir):
+    from project_final_parquet_spark.operators.dedup3 import (
+        _K,
+        _TAU,
+        dedup_semantic,
+    )
+
+    rows = dedup_semantic(spark, sf_dir).collect()
+    ids = [r.vec_id for r in rows]
+    assert len(ids) == len(set(ids))  # each vector dropped at most once
+    for r in rows:
+        assert r.dup_of < r.vec_id  # canonical is always more senior
+        assert r.cosine >= _TAU
+        assert 0 <= r.cluster < _K
+
+
+def test_trained_pq_valid_codes_and_ordering(spark, sf_dir):
+    from project_final_parquet_spark.operators.similarity4 import (
+        _K,
+        _M,
+        sim_pq_trained,
+    )
+
+    rows = sim_pq_trained(spark, sf_dir).collect()
+    assert len(rows) == 10
+    adcs = [r.adc for r in rows]
+    assert adcs == sorted(adcs) and all(a >= 0.0 for a in adcs)
+    for r in rows:
+        parts = [int(c) for c in r.pq_code.split("-")]
+        assert len(parts) == _M
+        assert all(0 <= c < _K for c in parts)
