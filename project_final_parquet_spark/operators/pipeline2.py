@@ -270,3 +270,178 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version_event_id",
         "version_value",
     ).orderBy("probe_event_id")
+
+
+# --- weighted reservoir sampling -------------------------------------------
+
+_WR_K = 64
+_WR_POW = 52  # 13 hex digits = 52 hash bits -> u is an exact dyadic rational
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+             (CAST(CAST(concat('0x',
+                substr(md5(CAST(doc_id AS VARCHAR) || ':wr'), 1, 13))
+                AS BIGINT) AS DOUBLE) / {2 ** _WR_POW}.0)
+               * CAST(n_chars AS BIGINT) AS priority
+      FROM documents
+    )
+    SELECT doc_id, lang, weight, priority
+    FROM keyed
+    ORDER BY priority DESC, doc_id
+    LIMIT {_WR_K}
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (fixed k, heavier docs more likely):
+    every doc draws a deterministic uniform u from its salted content
+    hash and races with priority u·w; the top-k priorities win — the
+    exponential-race (A-ES) scheme with the race key's ln() replaced by
+    a rational surrogate, the same cross-engine-determinism trade
+    text_bm25_rank makes for idf (ties in u·w are broken by doc_id).
+
+    u = hash_52bits / 2^52 is an EXACT dyadic rational and u·w is one
+    correctly-rounded IEEE multiply, so both engines compute bit-equal
+    priorities — no transcendental in sight.
+
+    Scale: executes as TakeOrderedAndProject (per-partition top-k, k-row
+    final merge) — one scan, no shuffle of the corpus, identical sample
+    on any partitioning/cluster size; re-runs are resumable because the
+    sample is a pure function of content keys."""
+    docs = load(spark, sf_dir, "documents")
+    m = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wr"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.col("n_chars").cast("long")
+    priority = (m.cast("double") / F.lit(float(2 ** _WR_POW))) * w
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            w.alias("weight"),
+            priority.alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(_WR_K)
+    )
+
+
+# --- snapshot reconciliation (diff two table versions) ---------------------
+
+
+def _order_snapshots(spark: SparkSession, sf_dir: str):
+    """Two deterministic versions of orders: v_new deletes every 11th
+    key, bumps every 7th key's price by 1.00, and appends an insert
+    (key+10M clone) for every 13th key."""
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    kept = base.filter(k % 11 != 0)
+    changed = kept.withColumn(
+        "o_totalprice",
+        F.when(k % 7 == 0, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    inserts = base.filter(k % 13 == 0).withColumn(
+        "o_orderkey", k + 10_000_000
+    )
+    return base, changed.unionByName(inserts)
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 11 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    tagged AS (
+      SELECT CASE
+               WHEN o.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'removed'
+               WHEN o.o_totalprice <> n.o_totalprice
+                 OR o.o_orderstatus <> n.o_orderstatus THEN 'changed'
+               ELSE 'unchanged'
+             END AS change_type,
+             COALESCE(o.o_orderkey, n.o_orderkey) AS key,
+             COALESCE(n.o_totalprice, 0) - COALESCE(o.o_totalprice, 0)
+               AS price_delta
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(key) AS min_key, MAX(key) AS max_key,
+           CAST(CAST(SUM(CAST(price_delta AS DECIMAL(38,10))) AS VARCHAR)
+                AS DOUBLE) AS sum_price_delta
+    FROM tagged
+    GROUP BY change_type
+    ORDER BY change_type
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two versions of a table into
+    added / removed / changed / unchanged row classes with per-class
+    counts, key range, and net price drift — the audit primitive behind
+    CDC validation, backfill verification, and lakehouse snapshot
+    compare (complements upsert_snapshot/scd2_build, which APPLY changes;
+    this one EXPLAINS them).
+
+    Scale: one full-outer shuffle join on the key (both sides
+    co-partition; AQE handles skew), then a 4-group aggregate — no
+    driver materialization. At 100 TB the join is the honest cost of a
+    full reconcile; partition-level content hashes (profile_table) are
+    the cheap pre-filter that skips identical partitions."""
+    from ..registry import dsum
+
+    old, new = _order_snapshots(spark, sf_dir)
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(
+        n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    )
+    change = (
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+            | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    tagged = joined.select(
+        change.alias("change_type"),
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("key"),
+        (
+            F.coalesce(F.col("n.o_totalprice"), F.lit(0.0))
+            - F.coalesce(F.col("o.o_totalprice"), F.lit(0.0))
+        ).alias("price_delta"),
+    )
+    return (
+        tagged.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("key").alias("min_key"),
+            F.max("key").alias("max_key"),
+            dsum(F.col("price_delta")).alias("sum_price_delta"),
+        )
+        .orderBy("change_type")
+    )

@@ -171,6 +171,8 @@ _GATE_FIRST = [
     "sim_pq_trained",
     "dedup_semantic",
     "src_bucketed_join",
+    "sample_weighted_reservoir",
+    "snapshot_diff",
 ]
 
 

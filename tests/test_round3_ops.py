@@ -153,6 +153,60 @@ def test_text_miners_return_sane_counts(spark, sf_dir):
     assert ns == sorted(ns, reverse=True)
 
 
+def test_weighted_reservoir_prefers_heavy_docs(spark, sf_dir):
+    from project_final_parquet_spark.operators.pipeline2 import (
+        _WR_K,
+        sample_weighted_reservoir,
+    )
+    from project_final_parquet_spark.tables import load
+
+    rows = sample_weighted_reservoir(spark, sf_dir).collect()
+    assert len(rows) == min(
+        _WR_K, load(spark, sf_dir, "documents").count()
+    )
+    pris = [r.priority for r in rows]
+    assert pris == sorted(pris, reverse=True)
+    # weighted: winners' mean weight must exceed the corpus mean
+    corpus_mean = (
+        load(spark, sf_dir, "documents")
+        .agg(F.avg("n_chars").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert sum(r.weight for r in rows) / len(rows) > corpus_mean
+
+
+def test_snapshot_diff_classes_are_exhaustive(spark, sf_dir):
+    from project_final_parquet_spark.operators.pipeline2 import (
+        _order_snapshots,
+        snapshot_diff,
+    )
+
+    old, new = _order_snapshots(spark, sf_dir)
+    by_type = {r.change_type: r for r in snapshot_diff(spark, sf_dir).collect()}
+    assert set(by_type) == {"added", "removed", "changed", "unchanged"}
+    n_old, n_new = old.count(), new.count()
+    # every old row is removed/changed/unchanged; every new row is
+    # added/changed/unchanged — both identities must hold exactly
+    assert (
+        by_type["removed"].n_rows
+        + by_type["changed"].n_rows
+        + by_type["unchanged"].n_rows
+        == n_old
+    )
+    assert (
+        by_type["added"].n_rows
+        + by_type["changed"].n_rows
+        + by_type["unchanged"].n_rows
+        == n_new
+    )
+    assert by_type["added"].min_key >= 10_000_000
+    # every 7th surviving key got +1.00: net drift equals changed count
+    assert abs(
+        by_type["changed"].sum_price_delta - by_type["changed"].n_rows
+    ) < 1e-6
+
+
 def test_bucketed_join_query_is_exchange_free_until_agg(spark, sf_dir):
     from project_final_parquet_spark.operators.sources import (
         _bucketed_tables,
