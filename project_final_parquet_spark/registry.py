@@ -173,6 +173,7 @@ _GATE_FIRST = [
     "src_bucketed_join",
     "sample_weighted_reservoir",
     "snapshot_diff",
+    "stream_custom_state",
 ]
 
 

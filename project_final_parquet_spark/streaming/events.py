@@ -279,3 +279,63 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return static_enrich(ev, _nation_dims(spark, sf_dir)).orderBy(
         "window_start_us", "n_name"
     )
+
+
+# --- custom stateful operator: milestone trigger ---------------------------
+
+_MILESTONE_EVERY = 25
+
+
+@query(
+    "stream_custom_state",
+    oracle=f"""
+    SELECT user_id, rn AS milestone, epoch_us(ts) AS ts_us FROM (
+      SELECT user_id, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ) t
+    WHERE rn % {_MILESTONE_EVERY} = 0
+    ORDER BY user_id, milestone
+    """,
+)
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator, batch form: per-user milestone trigger
+    — emit one row each time a user's cumulative event count crosses a
+    multiple of 25 (the shape of 'fire an action every Nth event', which
+    windowed aggs can't express: output rows are a *subset of inputs*
+    carrying running state, not one row per group/window).
+
+    The fold runs as an Arrow-batched grouped emission (applyInPandas:
+    group rows → sorted cumulative count → emitted crossings). The
+    STREAMING form of the identical semantics runs in
+    tests/test_streaming.py via applyInPandasWithState — the running
+    count lives in the state store and survives across micro-batches;
+    the test proves stream == this batch query.
+
+    Scale: one shuffle on user_id (same as any grouped agg); state per
+    key is a single BIGINT, so the streaming state store stays O(users),
+    not O(events)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts_us", "event_id")
+
+    def emit(pdf):
+        import pandas as _pd
+
+        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        hits = [
+            i for i in range(len(pdf)) if (i + 1) % _MILESTONE_EVERY == 0
+        ]
+        return _pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[hits].astype("int64"),
+                "milestone": [i + 1 for i in hits],
+                "ts_us": pdf["ts_us"].iloc[hits].astype("int64"),
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(emit, "user_id long, milestone long, ts_us long")
+        .orderBy("user_id", "milestone")
+    )

@@ -247,3 +247,79 @@ def test_transform_with_state_running_counts(spark, sf_dir):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_stateful_milestones_match_batch_across_microbatches(spark, sf_dir):
+    """The stream_custom_state semantics under applyInPandasWithState
+    with the running count in the STATE STORE, forced across TWO
+    micro-batches (maxFilesPerTrigger=1 over two time-split files) — the
+    milestone rows must equal the batch gated query exactly, proving the
+    count survives the batch boundary."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from project_final_parquet_spark.streaming.events import (
+        _MILESTONE_EVERY,
+        stream_custom_state,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load(spark, sf_dir, "events").select("user_id", "ts_us", "event_id")
+    mid = ev.agg(F.expr("percentile_approx(ts_us, 0.5)")).collect()[0][0]
+    split_dir = tempfile.mkdtemp(prefix="events_split_")
+    try:
+        # chunk files named so file order == time order (per-user rows in
+        # batch 2 all follow batch 1's)
+        for i, part in enumerate(
+            (ev.filter(F.col("ts_us") <= mid), ev.filter(F.col("ts_us") > mid))
+        ):
+            tmp = os.path.join(split_dir, f"_w{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            shutil.move(
+                os.path.join(tmp, src), os.path.join(split_dir, f"{i:02d}.parquet")
+            )
+            shutil.rmtree(tmp)
+
+        def make_fn():
+            def fn(key, pdfs, state: GroupState):
+                import pandas as _pd
+
+                (count,) = state.get if state.exists else (0,)
+                out_u, out_m, out_t = [], [], []
+                for pdf in pdfs:
+                    pdf = pdf.sort_values(["ts_us", "event_id"])
+                    for t in pdf["ts_us"]:
+                        count += 1
+                        if count % _MILESTONE_EVERY == 0:
+                            out_u.append(key[0])
+                            out_m.append(count)
+                            out_t.append(int(t))
+                state.update((count,))
+                yield _pd.DataFrame(
+                    {"user_id": out_u, "milestone": out_m, "ts_us": out_t}
+                )
+
+            return fn
+
+        stream = (
+            spark.readStream.schema("user_id long, ts_us long, event_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(split_dir)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                make_fn(),
+                "user_id long, milestone long, ts_us long",
+                "count long",
+                "append",
+                GroupStateTimeout.NoTimeout,
+            )
+        )
+        _run_to_completion(stream, "t_milestones", mode="append")
+        got = _rows(spark.sql("SELECT * FROM t_milestones"))
+        exp = _rows(stream_custom_state(spark, sf_dir))
+        assert len(exp) > 0 and got == exp
+    finally:
+        shutil.rmtree(split_dir, ignore_errors=True)
