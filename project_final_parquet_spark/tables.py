@@ -42,18 +42,32 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS): with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as int64 nanos.
-        # Normalize to microsecond TIMESTAMP_NTZ (matches the other
-        # tables' timestamp type and DuckDB's CAST(ts AS TIMESTAMP)).
-        # integer `div` — a double division would lose precision above
-        # 2^53 ns (~1970+104 days; 2024 epoch-nanos are ~1.7e18).
-        # ts_us (epoch microseconds, TZ-free) is kept alongside because
-        # time arithmetic through TIMESTAMP_NTZ↔LTZ casts would depend on
-        # the (driver-controlled, unknown) session timezone.
-        df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
+        # Normalize ts to microsecond TIMESTAMP_NTZ plus a ts_us
+        # (epoch microseconds, TZ-free) companion — kept because time
+        # arithmetic through TIMESTAMP_NTZ↔LTZ casts would depend on the
+        # (driver-controlled, unknown) session timezone. The driver's
+        # corpus has shipped ts as two physical types across rounds, so
+        # branch on what the scan produced:
+        # - TIMESTAMP(NANOS): with spark.sql.legacy.parquet.nanosAsLong
+        #   it arrives as int64 nanos; integer `div` (a double division
+        #   would lose precision above 2^53 ns — 2024 epoch-nanos are
+        #   ~1.7e18).
+        # - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+        #   TIMESTAMP_NTZ directly; derive ts_us by NTZ-safe diff from
+        #   the epoch (no LTZ round-trip, so session TZ is irrelevant).
+        if dict(df.dtypes)["ts"] == "bigint":
+            df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+                "ts",
+                F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz")).withColumn(
+                "ts_us",
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " timestamp_ntz'1970-01-01 00:00:00', ts)"
+                ),
+            )
     return df
 
 

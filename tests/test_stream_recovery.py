@@ -15,7 +15,7 @@ from pyspark.sql import types as T
 _SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -26,7 +26,15 @@ _SCHEMA = T.StructType(
 
 def _agg(stream_df):
     return (
-        stream_df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        stream_df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " timestamp_ntz'1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
         .withWatermark("ts", "10 minutes")
         .groupBy("event_type")
         .agg(
@@ -39,7 +47,6 @@ def _agg(stream_df):
 
 
 def test_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(src)

@@ -22,7 +22,7 @@ from project_final_parquet_spark.tables import load
 _RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as nanos
+        T.StructField("ts", T.TimestampNTZType()),  # TIMESTAMP(MICROS)
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -35,7 +35,6 @@ _STREAM_DIR = None
 
 
 def _event_stream(spark, sf_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # FileStreamSource needs a DIRECTORY; stage the single parquet file.
     global _STREAM_DIR
     if _STREAM_DIR is None:
@@ -48,11 +47,15 @@ def _event_stream(spark, sf_dir):
             os.path.join(_STREAM_DIR, "events.parquet"),
         )
     raw = spark.readStream.schema(_RAW_SCHEMA).parquet(_STREAM_DIR)
-    # watermarks require TIMESTAMP (LTZ), not NTZ — the test session pins
-    # UTC, so window starts match the batch loader's NTZ values exactly.
-    return raw.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    # watermarks require TIMESTAMP (LTZ), not NTZ — ts_us is derived with
+    # an NTZ-safe epoch diff (no LTZ round-trip, session TZ irrelevant),
+    # matching the batch loader in tables.py exactly.
+    return raw.withColumn(
+        "ts_us",
+        F.expr(
+            "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+        ),
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
 
 
 def _run_to_completion(stream_df, name, mode="complete"):
