@@ -49,8 +49,9 @@ _B = "0.75"
     ),
     heads AS (
       SELECT token,
-             (list(doc_id ORDER BY doc_id))[1:{_POSTINGS_HEAD}]
-               AS postings_head
+             array_to_string(
+               (list(doc_id ORDER BY doc_id))[1:{_POSTINGS_HEAD}], ','
+             ) AS postings_head
       FROM (SELECT DISTINCT token, doc_id FROM t2)
       GROUP BY token
     )
@@ -62,7 +63,11 @@ _B = "0.75"
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token → (collection tf, document frequency, first-5 postings).
     One explode + one token-key shuffle; the postings head is bounded
-    (sorted set, sliced) so reducers never hold a full posting list."""
+    (sorted set, sliced) so reducers never hold a full posting list.
+    The head is serialized to a comma-joined STRING: complex-typed
+    output columns are banned in registered queries (the driver's
+    pandas canonicalizer cannot hash list cells — round-3 red row;
+    enforced by tools/lint_registry.py + tests/test_registry_lint.py)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
@@ -72,8 +77,11 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("tf_total"),
             F.countDistinct("doc_id").alias("df"),
-            F.slice(
-                F.sort_array(F.collect_set("doc_id")), 1, _POSTINGS_HEAD
+            F.concat_ws(
+                ",",
+                F.slice(
+                    F.sort_array(F.collect_set("doc_id")), 1, _POSTINGS_HEAD
+                ).cast("array<string>"),
             ).alias("postings_head"),
         )
         .orderBy(F.desc("df"), "token")

@@ -72,13 +72,75 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Explicit list (not import order — transitive module imports would
 # scramble it).
 #
-# Round-3 window (positions 1-50): q56_decimal_exact (round 2's only red
-# row — re-gated with the decimal->double fix) + the first 49 of the 73
-# queries never driver-gated in rounds 1-2 (r1 union r2 =
-# CORRECTNESS_r0{1,2}.json, 100 distinct names). Positions 51+: the
-# remaining 24 never-gated, then round-3 additions — together they are
-# round 4's window, closing the full-registry union.
+# Round-4 window (positions 1-50) — closes the full-registry union:
+#   1     text_inverted_index — round 3's only red row, re-gated with the
+#         array→string output fix (postings_head serialized)
+#   2     dedup_cluster_components — re-gate: implementation swapped to
+#         the convergence-detecting form in round 3 (r1-green under the
+#         fixed-iteration form; driver evidence must attach to the swap)
+#   3-43  the 41 queries never driver-gated across r1-r3
+#         (CORRECTNESS_r0{1,2,3}.json union = 149 names; registry = 190)
+#   44-50 refills: driver-green anchors re-gated for freshness.
+# tests/test_registry_lint.py::test_round4_window_closes_registry_union
+# mechanically asserts the window ⊇ never-gated ∪ re-gates.
 _GATE_FIRST = [
+    "text_inverted_index",
+    "dedup_cluster_components",
+    # never gated in r1-r3: r3-window overflow (positions 51-74 last round)
+    "events_asof_nearest",
+    "text_bigram_stats",
+    "events_user_rfm",
+    "ml_cluster_purity",
+    "events_winsorized_stats",
+    "events_time_weighted_avg",
+    "basket_part_pairs",
+    "ivm_merge_agg",
+    "sql_text_frontend",
+    "q64_groupwise_ols",
+    "events_quantile_normalize",
+    "events_longest_streak",
+    "pipeline_e2e_pretrain",
+    "events_abtest_lift",
+    "sim_matryoshka_prefix",
+    "events_active_users",
+    "events_seasonality_profile",
+    "text_prefix_autocomplete",
+    "events_pareto_concentration",
+    "q65_excess_share_suppliers",
+    "q66_waiting_suppliers",
+    "q67_dormant_rich_accounts",
+    "events_sessionize",
+    "events_rolling_distinct",
+    # never gated: round-3 additions
+    "pack_sequences",
+    "curriculum_order",
+    "scd2_point_in_time_join",
+    "text_boilerplate_ngrams",
+    "text_bpe_merge_pairs",
+    "events_ewma",
+    "q68_revenue_mom_change",
+    "embeddings_norm_audit",
+    "q69_variant_shred",
+    "src_federated_union",
+    "bootstrap_token_stats",
+    "sim_pq_trained",
+    "dedup_semantic",
+    "src_bucketed_join",
+    "sample_weighted_reservoir",
+    "snapshot_diff",
+    "stream_custom_state",
+    # refills (driver-green r1 anchors, one per major family)
+    "q1_pricing_summary",
+    "dedup_exact",
+    "dedup_near_minhash_lsh",
+    "sim_topk_cosine",
+    "ml_kmeans",
+    "enc_roundtrip_agg",
+    "text_token_stats",
+    # --- end of round-4 window (50) ---
+    # round-3 window names (all driver-green in CORRECTNESS_r03) follow so
+    # their ordering stays deterministic; the rest of the registry trails
+    # in registration order via _ordered().
     "q56_decimal_exact",
     "q57_interval_arith",
     "q58_string_agg",
@@ -99,7 +161,6 @@ _GATE_FIRST = [
     "events_anomaly_zscore",
     "udaf_grouped_pandas",
     "sim_pq_adc",
-    "text_inverted_index",
     "text_bm25_rank",
     "stream_static_enrich",
     "dedup_canonicalize",
@@ -129,51 +190,6 @@ _GATE_FIRST = [
     "dq_constraint_checks",
     "dedup_containment",
     "events_late_data_metrics",
-    "events_asof_nearest",
-    "text_bigram_stats",
-    "events_user_rfm",
-    "ml_cluster_purity",
-    "events_winsorized_stats",
-    "events_time_weighted_avg",
-    "basket_part_pairs",
-    "ivm_merge_agg",
-    "sql_text_frontend",
-    "q64_groupwise_ols",
-    "events_quantile_normalize",
-    "events_longest_streak",
-    "pipeline_e2e_pretrain",
-    "events_abtest_lift",
-    "sim_matryoshka_prefix",
-    "events_active_users",
-    "events_seasonality_profile",
-    "text_prefix_autocomplete",
-    "events_pareto_concentration",
-    "q65_excess_share_suppliers",
-    "q66_waiting_suppliers",
-    "q67_dormant_rich_accounts",
-    "events_sessionize",
-    "events_rolling_distinct",
-    # re-gate: implementation swapped to the convergence-detecting form
-    # in round 3 (r1-green under the fixed-iteration form)
-    "dedup_cluster_components",
-    # round-3 additions (never gated; round-4 window with the above)
-    "pack_sequences",
-    "curriculum_order",
-    "scd2_point_in_time_join",
-    "text_boilerplate_ngrams",
-    "text_bpe_merge_pairs",
-    "events_ewma",
-    "q68_revenue_mom_change",
-    "embeddings_norm_audit",
-    "q69_variant_shred",
-    "src_federated_union",
-    "bootstrap_token_stats",
-    "sim_pq_trained",
-    "dedup_semantic",
-    "src_bucketed_join",
-    "sample_weighted_reservoir",
-    "snapshot_diff",
-    "stream_custom_state",
 ]
 
 

@@ -21,6 +21,10 @@ import duckdb
 import numpy as np
 
 
+class ComplexCellError(TypeError):
+    """A result cell the driver's canonicalizer would crash on."""
+
+
 def canon_val(v) -> str:
     if v is None:
         return "<NULL>"
@@ -49,8 +53,16 @@ def canon_val(v) -> str:
         if np.isnat(v):
             return "<NULL>"
         return pd.Timestamp(v).isoformat()
-    if isinstance(v, (np.ndarray, list, tuple)):
-        return "[" + ",".join(canon_val(x) for x in v) + "]"
+    if isinstance(v, (np.ndarray, list, tuple, dict)):
+        # The DRIVER's pandas-based canonicalizer cannot hash list/dict
+        # cells (round-3 text_inverted_index red row: pandas factorize →
+        # "unhashable type: 'list'"). Fail here too, so the local gate is
+        # never more permissive than the driver on output shape.
+        raise ComplexCellError(
+            f"complex-typed cell {type(v).__name__}: registered queries "
+            "must serialize arrays/maps/structs to strings "
+            "(registry lint bans complex output columns)"
+        )
     if isinstance(v, (bytes, bytearray)):
         return "0x" + bytes(v).hex()
     if isinstance(v, bool) or isinstance(v, np.bool_):
@@ -116,8 +128,13 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
             continue
-        s_cols, s_rows = canon_rows(sdf)
-        o_cols, o_rows = canon_rows(odf)
+        try:
+            s_cols, s_rows = canon_rows(sdf)
+            o_cols, o_rows = canon_rows(odf)
+        except ComplexCellError as e:
+            print(f"FAIL  {name}: {e}")
+            failures.append(name)
+            continue
         problems = []
         if len(s_rows) != len(o_rows):
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(o_rows)}")
