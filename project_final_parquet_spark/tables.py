@@ -55,18 +55,43 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
         #   TIMESTAMP_NTZ directly; derive ts_us by NTZ-safe diff from
         #   the epoch (no LTZ round-trip, so session TZ is irrelevant).
-        if dict(df.dtypes)["ts"] == "bigint":
+        # NTZ-from-epoch-micros is done with timestampadd on an NTZ base
+        # (pure field arithmetic — TZ-free). The timestamp_micros() route
+        # would produce LTZ, and LTZ→NTZ casts go through the (unknown,
+        # driver-controlled) session timezone.
+        _ntz_from_us = (
+            "timestampadd(MICROSECOND, ts_us,"
+            " timestamp_ntz'1970-01-01 00:00:00')"
+        )
+        ts_dtype = dict(df.dtypes)["ts"]
+        if ts_dtype == "bigint":
             df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
-                "ts",
-                F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
+                "ts", F.expr(_ntz_from_us)
             )
-        else:
-            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz")).withColumn(
+        elif ts_dtype == "timestamp_ntz":
+            df = df.withColumn(
                 "ts_us",
                 F.expr(
                     "timestampdiff(MICROSECOND,"
                     " timestamp_ntz'1970-01-01 00:00:00', ts)"
                 ),
+            )
+        elif ts_dtype == "timestamp":
+            # LTZ (e.g. isAdjustedToUTC=true, or inferTimestampNTZ
+            # disabled in the driver's session). unix_micros reads the
+            # TZ-free instant; rebuild NTZ (= UTC rendering, matching
+            # what DuckDB shows for the same file) from it.
+            df = df.withColumn("ts_us", F.unix_micros("ts")).withColumn(
+                "ts", F.expr(_ntz_from_us)
+            )
+        else:
+            # Open-ended fallthrough would silently corrupt time
+            # arithmetic on a future corpus regen; fail loudly instead
+            # and re-check the parquet schema (see .claude/skills/verify).
+            raise TypeError(
+                f"events.ts arrived as unsupported dtype {ts_dtype!r}; "
+                "expected bigint (legacy nanos), timestamp_ntz, or "
+                "timestamp (LTZ)"
             )
     return df
 
