@@ -129,6 +129,8 @@ _GATE_FIRST = [
     "sample_weighted_reservoir",
     "snapshot_diff",
     "stream_custom_state",
+    # round-4 additions (new this round, gated immediately)
+    "mm_real_decode_stats",
     # refills (driver-green r1 anchors, one per major family)
     "q1_pricing_summary",
     "dedup_exact",
@@ -136,7 +138,6 @@ _GATE_FIRST = [
     "sim_topk_cosine",
     "ml_kmeans",
     "enc_roundtrip_agg",
-    "text_token_stats",
     # --- end of round-4 window (50) ---
     # round-3 window names (all driver-green in CORRECTNESS_r03) follow so
     # their ordering stays deterministic; the rest of the registry trails

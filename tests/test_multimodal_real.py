@@ -1,0 +1,99 @@
+"""Real-codec tests: the PPM/WAV parsers genuinely parse bytes.
+
+Reference parity note: the reference repo has no media handling at all;
+this family is part of the LLM-pipeline extension surface (multimodal
+columns carried as binary + typed metadata, decode as Arrow-batched
+mapInPandas).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from project_final_parquet_spark.operators.multimodal import (
+    encode_ppm,
+    encode_wav,
+    make_blob_encoder,
+    make_real_decoder,
+    parse_ppm,
+    parse_wav,
+)
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 7, 42, 123, 499])
+def test_ppm_roundtrip_closed_form(doc_id):
+    w, h, px_sum = parse_ppm(encode_ppm(doc_id))
+    assert (w, h) == (4 + doc_id % 5, 3 + doc_id % 3)
+    assert px_sum == sum((doc_id * 7 + i) % 256 for i in range(3 * w * h))
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 7, 42, 123, 499])
+def test_wav_roundtrip_closed_form(doc_id):
+    n, sr, s_sum = parse_wav(encode_wav(doc_id))
+    assert (n, sr) == (64 + doc_id % 64, 8000)
+    assert s_sum == sum(
+        ((doc_id * 31 + i * 17) % 2003) - 1001 for i in range(n)
+    )
+
+
+def test_ppm_rejects_malformed():
+    with pytest.raises(ValueError, match="magic"):
+        parse_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4)
+    with pytest.raises(ValueError, match="pixel payload"):
+        parse_ppm(b"P6\n2 2\n255\n" + b"\x00" * 5)  # truncated
+    with pytest.raises(ValueError, match="maxval"):
+        parse_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+
+
+def test_wav_rejects_malformed():
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_wav(b"FORM" + b"\x00" * 40)
+    # PCM float tag (3) must be rejected
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 3, 1, 8000, 16000, 2, 16)
+    dat = struct.pack("<4sI", b"data", 0)
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(dat), b"WAVE")
+    with pytest.raises(ValueError, match="PCM"):
+        parse_wav(riff + fmt + dat)
+
+
+def test_wav_chunk_walk_skips_extra_chunks():
+    """The parser must walk chunks, not assume fmt/data offsets."""
+    doc_id = 9
+    blob = bytearray(encode_wav(doc_id))
+    # splice a LIST chunk between WAVE and fmt
+    extra = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    spliced = bytes(blob[:12]) + extra + bytes(blob[12:])
+    n, sr, s_sum = parse_wav(spliced)
+    assert (n, sr) == (64 + doc_id % 64, 8000)
+
+
+def test_mapinpandas_stages_driver_side():
+    """Run the two stage functions directly on a pandas batch — same
+    code path the executors run (factories return by-value closures)."""
+    import pandas as pd
+
+    enc = make_blob_encoder()
+    dec = make_real_decoder()
+    batch = pd.DataFrame({"doc_id": [0, 1, 2, 3]})
+    blobs = pd.concat(list(enc(iter([batch]))))
+    assert list(blobs["fmt"]) == ["ppm", "wav", "ppm", "wav"]
+    feats = pd.concat(list(dec(iter([blobs]))))
+    assert list(feats.columns) == [
+        "doc_id", "fmt", "n_units", "unit_rate", "mean_val"
+    ]
+    # doc 0: 4x3 image, pixel k = (0*7+k)%256 = k for k<144
+    assert feats.loc[0, "n_units"] == 12
+    total = sum(k % 256 for k in range(36))
+    assert feats.loc[0, "mean_val"] == total / 36
+
+
+def test_query_runs_on_spark(spark, sf_dir):
+    from project_final_parquet_spark.operators.multimodal import (
+        mm_real_decode_stats,
+    )
+
+    rows = mm_real_decode_stats(spark, sf_dir).limit(10).collect()
+    assert len(rows) == 10
+    assert {r.fmt for r in rows} == {"ppm", "wav"}
