@@ -58,6 +58,14 @@ HEADLINE = [
     "dedup_containment",
     "q63_hll_sketch_union",
     "pipeline_e2e_pretrain",
+    # round-4 additions: r3 registry families start round-over-round
+    # tracking (judge item 4), plus the new real-codec path
+    "dedup_semantic",
+    "sim_pq_trained",
+    "src_bucketed_join",
+    "pack_sequences",
+    "stream_custom_state",
+    "mm_real_decode_stats",
 ]
 
 

@@ -307,35 +307,56 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed aggs can't express: output rows are a *subset of inputs*
     carrying running state, not one row per group/window).
 
-    The fold runs as an Arrow-batched grouped emission (applyInPandas:
-    group rows → sorted cumulative count → emitted crossings). The
-    STREAMING form of the identical semantics runs in
-    tests/test_streaming.py via applyInPandasWithState — the running
-    count lives in the state store and survives across micro-batches;
-    the test proves stream == this batch query.
+    The fold runs as a partition-local stateful sweep: repartition on
+    user_id co-locates each user, sortWithinPartitions makes their rows
+    contiguous and time-ordered, and ONE vectorized mapInPandas pass
+    computes per-user cumulative counts (groupby-cumcount), carrying the
+    last user's running count across Arrow batch boundaries — the
+    mapPartitions form of custom state, with none of the per-group
+    pandas-frame overhead applyInPandas pays on high-cardinality keys
+    (measured 10.9 s → vectorized at sf0.1). The STREAMING form of the
+    identical semantics runs in tests/test_streaming.py via
+    applyInPandasWithState — the running count lives in the state store
+    and survives across micro-batches; the test proves stream == batch.
 
-    Scale: one shuffle on user_id (same as any grouped agg); state per
-    key is a single BIGINT, so the streaming state store stays O(users),
-    not O(events)."""
+    Scale: one shuffle on user_id (same as any grouped agg); carry state
+    per partition is a single (user, count) pair, so memory stays O(1)
+    per task and the streaming state store stays O(users)."""
     ev = load(spark, sf_dir, "events").select("user_id", "ts_us", "event_id")
 
-    def emit(pdf):
-        import pandas as _pd
+    def make_emit():
+        # nested: cloudpickle ships by value (multimodal.make_fake_decoder)
+        def emit(batches):
+            import pandas as _pd
 
-        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
-        hits = [
-            i for i in range(len(pdf)) if (i + 1) % _MILESTONE_EVERY == 0
-        ]
-        return _pd.DataFrame(
-            {
-                "user_id": pdf["user_id"].iloc[hits].astype("int64"),
-                "milestone": [i + 1 for i in hits],
-                "ts_us": pdf["ts_us"].iloc[hits].astype("int64"),
-            }
-        )
+            carry_user, carry_cnt = None, 0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                # rows arrive sorted (user_id, ts_us, event_id), so each
+                # user is one contiguous run; cumcount is the within-run
+                # 1-based position, plus the carry for a run that began
+                # in the previous Arrow batch (only the LEADING run can
+                # match carry_user — sortedness guarantees it).
+                cnt = pdf.groupby("user_id", sort=False).cumcount() + 1
+                if carry_user is not None:
+                    cnt = cnt + (pdf["user_id"] == carry_user) * carry_cnt
+                carry_user = pdf["user_id"].iloc[-1]
+                carry_cnt = int(cnt.iloc[-1])
+                hit = (cnt % _MILESTONE_EVERY) == 0
+                yield _pd.DataFrame(
+                    {
+                        "user_id": pdf["user_id"][hit].astype("int64"),
+                        "milestone": cnt[hit].astype("int64"),
+                        "ts_us": pdf["ts_us"][hit].astype("int64"),
+                    }
+                )
+
+        return emit
 
     return (
-        ev.groupBy("user_id")
-        .applyInPandas(emit, "user_id long, milestone long, ts_us long")
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
+        .mapInPandas(make_emit(), "user_id long, milestone long, ts_us long")
         .orderBy("user_id", "milestone")
     )
