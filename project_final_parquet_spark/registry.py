@@ -139,6 +139,12 @@ _GATE_FIRST = [
     "ml_kmeans",
     "enc_roundtrip_agg",
     # --- end of round-4 window (50) ---
+    # ROUND-5 QUEUE: queries added after the round-4 window froze; they
+    # lead round 5's rotation (tests/test_registry_lint.py knows them).
+    "sample_temperature_mix",
+    "events_funnel_windowed",
+    "cdc_merge_on_read",
+    "text_tfidf_topterms",
     # round-3 window names (all driver-green in CORRECTNESS_r03) follow so
     # their ordering stays deterministic; the rest of the registry trails
     # in registration order via _ordered().
@@ -191,6 +197,16 @@ _GATE_FIRST = [
     "dq_constraint_checks",
     "dedup_containment",
     "events_late_data_metrics",
+]
+
+# Names registered after the round-4 gate window froze: they sit at
+# positions 51+ (never-gated is unavoidable for in-round additions once
+# the 50-slot window is spoken for) and MUST lead the round-5 window.
+ROUND5_QUEUE = [
+    "sample_temperature_mix",
+    "events_funnel_windowed",
+    "cdc_merge_on_read",
+    "text_tfidf_topterms",
 ]
 
 
@@ -260,6 +276,7 @@ def _load_all() -> None:
         udtf_ops,
         pipeline,
         pipeline2,
+        pipeline3,
         events_analytics,
         encrypted,
         asof,
