@@ -201,3 +201,117 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         F.expr(_EWMA_EXPR).alias("ewma8"),
     ).orderBy("user_id", "ts_us", "event_id")
+
+
+# --- sequence mining: top user paths ---------------------------------------
+
+_PATH_K = 10
+
+
+@query(
+    "events_user_path_topk",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id)
+    ),
+    paths AS (
+      SELECT event_type || '>' || t1 || '>' || t2 AS path,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+      GROUP BY path
+    )
+    SELECT path, n FROM paths
+    ORDER BY n DESC, path
+    LIMIT {_PATH_K}
+    """,
+)
+def events_user_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, n-gram form: the top-{_PATH_K} most
+    frequent 3-event paths across all user timelines (the "what do
+    users actually do" query behind funnel design; same trigram trick
+    the text side uses for boilerplate detection, applied to event
+    streams). Paths never cross users because lead() is framed by the
+    user partition.
+
+    Scale: one user_id shuffle for the window, then the path groupBy is
+    map-side combined over at most |event_type|³ = 125 distinct keys —
+    the aggregate is tiny no matter how many events flow in. Total
+    ordering (count, path) makes the top-k unique."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts_us", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    return (
+        seq.filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(_PATH_K)
+    )
+
+
+# --- data-quality: freshness SLA per stream --------------------------------
+
+_FRESH_SLA_US = 6 * 3600 * 1_000_000  # 6 h staleness budget
+
+
+@query(
+    "dq_freshness_by_type",
+    oracle=f"""
+    WITH g AS (SELECT MAX(epoch_us(ts)) AS global_max FROM events),
+    per AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(epoch_us(ts)) AS max_ts_us
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_events, max_ts_us,
+           CAST(g.global_max - max_ts_us AS BIGINT) AS lag_us,
+           (g.global_max - max_ts_us) > {_FRESH_SLA_US} AS stale
+    FROM per CROSS JOIN g
+    ORDER BY event_type
+    """,
+)
+def dq_freshness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness SLA check — the operational data-quality probe next to
+    ``dq_constraint_checks``'s value constraints: per event stream, how
+    far its newest record trails the table's high-water mark, flagged
+    against a 6 h staleness budget. Integer epoch-us throughout
+    (TZ-free).
+
+    Scale: both aggregates are map-side combined single passes; the
+    1-row global watermark broadcasts. This is the query a freshness
+    monitor runs every few minutes, so it must never shuffle the fact
+    table — and this plan doesn't."""
+    ev = load(spark, sf_dir, "events").select("event_type", "ts_us")
+    g = ev.agg(F.max("ts_us").alias("global_max"))
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("ts_us").alias("max_ts_us"),
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n_events",
+            "max_ts_us",
+            (F.col("global_max") - F.col("max_ts_us"))
+            .cast("long")
+            .alias("lag_us"),
+            (
+                (F.col("global_max") - F.col("max_ts_us"))
+                > F.lit(_FRESH_SLA_US)
+            ).alias("stale"),
+        )
+        .orderBy("event_type")
+    )

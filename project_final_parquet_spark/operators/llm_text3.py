@@ -461,3 +461,99 @@ def bootstrap_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("replicate")
     )
+
+
+# --- collocation mining: token-pair lift (PMI surrogate) -------------------
+
+_PMI_VOCAB = 40  # restrict pairs to the top-40 tokens — bounds the join
+_PMI_TOPK = 20
+
+
+@query(
+    "text_cooccurrence_lift",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    t2 AS (SELECT DISTINCT doc_id, token FROM tok WHERE token <> ''),
+    vocab AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM t2
+      GROUP BY token ORDER BY df DESC, token LIMIT {_PMI_VOCAB}
+    ),
+    tv AS (SELECT t2.doc_id, t2.token, v.df
+           FROM t2 JOIN vocab v USING (token)),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM t2),
+    pairs AS (
+      SELECT a.token AS tok_a, b.token AS tok_b,
+             a.df AS df_a, b.df AS df_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM tv a JOIN tv b
+        ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY a.token, b.token, a.df, b.df
+    )
+    SELECT tok_a, tok_b, n_ab,
+           CAST((1000 * n_ab * n.n_docs) // (df_a * df_b) AS BIGINT)
+             AS lift_x1000
+    FROM pairs CROSS JOIN n
+    ORDER BY n_ab DESC, tok_a, tok_b
+    LIMIT {_PMI_TOPK}
+    """,
+)
+def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: document-level co-occurrence lift (the
+    rational PMI surrogate N·n_ab / (df_a·df_b), ×1000 floor — integer
+    exact) for pairs of high-frequency tokens. The pair join is bounded
+    BY CONSTRUCTION: only the top-{_PMI_VOCAB} vocabulary participates,
+    so each document contributes at most C({_PMI_VOCAB},2) pairs
+    regardless of corpus size — the vocab broadcast + within-doc
+    equi-join shape every bounded co-occurrence pass uses at 100 TB.
+
+    Scale: vocab is a corpus-wide token groupBy (map-side combined) cut
+    to {_PMI_VOCAB} rows and broadcast; pairs shuffle once on the
+    (tok_a, tok_b) key with partial aggregation."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    t2 = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    vocab = (
+        t2.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.desc("df"), "token")
+        .limit(_PMI_VOCAB)
+    )
+    tv = t2.join(F.broadcast(vocab), "token")
+    n = t2.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    a = tv.select(
+        F.col("doc_id").alias("k"),
+        F.col("token").alias("tok_a"),
+        F.col("df").alias("df_a"),
+    )
+    b = tv.select(
+        F.col("doc_id").alias("k"),
+        F.col("token").alias("tok_b"),
+        F.col("df").alias("df_b"),
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.expr("1000 * n_ab * n_docs div (df_a * df_b)")
+            .cast("long")
+            .alias("lift_x1000"),
+        )
+        .orderBy(F.desc("n_ab"), "tok_a", "tok_b")
+        .limit(_PMI_TOPK)
+    )

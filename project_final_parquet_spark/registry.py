@@ -145,6 +145,10 @@ _GATE_FIRST = [
     "events_funnel_windowed",
     "cdc_merge_on_read",
     "text_tfidf_topterms",
+    "embeddings_dim_stats",
+    "events_user_path_topk",
+    "dq_freshness_by_type",
+    "text_cooccurrence_lift",
     # round-3 window names (all driver-green in CORRECTNESS_r03) follow so
     # their ordering stays deterministic; the rest of the registry trails
     # in registration order via _ordered().
@@ -207,6 +211,10 @@ ROUND5_QUEUE = [
     "events_funnel_windowed",
     "cdc_merge_on_read",
     "text_tfidf_topterms",
+    "embeddings_dim_stats",
+    "events_user_path_topk",
+    "dq_freshness_by_type",
+    "text_cooccurrence_lift",
 ]
 
 
@@ -277,6 +285,7 @@ def _load_all() -> None:
         pipeline,
         pipeline2,
         pipeline3,
+        vector_stats,
         events_analytics,
         encrypted,
         asof,
