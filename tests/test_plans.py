@@ -255,3 +255,86 @@ def test_rolling_distinct_day_grain_only(spark):
     f = facts_of(spark, "events_rolling_distinct")
     assert f.n_joins == 0
     assert f.n_exchanges <= 3
+
+
+# --- round-4 operators ------------------------------------------------------
+
+
+def test_temperature_mix_broadcasts_rates(spark):
+    """The 5-row rate table must come back to the corpus as a broadcast
+    join; the only NLJ is the 1-row weight-total cross join."""
+    f = facts_of(spark, "sample_temperature_mix")
+    assert f.n_broadcast_joins >= 1
+    assert f.n_sortmerge_joins == 0
+    assert f.n_nested_loop_joins <= 1
+
+
+def test_funnel_windowed_stays_equi(spark):
+    """Both stage joins are user_id equi-joins; the window bound is a
+    residual predicate, never a nested-loop demotion."""
+    f = facts_of(spark, "events_funnel_windowed")
+    assert f.n_nested_loop_joins == 0
+    assert f.n_hash_aggregates >= 6  # 3 stage aggs x (partial + final)
+
+
+def test_merge_on_read_single_key_shuffle(spark):
+    """base ∪ log unions shuffle-free; latest-wins is one key-partitioned
+    window; the segment dim joins broadcast."""
+    f = facts_of(spark, "cdc_merge_on_read")
+    assert f.n_broadcast_joins >= 1
+    assert f.n_nested_loop_joins == 0
+
+
+def test_tfidf_prunes_tf_branch_at_scan(spark):
+    """The doc subset filter must reach the parquet scan of the tf
+    branch — df stays corpus-wide, tf must not."""
+    f = facts_of(spark, "text_tfidf_topterms")
+    assert any("LessThan(doc_id,30)" in x for x in f.pushed_filters)
+    assert f.n_nested_loop_joins <= 1  # the 1-row N scalar only
+
+
+def test_dim_stats_single_pass(spark):
+    """posexplode + 64-key agg: no joins; exchanges are the 64-partial
+    merge and the presentation sort."""
+    f = facts_of(spark, "embeddings_dim_stats")
+    assert f.n_joins == 0
+    assert f.n_exchanges <= 2
+    assert f.n_hash_aggregates >= 2  # partial + final
+
+
+def test_user_path_topk_shape(spark):
+    """One user_id window shuffle, tiny path agg, top-k short-circuit."""
+    f = facts_of(spark, "events_user_path_topk")
+    assert f.n_joins == 0
+    assert f.has_take_ordered
+
+
+def test_freshness_never_shuffles_rows(spark):
+    """Both sides are map-side-combined aggregates; the watermark is a
+    broadcast 1-row frame."""
+    f = facts_of(spark, "dq_freshness_by_type")
+    assert f.n_sortmerge_joins == 0
+    assert f.n_shuffled_hash_joins == 0
+    assert f.n_hash_aggregates >= 4
+
+
+def test_cooccurrence_vocab_broadcasts(spark):
+    f = facts_of(spark, "text_cooccurrence_lift")
+    assert f.n_broadcast_joins >= 1
+    assert f.has_take_ordered
+
+
+def test_real_decode_no_shuffle(spark):
+    """Two mapInPandas stages are pipeline-parallel: zero joins, and the
+    only exchange permitted is the presentation sort."""
+    f = facts_of(spark, "mm_real_decode_stats")
+    assert f.n_joins == 0
+    assert f.n_exchanges <= 1
+
+
+def test_custom_state_two_exchanges(spark):
+    """The vectorized fold keeps exactly the user repartition plus the
+    presentation sort — no per-group plan nodes."""
+    f = facts_of(spark, "stream_custom_state")
+    assert f.n_joins == 0
+    assert f.n_exchanges <= 2
