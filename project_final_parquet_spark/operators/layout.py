@@ -20,7 +20,7 @@ prune most files by footer stats alone.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -101,4 +101,81 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sk8").alias("sk_max"),
         )
         .orderBy("zbucket")
+    )
+
+
+# --- small-file compaction planning ----------------------------------------
+
+_DAY_US = 86_400_000_000
+_FILE_BYTES_PER_ROW = 1000  # synthetic manifest: day-file size proxy
+_COMPACT_TARGET = 2_000_000  # bin capacity in bytes
+
+
+@query(
+    "layout_compaction_plan",
+    oracle=f"""
+    WITH manifest AS (
+      SELECT epoch_us(ts) // {_DAY_US} AS file_id,
+             CAST(COUNT(*) * {_FILE_BYTES_PER_ROW} AS BIGINT) AS size_bytes
+      FROM events GROUP BY file_id
+    ),
+    planned AS (
+      SELECT file_id, size_bytes,
+             CAST(COALESCE(SUM(size_bytes) OVER (
+               ORDER BY size_bytes DESC, file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) // {_COMPACT_TARGET} AS BIGINT) AS bin
+      FROM manifest
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
+           CAST(MIN(file_id) AS BIGINT) AS first_file,
+           CAST(MAX(file_id) AS BIGINT) AS last_file
+    FROM planned GROUP BY bin ORDER BY bin
+    """,
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the table-maintenance op every
+    lakehouse runs: group undersized files into target-size rewrite
+    bins. The manifest here derives deterministically from events (one
+    file per day, size ∝ row count); the planner is sorted greedy fill —
+    files ordered by (size desc, id), bin = floor(running-bytes-before /
+    target) — a single window cumsum, fully deterministic, within 2× of
+    optimal bin count (each bin except the last is ≥ half full by
+    construction).
+
+    Scale: the manifest is metadata (one row per FILE, not per data
+    row) — millions of rows at 100 TB, so the single-partition cumsum
+    window is safe; the actual rewrite jobs read each bin's file list
+    independently. Integer epoch-us day math (TZ-free)."""
+    ev = load(spark, sf_dir, "events").select("ts_us")
+    manifest = (
+        ev.groupBy(F.expr(f"ts_us div {_DAY_US}").alias("file_id"))
+        .agg(
+            (F.count(F.lit(1)) * _FILE_BYTES_PER_ROW)
+            .cast("long")
+            .alias("size_bytes")
+        )
+    )
+    w = (
+        W.orderBy(F.desc("size_bytes"), "file_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    planned = manifest.withColumn(
+        "bin",
+        (
+            F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
+            / F.lit(_COMPACT_TARGET)
+        )
+        .cast("long"),
+    )
+    return (
+        planned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("size_bytes").cast("long").alias("total_bytes"),
+            F.min("file_id").cast("long").alias("first_file"),
+            F.max("file_id").cast("long").alias("last_file"),
+        )
+        .orderBy("bin")
     )

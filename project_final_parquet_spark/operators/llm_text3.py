@@ -557,3 +557,76 @@ def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_ab"), "tok_a", "tok_b")
         .limit(_PMI_TOPK)
     )
+
+
+# --- composite quality gate (bitmask reasons) ------------------------------
+
+_Q_MIN_TOK = 20
+_Q_MAX_TOK = 90
+_Q_MAX_WORD = 15
+_Q_MIN_STOP_KINDS = 2
+
+_Q_STOP_SQL = "['the','a','of','and','to','in','is','it']"
+
+
+@query(
+    "text_quality_gate",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    flags AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) < {_Q_MIN_TOK} THEN 1 ELSE 0 END
+        + CASE WHEN len(toks) > {_Q_MAX_TOK} THEN 2 ELSE 0 END
+        + CASE WHEN len(list_filter(toks,
+                    x -> length(x) > {_Q_MAX_WORD})) > 0 THEN 4 ELSE 0 END
+        + CASE WHEN len(list_intersect(list_distinct(toks), {_Q_STOP_SQL}))
+                    < {_Q_MIN_STOP_KINDS} THEN 8 ELSE 0 END
+          AS reasons
+      FROM s
+    )
+    SELECT reasons, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc
+    FROM flags GROUP BY reasons ORDER BY reasons
+    """,
+)
+def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pretraining quality gate: every document is scored
+    against four independent heuristics — too short (<{_Q_MIN_TOK}
+    tokens, bit 1), too long (>{_Q_MAX_TOK}, bit 2), over-long word
+    (>{_Q_MAX_WORD} chars, bit 4: mojibake/URL smell), too few distinct
+    stopwords (<{_Q_MIN_STOP_KINDS}, bit 8: non-prose smell) — and the
+    REASON BITMASK is reported per combination, the diagnostic view a
+    filter-tuning loop needs (reasons=0 is the keep set). All integer
+    comparisons (no float thresholds to drift cross-engine).
+
+    Scale: pure map-side row scoring; the shuffle carries at most 16
+    (reasons, partial) rows per task. Composing the bits here instead
+    of running 4 filter passes reads the corpus ONCE — at 100 TB the
+    scan is the cost, so one pass at 4 signals beats 4 passes at 1."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = F.array(*[F.lit(s) for s in
+                     ["the", "a", "of", "and", "to", "in", "is", "it"]])
+    reasons = (
+        F.when(F.size(toks) < _Q_MIN_TOK, 1).otherwise(0)
+        + F.when(F.size(toks) > _Q_MAX_TOK, 2).otherwise(0)
+        + F.when(
+            F.size(F.filter(toks, lambda x: F.length(x) > _Q_MAX_WORD)) > 0, 4
+        ).otherwise(0)
+        + F.when(
+            F.size(F.array_intersect(F.array_distinct(toks), stop))
+            < _Q_MIN_STOP_KINDS,
+            8,
+        ).otherwise(0)
+    )
+    return (
+        docs.select("doc_id", reasons.alias("reasons"))
+        .groupBy("reasons")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("example_doc"),
+        )
+        .orderBy("reasons")
+    )

@@ -87,3 +87,81 @@ def embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_val",
         "max_val",
     ).orderBy("dim")
+
+
+# --- k-NN graph construction -----------------------------------------------
+
+_KNN_SRC = 20  # source vectors whose neighborhoods we materialize
+_KNN_K = 3
+
+
+@query(
+    "sim_knn_graph",
+    oracle=f"""
+    WITH srcs AS (
+      SELECT vec_id AS src, embedding AS se FROM embeddings
+      WHERE vec_id < {_KNN_SRC}
+    ),
+    scored AS (
+      SELECT s.src, e.vec_id AS dst,
+             list_aggregate(list_transform(range(64),
+               j -> CAST(s.se[j+1] AS DOUBLE) * CAST(e.embedding[j+1] AS DOUBLE)),
+               'sum')
+             / (sqrt(list_aggregate(list_transform(range(64),
+                  j -> CAST(s.se[j+1] AS DOUBLE) * CAST(s.se[j+1] AS DOUBLE)),
+                  'sum'))
+                * sqrt(list_aggregate(list_transform(range(64),
+                    j -> CAST(e.embedding[j+1] AS DOUBLE)
+                         * CAST(e.embedding[j+1] AS DOUBLE)), 'sum')))
+               AS cosine
+      FROM embeddings e CROSS JOIN srcs s
+      WHERE e.vec_id <> s.src
+    )
+    SELECT src, rank, dst, cosine FROM (
+      SELECT src, dst, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY cosine DESC, dst
+             ) AS rank
+      FROM scored
+    ) t WHERE rank <= {_KNN_K}
+    ORDER BY src, rank
+    """,
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction: exact cosine top-{_KNN_K} neighbor edges
+    for a source set — the adjacency a graph-based dedup / HNSW build /
+    label-propagation pass consumes. The source vectors BROADCAST and
+    every corpus partition scores them map-side (one pass over the big
+    table, no shuffle of it); the per-src top-k ranks |src|·k rows.
+
+    Scale: cost is |corpus|·|src| dot products, embarrassingly parallel;
+    growing the source set shards it (each shard is this same plan), and
+    the LSH/IVF variants (sim_ann_lsh, sim_ivf_multiprobe) replace the
+    full scan when |src| ≈ |corpus|."""
+    emb = load(spark, sf_dir, "embeddings")
+    srcs = emb.filter(F.col("vec_id") < _KNN_SRC).select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("se")
+    )
+    from .similarity import _dot, _norm
+
+    scored = (
+        emb.crossJoin(F.broadcast(srcs))
+        .filter(F.col("vec_id") != F.col("src"))
+        .select(
+            "src",
+            F.col("vec_id").alias("dst"),
+            (
+                _dot(F.col("se"), F.col("embedding"))
+                / (_norm(F.col("se")) * _norm(F.col("embedding")))
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("src", "rank", "dst", "cosine")
+        .orderBy("src", "rank")
+    )

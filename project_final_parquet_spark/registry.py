@@ -149,6 +149,9 @@ _GATE_FIRST = [
     "events_user_path_topk",
     "dq_freshness_by_type",
     "text_cooccurrence_lift",
+    "sim_knn_graph",
+    "layout_compaction_plan",
+    "text_quality_gate",
     # round-3 window names (all driver-green in CORRECTNESS_r03) follow so
     # their ordering stays deterministic; the rest of the registry trails
     # in registration order via _ordered().
@@ -215,6 +218,9 @@ ROUND5_QUEUE = [
     "events_user_path_topk",
     "dq_freshness_by_type",
     "text_cooccurrence_lift",
+    "sim_knn_graph",
+    "layout_compaction_plan",
+    "text_quality_gate",
 ]
 
 

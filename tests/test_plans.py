@@ -338,3 +338,28 @@ def test_custom_state_two_exchanges(spark):
     f = facts_of(spark, "stream_custom_state")
     assert f.n_joins == 0
     assert f.n_exchanges <= 2
+
+
+def test_knn_graph_never_shuffles_corpus(spark):
+    """Sources broadcast; the corpus is scored map-side — the only
+    exchanges are the per-src top-k window and presentation sort."""
+    f = facts_of(spark, "sim_knn_graph")
+    assert f.n_sortmerge_joins == 0
+    assert f.n_shuffled_hash_joins == 0
+    assert f.n_exchanges <= 2
+
+
+def test_compaction_plan_is_metadata_sized(spark):
+    """The window cumsum runs over the day-file manifest (post-agg),
+    never the raw events: no joins, exchanges bounded."""
+    f = facts_of(spark, "layout_compaction_plan")
+    assert f.n_joins == 0
+    assert f.n_exchanges <= 4  # day agg + singleton window + bin agg + sort
+
+
+def test_quality_gate_single_scan(spark):
+    """Four signals in one pass: no joins, one partial+final agg."""
+    f = facts_of(spark, "text_quality_gate")
+    assert f.n_joins == 0
+    assert f.n_hash_aggregates >= 2
+    assert f.n_exchanges <= 2
