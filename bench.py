@@ -66,6 +66,11 @@ HEADLINE = [
     "pack_sequences",
     "stream_custom_state",
     "mm_real_decode_stats",
+    "embeddings_top_eigenvector",
+    "sim_knn_graph",
+    "text_quality_gate",
+    "cdc_merge_on_read",
+    "sample_temperature_mix",
 ]
 
 

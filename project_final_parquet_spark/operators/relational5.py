@@ -297,3 +297,54 @@ def q69_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- recursive CTE hierarchy rollup ----------------------------------------
+
+
+@query(
+    "q70_recursive_org_rollup",
+    oracle="""
+    WITH RECURSIVE org(c_custkey, depth) AS (
+      SELECT c_custkey, 0 FROM customer WHERE c_custkey = 0
+      UNION ALL
+      SELECT c.c_custkey, o.depth + 1
+      FROM customer c JOIN org o ON c.c_custkey // 3 = o.c_custkey
+      WHERE c.c_custkey > 0
+    )
+    SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,10))) AS VARCHAR)
+                AS DOUBLE) AS total_bal
+    FROM org JOIN customer c USING (c_custkey)
+    GROUP BY depth ORDER BY depth
+    """,
+)
+def q70_recursive_org_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE — new SQL surface in Spark 4.x):
+    walk a synthetic reporting hierarchy over customer (parent(k) =
+    k div 3, rooted at 0 — max depth ~log₃ N) and roll account balances
+    up per depth. Submitted as SQL text, like sql_text_frontend, so the
+    recursion is planned by Catalyst's recursion operator, not a Python
+    loop; the DuckDB oracle runs its own native WITH RECURSIVE.
+
+    Scale: each recursion level is one equi-join of the (shrinking)
+    frontier against the child table — the same per-level cost profile
+    as graph_pagerank's rounds, with depth bounded logarithmically by
+    the fan-out, not by data size."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("sqlv_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE org(c_custkey, depth) AS (
+          SELECT c_custkey, 0 FROM sqlv_customer WHERE c_custkey = 0
+          UNION ALL
+          SELECT c.c_custkey, o.depth + 1
+          FROM sqlv_customer c JOIN org o ON c.c_custkey div 3 = o.c_custkey
+          WHERE c.c_custkey > 0
+        )
+        SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
+                 AS total_bal
+        FROM org JOIN sqlv_customer c USING (c_custkey)
+        GROUP BY depth ORDER BY depth
+        """
+    )

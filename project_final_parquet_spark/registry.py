@@ -154,6 +154,7 @@ _GATE_FIRST = [
     "layout_compaction_plan",
     "text_quality_gate",
     "embeddings_top_eigenvector",
+    "q70_recursive_org_rollup",
     # round-3 window names (all driver-green in CORRECTNESS_r03) follow so
     # their ordering stays deterministic; the rest of the registry trails
     # in registration order via _ordered().
@@ -224,6 +225,7 @@ ROUND5_QUEUE = [
     "layout_compaction_plan",
     "text_quality_gate",
     "embeddings_top_eigenvector",
+    "q70_recursive_org_rollup",
 ]
 
 
