@@ -155,6 +155,7 @@ _GATE_FIRST = [
     "text_quality_gate",
     "embeddings_top_eigenvector",
     "q70_recursive_org_rollup",
+    "src_reffile_datasource",
     # round-3 window names (all driver-green in CORRECTNESS_r03) follow so
     # their ordering stays deterministic; the rest of the registry trails
     # in registration order via _ordered().
@@ -226,6 +227,7 @@ ROUND5_QUEUE = [
     "text_quality_gate",
     "embeddings_top_eigenvector",
     "q70_recursive_org_rollup",
+    "src_reffile_datasource",
 ]
 
 
@@ -297,6 +299,7 @@ def _load_all() -> None:
         pipeline2,
         pipeline3,
         vector_stats,
+        reffile_source,
         events_analytics,
         encrypted,
         asof,

@@ -1,0 +1,84 @@
+"""Python Data Source for the reference file format (reffile_source).
+
+Parity target: reference src/parquet_reader.cpp — selective decrypt,
+[ENCRYPTED] masking on unresolvable keys, KMS XOR-0xAA stub contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from project_final_parquet_spark.operators.reffile_source import (
+    ENCRYPTED_PLACEHOLDER,
+    RefFileDataSource,
+    _MASTER_HEX,
+    _SHARDS,
+    read_ref_file,
+    staged_ref_dir,
+)
+
+
+def test_pure_python_reader_roundtrip(spark, sf_dir):
+    root = staged_ref_dir(spark, sf_dir)
+    files = sorted(p for p in os.listdir(root) if p.endswith(".ref"))
+    assert len(files) == _SHARDS
+    cols, values = read_ref_file(
+        os.path.join(root, files[0]), {"master_key_hex": _MASTER_HEX}
+    )
+    assert cols == ["c_custkey", "c_mktsegment", "c_name"]
+    n = len(values[0])
+    assert n > 0 and all(len(v) == n for v in values)
+    # KMS-wrapped key resolves via the XOR contract: values are REAL
+    assert all(v != ENCRYPTED_PLACEHOLDER for v in values[0])
+
+
+def test_masking_when_kms_key_stripped(spark, sf_dir, tmp_path):
+    """Without the wrapped key (and no fallback), the column must come
+    back masked — the reference's masking-not-failure semantics."""
+    import json
+    import struct as st
+
+    from project_final_parquet_spark.operators.reffile_source import (
+        _aes_gcm_decrypt,
+    )
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+    root = staged_ref_dir(spark, sf_dir)
+    src = os.path.join(
+        root, sorted(p for p in os.listdir(root) if p.endswith(".ref"))[0]
+    )
+    data = open(src, "rb").read()
+    (flen,) = st.unpack("<Q", data[-8:])
+    footer = json.loads(_aes_gcm_decrypt(data[-8 - flen : -8], _MASTER_HEX))
+    for entry in footer["columns"].values():
+        entry.pop("kms_encrypted_key", None)
+    key = bytes.fromhex(_MASTER_HEX)
+    iv = b"\x00" * 12
+    enc = iv + AESGCM(key).encrypt(iv, json.dumps(footer).encode(), None)
+    out = tmp_path / "stripped.ref"
+    out.write_bytes(data[: -8 - flen] + enc + st.pack("<Q", len(enc)))
+
+    cols, values = read_ref_file(str(out), {"master_key_hex": _MASTER_HEX})
+    assert all(
+        v == ENCRYPTED_PLACEHOLDER for col in values for v in col
+    )
+
+
+def test_spark_scan_parallel_partitions(spark, sf_dir):
+    root = staged_ref_dir(spark, sf_dir)
+    spark.dataSource.register(RefFileDataSource)
+    df = (
+        spark.read.format("reffile")
+        .option("master_key_hex", _MASTER_HEX)
+        .load(root)
+    )
+    assert df.rdd.getNumPartitions() == _SHARDS
+    n = df.count()
+    direct = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_custkey") < 30)
+        .count()
+    )
+    assert n == direct
