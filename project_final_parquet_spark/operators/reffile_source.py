@@ -28,7 +28,12 @@ import struct
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StringType, StructField, StructType
 
 from ..registry import query
@@ -140,11 +145,56 @@ class RefFileReader(DataSourceReader):
             )
 
 
+class RefFileStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form: the offset is the count of (sorted) ``.ref``
+    files already consumed, so dropping new reference files into the
+    directory feeds micro-batches — file-arrival semantics like the
+    built-in file stream source. The Simple reader variant fetches on
+    the driver (fine for the single-file-per-column format's small
+    files); a partition-parallel ``streamReader`` is the production
+    upgrade path, same offset log."""
+
+    def __init__(self, options: dict, fields: list[str]):
+        self.options = dict(options)
+        self.fields = fields
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def _rows(self, paths: list[str]):
+        # a LIST iterator, not a generator: the prefetching cache in
+        # SimpleDataSourceStreamReader copy.copy()s the iterator, which
+        # generators cannot survive
+        out = []
+        for p in paths:
+            cols, values = read_ref_file(p, self.options)
+            idx = {c: i for i, c in enumerate(cols)}
+            n = len(values[0]) if values else 0
+            for r in range(n):
+                out.append(
+                    tuple(
+                        values[idx[f]][r] if f in idx else None
+                        for f in self.fields
+                    )
+                )
+        return iter(out)
+
+    def read(self, start: dict):
+        paths = _ref_paths(self.options["path"])
+        return self._rows(paths[start["idx"] :]), {"idx": len(paths)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay for recovery: offsets name a stable sorted-file range
+        paths = _ref_paths(self.options["path"])
+        return self._rows(paths[start["idx"] : end["idx"]])
+
+
 class RefFileDataSource(DataSource):
-    """``spark.read.format("reffile")`` — options: ``path``,
-    ``master_key_hex`` (footer), optional ``column_keys`` (JSON name→hex),
-    ``fallback_key_hex``. Schema = union of footer columns (all STRING,
-    lexicographic), inferred from the first file."""
+    """``spark.read.format("reffile")`` / ``spark.readStream.format(
+    "reffile")`` — options: ``path``, ``master_key_hex`` (footer),
+    optional ``column_keys`` (JSON name→hex), ``fallback_key_hex``.
+    Schema = union of footer columns (all STRING, lexicographic),
+    inferred from the first file."""
 
     @classmethod
     def name(cls) -> str:
@@ -162,6 +212,11 @@ class RefFileDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return RefFileReader(self.options, schema)
+
+    def simpleStreamReader(self, schema: StructType):
+        return RefFileStreamReader(
+            self.options, [f.name for f in schema.fields]
+        )
 
 
 # --- driver-gate query ------------------------------------------------------

@@ -82,3 +82,37 @@ def test_spark_scan_parallel_partitions(spark, sf_dir):
         .count()
     )
     assert n == direct
+
+
+def test_streaming_reader_batch_equivalence(spark, sf_dir, tmp_path):
+    """readStream over the reference-format directory (availableNow)
+    must produce exactly the batch read's rows — the repo's established
+    stream ≡ batch proof pattern, applied to the custom connector."""
+    root = staged_ref_dir(spark, sf_dir)
+    spark.dataSource.register(RefFileDataSource)
+    batch = set(
+        map(
+            tuple,
+            spark.read.format("reffile")
+            .option("master_key_hex", _MASTER_HEX)
+            .load(root)
+            .collect(),
+        )
+    )
+    stream_df = (
+        spark.readStream.format("reffile")
+        .option("master_key_hex", _MASTER_HEX)
+        .load(root)
+    )
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("reffile_stream_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = set(
+        map(tuple, spark.sql("SELECT * FROM reffile_stream_sink").collect())
+    )
+    assert got == batch and len(got) > 0
