@@ -315,3 +315,48 @@ def dq_freshness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- activity heatmap: day-of-week × hour ----------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "events_heatmap_dow_hour",
+    oracle=f"""
+    SELECT CAST((epoch_us(ts) // {_DAY_US} + 3) % 7 AS BIGINT) AS dow,
+           CAST((epoch_us(ts) // {_HOUR_US}) % 24 AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR)
+                AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY dow, hour ORDER BY dow, hour
+    """,
+)
+def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap (0 = Monday; epoch day 0 was
+    a Thursday, hence the +3) — the load-profile view behind capacity
+    planning and send-time optimization. All bucketing is integer
+    epoch-us arithmetic (TZ-free by the repo convention — this is a UTC
+    heatmap; a local-time variant would join a timezone dimension).
+
+    Scale: pure map-side bucketing into ≤168 keys with partial
+    aggregation — the shuffle carries 168 rows per task at any event
+    volume."""
+    ev = load(spark, sf_dir, "events").select("ts_us", "value")
+    return (
+        ev.select(
+            ((F.expr(f"ts_us div {_DAY_US}") + 3) % 7).alias("dow"),
+            (F.expr(f"ts_us div {_HOUR_US}") % 24).alias("hour"),
+            "value",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("dow", "hour")
+    )

@@ -156,6 +156,7 @@ _GATE_FIRST = [
     "embeddings_top_eigenvector",
     "q70_recursive_org_rollup",
     "src_reffile_datasource",
+    "events_heatmap_dow_hour",
     # round-3 window names (all driver-green in CORRECTNESS_r03) follow so
     # their ordering stays deterministic; the rest of the registry trails
     # in registration order via _ordered().
@@ -228,6 +229,7 @@ ROUND5_QUEUE = [
     "embeddings_top_eigenvector",
     "q70_recursive_org_rollup",
     "src_reffile_datasource",
+    "events_heatmap_dow_hour",
 ]
 
 
