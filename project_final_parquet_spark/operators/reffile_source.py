@@ -16,25 +16,25 @@ scans in parallel like any other source.
 
 Key cascade (reference src/parquet_reader.cpp:103-131 semantics):
 per-column key wins, else KMS-unwrapped key (the reference's XOR-0xAA
-stub contract, ``ReferenceCompatKMS``), else the column is surfaced as
-``[ENCRYPTED]`` — masking, not failure, exactly like the reference.
+stub contract), else the column is surfaced as ``[ENCRYPTED]`` —
+masking, not failure, exactly like the reference.
+
+Pickling note (the make_fake_decoder rule, hit for real here): data
+source classes are cloudpickled to SEPARATE Python worker processes
+that cannot import this package (the driver may run from any cwd with
+a sys.path hack). Everything the class touches is therefore defined
+INSIDE ``make_reffile_datasource()`` — a dynamically-created class
+(``<locals>`` in its qualname) ships by value, module-level classes by
+reference, and by-reference breaks with ModuleNotFoundError on the
+data-source worker. Verified against a vanilla session from /tmp.
 """
 
 from __future__ import annotations
 
-import json
 import os
-import struct
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import (
-    DataSource,
-    DataSourceReader,
-    InputPartition,
-    SimpleDataSourceStreamReader,
-)
-from pyspark.sql.types import StringType, StructField, StructType
 
 from ..registry import query
 from ..tables import load
@@ -42,181 +42,220 @@ from ..tables import load
 ENCRYPTED_PLACEHOLDER = "[ENCRYPTED]"
 
 
-# --- pure-python format layer (executor-safe: no SparkSession) -------------
+def make_reffile_helpers():
+    """Pure-python format layer (executor-safe, by-value picklable):
+    returns (read_ref_file, ref_paths)."""
 
+    import json as _json
+    import os as _os
+    import struct as _struct
 
-def _aes_gcm_decrypt(blob: bytes, key_hex: str) -> bytes:
-    """[12B IV][ct][16B tag] → plaintext (reference crypto_utils.cpp
-    layout; cryptography lib takes ct||tag)."""
-    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+    placeholder = ENCRYPTED_PLACEHOLDER  # captured constant, not module ref
 
-    return AESGCM(bytes.fromhex(key_hex)).decrypt(blob[:12], blob[12:], None)
+    def _aes_gcm_decrypt(blob: bytes, key_hex: str) -> bytes:
+        # [12B IV][ct][16B tag] (reference crypto_utils.cpp layout;
+        # cryptography lib takes ct||tag)
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM
 
-
-def _read_footer(path: str, master_key_hex: str) -> tuple[dict, bytes]:
-    with open(path, "rb") as f:
-        data = f.read()
-    (footer_len,) = struct.unpack("<Q", data[-8:])
-    enc_footer = data[-8 - footer_len : -8]
-    footer = json.loads(_aes_gcm_decrypt(enc_footer, master_key_hex))
-    return footer, data
-
-
-def _decode_column(plain: str) -> list[str]:
-    # "col: value\n" per row (reference src/parquet_reader.cpp:152-159)
-    out = []
-    for line in plain.split("\n")[:-1]:
-        idx = line.find(": ")
-        out.append(line[idx + 2 :] if idx >= 0 else "")
-    return out
-
-
-def _kms_unwrap(wrapped_hex: str) -> str:
-    # the reference's KMS stub contract: wrap == XOR 0xAA (src/kms.cpp)
-    return bytes(b ^ 0xAA for b in bytes.fromhex(wrapped_hex)).hex()
-
-
-def _resolve_key(entry: dict, opts: dict) -> str | None:
-    """Reference read cascade: column key → KMS-unwrapped → None
-    (masked)."""
-    col_keys = json.loads(opts.get("column_keys", "{}"))
-    if entry.get("key_type") == "none":
-        return ""  # plaintext blob
-    if entry.get("kms_encrypted_key"):
-        return _kms_unwrap(entry["kms_encrypted_key"])
-    name = entry.get("_col_name")
-    if name in col_keys:
-        return col_keys[name]
-    if opts.get("fallback_key_hex"):
-        return opts["fallback_key_hex"]
-    return None
-
-
-def _ref_paths(path: str) -> list[str]:
-    if os.path.isdir(path):
-        return sorted(
-            os.path.join(path, p)
-            for p in os.listdir(path)
-            if p.endswith(".ref")
+        return AESGCM(bytes.fromhex(key_hex)).decrypt(
+            blob[:12], blob[12:], None
         )
-    return [path]
 
+    def _read_footer(path: str, master_key_hex: str):
+        with open(path, "rb") as f:
+            data = f.read()
+        (footer_len,) = _struct.unpack("<Q", data[-8:])
+        enc_footer = data[-8 - footer_len : -8]
+        footer = _json.loads(_aes_gcm_decrypt(enc_footer, master_key_hex))
+        return footer, data
 
-def read_ref_file(path: str, opts: dict) -> tuple[list[str], list[list[str]]]:
-    """One file → (sorted column names, per-column value lists).
-    Unresolvable keys mask the column with [ENCRYPTED] per row."""
-    footer, data = _read_footer(path, opts["master_key_hex"])
-    cols = sorted(footer["columns"])
-    n = footer["row_count"]
-    out = []
-    for col in cols:
-        entry = dict(footer["columns"][col], _col_name=col)
-        blob = data[entry["offset"] : entry["offset"] + entry["size"]]
-        key = _resolve_key(entry, opts)
-        if key is None:
-            out.append([ENCRYPTED_PLACEHOLDER] * n)
-        elif key == "":
-            out.append(_decode_column(blob.decode()))
-        else:
-            out.append(_decode_column(_aes_gcm_decrypt(blob, key).decode()))
-    return cols, out
-
-
-# --- Spark Python Data Source ----------------------------------------------
-
-
-class RefFileReader(DataSourceReader):
-    def __init__(self, options: dict, schema: StructType):
-        self.options = dict(options)
-        self.fields = [f.name for f in schema.fields]
-
-    def partitions(self):
-        # one partition per reference file — a directory of them scans
-        # in parallel; the format itself is single-file (SURVEY §1.1)
-        return [InputPartition(p) for p in _ref_paths(self.options["path"])]
-
-    def read(self, partition):
-        cols, values = read_ref_file(partition.value, self.options)
-        idx = {c: i for i, c in enumerate(cols)}
-        n = len(values[0]) if values else 0
-        for r in range(n):
-            yield tuple(
-                values[idx[f]][r] if f in idx else None for f in self.fields
-            )
-
-
-class RefFileStreamReader(SimpleDataSourceStreamReader):
-    """Streaming form: the offset is the count of (sorted) ``.ref``
-    files already consumed, so dropping new reference files into the
-    directory feeds micro-batches — file-arrival semantics like the
-    built-in file stream source. The Simple reader variant fetches on
-    the driver (fine for the single-file-per-column format's small
-    files); a partition-parallel ``streamReader`` is the production
-    upgrade path, same offset log."""
-
-    def __init__(self, options: dict, fields: list[str]):
-        self.options = dict(options)
-        self.fields = fields
-
-    def initialOffset(self) -> dict:
-        return {"idx": 0}
-
-    def _rows(self, paths: list[str]):
-        # a LIST iterator, not a generator: the prefetching cache in
-        # SimpleDataSourceStreamReader copy.copy()s the iterator, which
-        # generators cannot survive
+    def _decode_column(plain: str) -> list[str]:
+        # "col: value\n" per row (reference src/parquet_reader.cpp:152-159)
         out = []
-        for p in paths:
-            cols, values = read_ref_file(p, self.options)
+        for line in plain.split("\n")[:-1]:
+            idx = line.find(": ")
+            out.append(line[idx + 2 :] if idx >= 0 else "")
+        return out
+
+    def _kms_unwrap(wrapped_hex: str) -> str:
+        # the reference's KMS stub contract: wrap == XOR 0xAA (src/kms.cpp)
+        return bytes(b ^ 0xAA for b in bytes.fromhex(wrapped_hex)).hex()
+
+    def _resolve_key(entry: dict, opts: dict) -> str | None:
+        # reference read cascade: column key → KMS-unwrapped → fallback
+        # → None (masked)
+        col_keys = _json.loads(opts.get("column_keys", "{}"))
+        if entry.get("key_type") == "none":
+            return ""  # plaintext blob
+        if entry.get("kms_encrypted_key"):
+            return _kms_unwrap(entry["kms_encrypted_key"])
+        name = entry.get("_col_name")
+        if name in col_keys:
+            return col_keys[name]
+        if opts.get("fallback_key_hex"):
+            return opts["fallback_key_hex"]
+        return None
+
+    def ref_paths(path: str) -> list[str]:
+        if _os.path.isdir(path):
+            return sorted(
+                _os.path.join(path, p)
+                for p in _os.listdir(path)
+                if p.endswith(".ref")
+            )
+        return [path]
+
+    def read_ref_file(path: str, opts: dict):
+        """One file → (sorted column names, per-column value lists).
+        Unresolvable keys mask the column with [ENCRYPTED] per row."""
+        footer, data = _read_footer(path, opts["master_key_hex"])
+        cols = sorted(footer["columns"])
+        n = footer["row_count"]
+        out = []
+        for col in cols:
+            entry = dict(footer["columns"][col], _col_name=col)
+            blob = data[entry["offset"] : entry["offset"] + entry["size"]]
+            key = _resolve_key(entry, opts)
+            if key is None:
+                out.append([placeholder] * n)
+            elif key == "":
+                out.append(_decode_column(blob.decode()))
+            else:
+                out.append(
+                    _decode_column(_aes_gcm_decrypt(blob, key).decode())
+                )
+        return cols, out
+
+    return read_ref_file, ref_paths
+
+
+# driver-side handles for tests; the class below captures its own copies
+read_ref_file, _ref_paths = make_reffile_helpers()
+
+
+def make_reffile_datasource():
+    """Build the DataSource class with every dependency factory-local so
+    cloudpickle ships the whole closure by value to the data-source
+    workers (see module docstring)."""
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    _read_ref_file, _paths = make_reffile_helpers()
+
+    class RefFileReader(DataSourceReader):
+        def __init__(self, options: dict, schema: StructType):
+            self.options = dict(options)
+            self.fields = [f.name for f in schema.fields]
+
+        def partitions(self):
+            # one partition per reference file — a directory of them
+            # scans in parallel; the format itself is single-file
+            return [InputPartition(p) for p in _paths(self.options["path"])]
+
+        def read(self, partition):
+            cols, values = _read_ref_file(partition.value, self.options)
             idx = {c: i for i, c in enumerate(cols)}
             n = len(values[0]) if values else 0
             for r in range(n):
-                out.append(
-                    tuple(
-                        values[idx[f]][r] if f in idx else None
-                        for f in self.fields
-                    )
+                yield tuple(
+                    values[idx[f]][r] if f in idx else None
+                    for f in self.fields
                 )
-        return iter(out)
 
-    def read(self, start: dict):
-        paths = _ref_paths(self.options["path"])
-        return self._rows(paths[start["idx"] :]), {"idx": len(paths)}
+    class RefFileStreamReader(SimpleDataSourceStreamReader):
+        """Streaming form: the offset is the count of (sorted) ``.ref``
+        files consumed, so new reference files arriving in the directory
+        feed micro-batches — file-arrival semantics like the built-in
+        file stream source. The Simple reader fetches on the driver
+        (fine for the format's small single files); a partition-parallel
+        ``streamReader`` is the production upgrade path, same offset
+        log."""
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        # replay for recovery: offsets name a stable sorted-file range
-        paths = _ref_paths(self.options["path"])
-        return self._rows(paths[start["idx"] : end["idx"]])
+        def __init__(self, options: dict, fields: list[str]):
+            self.options = dict(options)
+            self.fields = fields
+
+        def initialOffset(self) -> dict:
+            return {"idx": 0}
+
+        def _rows(self, paths: list[str]):
+            # LIST iterator, not a generator: the prefetching cache
+            # copy.copy()s iterators, which generators cannot survive
+            out = []
+            for p in paths:
+                cols, values = _read_ref_file(p, self.options)
+                idx = {c: i for i, c in enumerate(cols)}
+                n = len(values[0]) if values else 0
+                for r in range(n):
+                    out.append(
+                        tuple(
+                            values[idx[f]][r] if f in idx else None
+                            for f in self.fields
+                        )
+                    )
+            return iter(out)
+
+        def read(self, start: dict):
+            paths = _paths(self.options["path"])
+            return self._rows(paths[start["idx"] :]), {"idx": len(paths)}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            # replay for recovery: offsets name a stable sorted range
+            paths = _paths(self.options["path"])
+            return self._rows(paths[start["idx"] : end["idx"]])
+
+    class RefFileDataSource(DataSource):
+        """``spark.read.format("reffile")`` / ``spark.readStream`` —
+        options: ``path``, ``master_key_hex`` (footer), optional
+        ``column_keys`` (JSON name→hex), ``fallback_key_hex``. Schema =
+        union of footer columns (all STRING, lexicographic), inferred
+        from the first file."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "reffile"
+
+        def schema(self):
+            # footer-only read (no blob decrypt needed for the schema)
+            first = _paths(self.options["path"])[0]
+            import json as _json
+            import struct as _struct
+
+            from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+            with open(first, "rb") as f:
+                data = f.read()
+            (flen,) = _struct.unpack("<Q", data[-8:])
+            blob = data[-8 - flen : -8]
+            key = bytes.fromhex(self.options["master_key_hex"])
+            footer = _json.loads(
+                AESGCM(key).decrypt(blob[:12], blob[12:], None)
+            )
+            return StructType(
+                [
+                    StructField(c, StringType())
+                    for c in sorted(footer["columns"])
+                ]
+            )
+
+        def reader(self, schema: StructType) -> DataSourceReader:
+            return RefFileReader(self.options, schema)
+
+        def simpleStreamReader(self, schema: StructType):
+            return RefFileStreamReader(
+                self.options, [f.name for f in schema.fields]
+            )
+
+    return RefFileDataSource
 
 
-class RefFileDataSource(DataSource):
-    """``spark.read.format("reffile")`` / ``spark.readStream.format(
-    "reffile")`` — options: ``path``, ``master_key_hex`` (footer),
-    optional ``column_keys`` (JSON name→hex), ``fallback_key_hex``.
-    Schema = union of footer columns (all STRING, lexicographic),
-    inferred from the first file."""
-
-    @classmethod
-    def name(cls) -> str:
-        return "reffile"
-
-    def schema(self):
-        first = _ref_paths(self.options["path"])[0]
-        footer, _ = _read_footer(first, self.options["master_key_hex"])
-        return StructType(
-            [
-                StructField(c, StringType())
-                for c in sorted(footer["columns"])
-            ]
-        )
-
-    def reader(self, schema: StructType) -> DataSourceReader:
-        return RefFileReader(self.options, schema)
-
-    def simpleStreamReader(self, schema: StructType):
-        return RefFileStreamReader(
-            self.options, [f.name for f in schema.fields]
-        )
+RefFileDataSource = make_reffile_datasource()
 
 
 # --- driver-gate query ------------------------------------------------------

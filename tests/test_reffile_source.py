@@ -40,9 +40,6 @@ def test_masking_when_kms_key_stripped(spark, sf_dir, tmp_path):
     import json
     import struct as st
 
-    from project_final_parquet_spark.operators.reffile_source import (
-        _aes_gcm_decrypt,
-    )
     from cryptography.hazmat.primitives.ciphers.aead import AESGCM
 
     root = staged_ref_dir(spark, sf_dir)
@@ -51,7 +48,10 @@ def test_masking_when_kms_key_stripped(spark, sf_dir, tmp_path):
     )
     data = open(src, "rb").read()
     (flen,) = st.unpack("<Q", data[-8:])
-    footer = json.loads(_aes_gcm_decrypt(data[-8 - flen : -8], _MASTER_HEX))
+    enc = data[-8 - flen : -8]
+    footer = json.loads(
+        AESGCM(bytes.fromhex(_MASTER_HEX)).decrypt(enc[:12], enc[12:], None)
+    )
     for entry in footer["columns"].values():
         entry.pop("kms_encrypted_key", None)
     key = bytes.fromhex(_MASTER_HEX)
