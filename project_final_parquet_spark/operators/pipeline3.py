@@ -358,3 +358,179 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank", "token", "tf", "df")
         .orderBy("doc_id", "rank")
     )
+
+
+# --- sub-document (chunk-level) dedup --------------------------------------
+
+_CHUNK_TOK = 16  # tokens per chunk (fixed windows, C4-style granularity)
+_CHUNK_TOPK = 20
+
+
+@query(
+    "text_chunk_dedup",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             md5(array_to_string(
+               list_slice(toks, i * {_CHUNK_TOK} + 1,
+                          (i + 1) * {_CHUNK_TOK}), ' ')) AS chunk_hash
+      FROM tok
+      CROSS JOIN (SELECT unnest(range(16)) AS i) idx
+      WHERE len(toks) >= (i + 1) * {_CHUNK_TOK}
+    ),
+    dups AS (
+      SELECT chunk_hash,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(MIN(doc_id * 1000 + chunk_idx) AS BIGINT) AS first_site
+      FROM chunks GROUP BY chunk_hash
+      HAVING COUNT(*) > 1
+    )
+    SELECT chunk_hash, n_occurrences, n_docs, first_site
+    FROM dups
+    ORDER BY n_occurrences DESC, chunk_hash
+    LIMIT {_CHUNK_TOPK}
+    """,
+)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-document deduplication — the C4/RefinedWeb granularity the
+    whole-doc dedup family misses: fixed {_CHUNK_TOK}-token windows are
+    hashed and counted across the corpus, surfacing boilerplate chunks
+    that repeat inside otherwise-unique documents (the removal set is
+    `anti-join on chunk_hash`). first_site (min doc_id·1000+idx) is the
+    canonical keeper, deterministic under any partitioning.
+
+    Scale: chunking is map-side (slice + md5 per window, ≤16 windows
+    per doc here; unbounded docs chunk by sequence id the same way);
+    the only shuffle is the chunk-hash groupBy with map-side partials —
+    identical shape to dedup_exact, one granularity down."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    chunked = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(15)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.slice(
+                            F.col("toks"),
+                            i * _CHUNK_TOK + 1,
+                            _CHUNK_TOK,
+                        ),
+                    ),
+                )
+            ).alias("chunk_idx", "chunk_text"),
+        )
+        .filter(
+            F.size(F.split(F.col("chunk_text"), " ")) == _CHUNK_TOK
+        )
+        .select(
+            "doc_id", "chunk_idx", F.md5("chunk_text").alias("chunk_hash")
+        )
+    )
+    return (
+        chunked.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min(F.col("doc_id") * 1000 + F.col("chunk_idx"))
+            .cast("long")
+            .alias("first_site"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy(F.desc("n_occurrences"), "chunk_hash")
+        .limit(_CHUNK_TOPK)
+    )
+
+
+# --- order backlog timeseries (interval event-ification) -------------------
+
+_BL_DAY_US = 86_400_000_000
+_BL_EPOCH_US = (
+    "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', {col})"
+)
+
+
+@query(
+    "orders_backlog_timeseries",
+    oracle=f"""
+    WITH opened AS (
+      SELECT epoch_us(o_orderdate) // {_BL_DAY_US} AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_opened
+      FROM orders GROUP BY day
+    ),
+    closed AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_closed FROM (
+        SELECT l_orderkey,
+               MAX(epoch_us(l_shipdate)) // {_BL_DAY_US} AS day
+        FROM lineitem GROUP BY l_orderkey
+      ) t GROUP BY day
+    ),
+    merged AS (
+      SELECT COALESCE(o.day, c.day) AS day,
+             COALESCE(n_opened, 0) AS n_opened,
+             COALESCE(n_closed, 0) AS n_closed
+      FROM opened o FULL OUTER JOIN closed c ON o.day = c.day
+    )
+    SELECT day, n_opened, n_closed,
+           CAST(SUM(n_opened - n_closed) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS backlog
+    FROM merged ORDER BY day LIMIT 100
+    """,
+)
+def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time by INTERVAL EVENT-IFICATION — the
+    standard trick for 'how many X were open on day D' without a
+    day×order blowup: each order contributes +1 at its open day and −1
+    at its close day (last lineitem shipment), and a running sum over
+    the day-grain net changes IS the backlog curve. First 100 days for
+    a bounded gate output.
+
+    Scale: two key-shuffled aggregations (orders by day; lineitem by
+    orderkey then day) produce day-grain rows — bounded by the calendar,
+    not the data — so the single-partition cumsum window is safe by
+    construction (same argument as layout_compaction_plan's manifest).
+    The naive alternative (join every order to every day it spans) is
+    O(orders × avg_open_days) and is exactly what this shape avoids."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    o_day = F.expr(
+        f"{_BL_EPOCH_US.format(col='o_orderdate')} div {_BL_DAY_US}"
+    )
+    s_us = F.expr(_BL_EPOCH_US.format(col="l_shipdate"))
+    opened = orders.groupBy(o_day.alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_opened")
+    )
+    closed = (
+        li.groupBy("l_orderkey")
+        .agg(F.max(s_us).alias("max_ship_us"))
+        .select(
+            F.expr(f"max_ship_us div {_BL_DAY_US}").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_closed"))
+    )
+    merged = (
+        opened.join(closed, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
+            F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        merged.withColumn(
+            "backlog",
+            F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("long"),
+        )
+        .orderBy("day")
+        .limit(100)
+    )

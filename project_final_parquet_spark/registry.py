@@ -157,6 +157,8 @@ _GATE_FIRST = [
     "q70_recursive_org_rollup",
     "src_reffile_datasource",
     "events_heatmap_dow_hour",
+    "text_chunk_dedup",
+    "orders_backlog_timeseries",
     # round-3 window names (all driver-green in CORRECTNESS_r03) follow so
     # their ordering stays deterministic; the rest of the registry trails
     # in registration order via _ordered().
@@ -230,6 +232,8 @@ ROUND5_QUEUE = [
     "q70_recursive_org_rollup",
     "src_reffile_datasource",
     "events_heatmap_dow_hour",
+    "text_chunk_dedup",
+    "orders_backlog_timeseries",
 ]
 
 
