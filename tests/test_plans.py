@@ -372,3 +372,19 @@ def test_eigenvector_gram_is_the_only_data_scale_work(spark):
     f = facts_of(spark, "embeddings_top_eigenvector")
     assert f.n_hash_aggregates >= 2  # gram partial+final at minimum
     assert f.n_nested_loop_joins <= 3  # the 1-row nrm/num/den scalars
+
+
+def test_chunk_dedup_single_hash_shuffle(spark):
+    """Chunking is map-side; the only data shuffle is the chunk-hash
+    aggregate (countDistinct expands it), then top-k short-circuits."""
+    f = facts_of(spark, "text_chunk_dedup")
+    assert f.n_joins == 0
+    assert f.has_take_ordered
+
+
+def test_backlog_day_grain_cumsum(spark):
+    """Both aggregations reduce to day-grain before the full-outer
+    merge; the cumsum window runs on calendar-bounded rows."""
+    f = facts_of(spark, "orders_backlog_timeseries")
+    assert f.n_nested_loop_joins == 0
+    assert f.n_hash_aggregates >= 4  # opened + closed, partial+final
