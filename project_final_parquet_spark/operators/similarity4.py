@@ -430,3 +430,164 @@ def sim_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc", "vec_id")
         .limit(10)
     )
+
+
+# --- IVF-PQ: coarse probe + ADC ranking ------------------------------------
+
+_IVF_SCALE = 1_000_000_000_000  # centroid-distance quantum (similarity.py)
+_NPROBE = 2
+
+
+_IVFPQ_ORACLE = f"""
+WITH cent AS (
+  SELECT label, j,
+         (CAST(SUM(CAST(floor(CAST(embedding[j+1] AS DOUBLE)
+               * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0)
+           / COUNT(*) AS c
+  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS j) dims
+  GROUP BY label, j
+),
+qd AS (
+  SELECT j, CAST(embedding[j+1] AS DOUBLE) AS qv
+  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS j) dims
+  WHERE vec_id = 0
+),
+dist AS (
+  SELECT cent.label,
+         SUM(CAST(floor((cent.c - qd.qv) * (cent.c - qd.qv)
+             * {_IVF_SCALE}.0) AS BIGINT)) AS d2
+  FROM cent JOIN qd ON cent.j = qd.j
+  GROUP BY cent.label
+),
+best AS (SELECT label FROM dist ORDER BY d2, label LIMIT {_NPROBE}),
+cbrows AS (
+  SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, embedding
+  FROM embeddings ORDER BY h, vec_id LIMIT {_K}
+),
+cb AS (SELECT list(embedding ORDER BY h, vec_id) AS cbs FROM cbrows),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+enc AS (
+  SELECT e.vec_id, e.label, e.embedding, cb.cbs, q.qv
+  FROM embeddings e CROSS JOIN cb CROSS JOIN q
+  WHERE e.vec_id <> 0 AND e.label IN (SELECT label FROM best)
+),
+coded AS (
+  SELECT vec_id, label, cbs, qv,
+    {", ".join(
+        f"list_transform(cbs, cw -> {_sq_sub_sql('embedding', 'cw', t)})"
+        f" AS dt{t}"
+        for t in range(_M)
+    )}
+  FROM enc
+),
+codes AS (
+  SELECT vec_id, label, cbs, qv,
+    {", ".join(
+        f"CAST(list_position(dt{t}, list_aggregate(dt{t}, 'min')) - 1"
+        f" AS INTEGER) AS c{t}"
+        for t in range(_M)
+    )}
+  FROM coded
+)
+SELECT vec_id, label,
+  {" + ".join(_sq_sub_sql("qv", f"cbs[c{t}+1]", t) for t in range(_M))}
+    AS adc
+FROM codes
+ORDER BY adc, vec_id
+LIMIT 10
+"""
+
+
+@query("sim_ivf_pq", oracle=_IVFPQ_ORACLE)
+def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production billion-vector ANN stack (Jégou et al.
+    2011 §IV; FAISS's IndexIVFPQ): a coarse inverted-file probe cuts
+    the candidate set to nprobe={_NPROBE} cells, then PQ ADC ranks the
+    shortlist with table lookups instead of full-dimension math. The
+    two stages compose exactly as their standalone queries
+    (sim_ivf_multiprobe's scaled-integer centroid distances;
+    sim_pq_adc's seeded codebook + fixed-order ADC sums), so the oracle
+    is the composition of both proven CTE chains.
+
+    Scale: centroids and codebook broadcast; the corpus is touched once
+    map-side for cell membership (at rest the cells ARE the partition
+    layout, so probing reads nprobe/k of the data), and ADC touches
+    only the probed cells. No shuffle of vector data anywhere —
+    the sum of both components' scale stories."""
+    emb = load(spark, sf_dir, "embeddings")
+    # coarse probe (sim_ivf_multiprobe conventions)
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("j", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = dims.groupBy("label", "j").agg(
+        (
+            (F.sum(F.floor(F.col("val") * 1e9)).cast("double") / 1e9)
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    qdims = dims.filter(F.col("vec_id") == 0).select(
+        F.col("j").alias("qj"), F.col("val").alias("qv0")
+    )
+    dist = (
+        cent.join(F.broadcast(qdims), cent.j == qdims.qj)
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("c") - F.col("qv0"))
+                    * (F.col("c") - F.col("qv0"))
+                    * _IVF_SCALE
+                )
+            ).alias("d2")
+        )
+    )
+    best = (
+        dist.orderBy("d2", "label")
+        .limit(_NPROBE)
+        .select(F.col("label").alias("best_label"))
+    )
+    # PQ encode + ADC on the probed cells (sim_pq_adc conventions)
+    cbrows = (
+        emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(_K)
+    )
+    cb = cbrows.agg(
+        F.array_sort(
+            F.collect_list(F.struct("h", "vec_id", "embedding"))
+        ).alias("s")
+    ).select(F.transform("s", lambda r: r["embedding"]).alias("cbs"))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    enc = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(best), emb.label == F.col("best_label"))
+        .crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(q))
+    )
+
+    def _code_col(t: int):
+        dists = F.transform(
+            F.col("cbs"), lambda cw: _sq_sub(F.col("embedding"), cw, t)
+        )
+        return (
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"c{t}")
+        )
+
+    codes = enc.select(
+        "vec_id", "label", "cbs", "qv", *[_code_col(t) for t in range(_M)]
+    )
+    adc = None
+    for t in range(_M):
+        term = _sq_sub(
+            F.col("qv"), F.element_at(F.col("cbs"), F.col(f"c{t}") + 1), t
+        )
+        adc = term if adc is None else adc + term
+    return (
+        codes.select("vec_id", "label", adc.alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(10)
+    )

@@ -159,6 +159,7 @@ _GATE_FIRST = [
     "events_heatmap_dow_hour",
     "text_chunk_dedup",
     "orders_backlog_timeseries",
+    "sim_ivf_pq",
     # round-3 window names (all driver-green in CORRECTNESS_r03) follow so
     # their ordering stays deterministic; the rest of the registry trails
     # in registration order via _ordered().
@@ -234,6 +235,7 @@ ROUND5_QUEUE = [
     "events_heatmap_dow_hour",
     "text_chunk_dedup",
     "orders_backlog_timeseries",
+    "sim_ivf_pq",
 ]
 
 

@@ -388,3 +388,14 @@ def test_backlog_day_grain_cumsum(spark):
     f = facts_of(spark, "orders_backlog_timeseries")
     assert f.n_nested_loop_joins == 0
     assert f.n_hash_aggregates >= 4  # opened + closed, partial+final
+
+
+def test_ivf_pq_no_vector_shuffle(spark):
+    """The composed IVF-PQ stack inherits both components' guarantees:
+    centroids/codebook/query broadcast, cell membership via broadcast
+    join, ADC map-side, top-k short-circuit — the corpus vectors are
+    never shuffled."""
+    f = facts_of(spark, "sim_ivf_pq")
+    assert f.has_take_ordered
+    assert f.n_sortmerge_joins == 0
+    assert f.n_shuffled_hash_joins == 0
