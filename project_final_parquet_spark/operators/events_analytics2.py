@@ -360,3 +360,110 @@ def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+# --- Markov steady-state of the event-type chain ---------------------------
+
+_MKV_S = 1_000_000  # transition-probability quantum: floor(c_ij*S/r_i)
+_MKV_XS = 1_000_000  # per-round state rescale magnitude
+_MKV_ROUNDS = 4
+
+
+def _mkv_oracle() -> str:
+    rounds = []
+    for r in range(1, _MKV_ROUNDS + 1):
+        prev = f"x{r - 1}" if r > 1 else "x0"
+        rounds.append(f"""
+    y{r} AS (
+      SELECT t.dst AS s, CAST(SUM(t.tp * x.x) AS BIGINT) AS y
+      FROM t JOIN {prev} x ON t.src = x.s GROUP BY t.dst
+    ),
+    m{r} AS (SELECT MAX(y) AS mx FROM y{r}),
+    x{r} AS (
+      SELECT s, CAST(floor(CAST(y AS DOUBLE) * {_MKV_XS}.0
+                           / CAST(mx AS DOUBLE)) AS BIGINT) AS x
+      FROM y{r} CROSS JOIN m{r}
+    )""")
+    last = f"x{_MKV_ROUNDS}"
+    return f"""
+    WITH seq AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS dst
+      FROM events
+    ),
+    c AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+          FROM seq WHERE dst IS NOT NULL GROUP BY src, dst),
+    r AS (SELECT src, CAST(SUM(n) AS BIGINT) AS rs FROM c GROUP BY src),
+    t AS (SELECT c.src, c.dst, CAST(c.n * {_MKV_S} // r.rs AS BIGINT) AS tp
+          FROM c JOIN r USING (src)),
+    x0 AS (SELECT DISTINCT event_type AS s, CAST(1 AS BIGINT) AS x
+           FROM events),
+    {",".join(rounds)},
+    tot AS (SELECT CAST(SUM(x) AS BIGINT) AS tx FROM {last})
+    SELECT l.s AS event_type,
+           CAST(l.x AS DOUBLE) / tot.tx AS stationary
+    FROM {last} l CROSS JOIN tot
+    ORDER BY event_type
+    """
+
+
+@query("events_markov_stationary", oracle=_mkv_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state distribution of the event-type Markov chain — where
+    user behavior settles if the observed transition dynamics persist
+    (the long-run share each event type commands; complements
+    ``events_transitions``'s one-step matrix). {_MKV_ROUNDS} unrolled
+    power-iteration rounds in the integer-exact style of
+    ``embeddings_top_eigenvector``: transition probabilities are
+    floor-scaled integers c_ij·S div r_i, each round is an integer
+    mat-vec rescaled by floor(y·K/max y) (all entries non-negative, so
+    floor-vs-truncate never diverges), and the final normalization
+    divides exact integers.
+
+    Scale: the data-scale work is ONE user-partitioned lead() window +
+    a ≤25-key pair count; the chain itself is |event_type|² — iteration
+    cost is independent of data volume."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = seq.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    r = c.groupBy("src").agg(F.sum("n").cast("long").alias("rs"))
+    t = c.join(r, "src").select(
+        "src", "dst", F.expr(f"n * {_MKV_S} div rs").cast("long").alias("tp")
+    ).localCheckpoint()
+    x = ev.select(F.col("event_type").alias("s")).distinct().select(
+        "s", F.lit(1).cast("long").alias("x")
+    )
+    for _ in range(_MKV_ROUNDS):
+        y = (
+            t.join(x, t.src == x.s)
+            .groupBy(F.col("dst").alias("s"))
+            .agg(F.sum(F.col("tp") * F.col("x")).cast("long").alias("y"))
+        )
+        m = y.agg(F.max("y").alias("mx"))
+        x = y.crossJoin(F.broadcast(m)).select(
+            "s",
+            F.floor(
+                F.col("y").cast("double")
+                * F.lit(float(_MKV_XS))
+                / F.col("mx").cast("double")
+            )
+            .cast("long")
+            .alias("x"),
+        ).localCheckpoint()
+    tot = x.agg(F.sum("x").cast("long").alias("tx"))
+    return (
+        x.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s").alias("event_type"),
+            (F.col("x").cast("double") / F.col("tx")).alias("stationary"),
+        )
+        .orderBy("event_type")
+    )

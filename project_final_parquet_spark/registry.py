@@ -25,11 +25,11 @@ the oracle SQL; deviations are bugs):
     column included).
 
 Contract note — iterative queries (dedup_cluster_components, ml_kmeans,
-embeddings_top_eigenvector) truncate lineage with eager localCheckpoint
-each round, so calling their query function EXECUTES the iterations at
-construction time; the returned DataFrame is the (cheap) final
-aggregation over materialized state. Every other query returns a fully
-lazy plan.
+embeddings_top_eigenvector, events_markov_stationary) truncate lineage
+with eager localCheckpoint each round, so calling their query function
+EXECUTES the iterations at construction time; the returned DataFrame is
+the (cheap) final aggregation over materialized state. Every other
+query returns a fully lazy plan.
 """
 
 from __future__ import annotations
@@ -160,6 +160,7 @@ _GATE_FIRST = [
     "text_chunk_dedup",
     "orders_backlog_timeseries",
     "sim_ivf_pq",
+    "events_markov_stationary",
     # round-3 window names (all driver-green in CORRECTNESS_r03) follow so
     # their ordering stays deterministic; the rest of the registry trails
     # in registration order via _ordered().
@@ -236,6 +237,7 @@ ROUND5_QUEUE = [
     "text_chunk_dedup",
     "orders_backlog_timeseries",
     "sim_ivf_pq",
+    "events_markov_stationary",
 ]
 
 

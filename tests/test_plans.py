@@ -399,3 +399,11 @@ def test_ivf_pq_no_vector_shuffle(spark):
     assert f.has_take_ordered
     assert f.n_sortmerge_joins == 0
     assert f.n_shuffled_hash_joins == 0
+
+
+def test_markov_stationary_iterates_on_tiny_state(spark):
+    """The data-scale work (lead window + pair count) is checkpointed;
+    the returned plan is the final 5-row normalization."""
+    f = facts_of(spark, "events_markov_stationary")
+    assert f.n_exchanges <= 3
+    assert f.n_sortmerge_joins == 0
