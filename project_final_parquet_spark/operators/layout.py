@@ -161,13 +161,14 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.orderBy(F.desc("size_bytes"), "file_id")
         .rowsBetween(W.unboundedPreceding, -1)
     )
+    # Integer `div` (not double `/` + cast): running bytes are
+    # non-negative so div == floor-div, and the bin stays exact past
+    # 2^53 bytes — the oracle's `//` semantics at any manifest scale.
     planned = manifest.withColumn(
-        "bin",
-        (
-            F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
-            / F.lit(_COMPACT_TARGET)
-        )
-        .cast("long"),
+        "running_bytes",
+        F.coalesce(F.sum("size_bytes").over(w), F.lit(0).cast("long")),
+    ).withColumn(
+        "bin", F.expr(f"running_bytes div {_COMPACT_TARGET}")
     )
     return (
         planned.groupBy("bin")

@@ -47,8 +47,8 @@ _MIX_MOD = 65_536
       FROM counts CROSS JOIN tot
     )
     SELECT lang, n_docs, thresh,
-           CAST(SUM(CASE WHEN (d.doc_id * {_MIX_HASH}) % {_MIX_MOD}
-                              < r.thresh
+           CAST(SUM(CASE WHEN ((d.doc_id % {_MIX_MOD}) * {_MIX_HASH})
+                              % {_MIX_MOD} < r.thresh
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
     FROM documents d JOIN rates r USING (lang)
     GROUP BY lang, n_docs, thresh
@@ -92,9 +92,13 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("thresh"),
     )
-    kept = (F.col("doc_id") * F.lit(_MIX_HASH)) % F.lit(_MIX_MOD) < F.col(
-        "thresh"
-    )
+    # Reduce doc_id mod 2^16 BEFORE multiplying: (a*h) mod 2^16 depends
+    # only on a mod 2^16, and the reduced product stays < 2^48 — exact
+    # BIGINT on both engines at any doc_id magnitude (the unreduced form
+    # wraps int64 in Spark but raises in DuckDB for doc_id ≳ 3.47e9).
+    kept = (
+        (F.col("doc_id") % F.lit(_MIX_MOD)) * F.lit(_MIX_HASH)
+    ) % F.lit(_MIX_MOD) < F.col("thresh")
     return (
         docs.join(F.broadcast(rates), "lang")
         .groupBy("lang", "n_docs", "thresh")

@@ -82,16 +82,21 @@ def make_reffile_helpers():
         return bytes(b ^ 0xAA for b in bytes.fromhex(wrapped_hex)).hex()
 
     def _resolve_key(entry: dict, opts: dict) -> str | None:
-        # reference read cascade: column key → KMS-unwrapped → fallback
-        # → None (masked)
+        # reference read cascade (src/parquet_reader.cpp: config
+        # column_keys first, THEN the footer's KMS-wrapped key, then
+        # fallback, else masked) — mirrors encryption/cell.py
+        # resolve_read_key. A user-supplied per-column key must win
+        # even for KMS-written columns (e.g. a rotated/stale wrapped
+        # key in the footer, overridden by the known-good plaintext
+        # key).
         col_keys = _json.loads(opts.get("column_keys", "{}"))
         if entry.get("key_type") == "none":
             return ""  # plaintext blob
-        if entry.get("kms_encrypted_key"):
-            return _kms_unwrap(entry["kms_encrypted_key"])
         name = entry.get("_col_name")
         if name in col_keys:
             return col_keys[name]
+        if entry.get("kms_encrypted_key"):
+            return _kms_unwrap(entry["kms_encrypted_key"])
         if opts.get("fallback_key_hex"):
             return opts["fallback_key_hex"]
         return None

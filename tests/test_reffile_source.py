@@ -66,6 +66,66 @@ def test_masking_when_kms_key_stripped(spark, sf_dir, tmp_path):
     )
 
 
+def test_column_key_overrides_kms_wrapped(spark, sf_dir, tmp_path):
+    """User-supplied column_keys must WIN over the footer's KMS-wrapped
+    key (reference cascade: config.column_keys first, then KMS — and
+    encryption/cell.py resolve_read_key). Regression for the inverted
+    order: we corrupt the wrapped key in the footer (a stale/rotated
+    entry) and supply the true key via column_keys; the column must
+    decrypt, not fail with InvalidTag or come back masked."""
+    import json
+    import struct as st
+
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+    root = staged_ref_dir(spark, sf_dir)
+    src = os.path.join(
+        root, sorted(p for p in os.listdir(root) if p.endswith(".ref"))[0]
+    )
+    data = open(src, "rb").read()
+    (flen,) = st.unpack("<Q", data[-8:])
+    enc = data[-8 - flen : -8]
+    footer = json.loads(
+        AESGCM(bytes.fromhex(_MASTER_HEX)).decrypt(enc[:12], enc[12:], None)
+    )
+    # recover the true per-column keys (XOR-0xAA KMS stub contract),
+    # then corrupt every wrapped key in the footer
+    true_keys = {}
+    for col, entry in footer["columns"].items():
+        wrapped = entry.get("kms_encrypted_key")
+        if wrapped:
+            true_keys[col] = bytes(
+                b ^ 0xAA for b in bytes.fromhex(wrapped)
+            ).hex()
+            entry["kms_encrypted_key"] = "00" * (len(wrapped) // 2)
+    assert true_keys, "fixture should have KMS-wrapped columns"
+    key = bytes.fromhex(_MASTER_HEX)
+    iv = b"\x00" * 12
+    enc = iv + AESGCM(key).encrypt(iv, json.dumps(footer).encode(), None)
+    out = tmp_path / "stale_kms.ref"
+    out.write_bytes(data[: -8 - flen] + enc + st.pack("<Q", len(enc)))
+
+    # baseline sanity: with no override, the corrupted wrapped key must
+    # NOT silently decrypt (InvalidTag surfaces as an exception)
+    import pytest
+
+    with pytest.raises(Exception):
+        read_ref_file(str(out), {"master_key_hex": _MASTER_HEX})
+
+    # with the override, every column decrypts to the pristine values
+    ref_cols, ref_values = read_ref_file(
+        src, {"master_key_hex": _MASTER_HEX}
+    )
+    cols, values = read_ref_file(
+        str(out),
+        {
+            "master_key_hex": _MASTER_HEX,
+            "column_keys": json.dumps(true_keys),
+        },
+    )
+    assert cols == ref_cols and values == ref_values
+
+
 def test_spark_scan_parallel_partitions(spark, sf_dir):
     root = staged_ref_dir(spark, sf_dir)
     spark.dataSource.register(RefFileDataSource)
