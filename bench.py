@@ -8,9 +8,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Execution is forced through the noop sink so timings measure the
 distributed plan (scan→shuffle→agg), not driver-side row transfer.
 
-Per-query deltas vs the newest committed BENCH_r{N}.json ride along in
-"delta_vs_prev" (positive = slower than last round) so regressions are
-mechanically visible round-over-round.
+Per-query deltas vs the newest committed BENCH_r{N}.json (positive =
+slower than last round) print on an EARLIER stdout line and land in
+.benchmarks/last_run.json. The driver records only the last 2000 bytes
+of stdout, and round 4's single line (summary + deltas) outgrew that —
+BENCH_r04.json has parsed:null. So the FINAL line now carries only the
+driver-contract fields ({metric, value, unit, queries, sf}) and a
+self-check asserts it fits the capture window with headroom.
 """
 
 from __future__ import annotations
@@ -71,7 +75,17 @@ HEADLINE = [
     "text_quality_gate",
     "cdc_merge_on_read",
     "sample_temperature_mix",
+    # round-5 additions: the remaining heavy r5-queue families (judge
+    # item 3) + the new sketch-based rolling distinct
+    "sim_ivf_pq",
+    "text_chunk_dedup",
+    "orders_backlog_timeseries",
+    "events_rolling_distinct_hll",
 ]
+
+# The driver keeps the last 2000 bytes of stdout; leave headroom for
+# the trailing newline and any straggler log line.
+_MAX_FINAL_LINE = 1900
 
 
 def main() -> None:
@@ -99,10 +113,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
+    deltas: dict = {}
     prev = _latest_prev_bench()
     if prev is not None:
         prev_q = prev.get("queries", {})
-        out["delta_vs_prev"] = {
+        deltas["delta_vs_prev"] = {
             name: round(sec - prev_q[name], 3)
             for name, sec in timings.items()
             if name in prev_q
@@ -111,13 +126,33 @@ def main() -> None:
         # headline queries doesn't read as a regression
         shared = [n for n in timings if n in prev_q]
         if shared:
-            out["delta_vs_prev_total"] = round(
+            deltas["delta_vs_prev_total"] = round(
                 sum(timings[n] for n in shared)
                 - sum(prev_q[n] for n in shared),
                 3,
             )
+        # deltas go on their own EARLIER line: informative in the
+        # captured tail when space allows, never at the expense of the
+        # parseable final line
+        print(json.dumps(deltas))
 
-    print(json.dumps(out))
+    # full record (summary + deltas) for round-over-round archaeology
+    bench_dir = Path(__file__).resolve().parent / ".benchmarks"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "last_run.json").write_text(
+        json.dumps({**out, **deltas}, indent=1)
+    )
+
+    line = json.dumps(out)
+    if len(line) > _MAX_FINAL_LINE:
+        # degrade rounding before ever risking a truncated line
+        out["queries"] = {n: round(s, 2) for n, s in timings.items()}
+        line = json.dumps(out)
+    assert len(line) <= _MAX_FINAL_LINE, (
+        f"final bench line {len(line)}B > {_MAX_FINAL_LINE}B — would be "
+        "truncated by the driver's tail capture; trim HEADLINE"
+    )
+    print(line)
 
 
 def _latest_prev_bench() -> dict | None:
@@ -136,7 +171,11 @@ def _latest_prev_bench() -> dict | None:
         return None
     if isinstance(rec, dict) and "queries" in rec:
         return rec
-    # driver wrapper: our JSON line is the last parseable line of "tail"
+    # driver wrapper: prefer the driver-parsed block when present
+    if isinstance(rec, dict) and isinstance(rec.get("parsed"), dict):
+        if "queries" in rec["parsed"]:
+            return rec["parsed"]
+    # else our JSON line is the last parseable line of "tail"
     if isinstance(rec, dict) and isinstance(rec.get("tail"), str):
         for line in reversed(rec["tail"].splitlines()):
             line = line.strip()
@@ -147,6 +186,19 @@ def _latest_prev_bench() -> dict | None:
                     continue
                 if isinstance(inner, dict) and "queries" in inner:
                     return inner
+        # salvage a head-truncated tail (BENCH_r04: the 2000-byte
+        # capture cut the line's start, but the flat `"queries": {...}`
+        # object survives intact mid-stream)
+        import re
+
+        m = re.search(r'eries": (\{[^{}]*\})', rec["tail"])
+        if m:
+            try:
+                q = json.loads(m.group(1))
+            except json.JSONDecodeError:
+                return None
+            if isinstance(q, dict) and q:
+                return {"queries": q}
     return None
 
 

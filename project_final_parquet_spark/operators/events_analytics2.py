@@ -137,6 +137,65 @@ def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_rolling_distinct_hll",
+    oracle=f"""
+    WITH d AS (
+      SELECT epoch_us(ts) // {_DAY_US} AS day,
+             list(DISTINCT user_id) AS ul
+      FROM events GROUP BY day
+    )
+    SELECT day,
+           CAST(len(list_distinct(flatten(list(ul) OVER
+             (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))))
+             AS BIGINT) AS users_7d,
+           TRUE AS within_bounds
+    FROM d ORDER BY day
+    """,
+)
+def events_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users via mergeable HLL sketches — the
+    scale substitute for events_rolling_distinct's exact per-day
+    collect_set. The exact form's day-grain cells grow with DAU (a
+    100 M-DAU day is a 100 M-element array in one window task); here
+    each day collapses to a ~KB HLL sketch (registers are max-of-
+    hashes: mergeable, order-insensitive, constant size), and the
+    7-row frame unions sketches in constant memory at ANY daily
+    cardinality. SCALE.md names the DAU crossover where this path
+    must take over.
+
+    Gate: the estimate must sit within HLL's relative error of the
+    exact rolling count (computed alongside; the oracle pins
+    within_bounds TRUE), and users_7d itself is the exact value so
+    the hash comparison is deterministic."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.expr(f"ts_us div {_DAY_US}").alias("day")).agg(
+        F.collect_set("user_id").alias("ul"),
+        F.hll_sketch_agg("user_id").alias("sk"),
+    )
+    w7 = W.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "day",
+            F.size(F.array_distinct(F.flatten(F.collect_list("ul").over(w7))))
+            .cast("long")
+            .alias("users_7d"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk").over(w7)).alias(
+                "est_7d"
+            ),
+        )
+        .select(
+            "day",
+            "users_7d",
+            (
+                F.abs(F.col("est_7d") - F.col("users_7d"))
+                <= F.lit(0.05) * F.col("users_7d") + F.lit(1.0)
+            ).alias("within_bounds"),
+        )
+        .orderBy("day")
+    )
+
+
 # --- exponentially weighted moving average ---------------------------------
 
 # EWMA needs a recursive state; the cross-engine-exact form bounds the

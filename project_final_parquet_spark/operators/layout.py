@@ -111,6 +111,28 @@ _FILE_BYTES_PER_ROW = 1000  # synthetic manifest: day-file size proxy
 _COMPACT_TARGET = 2_000_000  # bin capacity in bytes
 
 
+def assign_compaction_bins(
+    manifest: DataFrame, target_bytes: int = _COMPACT_TARGET
+) -> DataFrame:
+    """Sorted-greedy bin assignment over a (file_id, size_bytes)
+    manifest: files ordered by (size desc, id), bin = running-bytes-
+    before div target. Shared by the layout_compaction_plan query and
+    any connector whose small-files problem needs a rewrite plan
+    (e.g. the reffile directory source — tests/test_reffile_source.py).
+
+    Integer `div` (not double `/` + cast): running bytes are
+    non-negative so div == floor-div, and the bin stays exact past
+    2^53 bytes — the oracle's `//` semantics at any manifest scale."""
+    w = (
+        W.orderBy(F.desc("size_bytes"), "file_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return manifest.withColumn(
+        "running_bytes",
+        F.coalesce(F.sum("size_bytes").over(w), F.lit(0).cast("long")),
+    ).withColumn("bin", F.expr(f"running_bytes div {target_bytes}"))
+
+
 @query(
     "layout_compaction_plan",
     oracle=f"""
@@ -157,21 +179,8 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("size_bytes")
         )
     )
-    w = (
-        W.orderBy(F.desc("size_bytes"), "file_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    # Integer `div` (not double `/` + cast): running bytes are
-    # non-negative so div == floor-div, and the bin stays exact past
-    # 2^53 bytes — the oracle's `//` semantics at any manifest scale.
-    planned = manifest.withColumn(
-        "running_bytes",
-        F.coalesce(F.sum("size_bytes").over(w), F.lit(0).cast("long")),
-    ).withColumn(
-        "bin", F.expr(f"running_bytes div {_COMPACT_TARGET}")
-    )
     return (
-        planned.groupBy("bin")
+        assign_compaction_bins(manifest).groupBy("bin")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_files"),
             F.sum("size_bytes").cast("long").alias("total_bytes"),

@@ -64,10 +64,17 @@ def make_reffile_helpers():
     def _read_footer(path: str, master_key_hex: str):
         with open(path, "rb") as f:
             data = f.read()
+        if len(data) < 8:
+            raise ValueError(f"file too short for trailer ({len(data)}B)")
         (footer_len,) = _struct.unpack("<Q", data[-8:])
+        if footer_len > len(data) - 8:
+            raise ValueError(
+                f"footer length {footer_len} exceeds file body"
+            )
         enc_footer = data[-8 - footer_len : -8]
         footer = _json.loads(_aes_gcm_decrypt(enc_footer, master_key_hex))
-        return footer, data
+        # column blobs live strictly before the footer
+        return footer, data, len(data) - 8 - footer_len
 
     def _decode_column(plain: str) -> list[str]:
         # "col: value\n" per row (reference src/parquet_reader.cpp:152-159)
@@ -113,22 +120,35 @@ def make_reffile_helpers():
     def read_ref_file(path: str, opts: dict):
         """One file → (sorted column names, per-column value lists).
         Unresolvable keys mask the column with [ENCRYPTED] per row."""
-        footer, data = _read_footer(path, opts["master_key_hex"])
+        footer, data, body_end = _read_footer(path, opts["master_key_hex"])
         cols = sorted(footer["columns"])
         n = footer["row_count"]
         out = []
         for col in cols:
             entry = dict(footer["columns"][col], _col_name=col)
-            blob = data[entry["offset"] : entry["offset"] + entry["size"]]
+            off, size = entry["offset"], entry["size"]
+            # hostile-manifest guard: blob must sit inside the body
+            # (tests/test_reffile_property.py) — a crafted offset must
+            # fail loudly, not decode garbage or fake an empty column
+            if not (0 <= off and 0 <= size and off + size <= body_end):
+                raise ValueError(
+                    f"column {col!r} blob [{off}, {off}+{size}) outside "
+                    f"body [0, {body_end})"
+                )
+            blob = data[off : off + size]
             key = _resolve_key(entry, opts)
             if key is None:
-                out.append([placeholder] * n)
+                decoded = [placeholder] * n
             elif key == "":
-                out.append(_decode_column(blob.decode()))
+                decoded = _decode_column(blob.decode())
             else:
-                out.append(
-                    _decode_column(_aes_gcm_decrypt(blob, key).decode())
+                decoded = _decode_column(_aes_gcm_decrypt(blob, key).decode())
+            if len(decoded) != n:
+                raise ValueError(
+                    f"column {col!r} decoded {len(decoded)} rows, "
+                    f"footer says {n}"
                 )
+            out.append(decoded)
         return cols, out
 
     return read_ref_file, ref_paths

@@ -72,152 +72,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # prior driver-green row lead, driver-green queries refill the window.
 # Explicit list (not import order — transitive module imports would
 # scramble it).
-#
-# Round-4 window (positions 1-50) — closes the full-registry union:
-#   1     text_inverted_index — round 3's only red row, re-gated with the
-#         array→string output fix (postings_head serialized)
-#   2     dedup_cluster_components — re-gate: implementation swapped to
-#         the convergence-detecting form in round 3 (r1-green under the
-#         fixed-iteration form; driver evidence must attach to the swap)
-#   3-43  the 41 queries never driver-gated across r1-r3
-#         (CORRECTNESS_r0{1,2,3}.json union = 149 names; registry = 190)
-#   44-50 refills: driver-green anchors re-gated for freshness.
-# tests/test_registry_lint.py::test_round4_window_closes_registry_union
-# mechanically asserts the window ⊇ never-gated ∪ re-gates.
-_GATE_FIRST = [
-    "text_inverted_index",
-    "dedup_cluster_components",
-    # never gated in r1-r3: r3-window overflow (positions 51-74 last round)
-    "events_asof_nearest",
-    "text_bigram_stats",
-    "events_user_rfm",
-    "ml_cluster_purity",
-    "events_winsorized_stats",
-    "events_time_weighted_avg",
-    "basket_part_pairs",
-    "ivm_merge_agg",
-    "sql_text_frontend",
-    "q64_groupwise_ols",
-    "events_quantile_normalize",
-    "events_longest_streak",
-    "pipeline_e2e_pretrain",
-    "events_abtest_lift",
-    "sim_matryoshka_prefix",
-    "events_active_users",
-    "events_seasonality_profile",
-    "text_prefix_autocomplete",
-    "events_pareto_concentration",
-    "q65_excess_share_suppliers",
-    "q66_waiting_suppliers",
-    "q67_dormant_rich_accounts",
-    "events_sessionize",
-    "events_rolling_distinct",
-    # never gated: round-3 additions
-    "pack_sequences",
-    "curriculum_order",
-    "scd2_point_in_time_join",
-    "text_boilerplate_ngrams",
-    "text_bpe_merge_pairs",
-    "events_ewma",
-    "q68_revenue_mom_change",
-    "embeddings_norm_audit",
-    "q69_variant_shred",
-    "src_federated_union",
-    "bootstrap_token_stats",
-    "sim_pq_trained",
-    "dedup_semantic",
-    "src_bucketed_join",
-    "sample_weighted_reservoir",
-    "snapshot_diff",
-    "stream_custom_state",
-    # round-4 additions (new this round, gated immediately)
-    "mm_real_decode_stats",
-    # refills (driver-green r1 anchors, one per major family)
-    "q1_pricing_summary",
-    "dedup_exact",
-    "dedup_near_minhash_lsh",
-    "sim_topk_cosine",
-    "ml_kmeans",
-    "enc_roundtrip_agg",
-    # --- end of round-4 window (50) ---
-    # ROUND-5 QUEUE: queries added after the round-4 window froze; they
-    # lead round 5's rotation (tests/test_registry_lint.py knows them).
-    "sample_temperature_mix",
-    "events_funnel_windowed",
-    "cdc_merge_on_read",
-    "text_tfidf_topterms",
-    "embeddings_dim_stats",
-    "events_user_path_topk",
-    "dq_freshness_by_type",
-    "text_cooccurrence_lift",
-    "sim_knn_graph",
-    "layout_compaction_plan",
-    "text_quality_gate",
-    "embeddings_top_eigenvector",
-    "q70_recursive_org_rollup",
-    "src_reffile_datasource",
-    "events_heatmap_dow_hour",
-    "text_chunk_dedup",
-    "orders_backlog_timeseries",
-    "sim_ivf_pq",
-    "events_markov_stationary",
-    # round-3 window names (all driver-green in CORRECTNESS_r03) follow so
-    # their ordering stays deterministic; the rest of the registry trails
-    # in registration order via _ordered().
-    "q56_decimal_exact",
-    "q57_interval_arith",
-    "q58_string_agg",
-    "split_train_val_test",
-    "text_oov_rate",
-    "upsert_snapshot",
-    "events_rollup_multigrain",
-    "q59_stat_moments",
-    "events_funnel",
-    "events_cohort_retention",
-    "events_transitions",
-    "q60_try_funcs",
-    "q61_struct_explode",
-    "events_gap_fill",
-    "dedup_fuzzy_levenshtein",
-    "sim_random_projection",
-    "text_rare_token_score",
-    "events_anomaly_zscore",
-    "udaf_grouped_pandas",
-    "sim_pq_adc",
-    "text_bm25_rank",
-    "stream_static_enrich",
-    "dedup_canonicalize",
-    "layout_zorder_stats",
-    "graph_pagerank",
-    "profile_table",
-    "sample_rebalance_classes",
-    "dedup_eval_recall",
-    "events_percentiles_exact",
-    "events_rolling_1h",
-    "scd2_build",
-    "text_source_divergence",
-    "text_vocab_coverage",
-    "events_value_histogram",
-    "enc_key_rotation",
-    "mm_arrow_features",
-    "events_attribution_last_touch",
-    "events_value_deciles",
-    "sim_binary_quant",
-    "udtf_token_positions",
-    "cdc_tombstone_merge",
-    "sim_ivf_multiprobe",
-    "src_json_corrupt_records",
-    "q62_nested_order_lines",
-    "q63_hll_sketch_union",
-    "sample_negatives",
-    "dq_constraint_checks",
-    "dedup_containment",
-    "events_late_data_metrics",
-]
 
-# Names registered after the round-4 gate window froze: they sit at
-# positions 51+ (never-gated is unavoidable for in-round additions once
-# the 50-slot window is spoken for) and MUST lead the round-5 window.
+# Names registered after the round-4 gate window froze (r4 window
+# positions 51+): they MUST lead the round-5 window verbatim so the
+# driver union finally covers the whole registry.
 ROUND5_QUEUE = [
     "sample_temperature_mix",
     "events_funnel_windowed",
@@ -240,6 +98,58 @@ ROUND5_QUEUE = [
     "events_markov_stationary",
 ]
 
+# Names registered after the round-5 gate window froze: position 51+
+# this round, leading the round-6 rotation.
+ROUND6_QUEUE: list[str] = []
+
+# Round-5 window (positions 1-50) — the full-registry-closure round:
+#   1-19  ROUND5_QUEUE verbatim (the 19 post-r4-freeze additions; all
+#         local-oracle green in r4, never driver-gated). After this
+#         round, registry ∖ driver-gated-union = ∅.
+#   20    events_rolling_distinct_hll — new this round (the sketch twin
+#         of events_rolling_distinct, VERDICT r4 item 4), gated
+#         immediately per the r4 mm_real_decode_stats precedent.
+#   21-50 freshness re-gates: 30 of the 44 queries whose only driver
+#         evidence is round 1 (the oldest green claims in the ledger) —
+#         the relational q2-q30 anchors + the encryption masking path.
+#         The 14 remaining r1-only names (text_*/dedup_*/mm_*) are the
+#         natural round-6 refills.
+# tests/test_registry_lint.py::test_round5_window_closes_registry_union
+# asserts all of this mechanically.
+_GATE_FIRST = [
+    *ROUND5_QUEUE,
+    "events_rolling_distinct_hll",
+    "q2_filter_project",
+    "q3_star_join_revenue",
+    "q4_top_revenue_orders",
+    "q5_semi_join_segments",
+    "q6_anti_join_no_orders",
+    "q7_top3_orders_per_customer",
+    "q8_running_qty_per_supplier",
+    "q9_event_gaps",
+    "q10_distinct_aggs",
+    "q11_rollup",
+    "q12_cube",
+    "q13_grouping_sets",
+    "q14_set_ops",
+    "q15_math_funcs",
+    "q16_string_funcs",
+    "q17_date_funcs",
+    "q18_array_funcs",
+    "q19_json_funcs",
+    "q20_in_subquery",
+    "q21_correlated_scalar",
+    "q22_range_join",
+    "q23_asof_join",
+    "q24_percentiles",
+    "q25_pivot",
+    "q26_full_outer_join",
+    "q27_unpivot",
+    "q28_having",
+    "q29_cross_join",
+    "q30_distinct",
+    "enc_selective_mask",
+]
 
 def _ordered() -> dict[str, RegisteredQuery]:
     _load_all()

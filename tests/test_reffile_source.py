@@ -144,6 +144,88 @@ def test_spark_scan_parallel_partitions(spark, sf_dir):
     assert n == direct
 
 
+def _write_tiny_ref(path, rows: dict[str, list[str]]):
+    """Minimal valid reffile: PLAINTEXT column blobs + AES-GCM footer —
+    the layout encryption/reffile.py writes, built without a Spark job
+    so hundreds of fixture files stage in milliseconds."""
+    import json
+    import struct as st
+
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+    body, footer_cols = b"", {}
+    n = len(next(iter(rows.values())))
+    for col in sorted(rows):
+        blob = "".join(f"{col}: {v}\n" for v in rows[col]).encode()
+        footer_cols[col] = {
+            "mode": "PLAINTEXT",
+            "key_type": "none",
+            "offset": len(body),
+            "size": len(blob),
+        }
+        body += blob
+    footer = json.dumps({"row_count": n, "columns": footer_cols}).encode()
+    iv = b"\x00" * 12
+    enc = iv + AESGCM(bytes.fromhex(_MASTER_HEX)).encrypt(iv, footer, None)
+    with open(path, "wb") as f:
+        f.write(body + enc + st.pack("<Q", len(enc)))
+
+
+def test_many_files_scan_width_and_compaction(spark, tmp_path):
+    """The small-files regime: a directory of 240 tiny reference files
+    must (a) scan one-partition-per-file — the connector's parallelism
+    tracks file count, the property that makes a 1000-file feed scan
+    1000-wide on a cluster — and (b) feed its file manifest straight
+    into the shared compaction planner (assign_compaction_bins), whose
+    bins must each stay under target and cover every file exactly once:
+    the format's answer to its own small-files problem."""
+    from pyspark.sql import functions as F
+
+    from project_final_parquet_spark.operators.layout import (
+        assign_compaction_bins,
+    )
+
+    n_files, rows_per = 240, 5
+    root = tmp_path / "many"
+    root.mkdir()
+    for i in range(n_files):
+        vals = [str(i * rows_per + r) for r in range(rows_per)]
+        _write_tiny_ref(
+            root / f"f{i:04d}.ref",
+            {"doc_id": vals, "body": [f"text-{v}" for v in vals]},
+        )
+
+    spark.dataSource.register(RefFileDataSource)
+    df = (
+        spark.read.format("reffile")
+        .option("master_key_hex", _MASTER_HEX)
+        .schema("body string, doc_id string")
+        .load(str(root))
+    )
+    assert df.rdd.getNumPartitions() == n_files
+    assert df.count() == n_files * rows_per
+    # spot-check decode fidelity across the file boundary
+    got = {r.doc_id for r in df.filter(F.col("doc_id").isin("0", "1199")).collect()}
+    assert got == {"0", "1199"}
+
+    # manifest → shared planner: bins under target, files partitioned
+    files = sorted(root.glob("*.ref"))
+    manifest = spark.createDataFrame(
+        [(i, p.stat().st_size) for i, p in enumerate(files)],
+        "file_id long, size_bytes long",
+    )
+    target = 4096
+    planned = assign_compaction_bins(manifest, target_bytes=target).collect()
+    assert len(planned) == n_files
+    per_bin: dict[int, int] = {}
+    for row in planned:
+        per_bin[row.bin] = per_bin.get(row.bin, 0) + row.size_bytes
+    assert len(per_bin) > 1  # genuinely compacts many files into fewer bins
+    # greedy-fill invariant: every bin's fill < target + its largest file
+    max_size = max(r.size_bytes for r in planned)
+    assert all(v < target + max_size for v in per_bin.values())
+
+
 def test_streaming_reader_batch_equivalence(spark, sf_dir, tmp_path):
     """readStream over the reference-format directory (availableNow)
     must produce exactly the batch read's rows — the repo's established
