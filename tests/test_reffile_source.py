@@ -226,6 +226,51 @@ def test_many_files_scan_width_and_compaction(spark, tmp_path):
     assert all(v < target + max_size for v in per_bin.values())
 
 
+def test_reffile_stream_restart_resumes_offset(spark, tmp_path):
+    """Offset-replay across a stream restart: run the reffile stream to
+    exhaustion (availableNow), land MORE reference files, restart from
+    the SAME checkpoint — the second run must emit ONLY the new files'
+    rows (the sorted-file-count offset resumes; nothing re-read, nothing
+    skipped). This is the recovery contract the SimpleDataSourceStream
+    Reader's initialOffset/latestOffset pair exists for."""
+    from pyspark.sql import functions as F
+
+    root = tmp_path / "stream_src"
+    root.mkdir()
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def land(lo, hi):
+        for i in range(lo, hi):
+            vals = [str(i * 10 + r) for r in range(10)]
+            _write_tiny_ref(root / f"f{i:04d}.ref", {"doc_id": vals})
+
+    def run_once():
+        q = (
+            spark.readStream.format("reffile")
+            .option("master_key_hex", _MASTER_HEX)
+            .schema("doc_id string")
+            .load(str(root))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.dataSource.register(RefFileDataSource)
+    land(0, 6)
+    run_once()
+    first = spark.read.parquet(sink).count()
+    assert first == 60
+    land(6, 10)
+    run_once()
+    sunk = spark.read.parquet(sink)
+    assert sunk.count() == 100  # 40 new rows, zero re-reads
+    assert sunk.select("doc_id").distinct().count() == 100
+    assert sunk.agg(F.max(F.col("doc_id").cast("long"))).first()[0] == 99
+
+
 def test_streaming_reader_batch_equivalence(spark, sf_dir, tmp_path):
     """readStream over the reference-format directory (availableNow)
     must produce exactly the batch read's rows — the repo's established
