@@ -273,8 +273,10 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(c AS DECIMAL(38,10))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(c * c AS DECIMAL(38,10))) AS DOUBLE) AS sxx
+             CAST(CAST(SUM(CAST(c AS DECIMAL(38,10))) AS VARCHAR)
+                  AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(c * c AS DECIMAL(38,10))) AS VARCHAR)
+                  AS DOUBLE) AS sxx
       FROM d GROUP BY user_id
     )
     SELECT d.user_id, CAST(d.day AS BIGINT) AS day, CAST(d.c AS BIGINT)

@@ -168,7 +168,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer c FULL OUTER JOIN changes ch ON c.c_custkey = ch.k
     )
     SELECT op, CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(new_bal) AS DOUBLE) AS total_balance
+           CAST(CAST(SUM(new_bal) AS VARCHAR) AS DOUBLE) AS total_balance
     FROM merged GROUP BY op ORDER BY op
     """,
 )

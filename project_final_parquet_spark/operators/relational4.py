@@ -100,7 +100,8 @@ def q58_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'day' END AS grain,
            COALESCE(m, h, d) AS bucket_us,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR)
+                AS DOUBLE) AS total_value
     FROM b GROUP BY GROUPING SETS ((m), (h), (d))
     ORDER BY grain, bucket_us
     """,

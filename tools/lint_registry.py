@@ -39,6 +39,24 @@ def static_problems() -> list[str]:
             typos = {t for t in tables if t.lower() in ("lineitems", "order", "event")}
             if typos:
                 problems.append(f"{name}: suspected table typos {typos}")
+            # DuckDB's direct DECIMAL→DOUBLE cast is not correctly
+            # rounded (the scaled hugeint exceeds 2^53 and the two-step
+            # convert/divide drifts a ulp — caught live at sf0.001 on
+            # upsert_snapshot); the convention is the VARCHAR
+            # round-trip (DSUM_SQL). Flag any decimal SUM cast straight
+            # to DOUBLE in ORACLE text.
+            for m in re.finditer(
+                r"CAST\(\s*SUM\([^;]*?\)\s*AS\s+DOUBLE\s*\)",
+                reg.oracle,
+                re.I,
+            ):
+                frag = m.group(0)
+                if "DECIMAL" in frag.upper() and "VARCHAR" not in frag.upper():
+                    problems.append(
+                        f"{name}: oracle casts a DECIMAL sum directly to "
+                        f"DOUBLE (use the DSUM_SQL VARCHAR round-trip): "
+                        f"{' '.join(frag.split())[:90]}"
+                    )
     return problems
 
 
