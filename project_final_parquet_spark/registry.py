@@ -106,19 +106,23 @@ ROUND6_QUEUE: list[str] = []
 #   1-19  ROUND5_QUEUE verbatim (the 19 post-r4-freeze additions; all
 #         local-oracle green in r4, never driver-gated). After this
 #         round, registry ∖ driver-gated-union = ∅.
-#   20    events_rolling_distinct_hll — new this round (the sketch twin
-#         of events_rolling_distinct, VERDICT r4 item 4), gated
-#         immediately per the r4 mm_real_decode_stats precedent.
-#   21-50 freshness re-gates: 30 of the 44 queries whose only driver
+#   20-21 new this round, gated immediately per the r4
+#         mm_real_decode_stats precedent: events_rolling_distinct_hll
+#         (sketch twin of events_rolling_distinct, VERDICT r4 item 4)
+#         and src_avro_datasource (pure-Python Avro OCF connector —
+#         closes the one SURVEY §2 connector row the missing
+#         spark-avro module left open).
+#   22-50 freshness re-gates: 29 of the 44 queries whose only driver
 #         evidence is round 1 (the oldest green claims in the ledger) —
-#         the relational q2-q30 anchors + the encryption masking path.
-#         The 14 remaining r1-only names (text_*/dedup_*/mm_*) are the
-#         natural round-6 refills.
+#         the relational q2-q29 anchors + the encryption masking path.
+#         The 15 remaining r1-only names (q30_distinct + text_*/dedup_*/
+#         mm_*) are the natural round-6 refills.
 # tests/test_registry_lint.py::test_round5_window_closes_registry_union
 # asserts all of this mechanically.
 _GATE_FIRST = [
     *ROUND5_QUEUE,
     "events_rolling_distinct_hll",
+    "src_avro_datasource",
     "q2_filter_project",
     "q3_star_join_revenue",
     "q4_top_revenue_orders",
@@ -147,7 +151,6 @@ _GATE_FIRST = [
     "q27_unpivot",
     "q28_having",
     "q29_cross_join",
-    "q30_distinct",
     "enc_selective_mask",
 ]
 
@@ -220,6 +223,7 @@ def _load_all() -> None:
         pipeline3,
         vector_stats,
         reffile_source,
+        avro_source,
         events_analytics,
         encrypted,
         asof,
