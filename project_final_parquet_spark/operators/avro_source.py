@@ -6,10 +6,11 @@ metadata map carrying ``avro.schema``/``avro.codec``, 16-byte sync
 marker, then blocks of ``<count, byte-len, payload, sync>`` with
 zigzag-varint binary encoding) is implemented here from the spec,
 pure-Python, behind the same Data Source API as the reffile connector
-(`reffile_source.py`) — ``spark.read.format("avrolite")``. Closes the
-one SURVEY §2 connector row the environment previously blocked; the
-reference itself has no connectors at all (src/parquet_writer.cpp:43 —
-its only format is its own encrypted columnar file).
+(`reffile_source.py`) — ``spark.read.format("avrolite")`` and
+``spark.readStream.format("avrolite")``. Closes the one SURVEY §2
+connector row the environment previously blocked; the reference itself
+has no connectors at all (src/parquet_writer.cpp:43 — its only format
+is its own encrypted columnar file).
 
 Scope: the type surface our corpus needs — null/boolean/int/long/
 float/double/bytes/string, records, arrays, maps, and ``[null, T]``
@@ -18,10 +19,13 @@ factory-local so cloudpickle ships it by value (the round-4
 vanilla-session lesson — a driver-side sys.path hack does not reach
 data-source worker processes).
 
-Scale: one InputPartition per Avro BLOCK-run (per file here; files are
-block-splittable by scanning for the sync marker, which is the
-documented upgrade for huge single files). Decode is per-partition
-streaming — no driver round-trip, no whole-file JVM copy.
+Scale: one InputPartition per Avro BLOCK — the sync-marker layout is
+exactly what makes Avro splittable, and ``index_avro_blocks`` walks
+block headers with seeks (no payload decompression), so a huge
+many-block file scans as wide as its block count, and a directory of
+files scans file×block wide. Per-partition decode streams one block.
+The streaming form tracks a sorted-file-count offset (file-arrival
+semantics, replayable ranges), mirroring the reffile connector.
 """
 
 from __future__ import annotations
@@ -39,8 +43,8 @@ _MAGIC = b"Obj\x01"
 
 def make_avro_codec():
     """Pure-python Avro binary codec (spec-faithful): returns
-    (read_container, write_container). Factory-local for by-value
-    pickling into data-source workers."""
+    (read_container, write_container, index_blocks, read_block).
+    Factory-local for by-value pickling into data-source workers."""
 
     import io as _io
     import json as _json
@@ -49,7 +53,7 @@ def make_avro_codec():
 
     # --- binary primitives (Avro spec: zigzag varint longs) ---------------
 
-    def _read_long(buf: _io.BytesIO) -> int:
+    def _read_long(buf) -> int:
         shift, acc = 0, 0
         while True:
             b = buf.read(1)
@@ -74,7 +78,7 @@ def make_avro_codec():
                 out.append(n)
                 return
 
-    def _read_bytes(buf: _io.BytesIO) -> bytes:
+    def _read_bytes(buf) -> bytes:
         n = _read_long(buf)
         if n < 0:
             raise ValueError(f"negative byte-length {n}")
@@ -85,7 +89,7 @@ def make_avro_codec():
 
     # --- schema-driven value decode/encode ---------------------------------
 
-    def _decode(schema, buf: _io.BytesIO):
+    def _decode(schema, buf):
         if isinstance(schema, list):  # union: zigzag index picks branch
             idx = _read_long(buf)
             if not 0 <= idx < len(schema):
@@ -187,49 +191,97 @@ def make_avro_codec():
 
     # --- container file layer ----------------------------------------------
 
-    def read_container(path: str):
-        """Avro OCF → (schema dict, list of row dicts)."""
-        with open(path, "rb") as f:
-            buf = _io.BytesIO(f.read())
-        if buf.read(4) != _MAGIC:
+    def _read_header(f):
+        """Parse magic + metadata map + sync from an open binary file;
+        leaves the handle positioned at the first block."""
+        if f.read(4) != _MAGIC:
             raise ValueError("not an Avro object container file")
         meta = {}
         while True:
-            n = _read_long(buf)
+            n = _read_long(f)
             if n == 0:
                 break
             if n < 0:
                 n = -n
-                _read_long(buf)
+                _read_long(f)
             for _ in range(n):
-                k = _read_bytes(buf).decode()
-                meta[k] = _read_bytes(buf)
+                k = _read_bytes(f).decode()
+                meta[k] = _read_bytes(f)
         schema = _json.loads(meta["avro.schema"].decode())
         codec = meta.get("avro.codec", b"null").decode()
         if codec not in ("null", "deflate"):
             raise ValueError(f"unsupported codec {codec!r}")
-        sync = buf.read(16)
+        sync = f.read(16)
         if len(sync) != 16:
             raise ValueError("EOF at sync marker")
-        rows = []
-        while True:
-            probe = buf.read(1)
-            if not probe:
-                break
-            buf.seek(-1, 1)
-            count = _read_long(buf)
-            payload = _read_bytes(buf)
-            if codec == "deflate":
-                payload = _zlib.decompress(payload, -15)
-            block = _io.BytesIO(payload)
-            for _ in range(count):
-                rows.append(_decode(schema, block))
-            if buf.read(16) != sync:
-                raise ValueError("sync marker mismatch (corrupt block)")
-        return schema, rows
+        return schema, codec, sync
+
+    def _decode_block(f, schema, codec, sync) -> list:
+        count = _read_long(f)
+        payload = _read_bytes(f)
+        if codec == "deflate":
+            payload = _zlib.decompress(payload, -15)
+        block = _io.BytesIO(payload)
+        rows = [_decode(schema, block) for _ in range(count)]
+        if f.read(16) != sync:
+            raise ValueError("sync marker mismatch (corrupt block)")
+        return rows
+
+    def _at_eof(f) -> bool:
+        probe = f.read(1)
+        if not probe:
+            return True
+        f.seek(-1, 1)
+        return False
+
+    def read_container(path: str):
+        """Avro OCF → (schema dict, list of row dicts)."""
+        with open(path, "rb") as f:
+            schema, codec, sync = _read_header(f)
+            rows = []
+            while not _at_eof(f):
+                rows.extend(_decode_block(f, schema, codec, sync))
+            return schema, rows
+
+    def index_blocks(path: str) -> list[tuple[int, int]]:
+        """[(byte_offset, row_count)] per block — the split index. Walks
+        block headers with seeks only (payloads never decompressed), so
+        indexing a huge file costs one header read + one tiny seek per
+        block: this is what makes Avro scan block-parallel."""
+        with open(path, "rb") as f:
+            _read_header(f)
+            out = []
+            while not _at_eof(f):
+                pos = f.tell()
+                count = _read_long(f)
+                size = _read_long(f)
+                if count < 0 or size < 0:
+                    raise ValueError("negative block header")
+                f.seek(size, 1)
+                if len(f.read(16)) != 16:
+                    raise ValueError("EOF inside block")
+                out.append((pos, count))
+            return out
+
+    def read_block(path: str, offset: int):
+        """(schema, rows) for the single block at ``offset`` — the
+        per-partition scan path."""
+        with open(path, "rb") as f:
+            schema, codec, sync = _read_header(f)
+            f.seek(offset)
+            return schema, _decode_block(f, schema, codec, sync)
+
+    def read_schema(path: str) -> dict:
+        """Header-only read: the embedded writer schema."""
+        with open(path, "rb") as f:
+            return _read_header(f)[0]
 
     def write_container(
-        path: str, schema: dict, rows: list[dict], codec: str = "deflate"
+        path: str,
+        schema: dict,
+        rows: list[dict],
+        codec: str = "deflate",
+        rows_per_block: int | None = None,
     ) -> None:
         sync = bytes(
             (i * 29 + 7) & 0xFF for i in range(16)
@@ -249,24 +301,33 @@ def make_avro_codec():
             out.extend(v)
         _write_long(out, 0)
         out.extend(sync)
-        body = bytearray()
-        for r in rows:
-            _encode(schema, r, body)
-        payload = bytes(body)
-        if codec == "deflate":
-            c = _zlib.compressobj(9, _zlib.DEFLATED, -15)
-            payload = c.compress(payload) + c.flush()
-        _write_long(out, len(rows))
-        _write_long(out, len(payload))
-        out.extend(payload)
-        out.extend(sync)
+        step = rows_per_block or max(1, len(rows))
+        for i in range(0, len(rows), step):
+            chunk = rows[i : i + step]
+            body = bytearray()
+            for r in chunk:
+                _encode(schema, r, body)
+            payload = bytes(body)
+            if codec == "deflate":
+                c = _zlib.compressobj(9, _zlib.DEFLATED, -15)
+                payload = c.compress(payload) + c.flush()
+            _write_long(out, len(chunk))
+            _write_long(out, len(payload))
+            out.extend(payload)
+            out.extend(sync)
         with open(path, "wb") as f:
             f.write(bytes(out))
 
-    return read_container, write_container
+    return read_container, write_container, index_blocks, read_block, read_schema
 
 
-read_avro_container, write_avro_container = make_avro_codec()
+(
+    read_avro_container,
+    write_avro_container,
+    index_avro_blocks,
+    read_avro_block,
+    read_avro_schema,
+) = make_avro_codec()
 
 
 def make_avrolite_datasource():
@@ -276,6 +337,7 @@ def make_avrolite_datasource():
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
     )
     from pyspark.sql.types import (
         DoubleType,
@@ -285,10 +347,15 @@ def make_avrolite_datasource():
         StructType,
     )
 
-    import json as _json
     import os as _os
 
-    _read_container, _ = make_avro_codec()
+    (
+        _read_container,
+        _,
+        _index_blocks,
+        _read_block,
+        _read_schema,
+    ) = make_avro_codec()
 
     _SPARK_TYPES = {
         "long": LongType,
@@ -312,12 +379,51 @@ def make_avrolite_datasource():
             self.fields = [f.name for f in schema.fields]
 
         def partitions(self):
-            return [InputPartition(p) for p in _paths(self.options["path"])]
+            # one partition per BLOCK: sync markers make Avro
+            # splittable, and the index walk never decompresses —
+            # a many-block file scans as wide as its block count
+            return [
+                InputPartition((p, off))
+                for p in _paths(self.options["path"])
+                for off, _cnt in _index_blocks(p)
+            ]
 
         def read(self, partition):
-            _, rows = _read_container(partition.value)
+            path, off = partition.value
+            _, rows = _read_block(path, off)
             for r in rows:
                 yield tuple(r.get(f) for f in self.fields)
+
+    class AvroLiteStreamReader(SimpleDataSourceStreamReader):
+        """File-arrival streaming, mirroring the reffile connector:
+        the offset is the count of (sorted) ``.avro`` files consumed;
+        ranges replay deterministically for recovery."""
+
+        def __init__(self, options: dict, fields: list[str]):
+            self.options = dict(options)
+            self.fields = fields
+
+        def initialOffset(self) -> dict:
+            return {"idx": 0}
+
+        def _rows(self, paths: list[str]):
+            # LIST iterator, not a generator: the prefetch cache
+            # copy.copy()s iterators, which generators cannot survive
+            out = []
+            for p in paths:
+                _, rows = _read_container(p)
+                out.extend(
+                    tuple(r.get(f) for f in self.fields) for r in rows
+                )
+            return iter(out)
+
+        def read(self, start: dict):
+            paths = _paths(self.options["path"])
+            return self._rows(paths[start["idx"] :]), {"idx": len(paths)}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            paths = _paths(self.options["path"])
+            return self._rows(paths[start["idx"] : end["idx"]])
 
     class AvroLiteDataSource(DataSource):
         @classmethod
@@ -325,9 +431,8 @@ def make_avrolite_datasource():
             return "avrolite"
 
         def schema(self):
-            # infer from the first file's embedded writer schema
-            first = _paths(self.options["path"])[0]
-            avro_schema, _ = _read_container(first)
+            # header-only read of the first file's embedded writer schema
+            avro_schema = _read_schema(_paths(self.options["path"])[0])
             fields = []
             for f in avro_schema["fields"]:
                 t = f["type"]
@@ -340,6 +445,11 @@ def make_avrolite_datasource():
 
         def reader(self, schema: StructType):
             return AvroLiteReader(self.options, schema)
+
+        def simpleStreamReader(self, schema: StructType):
+            return AvroLiteStreamReader(
+                self.options, [f.name for f in schema.fields]
+            )
 
     return AvroLiteDataSource
 
@@ -355,7 +465,7 @@ _KEY_LIMIT = 200
 
 def staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage customer (c_custkey < 200) as 4 Avro container files
-    sharded by custkey % 4 (deflate codec), once per sf."""
+    sharded by custkey % 4 (deflate codec, multi-block), once per sf."""
     import tempfile
 
     root = os.path.join(
@@ -388,6 +498,7 @@ def staged_avro_dir(spark: SparkSession, sf_dir: str) -> str:
                 os.path.join(root, f"part{s}.avro"),
                 schema,
                 [r.asDict() for r in rows if r.c_custkey % _SHARDS == s],
+                rows_per_block=16,  # multi-block: exercises the split index
             )
         open(marker, "w").close()
     return root
@@ -408,14 +519,14 @@ def src_avro_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro Object Container File connector parity: customer rows
     round-trip through spec-faithful Avro (zigzag varints, deflate
     blocks, sync markers) and come back through
-    ``spark.read.format("avrolite")`` — one partition per file — then
+    ``spark.read.format("avrolite")`` — one partition per BLOCK — then
     aggregate in plain DataFrame code, matching the same aggregate
     computed from the parquet corpus. Closes the SURVEY §2 connector
     row this Spark build's missing spark-avro module left open.
 
-    Scale: partition-per-file (Avro files are further block-splittable
-    on the sync marker — documented upgrade); decode is executor-side
-    streaming over blocks, double values transported bit-exactly."""
+    Scale: partition-per-block via the seek-only split index (Avro's
+    sync-marker splittability); decode is executor-side streaming,
+    double values transported bit-exactly."""
     path = staged_avro_dir(spark, sf_dir)
     spark.dataSource.register(AvroLiteDataSource)
     df = spark.read.format("avrolite").load(path)

@@ -16,7 +16,8 @@ from hypothesis import strategies as st
 
 from project_final_parquet_spark.operators.avro_source import (
     AvroLiteDataSource,
-    _SHARDS,
+    index_avro_blocks,
+    read_avro_block,
     read_avro_container,
     staged_avro_dir,
     write_avro_container,
@@ -77,16 +78,41 @@ def test_not_avro_raises(tmp_path):
         read_avro_container(str(p))
 
 
+def test_block_index_and_block_reads(tmp_path):
+    """The split index walks block headers seek-only and every block
+    reads back independently — the property that makes a huge Avro
+    file scan block-parallel."""
+    rows = [
+        {"k": i, "s": f"s{i}", "x": i * 0.5, "maybe": None} for i in range(57)
+    ]
+    p = str(tmp_path / "blocks.avro")
+    write_avro_container(p, _SCHEMA, rows, rows_per_block=10)
+    blocks = index_avro_blocks(p)
+    assert [cnt for _, cnt in blocks] == [10, 10, 10, 10, 10, 7]
+    reassembled = []
+    for off, _cnt in blocks:
+        _, br = read_avro_block(p, off)
+        reassembled.extend(br)
+    assert reassembled == rows
+
+
 def test_spark_scan_matches_parquet(spark, sf_dir):
     """The connector's scan must agree row-for-row with the parquet
-    ground truth, scan one-partition-per-file, and infer its schema
+    ground truth, scan one-partition-per-BLOCK, and infer its schema
     from the embedded writer schema (no user schema supplied)."""
+    import os
+
     from pyspark.sql import functions as F
 
     root = staged_avro_dir(spark, sf_dir)
     spark.dataSource.register(AvroLiteDataSource)
     df = spark.read.format("avrolite").load(root)
-    assert df.rdd.getNumPartitions() == _SHARDS
+    files = sorted(
+        os.path.join(root, p) for p in os.listdir(root) if p.endswith(".avro")
+    )
+    n_blocks = sum(len(index_avro_blocks(p)) for p in files)
+    assert n_blocks > len(files)  # multi-block fixture
+    assert df.rdd.getNumPartitions() == n_blocks
     assert [f.name for f in df.schema.fields] == [
         "c_custkey",
         "c_name",
@@ -101,3 +127,28 @@ def test_spark_scan_matches_parquet(spark, sf_dir):
     got = sorted(map(tuple, df.collect()))
     exp = sorted(map(tuple, direct.collect()))
     assert got == exp and len(got) > 0
+
+
+def test_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """readStream over the Avro directory (availableNow) produces
+    exactly the batch read's rows — the repo's stream ≡ batch proof
+    pattern, applied to the second custom connector."""
+    root = staged_avro_dir(spark, sf_dir)
+    spark.dataSource.register(AvroLiteDataSource)
+    batch = sorted(
+        map(tuple, spark.read.format("avrolite").load(root).collect())
+    )
+    q = (
+        spark.readStream.format("avrolite")
+        .load(root)
+        .writeStream.format("memory")
+        .queryName("avro_stream_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM avro_stream_sink").collect())
+    )
+    assert got == batch and len(got) > 0
