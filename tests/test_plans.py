@@ -407,3 +407,25 @@ def test_markov_stationary_iterates_on_tiny_state(spark):
     f = facts_of(spark, "events_markov_stationary")
     assert f.n_exchanges <= 3
     assert f.n_sortmerge_joins == 0
+
+
+# --- round-5 operators ------------------------------------------------------
+
+
+def test_rolling_distinct_hll_day_grain_only(spark):
+    """The sketch twin keeps the exact form's shape: one shuffle to day
+    grain (partial hll_sketch_agg map-side), window over day rows only;
+    no joins anywhere — the estimate and the exact count ride the same
+    aggregation."""
+    f = facts_of(spark, "events_rolling_distinct_hll")
+    assert f.n_joins == 0
+    assert f.n_exchanges <= 3
+
+
+def test_avro_connector_aggregates_with_partial_agg(spark):
+    """The Avro scan feeds a normal partial+final hash aggregate — the
+    connector slots into Catalyst like any source (no degenerate
+    single-partition plan above it)."""
+    f = facts_of(spark, "src_avro_datasource")
+    assert f.n_hash_aggregates >= 2
+    assert f.n_joins == 0
