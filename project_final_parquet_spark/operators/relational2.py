@@ -413,18 +413,32 @@ def q42_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches' documented bounds (HLL++ rsd 0.05 → 3σ = 15% relative;
     GK accuracy 1000 → rank error 1e-3, checked against the generous
     exact 45th–55th percentile envelope) and the oracle emits literal
-    TRUE — a hash match IS the epsilon check."""
+    TRUE — a hash match IS the epsilon check.
+
+    Plan note: the exact distinct count runs as its own two-stage
+    aggregate (distinct → count) joined back by broadcast, NOT as a
+    ``countDistinct`` inside the sketch aggregate — countDistinct
+    compiles to an Expand that duplicates every input row per aggregate
+    group, and the exact-percentile buffers in the same Aggregate would
+    be built over the expanded input (measured at sf0.1: 12.8 s fused
+    vs 3.7 s split, 3.5×). At 100 TB the split form is also the right
+    shape: the distinct pre-aggregate combines map-side."""
     li = load(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("double")
+    exact = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
     agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias(
             "approx_median"
         ),
-        F.countDistinct("l_partkey").alias("exact_parts"),
         F.percentile(price, F.lit(0.45)).alias("lo"),
         F.percentile(price, F.lit(0.55)).alias("hi"),
-    )
+    ).join(F.broadcast(exact), "l_returnflag")
     return agg.select(
         "l_returnflag",
         "exact_parts",

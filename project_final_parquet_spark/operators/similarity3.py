@@ -99,7 +99,6 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[_proj_component(F.col("embedding"), t) for t in range(_PDIM)]
         ).alias("pv"),
     )
-    q = p.filter(F.col("vec_id") == 0).select(F.col("pv").alias("qv"))
     pdot = F.aggregate(
         F.zip_with(F.col("pv"), F.col("qv"), lambda x, y: x * y),
         F.lit(0.0),
@@ -115,13 +114,17 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # query norm hoisted into the broadcast 1-row frame (bit-identical)
+    q = p.filter(F.col("vec_id") == 0).select(
+        F.col("pv").alias("qv"), pnorm(F.col("pv")).alias("nq")
+    )
     return (
         p.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != 0)
         .select(
             "vec_id",
             "label",
-            (pdot / (pnorm(F.col("pv")) * pnorm(F.col("qv")))).alias(
+            (pdot / (pnorm(F.col("pv")) * F.col("nq"))).alias(
                 "pcosine"
             ),
         )

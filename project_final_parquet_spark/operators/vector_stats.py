@@ -139,20 +139,26 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LSH/IVF variants (sim_ann_lsh, sim_ivf_multiprobe) replace the
     full scan when |src| ≈ |corpus|."""
     emb = load(spark, sf_dir, "embeddings")
-    srcs = emb.filter(F.col("vec_id") < _KNN_SRC).select(
-        F.col("vec_id").alias("src"), F.col("embedding").alias("se")
-    )
     from .similarity import _dot, _norm
 
+    # both sides' norms hoisted out of the pair expression: each source's
+    # norm is computed once in the broadcast frame and each corpus row's
+    # once per row, instead of O(N·srcs·dim) inside the scored pairs
+    srcs = emb.filter(F.col("vec_id") < _KNN_SRC).select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("se"),
+        _norm(F.col("embedding")).alias("sn"),
+    )
     scored = (
-        emb.crossJoin(F.broadcast(srcs))
+        emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("en"))
+        .crossJoin(F.broadcast(srcs))
         .filter(F.col("vec_id") != F.col("src"))
         .select(
             "src",
             F.col("vec_id").alias("dst"),
             (
                 _dot(F.col("se"), F.col("embedding"))
-                / (_norm(F.col("se")) * _norm(F.col("embedding")))
+                / (F.col("sn") * F.col("en"))
             ).alias("cosine"),
         )
     )
