@@ -37,6 +37,31 @@ def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def status_dim_path(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a tiny status dimension (status, kind) as parquet — a
+    non-constant-foldable relation for exercising DYNAMIC partition
+    pruning against the partitioned orders fact (a literal local
+    relation would fold into a static IN filter and never trigger the
+    runtime-subquery path)."""
+    path = os.path.join(
+        _IO_ROOT, os.path.basename(sf_dir.rstrip("/")), "status_dim"
+    )
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            load(spark, sf_dir, "orders")
+            .select(F.col("o_orderstatus").alias("status"))
+            .distinct()
+            .withColumn(
+                "kind",
+                F.when(F.col("status") == "F", "terminal").otherwise("open"),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
 @query(
     "src_partitioned_pruning",
     oracle=f"""

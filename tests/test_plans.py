@@ -455,3 +455,34 @@ def test_pair_cosine_norms_hoisted_below_join(spark):
     p = physical_plan(all_queries()["sim_pairs_label_block"](spark, BIG_SF))
     assert re.search(r"\bna#\d+", p), "hoisted left-side norm column missing"
     assert re.search(r"\bnb#\d+", p), "hoisted right-side norm column missing"
+
+
+def test_dynamic_partition_pruning(spark):
+    """A join from the partitioned orders fact to a selective parquet
+    dim on the partition column injects a runtime pruning subquery:
+    PartitionFilters carries dynamicpruningexpression, so at 100 TB the
+    fact directories that no dim row references are never even listed.
+    Gotcha encoded here: the dim-side predicate must be a COMPARISON
+    (kind = 'terminal'); a bare boolean attribute filter fails Spark's
+    isLikelySelective test and silently disables DPP."""
+    from pyspark.sql import functions as F
+
+    from project_final_parquet_spark.operators.sources import (
+        partitioned_orders_path,
+        status_dim_path,
+    )
+    from project_final_parquet_spark.plans.audit import physical_plan
+
+    fact = spark.read.parquet(partitioned_orders_path(spark, BIG_SF))
+    dim = spark.read.parquet(status_dim_path(spark, BIG_SF)).filter(
+        F.col("kind") == "terminal"
+    )
+    j = (
+        fact.join(dim, fact.o_orderstatus == dim.status)
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    p = physical_plan(j)
+    assert "dynamicpruning" in p.lower()
+    # and the pruned rows are the right ones
+    assert j.count() > 0
