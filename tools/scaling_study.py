@@ -1,0 +1,162 @@
+"""Scale-up study: measure headline-query runtime at sf0.01 / sf0.1 /
+a synthetic 10x corpus ("sf1"), and report the scaling exponent.
+
+The correctness gate runs at sf0.01 and the bench at sf0.1; neither
+shows how a plan's runtime CURVES with data size. This tool stages a
+synthetic sf1 under /tmp by replicating sf0.1 ten times with
+join-consistent key offsets (every foreign key is shifted by the same
+replica stride as its primary key, so joins behave exactly as a real
+10x corpus would; document text gets a per-replica suffix token so the
+corpus isn't 10 identical copies), then times a battery of
+representative queries at all three SFs.
+
+Reading the output: runtime ratio sf1/sf0.1 ~ 10 means linear scaling
+(scan/agg-bound — what a 100 TB cluster wants); >> 10 flags a
+super-linear stage (pair blow-up, unpartitioned sort) that would NOT
+survive the next 100x.
+
+Usage: python tools/scaling_study.py [--json OUT]
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from project_final_parquet_spark.registry import all_queries
+from project_final_parquet_spark.session import get_spark
+
+SRC_SF = "/root/testdata/sf0.1"
+SF1_DIR = "/tmp/spark_graft_scale/sf1"
+REPLICAS = 10
+
+# (table, key columns shifted by replica * stride[keytable])
+# stride is the key-space size of the table OWNING the key, so foreign
+# keys stay join-consistent across replicas.
+_KEYED = {
+    "customer": [("c_custkey", "customer")],
+    "orders": [("o_orderkey", "orders"), ("o_custkey", "customer")],
+    "lineitem": [
+        ("l_orderkey", "orders"),
+        ("l_partkey", "part"),
+        ("l_suppkey", "supplier"),
+    ],
+    "supplier": [("s_suppkey", "supplier")],
+    "part": [("p_partkey", "part")],
+    "events": [("event_id", "events"), ("user_id", "events_user")],
+    "documents": [("doc_id", "documents")],
+    "embeddings": [("vec_id", "embeddings")],
+}
+_COPY = ["nation", "region"]
+
+QUERIES = [
+    "q1_pricing_summary",        # scan + 8-agg
+    "q3_star_join_revenue",      # broadcast star join
+    "q8_running_qty_per_supplier",  # window
+    "q24_percentiles",           # exact percentile (memory-heavy agg)
+    "dedup_exact",               # content-hash shuffle
+    "sim_topk_cosine",           # brute-force scoring + top-k
+    "sim_ann_lsh",               # bucketed ANN
+    "events_rolling_distinct_hll",  # sketch window
+    "events_funnel_windowed",    # sequential-pattern window
+    "orders_backlog_timeseries", # day-grain cumulative
+]
+
+
+def _stride(spark, name: str) -> int:
+    if name == "events_user":
+        df = spark.read.parquet(f"{SRC_SF}/events.parquet")
+        return int(df.agg(F.max("user_id")).first()[0]) + 1
+    key = {
+        "customer": "c_custkey",
+        "orders": "o_orderkey",
+        "part": "p_partkey",
+        "supplier": "s_suppkey",
+        "events": "event_id",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+    }[name]
+    df = spark.read.parquet(f"{SRC_SF}/{name}.parquet")
+    return int(df.agg(F.max(key)).first()[0]) + 1
+
+
+def stage_sf1(spark) -> None:
+    marker = os.path.join(SF1_DIR, "_STAGED")
+    if os.path.exists(marker):
+        return
+    os.makedirs(SF1_DIR, exist_ok=True)
+    strides = {
+        n: _stride(spark, n)
+        for n in [
+            "customer", "orders", "part", "supplier",
+            "events", "events_user", "documents", "embeddings",
+        ]
+    }
+    for tbl in _COPY:
+        spark.read.parquet(f"{SRC_SF}/{tbl}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{SF1_DIR}/{tbl}.parquet")
+    for tbl, keys in _KEYED.items():
+        src = spark.read.parquet(f"{SRC_SF}/{tbl}.parquet")
+        reps = []
+        for i in range(REPLICAS):
+            r = src
+            for col, owner in keys:
+                dt = dict(src.dtypes)[col]
+                r = r.withColumn(
+                    col, (F.col(col) + F.lit(i * strides[owner])).cast(dt)
+                )
+            if tbl == "documents" and i > 0:
+                # vary content so the corpus isn't 10 identical copies
+                r = r.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" zrep{i}"))
+                ).withColumn("n_chars", F.length("text"))
+            reps.append(r)
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.write.mode("overwrite").parquet(f"{SF1_DIR}/{tbl}.parquet")
+    open(marker, "w").close()
+
+
+def main() -> None:
+    spark = get_spark(app_name="scaling_study")
+    stage_sf1(spark)
+    queries = all_queries()
+    queries["q1_pricing_summary"](spark, SRC_SF).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    sfs = [("sf0.01", "/root/testdata/sf0.01"), ("sf0.1", SRC_SF), ("sf1", SF1_DIR)]
+    results: dict[str, dict[str, float]] = {}
+    for name in QUERIES:
+        results[name] = {}
+        for label, d in sfs:
+            gc.collect()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            queries[name](spark, d).write.format("noop").mode("overwrite").save()
+            results[name][label] = round(time.perf_counter() - t0, 3)
+
+    print(f"{'query':32s} {'sf0.01':>8s} {'sf0.1':>8s} {'sf1':>8s} {'x(1/0.1)':>9s}")
+    for name, r in results.items():
+        ratio = r["sf1"] / r["sf0.1"] if r["sf0.1"] > 0 else float("nan")
+        print(
+            f"{name:32s} {r['sf0.01']:8.2f} {r['sf0.1']:8.2f} "
+            f"{r['sf1']:8.2f} {ratio:9.1f}"
+        )
+    if "--json" in sys.argv:
+        out = sys.argv[sys.argv.index("--json") + 1]
+        Path(out).write_text(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
