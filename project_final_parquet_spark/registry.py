@@ -100,7 +100,11 @@ ROUND5_QUEUE = [
 
 # Names registered after the round-5 gate window froze: position 51+
 # this round, leading the round-6 rotation.
-ROUND6_QUEUE: list[str] = []
+ROUND6_QUEUE: list[str] = [
+    "dedup_incremental",
+    "profile_dict_encoding",
+    "sample_domain_reweight",
+]
 
 # Round-5 window (positions 1-50) — the full-registry-closure round:
 #   1-19  ROUND5_QUEUE verbatim (the 19 post-r4-freeze additions; all
@@ -221,6 +225,7 @@ def _load_all() -> None:
         pipeline,
         pipeline2,
         pipeline3,
+        pipeline4,
         vector_stats,
         reffile_source,
         avro_source,
