@@ -306,3 +306,147 @@ def sample_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- ingest distribution drift ---------------------------------------------
+
+
+@query(
+    "dq_distribution_drift",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             ((doc_id % {_INC_MOD}) * {_INC_HASH}) % {_INC_MOD}
+               < {_INC_THRESH} AS is_batch
+      FROM documents
+    ),
+    per AS (
+      SELECT lang,
+        CAST(SUM(CASE WHEN is_batch THEN 0 ELSE 1 END) AS BIGINT) AS n_hist,
+        CAST(SUM(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT) AS n_batch
+      FROM t GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_hist) AS BIGINT) AS t_hist,
+             CAST(SUM(n_batch) AS BIGINT) AS t_batch
+      FROM per
+    )
+    SELECT lang, n_hist, n_batch,
+      CAST(n_hist AS DOUBLE) / t_hist AS p_hist,
+      CAST(n_batch AS DOUBLE) / t_batch AS p_batch,
+      CASE WHEN n_hist = 0 THEN NULL
+           ELSE (CAST(n_batch AS DOUBLE) / t_batch
+                 - CAST(n_hist AS DOUBLE) / t_hist)
+                * (CAST(n_batch AS DOUBLE) / t_batch
+                   - CAST(n_hist AS DOUBLE) / t_hist)
+                / (CAST(n_hist AS DOUBLE) / t_hist)
+      END AS chi2_term
+    FROM per CROSS JOIN tot ORDER BY lang
+    """,
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest drift monitor: chi-square distance terms between the new
+    batch's language distribution and the settled corpus's — the check
+    a continuous pipeline runs before merging a crawl (a drifted
+    language mix upstream of temperature mixing silently reweights the
+    training recipe). Chi-square, not PSI/KL: the statistic is a
+    RATIONAL function of the counts (no ln), so it is bit-identical
+    across engines — the same trade text_index.py makes for BM25's idf.
+
+    Scale: one conditional-aggregate pass over the corpus (map-side
+    combined, one row per language), a broadcast singleton for the two
+    totals, then per-row arithmetic. The batch split is the exact-
+    integer Knuth hash shared with dedup_incremental.
+    """
+    docs = load(spark, sf_dir, "documents")
+    is_batch = (
+        (F.col("doc_id") % _INC_MOD) * F.lit(_INC_HASH)
+    ) % F.lit(_INC_MOD) < F.lit(_INC_THRESH)
+    per = docs.groupBy("lang").agg(
+        F.sum(F.when(is_batch, 0).otherwise(1)).cast("long").alias("n_hist"),
+        F.sum(F.when(is_batch, 1).otherwise(0)).cast("long").alias("n_batch"),
+    )
+    tot = per.agg(
+        F.sum("n_hist").cast("long").alias("t_hist"),
+        F.sum("n_batch").cast("long").alias("t_batch"),
+    )
+    p_hist = F.col("n_hist").cast("double") / F.col("t_hist")
+    p_batch = F.col("n_batch").cast("double") / F.col("t_batch")
+    chi2 = F.when(
+        F.col("n_hist") == 0, F.lit(None).cast("double")
+    ).otherwise((p_batch - p_hist) * (p_batch - p_hist) / p_hist)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_hist",
+            "n_batch",
+            p_hist.alias("p_hist"),
+            p_batch.alias("p_batch"),
+            chi2.alias("chi2_term"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- join fan-out prediction from key histograms ---------------------------
+
+
+@query(
+    "profile_join_fanout",
+    oracle="""
+    WITH fan AS (
+      SELECT f, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(f * COUNT(*) AS BIGINT) AS rows_out
+      FROM (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS f
+        FROM lineitem GROUP BY l_orderkey
+      ) GROUP BY f
+    )
+    SELECT f AS fanout, n_keys, rows_out,
+      CAST(SUM(rows_out) OVER (ORDER BY f DESC) AS BIGINT)
+        AS cum_rows_from_top,
+      CAST(SUM(rows_out) OVER () AS BIGINT) AS total_rows
+    FROM fan ORDER BY fanout
+    """,
+)
+def profile_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join fan-out prediction from the probe side's key histogram:
+    for the orders⋈lineitem key, the fanout-class histogram (how many
+    keys repeat f times, and how many output rows each class feeds)
+    states the join's shuffle output size and skew profile WITHOUT
+    running the join — orders' key is unique, so predicted output =
+    Σ f·n_keys exactly. cum_rows_from_top is the planner's skew read:
+    if the top classes feed most rows, pre-salt or let AQE split them.
+
+    Scale: the key histogram is one map-side-combined aggregate (one
+    row per distinct key), the class rollup shrinks it to |distinct
+    fanout values| rows (~tens even at 100 TB), and only THAT
+    metadata-scale frame crosses the single-partition window. This is
+    the same statistic a cost-based optimizer keeps as a column
+    histogram, computed on demand.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    fan = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            (F.col("f") * F.count(F.lit(1))).cast("long").alias("rows_out"),
+        )
+    )
+    w_top = Window.orderBy(F.desc("f"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        fan.select(
+            F.col("f").alias("fanout"),
+            "n_keys",
+            "rows_out",
+            F.sum("rows_out").over(w_top).cast("long").alias("cum_rows_from_top"),
+            F.sum("rows_out").over(w_all).cast("long").alias("total_rows"),
+        )
+        .orderBy("fanout")
+    )

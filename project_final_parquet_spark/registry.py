@@ -104,6 +104,8 @@ ROUND6_QUEUE: list[str] = [
     "dedup_incremental",
     "profile_dict_encoding",
     "sample_domain_reweight",
+    "dq_distribution_drift",
+    "profile_join_fanout",
 ]
 
 # Round-5 window (positions 1-50) — the full-registry-closure round:

@@ -114,3 +114,63 @@ def test_reweight_broadcasts_the_scalars(spark):
     f = plan_facts(all_queries()["sample_domain_reweight"](spark, BIG_SF))
     assert f.n_sortmerge_joins == 0
     assert f.n_shuffled_hash_joins == 0
+
+
+# --- dq_distribution_drift -------------------------------------------------
+
+
+def test_drift_shares_sum_to_one(spark, sf_dir):
+    rows = all_queries()["dq_distribution_drift"](spark, sf_dir).collect()
+    assert sum(r.n_hist for r in rows) + sum(r.n_batch for r in rows) == load(
+        spark, sf_dir, "documents"
+    ).count()
+    assert sum(r.p_hist for r in rows) == pytest.approx(1.0, abs=1e-12)
+    assert sum(r.p_batch for r in rows) == pytest.approx(1.0, abs=1e-12)
+    for r in rows:
+        if r.n_hist > 0:
+            assert r.chi2_term is not None and r.chi2_term >= 0
+
+
+def test_drift_split_matches_incremental_split(spark, sf_dir):
+    """Both monitors must agree on what 'the batch' is — same hash,
+    same threshold — or the drift check audits a different batch than
+    the dedup ingests."""
+    drift = all_queries()["dq_distribution_drift"](spark, sf_dir).collect()
+    inc = all_queries()["dedup_incremental"](spark, sf_dir).collect()
+    assert sum(r.n_batch for r in drift) == sum(r.n_new for r in inc)
+
+
+# --- profile_join_fanout ---------------------------------------------------
+
+
+def test_fanout_predicts_actual_join_rows(spark, sf_dir):
+    """The histogram's total_rows must equal the REAL join output —
+    the orders key is unique so predicted == actual exactly."""
+    rows = all_queries()["profile_join_fanout"](spark, sf_dir).collect()
+    total = rows[0].total_rows
+    assert all(r.total_rows == total for r in rows)
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    actual = li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "inner"
+    ).count()
+    assert total == actual
+    # classes partition the output
+    assert sum(r.rows_out for r in rows) == total
+    # cumulative-from-top is monotone decreasing in fanout order
+    cums = [r.cum_rows_from_top for r in rows]
+    assert cums == sorted(cums, reverse=True)
+
+
+def test_fanout_window_runs_on_metadata_scale(spark):
+    """The single-partition window input is the fanout-CLASS frame
+    (|distinct fanout values| rows), never the key histogram itself:
+    formatted plans print top-down, so the Window node must appear
+    ABOVE both aggregates (i.e. consume their output), and the class
+    frame is tiny even at sf0.1."""
+    df = all_queries()["profile_join_fanout"](spark, BIG_SF)
+    p = physical_plan(df)
+    header = p.split("(1) ")[0]  # the top-down tree sketch
+    assert "Window" in header and "HashAggregate" in header
+    assert header.index("Window") < header.index("HashAggregate")
+    assert df.count() < 100  # class frame is tiny even at sf0.1
