@@ -85,6 +85,13 @@ HEADLINE = [
     # queries the full-registry sweep caught slow (see SCALE.md)
     "q42_approx_aggs",
     "sim_pairs_label_block",
+    # round-5 late additions (ROUND6_QUEUE): every new family tracks
+    # round-over-round from its first round
+    "dedup_incremental",
+    "profile_dict_encoding",
+    "sample_domain_reweight",
+    "dq_distribution_drift",
+    "profile_join_fanout",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

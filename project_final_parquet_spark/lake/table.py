@@ -1,0 +1,229 @@
+"""LakeTable: an append-only snapshot log over parquet data files.
+
+Layout (all under one root directory):
+
+    root/
+      data/v{N}/part-*.parquet   -- files written by commit N
+      _log/v{N}.json             -- snapshot N: the FULL manifest
+
+Each snapshot records every live file with its row count and per-column
+min/max stats (read from the parquet footers, never from the data), so
+every read is metadata-first:
+
+- time travel  = read the file list of an older snapshot;
+- incremental  = files whose ``added`` version is in (since, to];
+- stats pruning = drop files whose [min,max] cannot overlap the
+  predicate before Spark ever lists them.
+
+Concurrency: a commit materializes its data files first, then
+publishes by creating ``_log/v{N}.json`` with O_EXCL — if two writers
+race, exactly one create succeeds and the loser gets CommitConflict
+(optimistic concurrency, same contract as Delta/Iceberg). A crash
+before the log write leaves orphan data files that no snapshot
+references — readers never see them (test-asserted).
+
+Scale: the log is one JSON document per commit, sized by FILE COUNT
+(~10^6 entries at 100 TB — metadata scale); data files are never
+rewritten by append commits, and pruning decisions happen driver-side
+on the manifest before any task launches. The full-manifest-per-
+snapshot choice (a Delta "checkpoint" every commit) trades tiny log
+writes for O(1) snapshot loads — right while file count stays
+metadata-scale; at larger counts the log itself becomes a parquet
+table and `layout_compaction_plan` bins it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from datetime import date, datetime
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published the same version first."""
+
+
+def _ser(v: Any) -> Any:
+    """Stats serializer: ISO strings for temporal (lexicographic order
+    == chronological order), native JSON for numerics/strings."""
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    return v
+
+
+@dataclass
+class FileEntry:
+    path: str
+    rows: int
+    stats: dict[str, list]  # col -> [min, max], serialized
+    added: int  # commit version that added the file
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "rows": self.rows,
+            "stats": self.stats,
+            "added": self.added,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "FileEntry":
+        return FileEntry(d["path"], d["rows"], d["stats"], d["added"])
+
+
+class LakeTable:
+    def __init__(self, root: str | os.PathLike):
+        self.root = Path(root)
+        self.log_dir = self.root / "_log"
+        self.data_dir = self.root / "data"
+
+    # --- log ---------------------------------------------------------------
+
+    def versions(self) -> list[int]:
+        if not self.log_dir.is_dir():
+            return []
+        return sorted(
+            int(p.stem[1:]) for p in self.log_dir.glob("v*.json")
+        )
+
+    @property
+    def current_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def manifest(self, version: int | None = None) -> list[FileEntry]:
+        v = self.current_version if version is None else version
+        if v == 0:
+            return []
+        doc = json.loads((self.log_dir / f"v{v}.json").read_text())
+        return [FileEntry.from_json(d) for d in doc["files"]]
+
+    # --- write -------------------------------------------------------------
+
+    def commit_append(
+        self,
+        df: DataFrame,
+        stats_cols: tuple[str, ...] = (),
+        num_files: int | None = None,
+        range_by: str | None = None,
+    ) -> int:
+        """Write ``df`` as new data files and publish the next snapshot.
+
+        ``range_by`` range-partitions the rows by that column before
+        writing, so each file covers a DISJOINT value range — what
+        makes min/max pruning effective (the write-side half of
+        layout_zorder_stats' argument).
+        """
+        version = self.current_version + 1
+        out = self.data_dir / f"v{version}"
+        if num_files is not None and range_by is not None:
+            df = df.repartitionByRange(num_files, range_by)
+        elif num_files is not None:
+            df = df.repartition(num_files)
+        df.write.mode("overwrite").parquet(str(out))
+
+        entries = self.manifest()  # parent snapshot's live files
+        for p in sorted(out.glob("*.parquet")):
+            entries.append(self._file_entry(p, stats_cols, version))
+        self._publish(version, entries)
+        return version
+
+    def _file_entry(
+        self, path: Path, stats_cols: tuple[str, ...], version: int
+    ) -> FileEntry:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict[str, list] = {}
+        for col in stats_cols:
+            idx = names[col]
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                stats[col] = [_ser(lo), _ser(hi)]
+        return FileEntry(str(path), md.num_rows, stats, version)
+
+    def _publish(self, version: int, entries: list[FileEntry]) -> None:
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        doc = json.dumps(
+            {"version": version, "files": [e.to_json() for e in entries]},
+            indent=None,
+        )
+        try:
+            # O_EXCL create IS the commit: exactly one writer can
+            # publish a given version.
+            with open(self.log_dir / f"v{version}.json", "x") as f:
+                f.write(doc)
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"version {version} already published"
+            ) from e
+
+    # --- read --------------------------------------------------------------
+
+    def read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        paths = [e.path for e in self.manifest(version)]
+        if not paths:
+            raise ValueError("empty table (no committed snapshot)")
+        return spark.read.parquet(*paths)
+
+    def incremental(
+        self,
+        spark: SparkSession,
+        since_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Files ADDED in (since_version, to_version] — the CDC feed a
+        downstream consumer reads instead of diffing snapshots."""
+        to_v = self.current_version if to_version is None else to_version
+        paths = [
+            e.path
+            for e in self.manifest(to_v)
+            if since_version < e.added <= to_v
+        ]
+        if not paths:
+            raise ValueError(
+                f"no files added in ({since_version}, {to_v}]"
+            )
+        return spark.read.parquet(*paths)
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo: Any,
+        hi: Any,
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """Manifest-stats pruning: keep only files whose [min,max] for
+        ``col`` can overlap [lo, hi]; returns (df, files_read,
+        files_total). The caller still applies the row-level residual
+        filter — pruning is a superset guarantee, exactly like parquet
+        row-group skipping one level up.
+        """
+        entries = self.manifest(version)
+        lo_s, hi_s = _ser(lo), _ser(hi)
+        keep = [
+            e
+            for e in entries
+            if col not in e.stats
+            or not (e.stats[col][0] > hi_s or e.stats[col][1] < lo_s)
+        ]
+        if not keep:
+            raise ValueError("predicate prunes every file")
+        df = spark.read.parquet(*[e.path for e in keep])
+        return df, len(keep), len(entries)
