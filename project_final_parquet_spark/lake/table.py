@@ -111,6 +111,7 @@ class LakeTable:
         stats_cols: tuple[str, ...] = (),
         num_files: int | None = None,
         range_by: str | None = None,
+        expected_parent: int | None = None,
     ) -> int:
         """Write ``df`` as new data files and publish the next snapshot.
 
@@ -118,8 +119,18 @@ class LakeTable:
         writing, so each file covers a DISJOINT value range — what
         makes min/max pruning effective (the write-side half of
         layout_zorder_stats' argument).
+
+        ``expected_parent`` pins the snapshot this commit builds on
+        (optimistic concurrency): if another writer published first,
+        the O_EXCL log create raises CommitConflict instead of
+        silently dropping their files from the merged manifest.
         """
-        version = self.current_version + 1
+        parent = (
+            self.current_version
+            if expected_parent is None
+            else expected_parent
+        )
+        version = parent + 1
         out = self.data_dir / f"v{version}"
         if num_files is not None and range_by is not None:
             df = df.repartitionByRange(num_files, range_by)
@@ -127,7 +138,7 @@ class LakeTable:
             df = df.repartition(num_files)
         df.write.mode("overwrite").parquet(str(out))
 
-        entries = self.manifest()  # parent snapshot's live files
+        entries = self.manifest(parent)  # parent snapshot's live files
         for p in sorted(out.glob("*.parquet")):
             entries.append(self._file_entry(p, stats_cols, version))
         self._publish(version, entries)

@@ -106,6 +106,9 @@ ROUND6_QUEUE: list[str] = [
     "sample_domain_reweight",
     "dq_distribution_drift",
     "profile_join_fanout",
+    "lake_time_travel_read",
+    "lake_incremental_scan",
+    "lake_stats_pruning",
 ]
 
 # Round-5 window (positions 1-50) — the full-registry-closure round:
@@ -228,6 +231,7 @@ def _load_all() -> None:
         pipeline2,
         pipeline3,
         pipeline4,
+        lake_queries,
         vector_stats,
         reffile_source,
         avro_source,
