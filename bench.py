@@ -92,6 +92,8 @@ HEADLINE = [
     "sample_domain_reweight",
     "dq_distribution_drift",
     "profile_join_fanout",
+    "lake_time_travel_read",
+    "lake_stats_pruning",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for
@@ -109,6 +111,11 @@ def main() -> None:
     queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # lake staging (two commits, write-side) happens once per sf_dir;
+    # stage it here so the measured lake_* timings are the READ path
+    from project_final_parquet_spark.operators.lake_queries import orders_lake
+
+    orders_lake(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
