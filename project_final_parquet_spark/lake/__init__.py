@@ -9,6 +9,12 @@ from the PUBLIC design shared by Delta Lake / Apache Iceberg
 no code from either project.
 """
 
+from .feed import LakeFeedDataSource, register_lakefeed
 from .table import LakeTable, CommitConflict
 
-__all__ = ["LakeTable", "CommitConflict"]
+__all__ = [
+    "LakeTable",
+    "CommitConflict",
+    "LakeFeedDataSource",
+    "register_lakefeed",
+]

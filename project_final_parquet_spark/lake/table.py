@@ -62,6 +62,11 @@ class FileEntry:
     rows: int
     stats: dict[str, list]  # col -> [min, max], serialized
     added: int  # commit version that added the file
+    bytes: int = 0
+    # False for rewrite (compaction) commits: the rows are not new, so
+    # incremental consumers must not re-emit them (Delta's dataChange
+    # flag, Iceberg's rewrite snapshots — same public contract)
+    data_change: bool = True
 
     def to_json(self) -> dict:
         return {
@@ -69,11 +74,20 @@ class FileEntry:
             "rows": self.rows,
             "stats": self.stats,
             "added": self.added,
+            "bytes": self.bytes,
+            "data_change": self.data_change,
         }
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
-        return FileEntry(d["path"], d["rows"], d["stats"], d["added"])
+        return FileEntry(
+            d["path"],
+            d["rows"],
+            d["stats"],
+            d["added"],
+            d.get("bytes", 0),
+            d.get("data_change", True),
+        )
 
 
 class LakeTable:
@@ -145,7 +159,11 @@ class LakeTable:
         return version
 
     def _file_entry(
-        self, path: Path, stats_cols: tuple[str, ...], version: int
+        self,
+        path: Path,
+        stats_cols: tuple[str, ...],
+        version: int,
+        data_change: bool = True,
     ) -> FileEntry:
         import pyarrow.parquet as pq
 
@@ -164,7 +182,14 @@ class LakeTable:
                 hi = st.max if hi is None else max(hi, st.max)
             if lo is not None:
                 stats[col] = [_ser(lo), _ser(hi)]
-        return FileEntry(str(path), md.num_rows, stats, version)
+        return FileEntry(
+            str(path),
+            md.num_rows,
+            stats,
+            version,
+            os.path.getsize(path),
+            data_change,
+        )
 
     def _publish(self, version: int, entries: list[FileEntry]) -> None:
         self.log_dir.mkdir(parents=True, exist_ok=True)
@@ -181,6 +206,64 @@ class LakeTable:
             raise CommitConflict(
                 f"version {version} already published"
             ) from e
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_bytes: int,
+        stats_cols: tuple[str, ...] = (),
+        expected_parent: int | None = None,
+    ) -> int:
+        """Rewrite commit: bin-pack small files (the shared sorted-
+        greedy planner behind layout_compaction_plan) and rewrite each
+        multi-file bin as one file. The new snapshot carries the
+        rewritten files with ``data_change=False`` — incremental
+        consumers skip them (the rows are not new), while time travel
+        to any pre-compaction version still reads the original files,
+        which stay on disk until a future vacuum.
+
+        Returns the new version, or the parent version unchanged if
+        every bin already holds a single file (nothing to do — no
+        empty commit is published)."""
+        from ..operators.layout import assign_compaction_bins
+
+        parent = (
+            self.current_version
+            if expected_parent is None
+            else expected_parent
+        )
+        entries = self.manifest(parent)
+        mdf = spark.createDataFrame(
+            [(i, e.bytes) for i, e in enumerate(entries)],
+            "file_id long, size_bytes long",
+        )
+        bins: dict[int, list[FileEntry]] = {}
+        for r in assign_compaction_bins(mdf, target_bytes).collect():
+            bins.setdefault(r.bin, []).append(entries[r.file_id])
+        version = parent + 1
+        out = self.data_dir / f"v{version}"
+        new_entries: list[FileEntry] = []
+        removed: set[str] = set()
+        for b in sorted(bins):
+            group = bins[b]
+            if len(group) < 2:
+                continue  # already compact
+            bin_dir = out / f"bin{b}"
+            spark.read.parquet(*[e.path for e in group]).coalesce(
+                1
+            ).write.mode("overwrite").parquet(str(bin_dir))
+            for p in sorted(bin_dir.glob("*.parquet")):
+                new_entries.append(
+                    self._file_entry(
+                        p, stats_cols, version, data_change=False
+                    )
+                )
+            removed.update(e.path for e in group)
+        if not removed:
+            return parent
+        survivors = [e for e in entries if e.path not in removed]
+        self._publish(version, survivors + new_entries)
+        return version
 
     # --- read --------------------------------------------------------------
 
@@ -204,7 +287,7 @@ class LakeTable:
         paths = [
             e.path
             for e in self.manifest(to_v)
-            if since_version < e.added <= to_v
+            if since_version < e.added <= to_v and e.data_change
         ]
         if not paths:
             raise ValueError(

@@ -153,3 +153,41 @@ def lake_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("total_price"),
     )
+
+
+@query(
+    "src_lakefeed_datasource",
+    oracle=f"""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def src_lakefeed_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end connector parity for the snapshot-log layer: the
+    staged orders lake read back through ``spark.read.format(
+    "lakefeed")`` — the Python Data Source that scans the CURRENT
+    snapshot's live files, one partition per file — then aggregated in
+    plain DataFrame code. Matching the aggregate computed from the
+    parquet corpus directly proves commit → manifest → feed loses and
+    duplicates nothing (both commits together are exactly the orders
+    table). The streaming form of the same source (version offsets,
+    compaction-invisible) is exercised in tests/test_lake_feed.py.
+
+    Scale: partitions track live-file count; the schema is read from
+    one footer; the manifest listing is driver-side metadata."""
+    from ..lake.feed import make_lakefeed_datasource as _mk
+
+    table = orders_lake(spark, sf_dir)
+    spark.dataSource.register(_mk())
+    df = spark.read.format("lakefeed").load(str(table.root))
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -109,6 +109,7 @@ ROUND6_QUEUE: list[str] = [
     "lake_time_travel_read",
     "lake_incremental_scan",
     "lake_stats_pruning",
+    "src_lakefeed_datasource",
 ]
 
 # Round-5 window (positions 1-50) — the full-registry-closure round:
