@@ -265,6 +265,83 @@ class LakeTable:
         self._publish(version, survivors + new_entries)
         return version
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo: Any,
+        hi: Any,
+        predicate,
+        stats_cols: tuple[str, ...] = (),
+        expected_parent: int | None = None,
+    ) -> int:
+        """Copy-on-write delete: rows matching ``predicate`` (a typed
+        Spark Column marking rows TO DELETE; its [lo, hi) bounds on
+        ``col`` are declared separately for the stats test) are dropped
+        by rewriting ONLY the files whose [min,max] stats overlap the
+        range — every other file keeps its path and is never read.
+        This is the manifest-stats win on the WRITE side: at 100 TB a
+        date-bounded delete (GDPR purge, bad-batch rollback) touches
+        the few files the range maps to, not the table.
+
+        Deletes CHANGE data, so the rewritten survivors republish with
+        ``data_change=True``; feeds that need row-level retractions
+        layer the CDC operator family (cdc_tombstone_merge) on top.
+
+        Returns the new version (parent unchanged if no file overlaps).
+        """
+        parent = (
+            self.current_version
+            if expected_parent is None
+            else expected_parent
+        )
+        entries = self.manifest(parent)
+        lo_s, hi_s = _ser(lo), _ser(hi)
+        touched = [
+            e
+            for e in entries
+            if col not in e.stats
+            or not (e.stats[col][0] >= hi_s or e.stats[col][1] < lo_s)
+        ]
+        if not touched:
+            return parent
+        version = parent + 1
+        out = self.data_dir / f"v{version}"
+        survivors = spark.read.parquet(
+            *[e.path for e in touched]
+        ).filter(~predicate)
+        survivors.write.mode("overwrite").parquet(str(out))
+        new_entries = [
+            self._file_entry(p, stats_cols, version)
+            for p in sorted(out.glob("*.parquet"))
+        ]
+        new_entries = [e for e in new_entries if e.rows > 0]
+        removed = {e.path for e in touched}
+        kept = [e for e in entries if e.path not in removed]
+        self._publish(version, kept + new_entries)
+        return version
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Expire all snapshots older than the newest ``retain_last``
+        and delete data files no retained snapshot references. Returns
+        the deleted paths. Time travel to expired versions fails
+        loudly afterwards (the log entry is gone, not just the data).
+        """
+        vs = self.versions()
+        keep_vs = set(vs[-retain_last:]) if retain_last > 0 else set()
+        live: set[str] = set()
+        for v in keep_vs:
+            live.update(e.path for e in self.manifest(v))
+        deleted: list[str] = []
+        for v in vs:
+            if v not in keep_vs:
+                for e in self.manifest(v):
+                    if e.path not in live and os.path.exists(e.path):
+                        os.remove(e.path)
+                        deleted.append(e.path)
+                (self.log_dir / f"v{v}.json").unlink()
+        return deleted
+
     # --- read --------------------------------------------------------------
 
     def read(

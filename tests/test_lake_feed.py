@@ -123,3 +123,55 @@ def test_compact_preserves_stats_pruning(spark, orders, sf_dir, tmp_path):
         df.filter(pred).count()
         == full.filter(pred).count()
     )
+
+
+def test_delete_where_rewrites_only_overlapping_files(spark, sf_dir, tmp_path):
+    """Stats-guided copy-on-write: a date-bounded delete rewrites only
+    the files whose [min,max] overlap the range; untouched files keep
+    their exact paths."""
+    full = load(spark, sf_dir, "orders")
+    table = LakeTable(tmp_path / "t")
+    table.commit_append(
+        full, stats_cols=("o_orderdate",), num_files=8,
+        range_by="o_orderdate",
+    )
+    before = {e.path for e in table.manifest()}
+    lo, hi = "1996-01-01", "1997-01-01"
+    lo_c = F.lit(lo).cast("timestamp_ntz")
+    hi_c = F.lit(hi).cast("timestamp_ntz")
+    pred = (F.col("o_orderdate") >= lo_c) & (F.col("o_orderdate") < hi_c)
+    v = table.delete_where(
+        spark, "o_orderdate", lo, hi, pred, stats_cols=("o_orderdate",)
+    )
+    assert v == 2
+    after = {e.path for e in table.manifest()}
+    untouched = before & after
+    assert untouched, "delete rewrote every file despite range stats"
+    assert after - before, "delete produced no rewritten files"
+    # row-level result matches the logical delete exactly
+    assert (
+        table.read(spark).count()
+        == full.filter(~pred).count()
+    )
+    assert table.read(spark).filter(pred).count() == 0
+    # time travel still sees the pre-delete table
+    assert table.read(spark, version=1).count() == full.count()
+
+
+def test_vacuum_expires_history_and_orphans(spark, sf_dir, tmp_path):
+    import os
+
+    orders = load(spark, sf_dir, "orders").limit(200)
+    table = LakeTable(tmp_path / "t")
+    table.commit_append(orders, num_files=4)
+    table.compact(spark, target_bytes=1 << 30)  # v2 rewrite
+    old_files = {e.path for e in table.manifest(1)}
+    live_files = {e.path for e in table.manifest(2)}
+    deleted = table.vacuum(retain_last=1)
+    # exactly the files only v1 referenced are gone
+    assert set(deleted) == old_files - live_files
+    assert all(not os.path.exists(p) for p in deleted)
+    assert table.versions() == [2]
+    assert table.read(spark).count() == 200
+    with pytest.raises(FileNotFoundError):
+        table.manifest(1)
