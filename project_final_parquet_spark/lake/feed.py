@@ -77,7 +77,10 @@ def make_lakefeed_datasource():
         entries = _manifest(root, _current(root))
         if not entries:
             raise ValueError(f"empty lake table at {root}")
-        schema = pq.read_schema(entries[0]["path"])
+        # newest-added entry carries the evolved (widest) schema;
+        # older files' missing columns surface as NULL
+        newest = max(entries, key=lambda e: e["added"])
+        schema = pq.read_schema(newest["path"])
         parts = []
         for field in schema:
             t = str(field.type)
@@ -95,8 +98,18 @@ def make_lakefeed_datasource():
     def _rows_of(path: str, fields: list[str]) -> list[tuple]:
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(path, columns=fields)
-        cols = [tbl.column(f).to_pylist() for f in fields]
+        # schema evolution: files older than an added column don't have
+        # it — read what's present, surface the rest as NULL
+        present = set(pq.read_schema(path).names)
+        tbl = pq.read_table(
+            path, columns=[f for f in fields if f in present]
+        )
+        cols = [
+            tbl.column(f).to_pylist()
+            if f in present
+            else [None] * tbl.num_rows
+            for f in fields
+        ]
         return list(zip(*cols)) if cols else []
 
     class LakeFeedReader(DataSourceReader):

@@ -350,7 +350,10 @@ class LakeTable:
         paths = [e.path for e in self.manifest(version)]
         if not paths:
             raise ValueError("empty table (no committed snapshot)")
-        return spark.read.parquet(*paths)
+        # mergeSchema: commits may evolve the schema (add columns);
+        # the merged read fills missing columns with NULL — footer-read
+        # cost only, metadata-scale
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def incremental(
         self,
@@ -396,5 +399,7 @@ class LakeTable:
         ]
         if not keep:
             raise ValueError("predicate prunes every file")
-        df = spark.read.parquet(*[e.path for e in keep])
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[e.path for e in keep]
+        )
         return df, len(keep), len(entries)

@@ -175,3 +175,36 @@ def test_vacuum_expires_history_and_orphans(spark, sf_dir, tmp_path):
     assert table.read(spark).count() == 200
     with pytest.raises(FileNotFoundError):
         table.manifest(1)
+
+
+def test_schema_evolution_add_column(spark, sf_dir, tmp_path):
+    """Appends may widen the schema; merged reads surface NULL for
+    rows written before the column existed, and the feed's inferred
+    schema follows the NEWEST commit."""
+    orders = load(spark, sf_dir, "orders")
+    table = LakeTable(tmp_path / "t")
+    table.commit_append(
+        orders.limit(100).select("o_orderkey", "o_totalprice")
+    )
+    widened = (
+        orders.orderBy(F.desc("o_orderkey"))
+        .limit(50)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.lit("batch2").alias("ingest_tag"),
+        )
+    )
+    table.commit_append(widened)
+    df = table.read(spark)
+    assert set(df.columns) == {"o_orderkey", "o_totalprice", "ingest_tag"}
+    assert df.count() == 150
+    assert df.filter(F.col("ingest_tag").isNull()).count() == 100
+    # the feed sees the widened schema and NULL-fills old files
+    spark.dataSource.register(make_lakefeed_datasource())
+    feed = (
+        spark.read.format("lakefeed").load(str(table.root))
+    )
+    assert set(feed.columns) == {"o_orderkey", "o_totalprice", "ingest_tag"}
+    assert feed.filter(F.col("ingest_tag") == "batch2").count() == 50
+    assert feed.filter(F.col("ingest_tag").isNull()).count() == 100
