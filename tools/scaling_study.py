@@ -70,6 +70,20 @@ QUERIES = [
     "orders_backlog_timeseries", # day-grain cumulative
 ]
 
+# --battery3: the round-5 late additions (incremental ingest, profiling
+# monitors, lake reads). Lake staging is done OUTSIDE the timed window
+# (the write side is a one-time commit; the read path is the product).
+BATTERY3 = [
+    "dedup_incremental",         # batch window + history fp probe
+    "dq_distribution_drift",     # conditional agg + broadcast totals
+    "profile_join_fanout",       # two-stage key histogram
+    "profile_dict_encoding",     # per-distinct-value shuffle x3 cols
+    "sample_domain_reweight",    # groupBy + two broadcast singletons
+    "lake_time_travel_read",     # manifest-pinned parquet scan
+    "lake_stats_pruning",        # manifest-pruned scan + residual
+    "src_lakefeed_datasource",   # python data source, partition/file
+]
+
 
 def _stride(spark, name: str) -> int:
     if name == "events_user":
@@ -136,8 +150,18 @@ def main() -> None:
     ).save()
 
     sfs = [("sf0.01", "/root/testdata/sf0.01"), ("sf0.1", SRC_SF), ("sf1", SF1_DIR)]
+    battery = QUERIES
+    if "--battery3" in sys.argv:
+        battery = BATTERY3
+        # stage the lake commits outside the timed window
+        from project_final_parquet_spark.operators.lake_queries import (
+            orders_lake,
+        )
+
+        for _, d in sfs:
+            orders_lake(spark, d)
     results: dict[str, dict[str, float]] = {}
-    for name in QUERIES:
+    for name in battery:
         results[name] = {}
         for label, d in sfs:
             gc.collect()
