@@ -42,6 +42,7 @@ from pathlib import Path
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(RuntimeError):
@@ -117,6 +118,23 @@ class LakeTable:
         doc = json.loads((self.log_dir / f"v{v}.json").read_text())
         return [FileEntry.from_json(d) for d in doc["files"]]
 
+    def txns(self, version: int | None = None) -> dict[str, int]:
+        """Application transaction watermarks carried by a snapshot:
+        app_id -> highest batch id committed (the public Delta ``txn``
+        action). Each commit copies the parent's map forward, so the
+        CURRENT snapshot always answers "has this app already committed
+        batch N?" — the idempotence test an exactly-once streaming sink
+        replays against."""
+        v = self.current_version if version is None else version
+        if v == 0:
+            return {}
+        doc = json.loads((self.log_dir / f"v{v}.json").read_text())
+        return {k: int(b) for k, b in doc.get("txns", {}).items()}
+
+    def last_txn(self, app_id: str) -> int:
+        """Highest batch id ``app_id`` has committed (-1 if none)."""
+        return self.txns().get(app_id, -1)
+
     # --- write -------------------------------------------------------------
 
     def commit_append(
@@ -126,6 +144,7 @@ class LakeTable:
         num_files: int | None = None,
         range_by: str | None = None,
         expected_parent: int | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Write ``df`` as new data files and publish the next snapshot.
 
@@ -138,12 +157,22 @@ class LakeTable:
         (optimistic concurrency): if another writer published first,
         the O_EXCL log create raises CommitConflict instead of
         silently dropping their files from the merged manifest.
+
+        ``txn=(app_id, batch_id)`` makes the commit IDEMPOTENT per
+        application batch (the public Delta ``txn`` action): if the
+        parent snapshot already records ``app_id`` at ``batch_id`` or
+        later, the commit is a no-op returning the current version —
+        what lets a restarted streaming query replay its last
+        micro-batch without double-writing (see ``streaming_sink``).
         """
         parent = (
             self.current_version
             if expected_parent is None
             else expected_parent
         )
+        txns = self.txns(parent)
+        if txn is not None and txns.get(txn[0], -1) >= txn[1]:
+            return parent  # replayed batch: already committed
         version = parent + 1
         out = self.data_dir / f"v{version}"
         if num_files is not None and range_by is not None:
@@ -155,7 +184,9 @@ class LakeTable:
         entries = self.manifest(parent)  # parent snapshot's live files
         for p in sorted(out.glob("*.parquet")):
             entries.append(self._file_entry(p, stats_cols, version))
-        self._publish(version, entries)
+        if txn is not None:
+            txns[txn[0]] = txn[1]
+        self._publish(version, entries, txns)
         return version
 
     def _file_entry(
@@ -191,10 +222,19 @@ class LakeTable:
             data_change,
         )
 
-    def _publish(self, version: int, entries: list[FileEntry]) -> None:
+    def _publish(
+        self,
+        version: int,
+        entries: list[FileEntry],
+        txns: dict[str, int] | None = None,
+    ) -> None:
         self.log_dir.mkdir(parents=True, exist_ok=True)
         doc = json.dumps(
-            {"version": version, "files": [e.to_json() for e in entries]},
+            {
+                "version": version,
+                "files": [e.to_json() for e in entries],
+                "txns": txns if txns is not None else self.txns(version - 1),
+            },
             indent=None,
         )
         try:
@@ -320,6 +360,129 @@ class LakeTable:
         kept = [e for e in entries if e.path not in removed]
         self._publish(version, kept + new_entries)
         return version
+
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_col: str,
+        stats_cols: tuple[str, ...] = (),
+        num_files: int | None = None,
+        expected_parent: int | None = None,
+    ) -> int:
+        """MERGE INTO, latest-wins on ``key_col``: rows of ``source``
+        replace same-key rows of the table; keys the table has never
+        seen are inserts. Copy-on-write with STATS-PRUNED file touch —
+        the standard lakehouse upsert:
+
+        1. join the manifest's per-file [min,max] key stats against the
+           source's DISTINCT keys (metadata ⋈ keys — the big table is
+           not read); a file is *touched* only if some source key can
+           land inside its range;
+        2. rewrite = (touched files' rows) ANTI JOIN source keys,
+           UNION the whole source; untouched files keep their exact
+           paths and are never read;
+        3. publish as one snapshot (``data_change=True`` — merged rows
+           ARE new data for downstream consumers).
+
+        At 100 TB with key-range-partitioned commits, a merge whose
+        source keys cluster (the common CDC case: recent entities)
+        touches those files only; the anti-join shuffles just the
+        touched subset, broadcast when the source is batch-sized.
+        If NO file overlaps (all keys new), the merge degrades to a
+        pure append of the source. Returns the new version.
+        """
+        parent = (
+            self.current_version
+            if expected_parent is None
+            else expected_parent
+        )
+        entries = self.manifest(parent)
+        keys = source.select(F.col(key_col).alias("__mk")).distinct()
+        ranged = [
+            (i, e.stats[key_col][0], e.stats[key_col][1])
+            for i, e in enumerate(entries)
+            if key_col in e.stats
+        ]
+        touched_idx = {
+            i for i, e in enumerate(entries) if key_col not in e.stats
+        }
+        if ranged:
+            mdf = spark.createDataFrame(
+                ranged, ["__file_id", "__lo", "__hi"]
+            )
+            hits = (
+                mdf.join(
+                    F.broadcast(keys),
+                    (F.col("__mk") >= F.col("__lo"))
+                    & (F.col("__mk") <= F.col("__hi")),
+                )
+                .select("__file_id")
+                .distinct()
+                .collect()
+            )
+            touched_idx.update(r["__file_id"] for r in hits)
+        touched = [entries[i] for i in sorted(touched_idx)]
+
+        version = parent + 1
+        out = self.data_dir / f"v{version}"
+        if touched:
+            old = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[e.path for e in touched])
+                .join(
+                    F.broadcast(keys),
+                    F.col(key_col) == F.col("__mk"),
+                    "left_anti",
+                )
+            )
+            merged = old.unionByName(
+                source, allowMissingColumns=True
+            )
+        else:
+            merged = source
+        if num_files is not None:
+            merged = merged.repartitionByRange(num_files, key_col)
+        merged.write.mode("overwrite").parquet(str(out))
+        new_entries = [
+            self._file_entry(p, stats_cols, version)
+            for p in sorted(out.glob("*.parquet"))
+        ]
+        new_entries = [e for e in new_entries if e.rows > 0]
+        removed = {e.path for e in touched}
+        kept = [e for e in entries if e.path not in removed]
+        self._publish(version, kept + new_entries)
+        return version
+
+    def streaming_sink(
+        self,
+        app_id: str,
+        stats_cols: tuple[str, ...] = (),
+        num_files: int | None = None,
+        range_by: str | None = None,
+    ):
+        """An exactly-once ``foreachBatch`` function for this table:
+        ``df.writeStream.foreachBatch(table.streaming_sink("job42"))``.
+
+        Structured Streaming's contract is at-least-once per
+        micro-batch — after a crash the last batch is REPLAYED with the
+        same ``batch_id``. The sink forwards each batch to
+        ``commit_append(txn=(app_id, batch_id))``, so the replayed
+        commit is a no-op (the snapshot's txn watermark already covers
+        it) and the lake holds every row exactly once — the public
+        Delta idempotent-writes pattern (``txnAppId``/``txnVersion``).
+        """
+
+        def _sink(df: DataFrame, batch_id: int) -> None:
+            self.commit_append(
+                df,
+                stats_cols=stats_cols,
+                num_files=num_files,
+                range_by=range_by,
+                txn=(app_id, int(batch_id)),
+            )
+
+        return _sink
 
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Expire all snapshots older than the newest ``retain_last``

@@ -36,12 +36,12 @@ _PRUNE_HI = "1996-06-01"
 _STATS_COLS = ("o_orderdate",)
 
 
-def _lake_root(sf_dir: str) -> str:
+def _lake_root(sf_dir: str, name: str = "orders") -> str:
     return os.path.join(
         tempfile.gettempdir(),
         "spark_graft_lake",
         os.path.basename(sf_dir.rstrip("/")),
-        "orders",
+        name,
     )
 
 
@@ -186,6 +186,106 @@ def src_lakefeed_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --- MERGE INTO (latest-wins upsert) ----------------------------------------
+
+# Updates: every 97th key in the LOW QUARTER of the key range (so the
+# merge's stats pruning has untouched files to skip); inserts: every
+# 101st key shifted far past the existing range (the pure-append path).
+_INSERT_SHIFT = 100_000_000
+
+
+def merge_lake(spark: SparkSession, sf_dir: str) -> "LakeTable":
+    """Stage (or reuse) the merged orders lake: v1 = the full orders
+    table range-partitioned by key, v2 = one ``merge_upsert`` commit
+    applying the updates+inserts batch."""
+    table = LakeTable(_lake_root(sf_dir, "orders_merge"))
+    if table.current_version == 2:
+        return table
+    if table.root.exists():
+        shutil.rmtree(table.root)
+    orders = load(spark, sf_dir, "orders")
+    table.commit_append(
+        orders,
+        stats_cols=("o_orderkey",),
+        num_files=_FILES_PER_COMMIT,
+        range_by="o_orderkey",
+    )
+    maxk = orders.agg(F.max("o_orderkey")).first()[0]
+    updates = (
+        orders.filter(
+            (F.col("o_orderkey") % 97 == 0)
+            & (F.col("o_orderkey") * 4 <= F.lit(maxk))
+        )
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(_INSERT_SHIFT)
+    ).withColumn("o_orderstatus", F.lit("N"))
+    table.merge_upsert(
+        spark,
+        updates.unionByName(inserts),
+        "o_orderkey",
+        stats_cols=("o_orderkey",),
+        num_files=2,
+        expected_parent=1,
+    )
+    return table
+
+
+@query(
+    "lake_merge_upsert",
+    oracle=f"""
+    WITH mk AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    merged AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE NOT (o_orderkey % 97 = 0
+                   AND o_orderkey * 4 <= (SELECT m FROM mk))
+        UNION ALL
+        SELECT o_orderkey, 'U', o_totalprice * 2 FROM orders
+        WHERE o_orderkey % 97 = 0
+          AND o_orderkey * 4 <= (SELECT m FROM mk)
+        UNION ALL
+        SELECT o_orderkey + {_INSERT_SHIFT}, 'N', o_totalprice
+        FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {DSUM_SQL.format(expr="o_totalprice")} AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO the lake, latest-wins on o_orderkey: a CDC batch of
+    updates (doubled price, status 'U', low-quarter keys only) plus
+    inserts (fresh keys far past the range) applied as ONE copy-on-
+    write commit, then the merged table read back and aggregated. The
+    oracle recomputes the merge relationally from the source table, so
+    the hash match proves the upsert lost nothing, duplicated nothing,
+    and replaced exactly the matched keys.
+
+    Scale: file touch is stats-pruned — the manifest's per-file
+    [min,max] key ranges join against the source's DISTINCT keys
+    (metadata ⋈ batch, broadcast), so only overlapping files are
+    rewritten; the untouched-path preservation and prune bound are
+    asserted in tests/test_lake.py. The reference has no table layer
+    at all (single-file writer, src/parquet_writer.cpp:43) — this is
+    the standard lakehouse upsert the CDC family composes with."""
+    table = merge_lake(spark, sf_dir)
+    return (
+        table.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
             F.min("o_orderkey").alias("min_key"),
             F.max("o_orderkey").alias("max_key"),
         )

@@ -110,6 +110,7 @@ ROUND6_QUEUE: list[str] = [
     "lake_incremental_scan",
     "lake_stats_pruning",
     "src_lakefeed_datasource",
+    "lake_merge_upsert",
 ]
 
 # Round-5 window (positions 1-50) — the full-registry-closure round:

@@ -101,6 +101,130 @@ def test_stats_pruning_reads_a_strict_file_subset(spark, sf_dir):
     )
 
 
+def test_merge_upsert_touches_only_overlapping_files(
+    spark, sf_dir, fresh_table
+):
+    """A merge whose source keys cluster in one file's range rewrites
+    that file ONLY — every other file keeps its exact path (the stats-
+    pruned copy-on-write contract); time travel still sees the old
+    values."""
+    orders = _orders(spark, sf_dir)
+    fresh_table.commit_append(
+        orders,
+        stats_cols=("o_orderkey",),
+        num_files=4,
+        range_by="o_orderkey",
+    )
+    before = {e.path: e for e in fresh_table.manifest()}
+    # keys strictly inside the FIRST range file
+    first = min(before.values(), key=lambda e: e.stats["o_orderkey"][0])
+    lo, hi = first.stats["o_orderkey"]
+    source = (
+        orders.filter(
+            (F.col("o_orderkey") >= lo)
+            & (F.col("o_orderkey") <= hi)
+            & (F.col("o_orderkey") % 7 == 0)
+        )
+        .withColumn("o_totalprice", F.lit(-1.0))
+    )
+    n_src = source.count()
+    assert n_src > 0
+    v = fresh_table.merge_upsert(
+        spark, source, "o_orderkey", stats_cols=("o_orderkey",)
+    )
+    after = {e.path for e in fresh_table.manifest(v)}
+    untouched = {p for p in before if p != first.path}
+    assert untouched <= after, "merge rewrote files it did not touch"
+    assert first.path not in after, "overlapping file was not rewritten"
+    merged = fresh_table.read(spark, v)
+    # pure update: same cardinality, the matched keys carry new values
+    assert merged.count() == orders.count()
+    assert merged.filter(F.col("o_totalprice") == -1.0).count() == n_src
+    # keys stay unique after the merge
+    assert merged.select("o_orderkey").distinct().count() == merged.count()
+    # time travel: the pre-merge snapshot still has the old values
+    old = fresh_table.read(spark, v - 1)
+    assert old.filter(F.col("o_totalprice") == -1.0).count() == 0
+
+
+def test_merge_upsert_all_new_keys_is_pure_append(
+    spark, sf_dir, fresh_table
+):
+    orders = _orders(spark, sf_dir)
+    fresh_table.commit_append(
+        orders, stats_cols=("o_orderkey",), num_files=2,
+        range_by="o_orderkey",
+    )
+    before_paths = {e.path for e in fresh_table.manifest()}
+    inserts = orders.limit(50).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    v = fresh_table.merge_upsert(
+        spark, inserts, "o_orderkey", stats_cols=("o_orderkey",)
+    )
+    after_paths = {e.path for e in fresh_table.manifest(v)}
+    assert before_paths <= after_paths, "insert-only merge rewrote files"
+    assert fresh_table.read(spark, v).count() == orders.count() + 50
+
+
+def test_txn_commit_replay_is_a_noop(spark, sf_dir, fresh_table):
+    """The Delta txn contract: a replayed (app_id, batch_id) commit
+    publishes nothing — the basis of the exactly-once streaming sink."""
+    orders = _orders(spark, sf_dir)
+    batch = orders.limit(20)
+    v1 = fresh_table.commit_append(batch, txn=("job", 0))
+    assert v1 == 1 and fresh_table.last_txn("job") == 0
+    v_replay = fresh_table.commit_append(batch, txn=("job", 0))
+    assert v_replay == 1, "replayed batch published a new snapshot"
+    assert fresh_table.read(spark).count() == 20
+    # the next batch commits normally, and the watermark advances
+    v2 = fresh_table.commit_append(batch, txn=("job", 1))
+    assert v2 == 2 and fresh_table.last_txn("job") == 1
+    assert fresh_table.read(spark).count() == 40
+    # a different app's txns are independent
+    assert fresh_table.last_txn("other") == -1
+    v3 = fresh_table.commit_append(batch, txn=("other", 0))
+    assert v3 == 3
+
+
+def test_streaming_sink_is_exactly_once_across_restart(
+    spark, sf_dir, fresh_table, tmp_path
+):
+    """foreachBatch sink end-to-end: a file stream drains into the
+    lake with availableNow, new files land, a SECOND query resumes the
+    same checkpoint — every source row lands in the lake exactly once,
+    and a replayed micro-batch (same batch_id) is a no-op commit."""
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    orders = _orders(spark, sf_dir)
+    orders.limit(30).write.parquet(str(src / "a"))
+
+    def run_once():
+        stream = spark.readStream.schema(orders.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src / "*"))
+        q = stream.writeStream.foreachBatch(
+            fresh_table.streaming_sink("ingest")
+        ).option("checkpointLocation", str(ckpt)).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(120)
+
+    run_once()
+    assert fresh_table.read(spark).count() == 30
+    # restart after more data lands
+    orders.limit(45).write.parquet(str(src / "b"))  # 45 new rows
+    run_once()
+    got = fresh_table.read(spark)
+    assert got.count() == 75, "restart dropped or duplicated a batch"
+    # simulate the crash-replay of the LAST micro-batch: same batch_id
+    last = fresh_table.last_txn("ingest")
+    fresh_table.streaming_sink("ingest")(orders.limit(45), last)
+    assert fresh_table.read(spark).count() == 75, (
+        "replayed micro-batch double-wrote"
+    )
+
+
 def test_lake_queries_are_layout_independent(spark, sf_dir):
     """The registered lake aggregates must equal the same aggregates
     over the source table — the storage layer loses/duplicates
