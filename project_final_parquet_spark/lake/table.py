@@ -49,6 +49,29 @@ class CommitConflict(RuntimeError):
     """Another writer published the same version first."""
 
 
+def _zvalue(df: DataFrame, a: str, b: str):
+    """16-bit Morton code of integer columns ``a`` and ``b``, each
+    range-quantized to 8 bits against its own [min,max] (one metadata
+    aggregate at write time — same order of cost as the sampling pass
+    repartitionByRange does anyway). All arithmetic is integer-exact
+    (``div``), so the layout is deterministic."""
+    r = df.agg(F.min(a), F.max(a), F.min(b), F.max(b)).first()
+    amin, amax, bmin, bmax = (int(x) for x in r)
+    aspan = max(amax - amin + 1, 1)
+    bspan = max(bmax - bmin + 1, 1)
+    qa = F.expr(f"((`{a}` - {amin}) * 256) div {aspan}")
+    qb = F.expr(f"((`{b}` - {bmin}) * 256) div {bspan}")
+    z = F.lit(0)
+    for i in range(8):
+        z = z + F.shiftleft(
+            F.shiftright(qa, i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        z = z + F.shiftleft(
+            F.shiftright(qb, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return z
+
+
 def _ser(v: Any) -> Any:
     """Stats serializer: ISO strings for temporal (lexicographic order
     == chronological order), native JSON for numerics/strings."""
@@ -143,6 +166,7 @@ class LakeTable:
         stats_cols: tuple[str, ...] = (),
         num_files: int | None = None,
         range_by: str | None = None,
+        zorder_by: tuple[str, str] | None = None,
         expected_parent: int | None = None,
         txn: tuple[str, int] | None = None,
     ) -> int:
@@ -152,6 +176,15 @@ class LakeTable:
         writing, so each file covers a DISJOINT value range — what
         makes min/max pruning effective (the write-side half of
         layout_zorder_stats' argument).
+
+        ``zorder_by=(a, b)`` instead clusters by the Morton interleave
+        of the two integer columns, each range-quantized to 8 bits
+        against its own [min,max] (one metadata agg) — every file then
+        covers a narrow value range on BOTH columns, so manifest-stats
+        pruning works for predicates on either (the Delta/Iceberg
+        ``ZORDER BY`` write path; analysis twin: layout_zorder_stats).
+        At scale this is one range shuffle + per-partition sort, the
+        same cost as ``range_by``.
 
         ``expected_parent`` pins the snapshot this commit builds on
         (optimistic concurrency): if another writer published first,
@@ -175,10 +208,19 @@ class LakeTable:
             return parent  # replayed batch: already committed
         version = parent + 1
         out = self.data_dir / f"v{version}"
-        if num_files is not None and range_by is not None:
+        drop_z = False
+        if zorder_by is not None:
+            df = df.withColumn("__z", _zvalue(df, *zorder_by))
+            drop_z = True
+            if num_files is not None:
+                df = df.repartitionByRange(num_files, "__z")
+            df = df.sortWithinPartitions("__z")
+        elif num_files is not None and range_by is not None:
             df = df.repartitionByRange(num_files, range_by)
         elif num_files is not None:
             df = df.repartition(num_files)
+        if drop_z:
+            df = df.drop("__z")
         df.write.mode("overwrite").parquet(str(out))
 
         entries = self.manifest(parent)  # parent snapshot's live files

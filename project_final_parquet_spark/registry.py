@@ -111,6 +111,7 @@ ROUND6_QUEUE: list[str] = [
     "lake_stats_pruning",
     "src_lakefeed_datasource",
     "lake_merge_upsert",
+    "lake_zorder_pruned_read",
 ]
 
 # Round-5 window (positions 1-50) — the full-registry-closure round:

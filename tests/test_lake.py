@@ -225,6 +225,30 @@ def test_streaming_sink_is_exactly_once_across_restart(
     )
 
 
+def test_zorder_commit_prunes_on_both_dimensions(spark, sf_dir):
+    """A Z-order-clustered commit gives manifest-stats pruning on BOTH
+    cluster columns: a narrow range predicate on either one reads a
+    strict subset of files, and the pruned scan stays a superset of
+    the true matches."""
+    from project_final_parquet_spark.operators.lake_queries import (
+        zorder_lake,
+    )
+
+    table = zorder_lake(spark, sf_dir)
+    orders = _orders(spark, sf_dir)
+    maxc, maxk = orders.agg(
+        F.max("o_custkey"), F.max("o_orderkey")
+    ).first()
+    for col, hi in [("o_custkey", maxc // 8), ("o_orderkey", maxk // 8)]:
+        df, n_read, n_total = table.read_pruned(spark, col, 0, hi)
+        assert n_read < n_total, f"no pruning on {col}"
+        # superset guarantee
+        assert (
+            df.filter(F.col(col) <= hi).count()
+            == orders.filter(F.col(col) <= hi).count()
+        )
+
+
 def test_lake_queries_are_layout_independent(spark, sf_dir):
     """The registered lake aggregates must equal the same aggregates
     over the source table — the storage layer loses/duplicates
