@@ -112,6 +112,9 @@ ROUND6_QUEUE: list[str] = [
     "src_lakefeed_datasource",
     "lake_merge_upsert",
     "lake_zorder_pruned_read",
+    "text_unicode_normalize",
+    "profile_gini_impurity",
+    "sample_epoch_shuffle",
 ]
 
 # Round-5 window (positions 1-50) — the full-registry-closure round:
@@ -234,6 +237,7 @@ def _load_all() -> None:
         pipeline2,
         pipeline3,
         pipeline4,
+        corpus_prep,
         lake_queries,
         vector_stats,
         reffile_source,
