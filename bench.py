@@ -94,6 +94,11 @@ HEADLINE = [
     "profile_join_fanout",
     "lake_time_travel_read",
     "lake_stats_pruning",
+    # round-5 fourth-session additions (ROUND6_QUEUE tail)
+    "lake_merge_upsert",
+    "lake_zorder_pruned_read",
+    "text_unicode_normalize",
+    "sample_epoch_shuffle",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for
@@ -113,9 +118,15 @@ def main() -> None:
     ).save()
     # lake staging (two commits, write-side) happens once per sf_dir;
     # stage it here so the measured lake_* timings are the READ path
-    from project_final_parquet_spark.operators.lake_queries import orders_lake
+    from project_final_parquet_spark.operators.lake_queries import (
+        merge_lake,
+        orders_lake,
+        zorder_lake,
+    )
 
     orders_lake(spark, sf_dir)
+    merge_lake(spark, sf_dir)
+    zorder_lake(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
