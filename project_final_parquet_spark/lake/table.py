@@ -526,6 +526,66 @@ class LakeTable:
 
         return _sink
 
+    def replace_where(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo: Any,
+        hi: Any,
+        df: DataFrame,
+        stats_cols: tuple[str, ...] = (),
+        expected_parent: int | None = None,
+    ) -> int:
+        """Atomic range overwrite (Delta's ``replaceWhere``): in ONE
+        commit, drop every existing row with ``col`` in [lo, hi) and
+        insert ``df``'s rows instead — the backfill/restatement shape
+        (recompute one day/month and swap it in, readers never see a
+        gap). ``df`` is VALIDATED to lie inside the range first; rows
+        outside raise rather than silently widening the overwrite.
+
+        Stats-guided like delete_where: only files whose [min,max]
+        overlap [lo, hi) are rewritten (their out-of-range rows are
+        carried over); untouched files keep their paths. Publishes
+        with ``data_change=True``. Returns the new version.
+        """
+        in_range = (F.col(col) >= F.lit(lo)) & (F.col(col) < F.lit(hi))
+        if df.filter(~in_range).limit(1).count() > 0:
+            raise ValueError(
+                f"replacement rows fall outside [{lo!r}, {hi!r}) on {col!r}"
+            )
+        parent = (
+            self.current_version
+            if expected_parent is None
+            else expected_parent
+        )
+        entries = self.manifest(parent)
+        lo_s, hi_s = _ser(lo), _ser(hi)
+        touched = [
+            e
+            for e in entries
+            if col not in e.stats
+            or not (e.stats[col][0] >= hi_s or e.stats[col][1] < lo_s)
+        ]
+        version = parent + 1
+        out = self.data_dir / f"v{version}"
+        if touched:
+            carried = spark.read.option("mergeSchema", "true").parquet(
+                *[e.path for e in touched]
+            ).filter(~in_range)
+            new_data = carried.unionByName(df, allowMissingColumns=True)
+        else:
+            new_data = df
+        new_data.write.mode("overwrite").parquet(str(out))
+        new_entries = [
+            self._file_entry(p, stats_cols, version)
+            for p in sorted(out.glob("*.parquet"))
+        ]
+        new_entries = [e for e in new_entries if e.rows > 0]
+        removed = {e.path for e in touched}
+        kept = [e for e in entries if e.path not in removed]
+        self._publish(version, kept + new_entries)
+        return version
+
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Expire all snapshots older than the newest ``retain_last``
         and delete data files no retained snapshot references. Returns

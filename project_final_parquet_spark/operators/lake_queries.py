@@ -293,6 +293,93 @@ def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- replaceWhere (atomic range overwrite) -----------------------------------
+
+
+def replace_lake(spark: SparkSession, sf_dir: str) -> LakeTable:
+    """Stage (or reuse) the backfilled orders lake: v1 = full orders
+    range-partitioned by date, v2 = one ``replace_where`` commit that
+    restates the [_PRUNE_LO, _PRUNE_HI) window (repriced x3, priority
+    'R-BACKFILL')."""
+    table = LakeTable(_lake_root(sf_dir, "orders_replace"))
+    if table.current_version == 2:
+        return table
+    if table.root.exists():
+        shutil.rmtree(table.root)
+    orders = load(spark, sf_dir, "orders")
+    table.commit_append(
+        orders,
+        stats_cols=_STATS_COLS,
+        num_files=_FILES_PER_COMMIT,
+        range_by="o_orderdate",
+    )
+    lo = F.lit(_PRUNE_LO).cast("timestamp_ntz")
+    hi = F.lit(_PRUNE_HI).cast("timestamp_ntz")
+    restated = (
+        orders.filter(
+            (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3)
+        .withColumn("o_orderpriority", F.lit("R-BACKFILL"))
+    )
+    table.replace_where(
+        spark,
+        "o_orderdate",
+        _PRUNE_LO,
+        _PRUNE_HI,
+        restated,
+        stats_cols=_STATS_COLS,
+        expected_parent=1,
+    )
+    return table
+
+
+@query(
+    "lake_replace_where",
+    oracle=f"""
+    WITH merged AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        WHERE NOT (o_orderdate >= TIMESTAMP '{_PRUNE_LO}'
+                   AND o_orderdate < TIMESTAMP '{_PRUNE_HI}')
+        UNION ALL
+        SELECT o_orderkey, 'R-BACKFILL', o_totalprice * 3 FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{_PRUNE_LO}'
+          AND o_orderdate < TIMESTAMP '{_PRUNE_HI}'
+    )
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {DSUM_SQL.format(expr="o_totalprice")} AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def lake_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic range restatement (Delta replaceWhere): one commit drops
+    a 3-month window and inserts its recomputed replacement (repriced,
+    re-prioritized) — the backfill shape: readers see the old state or
+    the new state, never a gap. The oracle recomputes the restatement
+    relationally from the source table.
+
+    Scale: the overwrite is stats-guided like delete_where — only
+    files whose [min,max] date range overlaps the window are rewritten
+    (out-of-range rows carried over), untouched files keep their paths
+    (tests/test_lake.py asserts both the path preservation and the
+    inside-range validation). At 100 TB restating one day touches that
+    day's files, not the table."""
+    table = replace_lake(spark, sf_dir)
+    return (
+        table.read(spark)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # --- Z-order clustered commits ----------------------------------------------
 
 _Z_FILES = 8

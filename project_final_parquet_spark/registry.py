@@ -112,6 +112,7 @@ ROUND6_QUEUE: list[str] = [
     "src_lakefeed_datasource",
     "lake_merge_upsert",
     "lake_zorder_pruned_read",
+    "lake_replace_where",
     "text_unicode_normalize",
     "profile_gini_impurity",
     "sample_epoch_shuffle",

@@ -225,6 +225,56 @@ def test_streaming_sink_is_exactly_once_across_restart(
     )
 
 
+def test_replace_where_is_stats_guided_and_validated(
+    spark, sf_dir, fresh_table
+):
+    """replaceWhere: (a) rewrites only the files overlapping the
+    range, (b) the restated window carries exactly the replacement
+    rows, (c) out-of-range rows in the same touched files are carried
+    over, (d) replacement rows outside the range raise."""
+    orders = _orders(spark, sf_dir)
+    fresh_table.commit_append(
+        orders,
+        stats_cols=("o_orderkey",),
+        num_files=4,
+        range_by="o_orderkey",
+    )
+    before = {e.path: e for e in fresh_table.manifest()}
+    first = min(before.values(), key=lambda e: e.stats["o_orderkey"][0])
+    lo, hi = first.stats["o_orderkey"]
+    mid = (lo + hi) // 2  # half of the first file's range
+    replacement = (
+        orders.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < mid)
+        ).withColumn("o_totalprice", F.lit(-7.0))
+    )
+    n_rep = replacement.count()
+    v = fresh_table.replace_where(
+        spark, "o_orderkey", lo, mid, replacement,
+        stats_cols=("o_orderkey",),
+    )
+    after = {e.path for e in fresh_table.manifest(v)}
+    untouched = {p for p in before if p != first.path}
+    assert untouched <= after, "replace rewrote non-overlapping files"
+    assert first.path not in after
+    got = fresh_table.read(spark, v)
+    assert got.count() == orders.count()
+    assert got.filter(F.col("o_totalprice") == -7.0).count() == n_rep
+    # carried-over rows from the touched file keep their values
+    carried = got.filter(
+        (F.col("o_orderkey") >= mid) & (F.col("o_orderkey") <= hi)
+    )
+    assert carried.filter(F.col("o_totalprice") == -7.0).count() == 0
+    # rows outside the declared range are rejected
+    with pytest.raises(ValueError):
+        fresh_table.replace_where(
+            spark, "o_orderkey", lo, mid,
+            orders.limit(5).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+            ),
+        )
+
+
 def test_zorder_commit_prunes_on_both_dimensions(spark, sf_dir):
     """A Z-order-clustered commit gives manifest-stats pruning on BOTH
     cluster columns: a narrow range predicate on either one reads a
