@@ -668,3 +668,86 @@ class LakeTable:
             *[e.path for e in keep]
         )
         return df, len(keep), len(entries)
+
+    def change_feed(
+        self,
+        spark: SparkSession,
+        key_col: str,
+        since_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Row-level change feed between two snapshots (Delta CDF /
+        Iceberg changelog shape), computed from the MANIFEST file-set
+        diff — never a full snapshot diff:
+
+        1. removed = files in the ``since`` manifest but not the ``to``
+           manifest; added = the reverse. Files in BOTH manifests are
+           untouched by construction (copy-on-write never edits a file
+           in place) and are never read.
+        2. full-outer-join removed-rows vs added-rows on ``key_col``;
+           carried-over rows (identical on every column, the
+           copy-on-write rewrite tax and any compaction in the range)
+           cancel under a null-safe struct compare and are dropped.
+        3. classify the rest: key only on the old side -> ``delete``;
+           only on the new side -> ``insert``; both sides, values
+           differ -> ``update_post`` (new image emitted).
+
+        Net semantics across the range (insert-then-delete = nothing),
+        exactly snapshot-diff semantics but reading only changed files:
+        at 100 TB a daily feed over key-clustered commits reads the
+        day's touched files, not the table. The join shuffles only
+        changed rows; a merge-on-read engine would serve this from
+        deletion vectors — with copy-on-write the file diff IS the
+        change log. Returns the changed rows (new image, old image for
+        deletes) plus ``_change_type``.
+        """
+        to_v = self.current_version if to_version is None else to_version
+        old_paths = {e.path for e in self.manifest(since_version)}
+        new_paths = {e.path for e in self.manifest(to_v)}
+        added = sorted(new_paths - old_paths)
+        removed = sorted(old_paths - new_paths)
+
+        def _read(paths: list[str]) -> DataFrame | None:
+            if not paths:
+                return None
+            return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+        old_df, new_df = _read(removed), _read(added)
+        if old_df is None and new_df is None:  # no data change in range
+            base = self.read(spark, to_v).limit(0)
+            return base.withColumn("_change_type", F.lit(""))
+        if old_df is None:
+            return new_df.withColumn("_change_type", F.lit("insert"))
+        if new_df is None:
+            return old_df.withColumn("_change_type", F.lit("delete"))
+
+        cols = new_df.columns  # newest schema wins (additive evolution)
+        for c in cols:
+            if c not in old_df.columns:
+                old_df = old_df.withColumn(c, F.lit(None))
+        o = old_df.select(*cols).alias("o")
+        n = new_df.select(*cols).alias("n")
+        joined = o.join(
+            n, F.col(f"o.{key_col}") == F.col(f"n.{key_col}"), "full_outer"
+        )
+        is_delete = F.col(f"n.{key_col}").isNull()
+        is_insert = F.col(f"o.{key_col}").isNull()
+        unchanged = F.struct(*[F.col(f"o.{c}") for c in cols]).eqNullSafe(
+            F.struct(*[F.col(f"n.{c}") for c in cols])
+        )
+        change = (
+            F.when(is_delete, F.lit("delete"))
+            .when(is_insert, F.lit("insert"))
+            .when(unchanged, F.lit(None))
+            .otherwise(F.lit("update_post"))
+        )
+        picked = [
+            F.when(is_delete, F.col(f"o.{c}"))
+            .otherwise(F.col(f"n.{c}"))
+            .alias(c)
+            for c in cols
+        ]
+        return (
+            joined.select(*picked, change.alias("_change_type"))
+            .filter(F.col("_change_type").isNotNull())
+        )

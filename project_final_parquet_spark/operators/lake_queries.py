@@ -436,3 +436,122 @@ def lake_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("o_totalprice")).alias("total_price"),
         F.countDistinct("o_custkey").cast("long").alias("n_customers"),
     )
+
+
+# --- row-level change feed (CDF) ---------------------------------------------
+
+
+def cdf_lake(spark: SparkSession, sf_dir: str) -> LakeTable:
+    """Stage (or reuse) the three-version CDF orders lake:
+    v1 = base (keys not divisible by 10), range-partitioned by key;
+    v2 = merge_upsert of a low-range CDC batch (updates: key%20==1 and
+    key <= max/8, price doubled; inserts: the withheld %10==0 keys in
+    the same low range);
+    v3 = delete_where over the [max/3, max/2) key window."""
+    table = LakeTable(_lake_root(sf_dir, "orders_cdf"))
+    if table.current_version == 3:
+        return table
+    if table.root.exists():
+        shutil.rmtree(table.root)
+    orders = load(spark, sf_dir, "orders")
+    maxk = int(orders.agg(F.max("o_orderkey")).first()[0])
+    low, dlo, dhi = maxk // 8, maxk // 3, maxk // 2
+    table.commit_append(
+        orders.filter(F.col("o_orderkey") % 10 != 0),
+        stats_cols=("o_orderkey",),
+        num_files=8,
+        range_by="o_orderkey",
+    )
+    updates = orders.filter(
+        (F.col("o_orderkey") % 20 == 1) & (F.col("o_orderkey") <= low)
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    inserts = orders.filter(
+        (F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") <= low)
+    )
+    table.merge_upsert(
+        spark,
+        updates.unionByName(inserts),
+        "o_orderkey",
+        stats_cols=("o_orderkey",),
+        num_files=2,
+        expected_parent=1,
+    )
+    table.delete_where(
+        spark,
+        "o_orderkey",
+        dlo,
+        dhi,
+        (F.col("o_orderkey") >= dlo) & (F.col("o_orderkey") < dhi),
+        stats_cols=("o_orderkey",),
+        expected_parent=2,
+    )
+    return table
+
+
+@query(
+    "lake_change_feed",
+    oracle=f"""
+    WITH p AS (
+        SELECT MAX(o_orderkey) // 8 AS low,
+               MAX(o_orderkey) // 3 AS dlo,
+               MAX(o_orderkey) // 2 AS dhi
+        FROM orders
+    ),
+    cls AS (
+        SELECT o.o_orderkey, o.o_totalprice,
+               CASE
+                 WHEN o.o_orderkey % 10 <> 0
+                      AND o.o_orderkey >= p.dlo AND o.o_orderkey < p.dhi
+                   THEN 'delete'
+                 WHEN o.o_orderkey % 10 = 0 AND o.o_orderkey <= p.low
+                   THEN 'insert'
+                 WHEN o.o_orderkey % 20 = 1 AND o.o_orderkey <= p.low
+                   THEN 'update_post'
+               END AS change_type
+        FROM orders o CROSS JOIN p
+    ),
+    img AS (
+        SELECT change_type, o_orderkey,
+               CASE WHEN change_type = 'update_post'
+                    THEN o_totalprice * 2 ELSE o_totalprice
+               END AS price
+        FROM cls WHERE change_type IS NOT NULL
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           {DSUM_SQL.format(expr="price")} AS total_price
+    FROM img GROUP BY change_type ORDER BY change_type
+    """,
+)
+def lake_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed (Delta CDF shape) across a merge AND a
+    delete: v1->v3 net changes classified insert / update_post /
+    delete, computed from the MANIFEST file-set diff — files present in
+    both snapshots are untouched by copy-on-write construction and are
+    never read (tests assert the scan set). Carried-over rows (the
+    rewrite tax) cancel under a null-safe struct compare; the oracle
+    reclassifies every order relationally, so the hash match proves the
+    feed emits exactly the net row changes and nothing else.
+
+    Scale: a daily CDF over key-clustered commits reads the day's
+    touched files, not the table; the diff join shuffles only changed
+    rows. The reference has no table layer (single-file writer,
+    src/parquet_writer.cpp:43); this is the changelog tier a
+    downstream incremental consumer (feature store, index refresh)
+    reads instead of snapshot-diffing 100 TB."""
+    table = cdf_lake(spark, sf_dir)
+    cdf = table.change_feed(spark, "o_orderkey", since_version=1, to_version=3)
+    return (
+        cdf.select(
+            F.col("_change_type").alias("change_type"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("change_type")
+    )

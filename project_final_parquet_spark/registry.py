@@ -113,6 +113,7 @@ ROUND6_QUEUE: list[str] = [
     "lake_merge_upsert",
     "lake_zorder_pruned_read",
     "lake_replace_where",
+    "lake_change_feed",
     "text_unicode_normalize",
     "profile_gini_impurity",
     "sample_epoch_shuffle",

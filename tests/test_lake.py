@@ -317,3 +317,69 @@ def test_lake_queries_are_layout_independent(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_change_feed_reads_only_changed_files(spark, sf_dir):
+    """The CDF scan set is exactly the manifest file-set diff: files in
+    both snapshots (untouched by copy-on-write construction) are never
+    opened."""
+    from project_final_parquet_spark.operators.lake_queries import cdf_lake
+
+    table = cdf_lake(spark, sf_dir)
+    old_paths = {e.path for e in table.manifest(1)}
+    new_paths = {e.path for e in table.manifest(3)}
+    diff = (old_paths - new_paths) | (new_paths - old_paths)
+    untouched = old_paths & new_paths
+    assert untouched, "staging should leave untouched files"
+    cdf = table.change_feed(spark, "o_orderkey", since_version=1, to_version=3)
+    read = {f.split("://", 1)[-1] for f in cdf.inputFiles()}
+    assert read <= diff
+    assert not (read & untouched)
+
+
+def test_change_feed_classifies_against_snapshot_diff(spark, sf_dir):
+    """Ground truth by brute force: full v1 vs v3 snapshot comparison
+    must agree with the file-diff CDF on every key and class."""
+    from project_final_parquet_spark.operators.lake_queries import cdf_lake
+
+    table = cdf_lake(spark, sf_dir)
+    v1 = {
+        r["o_orderkey"]: r
+        for r in table.read(spark, version=1).collect()
+    }
+    v3 = {
+        r["o_orderkey"]: r
+        for r in table.read(spark, version=3).collect()
+    }
+    expected = {}
+    for k in v1.keys() - v3.keys():
+        expected[k] = "delete"
+    for k in v3.keys() - v1.keys():
+        expected[k] = "insert"
+    for k in v1.keys() & v3.keys():
+        if v1[k] != v3[k]:
+            expected[k] = "update_post"
+    got = {
+        r["o_orderkey"]: r["_change_type"]
+        for r in table.change_feed(
+            spark, "o_orderkey", since_version=1, to_version=3
+        ).collect()
+    }
+    assert got == expected
+    assert set(expected.values()) == {"delete", "insert", "update_post"}
+
+
+def test_change_feed_compaction_only_range_is_empty(
+    spark, sf_dir, fresh_table
+):
+    """A compaction commit rewrites rows without changing data; the CDF
+    across it must cancel to zero rows (carried rows are identical on
+    both sides of the file diff)."""
+    orders = _orders(spark, sf_dir).limit(400)
+    fresh_table.commit_append(orders, num_files=6)
+    v2 = fresh_table.compact(spark, target_bytes=1 << 30)
+    assert v2 == 2
+    cdf = fresh_table.change_feed(
+        spark, "o_orderkey", since_version=1, to_version=2
+    )
+    assert cdf.count() == 0
