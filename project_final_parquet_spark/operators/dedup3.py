@@ -171,3 +171,93 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cluster", "dup_of", "cosine")
         .orderBy("vec_id")
     )
+
+
+# --- exact duplicated substrings (suffix-array-style span dedup) -------------
+
+_SUB_K = 32  # window chars
+_SUB_STRIDE = 8
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, source,
+             unnest(list_transform(
+               generate_series(1, greatest(1, length(text) - {_SUB_K - 1}),
+                               {_SUB_STRIDE}),
+               i -> substr(text, CAST(i AS INT), {_SUB_K}))) AS gram
+      FROM documents
+    ),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT g.source,
+           CAST(COUNT(DISTINCT g.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS total_windows,
+           CAST(SUM(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS dup_windows,
+           CAST(COUNT(DISTINCT CASE WHEN dup.gram IS NOT NULL
+                                    THEN g.doc_id END)
+                AS BIGINT) AS docs_with_dup,
+           CAST(SUM(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) / COUNT(*) AS dup_ratio
+    FROM g LEFT JOIN dup ON g.gram = dup.gram
+    GROUP BY g.source ORDER BY g.source
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SUBSTRING detection (the suffix-array dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", re-expressed relationally): slide a 32-char window at
+    stride 8 over every document, find windows whose exact text occurs
+    in >= 2 distinct documents, and report the duplicated-span load per
+    source (window counts, affected docs, ratio). Unlike MinHash (whole
+    -doc similarity) this catches long verbatim spans embedded in
+    otherwise-different documents — licence blocks, quoted articles,
+    templated boilerplate — the spans a span-removal pass would cut.
+
+    Scale: windows are one map-side explode (no pairwise compare
+    anywhere); the per-gram document-frequency agg and the gram join
+    shuffle on the gram key with map-side partials. At 100 TB the gram
+    TEXT key (32 B) is replaced by its 64-bit rolling hash
+    (text_rolling_hash is the in-repo primitive) and the DF table by a
+    bloom/count-min prefilter, shrinking shuffle width ~4x with a
+    one-in-2^64 collision risk per pair; the text key is kept here so
+    the DuckDB oracle can replay the join exactly. Stride trades recall
+    for cost exactly as in the paper (a stride-s scan catches any
+    duplicated span >= K + s - 1 chars)."""
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(1, length(text) - {_SUB_K - 1}),"
+                f" {_SUB_STRIDE}), i -> substring(text, i, {_SUB_K}))"
+            )
+        ).alias("gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram", F.lit(1).alias("is_dup"))
+    )
+    marked = grams.join(dup, "gram", "left")
+    agg = marked.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("total_windows"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+        .cast("long")
+        .alias("dup_windows"),
+        F.countDistinct(
+            F.when(F.col("is_dup").isNotNull(), F.col("doc_id"))
+        )
+        .cast("long")
+        .alias("docs_with_dup"),
+    )
+    return agg.withColumn(
+        "dup_ratio", F.col("dup_windows") / F.col("total_windows")
+    ).orderBy("source")

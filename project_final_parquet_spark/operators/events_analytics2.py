@@ -526,3 +526,77 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- CUSUM changepoint detection --------------------------------------------
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(x) AS BIGINT) AS tx
+      FROM daily
+    ),
+    pre AS (
+      SELECT day, x,
+             SUM(nd * x - tx) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+      FROM daily CROSS JOIN tot
+    ),
+    cus AS (
+      SELECT day, x,
+             pfx - LEAST(MIN(pfx) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s
+      FROM pre
+    )
+    SELECT CAST(day AS BIGINT) AS day, x AS n_events,
+           CAST(s AS BIGINT) AS cusum_scaled
+    FROM cus ORDER BY s DESC, day LIMIT 5
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upward-shift changepoint detection on the daily event-count
+    series via one-sided CUSUM, computed in CLOSED FORM: the textbook
+    recursion S_t = max(0, S_{t-1} + (x_t - mean)) solves to
+    S_t = prefix_t - min(0, min_{j<=t} prefix_j), so two window
+    functions (running sum, running min) replace the sequential scan —
+    no iteration, no UDF. The mean subtraction is scaled through by
+    n_days (y_t = nd*x_t - total), keeping every intermediate an exact
+    integer in both engines; top-5 alarm days reported.
+
+    Scale: the day-grain frame is tiny at any corpus size (|days|
+    rows after one map-side-combined count), so the unpartitioned
+    ordered windows run on one task over thousands of rows — the same
+    bounded-frame argument as the seasonality/DAU family. Per-segment
+    (e.g. per event_type) monitoring partitions the windows by that
+    key and scales out."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(f"ts_us div {_DAY_US}").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("x").cast("long").alias("tx"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = daily.crossJoin(F.broadcast(tot)).withColumn(
+        "pfx",
+        F.sum(F.col("nd") * F.col("x") - F.col("tx")).over(w),
+    )
+    cus = pre.withColumn(
+        "s", F.col("pfx") - F.least(F.min("pfx").over(w), F.lit(0))
+    )
+    return (
+        cus.select(
+            "day",
+            F.col("x").alias("n_events"),
+            F.col("s").cast("long").alias("cusum_scaled"),
+        )
+        .orderBy(F.desc("cusum_scaled"), "day")
+        .limit(5)
+    )

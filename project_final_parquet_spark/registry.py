@@ -117,6 +117,9 @@ ROUND6_QUEUE: list[str] = [
     "text_unicode_normalize",
     "profile_gini_impurity",
     "sample_epoch_shuffle",
+    "dedup_exact_substring",
+    "graph_triangle_count",
+    "events_changepoint_cusum",
 ]
 
 # Round-5 window (positions 1-50) — the full-registry-closure round:

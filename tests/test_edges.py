@@ -105,3 +105,35 @@ def test_approx_aggs_close_to_exact(spark, sf_dir):
     ).head()
     assert abs(r.approx - r.exact) / r.exact < 0.05  # HLL++ default rsd
     assert abs(r.amed - r.emed) / r.emed < 0.02
+
+
+def test_cusum_closed_form_matches_recursion(spark, sf_dir):
+    """The window-function CUSUM must equal the textbook sequential
+    recursion S_t = max(0, S_{t-1} + (nd*x_t - total)) replayed in
+    Python over the same daily series."""
+    from pyspark.sql import functions as F
+
+    from project_final_parquet_spark.registry import all_queries
+    from project_final_parquet_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    daily = sorted(
+        (r["day"], r["x"])
+        for r in ev.groupBy(
+            F.expr("ts_us div 86400000000").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    nd = len(daily)
+    total = sum(x for _, x in daily)
+    s, expect = 0, {}
+    for day, x in daily:
+        s = max(0, s + (nd * x - total))
+        expect[day] = s
+    got = all_queries()["events_changepoint_cusum"](spark, sf_dir).collect()
+    assert len(got) == 5
+    for r in got:
+        assert expect[r["day"]] == r["cusum_scaled"]
+    top5 = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["day"], r["cusum_scaled"]) for r in got] == top5

@@ -486,3 +486,31 @@ def test_dynamic_partition_pruning(spark):
     assert "dynamicpruning" in p.lower()
     # and the pruned rows are the right ones
     assert j.count() > 0
+
+
+def test_triangle_count_reuses_edge_exchange(spark):
+    """The edge list feeds degree, wedge, and three join legs; AQE must
+    serve the repeated pair-aggregation exchanges from reuse instead of
+    recomputing them five times — visible only in the FINAL adaptive
+    plan, so execute first, then audit. The only nested-loop joins
+    allowed are the final singleton cross-joins."""
+    from project_final_parquet_spark.plans import physical_plan
+
+    df = all_queries()["graph_triangle_count"](spark, BIG_SF)
+    df.collect()
+    p = physical_plan(df)
+    assert "ReusedExchange" in p or "ReusedQueryStage" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_exact_substring_no_pairwise_compare(spark):
+    """Span dedup must stay linear: windows from one Generate
+    (explode), gram DF and the mark join on the gram key — never a
+    doc-pair nested loop and never a Python UDF."""
+    f = facts_of(spark, "dedup_exact_substring")
+    assert f.n_nested_loop_joins == 0
+    from project_final_parquet_spark.plans import physical_plan
+
+    p = physical_plan(all_queries()["dedup_exact_substring"](spark, BIG_SF))
+    assert "Generate" in p  # map-side window explode
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
