@@ -99,6 +99,11 @@ HEADLINE = [
     "lake_zorder_pruned_read",
     "text_unicode_normalize",
     "sample_epoch_shuffle",
+    # round-5 fifth-session additions (ROUND6_QUEUE tail)
+    "lake_change_feed",
+    "dedup_exact_substring",
+    "graph_triangle_count",
+    "events_changepoint_cusum",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for
@@ -119,6 +124,7 @@ def main() -> None:
     # lake staging (two commits, write-side) happens once per sf_dir;
     # stage it here so the measured lake_* timings are the READ path
     from project_final_parquet_spark.operators.lake_queries import (
+        cdf_lake,
         merge_lake,
         orders_lake,
         zorder_lake,
@@ -127,6 +133,7 @@ def main() -> None:
     orders_lake(spark, sf_dir)
     merge_lake(spark, sf_dir)
     zorder_lake(spark, sf_dir)
+    cdf_lake(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
