@@ -104,6 +104,7 @@ HEADLINE = [
     "dedup_exact_substring",
     "graph_triangle_count",
     "events_changepoint_cusum",
+    "mm_phash_dedup",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -120,6 +120,7 @@ ROUND6_QUEUE: list[str] = [
     "dedup_exact_substring",
     "graph_triangle_count",
     "events_changepoint_cusum",
+    "mm_phash_dedup",
 ]
 
 # Round-5 window (positions 1-50) — the full-registry-closure round:

@@ -136,3 +136,26 @@ def test_parsers_never_crash_on_arbitrary_bytes():
                 pass
 
     run()
+
+
+def test_phash_brightness_invariance_and_separation(spark, sf_dir):
+    """The 3 brightness variants of every base pattern must hash
+    identically (exact integer threshold algebra), and the 17 base
+    patterns must stay distinct — collapse or split would silently
+    merge different images or miss near-dups."""
+    from project_final_parquet_spark.operators.multimodal import (
+        make_phash_stage,
+    )
+    from project_final_parquet_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    rows = docs.mapInPandas(
+        make_phash_stage(), schema="doc_id long, phash string"
+    ).collect()
+    by_group: dict[int, set[str]] = {}
+    for r in rows:
+        by_group.setdefault(r["doc_id"] % 17, set()).add(r["phash"])
+    assert all(len(v) == 1 for v in by_group.values())
+    assert len({v.pop() for v in by_group.values()}) == len(by_group)
+    assert all(len(h) == 64 and set(h) <= {"0", "1"} for _, h in
+               ((r["doc_id"], r["phash"]) for r in rows))
