@@ -85,6 +85,18 @@ BATTERY3 = [
 ]
 
 
+# --battery4: the round-5 fifth-session additions (span dedup, graph
+# triangles, changepoint, image hash, lake CDF). Lake staging again
+# outside the timed window; the CDF timing is the file-diff read path.
+BATTERY4 = [
+    "dedup_exact_substring",     # char-gram explode + df agg + mark join
+    "graph_triangle_count",      # oriented 3-way edge join + reuse
+    "events_changepoint_cusum",  # day-grain closed-form windows
+    "mm_phash_dedup",            # mapInPandas hash + tiny shuffle
+    "lake_change_feed",          # manifest file-diff + outer join
+]
+
+
 def _stride(spark, name: str) -> int:
     if name == "events_user":
         df = spark.read.parquet(f"{SRC_SF}/events.parquet")
@@ -160,6 +172,14 @@ def main() -> None:
 
         for _, d in sfs:
             orders_lake(spark, d)
+    if "--battery4" in sys.argv:
+        battery = BATTERY4
+        from project_final_parquet_spark.operators.lake_queries import (
+            cdf_lake,
+        )
+
+        for _, d in sfs:
+            cdf_lake(spark, d)
     results: dict[str, dict[str, float]] = {}
     for name in battery:
         results[name] = {}
