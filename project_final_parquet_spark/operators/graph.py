@@ -290,20 +290,23 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (O(m^1.5) work total) — noted here because id-orientation is
     already exact for counting; integer division `div` keeps wedges
     exact at any degree."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    x, y = li.alias("x"), li.alias("y")
-    pairs = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .select(
-            F.col("x.l_orderkey").alias("ok"),
-            F.col("x.l_partkey").alias("a"),
-            F.col("y.l_partkey").alias("b"),
-        )
+    # dedupe (order, part) BEFORE the self-join: the smaller relation
+    # pays the distinct, and the a<b join then emits each (ok, a, b)
+    # exactly once — no second distinct over the larger pair set
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
         .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_orderkey").alias("ok"),
+        F.col("x.l_partkey").alias("a"),
+        F.col("y.l_partkey").alias("b"),
     )
     edges = (
         pairs.groupBy("a", "b")
