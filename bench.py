@@ -105,6 +105,7 @@ HEADLINE = [
     "graph_triangle_count",
     "events_changepoint_cusum",
     "mm_phash_dedup",
+    "text_ngram_novelty",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -261,3 +261,79 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn(
         "dup_ratio", F.col("dup_windows") / F.col("total_windows")
     ).orderBy("source")
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH mk AS (SELECT MAX(doc_id) AS m FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(1, length(text) - {_SUB_K - 1}),
+                               {_SUB_STRIDE}),
+               i -> substr(text, CAST(i AS INT), {_SUB_K}))) AS gram
+      FROM documents
+    ),
+    f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+    j AS (
+      SELECT g.doc_id,
+             CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END AS novel
+      FROM g JOIN f ON g.gram = f.gram
+    )
+    SELECT CAST(j.doc_id * 10 // ((SELECT m FROM mk) + 1) AS BIGINT)
+             AS decile,
+           CAST(COUNT(DISTINCT j.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS total_windows,
+           CAST(SUM(novel) AS BIGINT) AS novel_windows,
+           CAST(SUM(novel) AS BIGINT) / COUNT(*) AS novelty_ratio
+    FROM j GROUP BY decile ORDER BY decile
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: treating doc_id as ingestion order, the
+    fraction of each decile's 32-char windows whose gram text was NEVER
+    seen in an earlier document (first-occurrence attribution via
+    min(doc_id) per gram). The crawl-cutoff signal: when marginal
+    novelty flattens, more ingestion buys duplication, not data — the
+    measured counterpart of the dedup family's removal rates.
+
+    Scale: shares the span-dedup gram machinery (one map-side explode,
+    gram-key shuffles); the decile is a PURE MAP expression —
+    doc_id*10 div (max+1) against one broadcast max — deliberately not
+    ntile(), whose global ordered window would funnel the corpus
+    through one task at 100 TB. First-occurrence via min-aggregate is
+    order-free and restatement-stable: re-running after an append
+    keeps every old gram's first doc."""
+    docs = load(spark, sf_dir, "documents")
+    mk = docs.agg(F.max("doc_id").alias("m"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(1, length(text) - {_SUB_K - 1}),"
+                f" {_SUB_STRIDE}), i -> substring(text, i, {_SUB_K}))"
+            )
+        ).alias("gram"),
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    j = grams.join(first, "gram").select(
+        "doc_id",
+        F.when(F.col("doc_id") == F.col("first_doc"), 1)
+        .otherwise(0)
+        .alias("novel"),
+    )
+    agg = (
+        j.crossJoin(F.broadcast(mk))
+        .groupBy(
+            F.expr("doc_id * 10 div (m + 1)").cast("long").alias("decile")
+        )
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("total_windows"),
+            F.sum("novel").cast("long").alias("novel_windows"),
+        )
+    )
+    return agg.withColumn(
+        "novelty_ratio", F.col("novel_windows") / F.col("total_windows")
+    ).orderBy("decile")

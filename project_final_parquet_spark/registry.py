@@ -121,6 +121,7 @@ ROUND6_QUEUE: list[str] = [
     "graph_triangle_count",
     "events_changepoint_cusum",
     "mm_phash_dedup",
+    "text_ngram_novelty",
 ]
 
 # Round-5 window (positions 1-50) — the full-registry-closure round:
