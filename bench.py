@@ -193,9 +193,18 @@ def main() -> None:
     )
 
     line = json.dumps(out)
-    if len(line) > _MAX_FINAL_LINE:
-        # degrade rounding before ever risking a truncated line
-        out["queries"] = {n: round(s, 2) for n, s in timings.items()}
+    # degrade rounding before ever risking a truncated line; if even
+    # 1-decimal doesn't fit, drop the slowest-query detail last — the
+    # driver contract needs {metric, value, unit, queries, sf} parseable,
+    # and a short queries map beats a truncated long one
+    for digits in (2, 1):
+        if len(line) <= _MAX_FINAL_LINE:
+            break
+        out["queries"] = {n: round(s, digits) for n, s in timings.items()}
+        line = json.dumps(out)
+    while len(line) > _MAX_FINAL_LINE and out["queries"]:
+        drop = max(out["queries"], key=lambda n: len(n))
+        del out["queries"][drop]
         line = json.dumps(out)
     assert len(line) <= _MAX_FINAL_LINE, (
         f"final bench line {len(line)}B > {_MAX_FINAL_LINE}B — would be "
