@@ -106,6 +106,11 @@ HEADLINE = [
     "events_changepoint_cusum",
     "mm_phash_dedup",
     "text_ngram_novelty",
+    # round-5 sixth-session additions (ROUND6_QUEUE tail)
+    "sim_hybrid_rrf",
+    "sim_mmr_diversify",
+    "pack_length_buckets",
+    "dedup_band_tuning_curve",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for
@@ -183,7 +188,7 @@ def main() -> None:
         # deltas go on their own EARLIER line: informative in the
         # captured tail when space allows, never at the expense of the
         # parseable final line
-        print(json.dumps(deltas))
+        print(json.dumps(deltas, separators=(",", ":")))
 
     # full record (summary + deltas) for round-over-round archaeology
     bench_dir = Path(__file__).resolve().parent / ".benchmarks"
@@ -192,7 +197,8 @@ def main() -> None:
         json.dumps({**out, **deltas}, indent=1)
     )
 
-    line = json.dumps(out)
+    # compact separators: ~2 bytes/entry of headroom at zero cost
+    line = json.dumps(out, separators=(",", ":"))
     # degrade rounding before ever risking a truncated line; if even
     # 1-decimal doesn't fit, drop the slowest-query detail last — the
     # driver contract needs {metric, value, unit, queries, sf} parseable,
@@ -201,11 +207,11 @@ def main() -> None:
         if len(line) <= _MAX_FINAL_LINE:
             break
         out["queries"] = {n: round(s, digits) for n, s in timings.items()}
-        line = json.dumps(out)
+        line = json.dumps(out, separators=(",", ":"))
     while len(line) > _MAX_FINAL_LINE and out["queries"]:
         drop = max(out["queries"], key=lambda n: len(n))
         del out["queries"][drop]
-        line = json.dumps(out)
+        line = json.dumps(out, separators=(",", ":"))
     assert len(line) <= _MAX_FINAL_LINE, (
         f"final bench line {len(line)}B > {_MAX_FINAL_LINE}B — would be "
         "truncated by the driver's tail capture; trim HEADLINE"

@@ -236,3 +236,105 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "pos")
     )
+
+
+# --- length-bucketed batching / padding-waste accounting ---------------------
+
+_BUCKET_EDGES = [25, 50, 75]  # token-count bucket upper bounds
+_BATCH_SIZE = 8
+
+
+def _bucket_case_sql(n: str) -> str:
+    arms = " ".join(
+        f"WHEN {n} <= {e} THEN 'b{e:03d}'" for e in _BUCKET_EDGES
+    )
+    return f"CASE {arms} ELSE 'b999' END"
+
+
+@query(
+    "pack_length_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, n, {_bucket_case_sql('n')} AS bucket FROM toks
+    ),
+    batched AS (
+      SELECT bucket, n,
+             (row_number() OVER (PARTITION BY bucket ORDER BY n, doc_id)
+              - 1) // {_BATCH_SIZE} AS batch_id
+      FROM bucketed
+    ),
+    per_batch AS (
+      SELECT bucket, batch_id,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(MAX(n) AS BIGINT) AS max_n,
+             CAST(SUM(n) AS BIGINT) AS sum_n
+      FROM batched GROUP BY bucket, batch_id
+    )
+    SELECT bucket,
+           CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(sum_n) AS BIGINT) AS total_tokens,
+           CAST(SUM(max_n * cnt) AS BIGINT) AS padded_tokens,
+           CAST(SUM(max_n * cnt) - SUM(sum_n) AS BIGINT) AS pad_waste,
+           CAST(SUM(max_n * cnt) - SUM(sum_n) AS DOUBLE)
+             / CAST(SUM(max_n * cnt) AS DOUBLE) AS pad_frac
+    FROM per_batch
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching with padding-waste accounting: documents
+    are bucketed by token count (≤25/≤50/≤75/rest), batched 8-at-a-time
+    in (n, doc_id) order within each bucket, and each bucket reports how
+    many pad tokens batch-max padding would burn (the statistic behind
+    choosing bucket edges for trainer batch shaping — unbucketed
+    batching pads everything to the global max).
+
+    Scale: token counting is map-side; the ONLY shuffle is the bucket
+    partition, and the row_number window is partitioned by bucket (at
+    100 TB each bucket further splits by training shard and the batch
+    numbering becomes shard-local, exactly like pack_sequences'
+    shard-local packing). All arithmetic is integer until the final
+    pad_frac division — bit-identical cross-engine."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    ).cast("long")
+    bucket = F.when(F.col("n") <= _BUCKET_EDGES[0], "b025")
+    for e in _BUCKET_EDGES[1:]:
+        bucket = bucket.when(F.col("n") <= e, f"b{e:03d}")
+    bucket = bucket.otherwise("b999")
+
+    toks = docs.select("doc_id", n.alias("n")).withColumn("bucket", bucket)
+    batched = toks.withColumn(
+        "batch_id",
+        F.expr(f"(row_number() OVER (PARTITION BY bucket ORDER BY n, doc_id) - 1) div {_BATCH_SIZE}"),
+    )
+    per_batch = batched.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max("n").alias("max_n"),
+        F.sum("n").alias("sum_n"),
+    )
+    padded = F.sum(F.col("max_n") * F.col("cnt"))
+    total = F.sum(F.col("sum_n"))
+    return (
+        per_batch.groupBy("bucket")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_batches"),
+            total.alias("total_tokens"),
+            padded.alias("padded_tokens"),
+            (padded - total).alias("pad_waste"),
+            (
+                (padded - total).cast("double") / padded.cast("double")
+            ).alias("pad_frac"),
+        )
+        .orderBy("bucket")
+    )

@@ -323,3 +323,163 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- LSH band-parameter tuning curve ----------------------------------------
+
+# (bands, rows-per-band) configurations sharing the K=8 signature budget.
+_BAND_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]
+
+
+def _pow_chain_sql(x: str, n: int) -> str:
+    """Left-associated explicit multiply chain — no pow(), whose
+    cross-engine bit behavior is unspecified for non-integer results."""
+    e = x
+    for _ in range(n - 1):
+        e = f"({e} * {x})"
+    return e
+
+
+def _band_curve_oracle() -> str:
+    from .dedup import _JACCARD_T, _SH3_SQL
+
+    jac = (
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / len(list_distinct(a.sh || b.sh))"
+    )
+    agg_cols = []
+    for b, r in _BAND_CONFIGS:
+        s_pow_r = _pow_chain_sql("s", r)
+        p = f"(1.0 - {_pow_chain_sql(f'(1.0 - {s_pow_r})', b)})"
+        agg_cols.append(
+            f"CAST(CAST(SUM(CAST(CASE WHEN s >= {_JACCARD_T} THEN {p} "
+            f"ELSE 0.0 END AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS et{b}"
+        )
+        agg_cols.append(
+            f"CAST(CAST(SUM(CAST(CASE WHEN s < {_JACCARD_T} THEN {p} "
+            f"ELSE 0.0 END AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS ef{b}"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({b} AS BIGINT) AS n_bands, "
+        f"CAST({r} AS BIGINT) AS rows_per_band, n_true, n_below, "
+        f"et{b} AS exp_caught_true, ef{b} AS exp_caught_false, "
+        f"et{b} / n_true AS exp_recall FROM agg"
+        for b, r in _BAND_CONFIGS
+    )
+    return f"""
+    WITH universe AS (
+      {_EV_UNIVERSE_SQL}
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM universe),
+    sh AS (SELECT doc_id, {_SH3_SQL} AS sh FROM tok),
+    pairs AS (
+      SELECT {jac} AS s
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN s >= {_JACCARD_T} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_true,
+             CAST(SUM(CASE WHEN s < {_JACCARD_T} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_below,
+             {', '.join(agg_cols)}
+      FROM pairs
+    )
+    {rows}
+    ORDER BY n_bands DESC
+    """
+
+
+@query("dedup_band_tuning_curve", oracle=_band_curve_oracle())
+def dedup_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter tuning report: for each (bands, rows) split
+    of the K=8 signature budget, the EXPECTED number of ≥0.5-Jaccard
+    pairs caught (recall mass) and of <0.5 pairs caught (candidate
+    false-positive load), from the S-curve P(catch)=1-(1-s^r)^b applied
+    to the measured pair-Jaccard distribution of the capped eval
+    universe. This is how the (B, R) knob of dedup_near_minhash_lsh is
+    chosen at 100 TB — from a fixed-size measured sample, before
+    committing a corpus-scale banding pass.
+
+    Determinism: the S-curve is evaluated as explicit left-associated
+    multiply chains (no pow()), so both engines produce bit-identical
+    doubles; sums use the DECIMAL(38,10) convention. Scale: the pair
+    stage is the same O(CAP²) absolute-capped universe as
+    dedup_eval_recall — constant work at any corpus size."""
+    from .dedup import _JACCARD_T, _shingles3, _toks
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    universe = docs.orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ev"))),
+        "doc_id",
+    ).limit(EVAL_TRUTH_CAP)
+    sh = universe.select("doc_id", _shingles3(_toks()).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b_ = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    s = inter.cast("double") / F.size(F.array_union("sh_a", "sh_b"))
+    pairs = (
+        a.crossJoin(b_)
+        .filter((F.col("doc_a") < F.col("doc_b")) & (inter > 0))
+        .select(s.alias("s"))
+    )
+
+    def pw(col, n: int):
+        e = col
+        for _ in range(n - 1):
+            e = e * col
+        return e
+
+    aggs = [
+        F.sum(F.when(F.col("s") >= _JACCARD_T, 1).otherwise(0))
+        .cast("long")
+        .alias("n_true"),
+        F.sum(F.when(F.col("s") < _JACCARD_T, 1).otherwise(0))
+        .cast("long")
+        .alias("n_below"),
+    ]
+    for b, r in _BAND_CONFIGS:
+        p = F.lit(1.0) - pw(F.lit(1.0) - pw(F.col("s"), r), b)
+        aggs.append(
+            F.sum(
+                F.when(F.col("s") >= _JACCARD_T, p)
+                .otherwise(F.lit(0.0))
+                .cast("decimal(38,10)")
+            )
+            .cast("double")
+            .alias(f"et{b}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("s") < _JACCARD_T, p)
+                .otherwise(F.lit(0.0))
+                .cast("decimal(38,10)")
+            )
+            .cast("double")
+            .alias(f"ef{b}")
+        )
+    agg = pairs.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({b} AS BIGINT), CAST({r} AS BIGINT), et{b}, ef{b}"
+        for b, r in _BAND_CONFIGS
+    )
+    return (
+        agg.select(
+            F.expr(
+                f"stack({len(_BAND_CONFIGS)}, {stack}) AS "
+                "(n_bands, rows_per_band, exp_caught_true, exp_caught_false)"
+            ),
+            "n_true",
+            "n_below",
+        )
+        .select(
+            "n_bands",
+            "rows_per_band",
+            "n_true",
+            "n_below",
+            "exp_caught_true",
+            "exp_caught_false",
+            (F.col("exp_caught_true") / F.col("n_true")).alias("exp_recall"),
+        )
+        .orderBy(F.desc("n_bands"))
+    )

@@ -1,0 +1,303 @@
+"""Hybrid retrieval composition: reciprocal-rank fusion of lexical
+(BM25) and semantic (embedding-cosine) rankings, and MMR diversity
+re-ranking of an exact shortlist.
+
+These are the two post-first-stage operators every production RAG /
+retrieval pipeline runs on top of the index + ANN primitives this repo
+already proves (text_bm25_rank, sim_topk_cosine and the quantized ANN
+family): fuse heterogeneous rankings, then diversify the final slate.
+
+Scale (100 TB):
+- RRF fuses SHORTLISTS, not full rankings: each side is a
+  TakeOrderedAndProject top-N (k rows per partition before the final
+  merge), so the only unpartitioned window runs over N=50 rows. The
+  fusion join is shortlist×shortlist — driver-negligible at any corpus
+  size.
+- MMR's corpus-scale step is the exact top-m shortlist (same
+  TakeOrdered shape); the greedy re-rank is O(k·m²) over m=24 rows —
+  per-query constant work. Shortlist + pair-sims are localCheckpointed
+  once (this query executes at construction, like the other iterative
+  queries — registry docstring contract note); each greedy step is a
+  plan over those tiny materialized frames. The deliberate
+  BroadcastNestedLoopJoin building the m×m sim matrix is bounded by
+  the shortlist, never the corpus.
+
+Determinism: ranks are integers from total orderings (score DESC, id
+ASC); RRF adds two exact double divisions 1/(60+rank); MMR uses
+λ=0.75 / (1-λ)=0.25 — both exact binary doubles — and relevance /
+pair-similarities come from the same zip_with/aggregate fold DuckDB's
+list fold reproduces bit-for-bit (operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..registry import query
+from ..tables import load
+from .similarity import _DIM, _DOT_SQL, _NORM_SQL, _dot, _norm
+from .text_index import BM25_BYDOC_SQL, BM25_SCORED_CTES, bm25_doc_scores
+
+_RRF_K = 60  # the standard RRF damping constant
+_RRF_N = 50  # per-retriever shortlist depth
+_RRF_OUT = 15
+
+_COS_SQL = (
+    f"{_DOT_SQL.format(dim=_DIM, a='e.embedding', b='q.qv')}"
+    f" / ({_NORM_SQL.format(dim=_DIM, a='e.embedding')}"
+    f" * {_NORM_SQL.format(dim=_DIM, a='q.qv')})"
+)
+
+
+@query(
+    "sim_hybrid_rrf",
+    oracle=f"""
+    WITH {BM25_SCORED_CTES},
+    bydoc AS ({BM25_BYDOC_SQL}),
+    lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS rank_lex
+      FROM bydoc WHERE doc_id <> 0
+      ORDER BY score DESC, doc_id LIMIT {_RRF_N}
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cosd AS (
+      SELECT e.vec_id AS doc_id, {_COS_SQL} AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    ),
+    sem AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+                  AS BIGINT) AS rank_sem
+      FROM cosd
+      ORDER BY cosine DESC, doc_id LIMIT {_RRF_N}
+    )
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           COALESCE(l.rank_lex, 0) AS rank_lex,
+           COALESCE(s.rank_sem, 0) AS rank_sem,
+           COALESCE(1.0 / ({_RRF_K} + l.rank_lex), 0.0)
+             + COALESCE(1.0 / ({_RRF_K} + s.rank_sem), 0.0) AS rrf_score
+    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {_RRF_OUT}
+    """,
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 top-50 and the cosine top-50
+    against the shared query (terms {join, hash, vector}; vector
+    vec_id=0): rrf = Σ 1/(60+rank), absent-from-shortlist contributes 0
+    (rank reported as 0). Each shortlist is a scalable TakeOrdered; the
+    row_number windows run over the 50-row shortlists only."""
+    lex = (
+        bm25_doc_scores(spark, sf_dir)
+        .filter(F.col("doc_id") != 0)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_RRF_N)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("score"), "doc_id"))
+            .cast("long")
+            .alias("rank_lex"),
+        )
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), _norm(F.col("embedding")).alias("nq")
+    )
+    cosine = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * F.col("nq")
+    )
+    sem = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("doc_id"), cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(_RRF_N)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("cosine"), "doc_id"))
+            .cast("long")
+            .alias("rank_sem"),
+        )
+    )
+
+    fused = lex.join(sem, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_lex")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_sem")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce("rank_lex", F.lit(0)).alias("rank_lex"),
+            F.coalesce("rank_sem", F.lit(0)).alias("rank_sem"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(_RRF_OUT)
+    )
+
+
+# --- MMR diversification ----------------------------------------------------
+
+_MMR_M = 24  # exact shortlist depth (first stage)
+_MMR_K = 8  # diversified slate size
+# λ=0.75: both λ and 1-λ are exact binary doubles, so the MMR score
+# arithmetic is bit-identical across engines with no cast ceremony.
+_LAM = "0.75"
+_ONE_MINUS_LAM = "0.25"
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as chained CTEs (step i picks the argmax of
+    λ·rel − (1−λ)·max-sim-to-picked over the not-yet-picked shortlist;
+    ties break on vec_id). Generated programmatically so the SQL stays
+    in lockstep with the Spark loop."""
+    pair_cos = (
+        f"{_DOT_SQL.format(dim=_DIM, a='a.embedding', b='b.embedding')}"
+        f" / ({_NORM_SQL.format(dim=_DIM, a='a.embedding')}"
+        f" * {_NORM_SQL.format(dim=_DIM, a='b.embedding')})"
+    )
+    ctes = [
+        f"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sl AS MATERIALIZED (
+      SELECT e.vec_id, {_COS_SQL} AS rel
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+      ORDER BY rel DESC, e.vec_id LIMIT {_MMR_M}
+    ),
+    slemb AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN sl ON e.vec_id = sl.vec_id
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS va, b.vec_id AS vb, {pair_cos} AS sim
+      FROM slemb a JOIN slemb b ON a.vec_id <> b.vec_id
+    ),
+    p1 AS MATERIALIZED (
+      SELECT vec_id, {_LAM} * rel AS mmr_score FROM sl
+      ORDER BY mmr_score DESC, vec_id LIMIT 1
+    )"""
+    ]
+    for i in range(2, _MMR_K + 1):
+        picked = " UNION ALL ".join(
+            f"SELECT vec_id FROM p{j}" for j in range(1, i)
+        )
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT s.vec_id,
+             {_LAM} * s.rel - {_ONE_MINUS_LAM} * (
+               SELECT MAX(p.sim) FROM pairs p
+               WHERE p.va = s.vec_id AND p.vb IN ({picked})
+             ) AS mmr_score
+      FROM sl s
+      WHERE s.vec_id NOT IN ({picked})
+      ORDER BY mmr_score DESC, s.vec_id LIMIT 1
+    )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS pick_order, vec_id, mmr_score FROM p{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"\n{finals}\nORDER BY pick_order"
+    )
+
+
+@query("sim_mmr_diversify", oracle=_mmr_oracle())
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: exact cosine top-24
+    shortlist vs the vec_id=0 query, then greedy k=8 picks maximizing
+    0.75·rel − 0.25·max-sim-to-selected (tie → lower vec_id). The
+    corpus-scale step is the TakeOrdered shortlist; shortlist + m×m
+    pair sims are localCheckpointed once and the 8 greedy steps run
+    over those 24-row frames (executes at construction — see the
+    registry iterative-query contract note)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), _norm(F.col("embedding")).alias("nq")
+    )
+    rel = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * F.col("nq")
+    )
+    sl = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "embedding",
+            _norm(F.col("embedding")).alias("nv"),
+            rel.alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(_MMR_M)
+        .localCheckpoint()
+    )
+    a = sl.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nv").alias("na"),
+    )
+    b = sl.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nv").alias("nb"),
+    )
+    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    # m×m shortlist sim matrix: the nested-loop join is intentional and
+    # bounded by m=24 rows per side, never the corpus.
+    pairs = (
+        a.join(b, F.col("va") != F.col("vb"))
+        .select("va", "vb", sim.alias("sim"))
+        .localCheckpoint()
+    )
+
+    lam, oml = F.lit(float(_LAM)), F.lit(float(_ONE_MINUS_LAM))
+    first = (
+        sl.select("vec_id", (lam * F.col("rel")).alias("mmr_score"))
+        .orderBy(F.desc("mmr_score"), "vec_id")
+        .limit(1)
+        .withColumn("pick_order", F.lit(1).cast("long"))
+        .localCheckpoint()
+    )
+    picks = [first]
+    picked_ids = first.select("vec_id")
+    for i in range(2, _MMR_K + 1):
+        maxsim = (
+            pairs.join(
+                picked_ids.withColumnRenamed("vec_id", "vb"), "vb"
+            )
+            .groupBy("va")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        cand = sl.join(picked_ids, "vec_id", "left_anti")
+        p = (
+            cand.join(maxsim, cand.vec_id == maxsim.va)
+            .select(
+                "vec_id",
+                (lam * F.col("rel") - oml * F.col("maxsim")).alias(
+                    "mmr_score"
+                ),
+            )
+            .orderBy(F.desc("mmr_score"), "vec_id")
+            .limit(1)
+            .withColumn("pick_order", F.lit(i).cast("long"))
+            .localCheckpoint()
+        )
+        picks.append(p)
+        picked_ids = picked_ids.union(p.select("vec_id"))
+
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.union(p)
+    return out.select("pick_order", "vec_id", "mmr_score").orderBy(
+        "pick_order"
+    )

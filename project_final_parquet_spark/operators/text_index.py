@@ -90,8 +90,11 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TERMS_SQL = ", ".join(f"'{t}'" for t in _TERMS)
 
-_BM25_ORACLE = f"""
-WITH tok AS (
+# The CTE chain producing per-(doc, term) BM25 partial scores — shared
+# verbatim by the text_bm25_rank oracle and the hybrid-retrieval RRF
+# oracle (operators/retrieval.py), so both engines rank from the exact
+# same lexical arithmetic.
+BM25_SCORED_CTES = f"""tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
 ),
 t2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
@@ -120,23 +123,31 @@ scored AS (
   JOIN df USING (token)
   JOIN dl USING (doc_id)
   CROSS JOIN gstats
-)
-SELECT doc_id,
+)"""
+
+# Per-doc total BM25 score (decimal-sum convention) over the CTE chain.
+BM25_BYDOC_SQL = """SELECT doc_id,
        CAST(CAST(SUM(CAST(term_score AS DECIMAL(38,10))) AS VARCHAR)
             AS DOUBLE) AS score
 FROM scored
-GROUP BY doc_id
+GROUP BY doc_id"""
+
+_BM25_ORACLE = f"""
+WITH {BM25_SCORED_CTES},
+bydoc AS ({BM25_BYDOC_SQL})
+SELECT doc_id, score FROM bydoc
 ORDER BY score DESC, doc_id
 LIMIT 15
 """
 
 
-@query("text_bm25_rank", oracle=_BM25_ORACLE)
-def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 (k1=1.2, b=0.75, rational idf) top-15 docs for the fixed
-    query terms {join, hash, vector}. df and the global (N, avgdl) row
-    are broadcast; the big-side shuffles are the per-doc tf/dl groupBys;
-    per-doc term scores combine under the decimal-sum convention."""
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc total BM25 score frame ``(doc_id, score)`` for the fixed
+    query terms — the shared lexical-scoring plan behind
+    ``text_bm25_rank`` (top-15 head) and ``sim_hybrid_rrf`` (rank-fusion
+    shortlist). df and the global (N, avgdl) row are broadcast; the
+    big-side shuffles are the per-doc tf/dl groupBys; per-doc term
+    scores combine under the decimal-sum convention."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     t2 = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
@@ -182,13 +193,20 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(glob))
         .select("doc_id", term_score.alias("term_score"))
     )
+    return scored.groupBy("doc_id").agg(
+        F.sum(F.col("term_score").cast("decimal(38,10)"))
+        .cast("double")
+        .alias("score")
+    )
+
+
+@query("text_bm25_rank", oracle=_BM25_ORACLE)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75, rational idf) top-15 docs for the fixed
+    query terms {join, hash, vector} — the ordered head of
+    ``bm25_doc_scores`` (TakeOrderedAndProject keeps k rows/partition)."""
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum(F.col("term_score").cast("decimal(38,10)"))
-            .cast("double")
-            .alias("score")
-        )
+        bm25_doc_scores(spark, sf_dir)
         .orderBy(F.desc("score"), "doc_id")
         .limit(15)
     )

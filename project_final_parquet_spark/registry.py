@@ -122,6 +122,10 @@ ROUND6_QUEUE: list[str] = [
     "events_changepoint_cusum",
     "mm_phash_dedup",
     "text_ngram_novelty",
+    "sim_hybrid_rrf",
+    "sim_mmr_diversify",
+    "pack_length_buckets",
+    "dedup_band_tuning_curve",
 ]
 
 # Round-5 window (positions 1-50) — the full-registry-closure round:
@@ -245,6 +249,7 @@ def _load_all() -> None:
         pipeline3,
         pipeline4,
         corpus_prep,
+        retrieval,
         lake_queries,
         vector_stats,
         reffile_source,
