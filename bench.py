@@ -111,6 +111,7 @@ HEADLINE = [
     "sim_mmr_diversify",
     "pack_length_buckets",
     "dedup_band_tuning_curve",
+    "sim_ann_multitable",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -150,6 +150,12 @@ def _plane_coeff(p: int, j: int) -> float:
     return (h % 2001 - 1000) / 1000.0
 
 
+def _plane_coeff_ns(ns: str, p: int, j: int) -> float:
+    """Namespaced variant for additional independent LSH tables."""
+    h = int(hashlib.md5(f"{ns}_{p}_{j}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
 _PLANES = [[_plane_coeff(p, j) for j in range(_DIM)] for p in range(_N_PLANES)]
 
 
@@ -547,6 +553,105 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.join(F.broadcast(best2), emb.label == F.col("best_label"))
         .filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+# --- multi-table LSH --------------------------------------------------------
+
+# Second independent hyperplane table (seed-namespaced coefficients).
+# Table 0 is _PLANES itself, so the multi-table candidate set is a
+# strict superset of sim_ann_multiprobe's and recall can only rise.
+_PLANES_T1 = [
+    [_plane_coeff_ns("t1", p, j) for j in range(_DIM)]
+    for p in range(_N_PLANES)
+]
+
+
+def _bucket_sql_for(planes, vec: str) -> str:
+    terms = []
+    for p in range(_N_PLANES):
+        plane_lit = "[" + ",".join(repr(c) for c in planes[p]) + "]"
+        dot = _DOT_SQL.format(dim=_DIM, a=vec, b=plane_lit)
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _bucket_expr_for(planes, vec):
+    out = F.lit(0)
+    for p in range(_N_PLANES):
+        plane = F.array(*[F.lit(c) for c in planes[p]])
+        out = out + F.when(_dot(vec, plane) > 0, F.lit(1 << p)).otherwise(0)
+    return out
+
+
+@query(
+    "sim_ann_multitable",
+    oracle=f"""
+    WITH buck AS (
+      SELECT vec_id, label, embedding,
+             {_bucket_sql_for(_PLANES, 'embedding')} AS b0,
+             {_bucket_sql_for(_PLANES_T1, 'embedding')} AS b1
+      FROM embeddings
+    ),
+    q AS (
+      SELECT embedding AS qv, b0 AS qb0, b1 AS qb1
+      FROM buck WHERE vec_id = 0
+    )
+    SELECT b.vec_id, b.label,
+           {_DOT_SQL.format(dim=_DIM, a='b.embedding', b='q.qv')}
+             / ({_NORM_SQL.format(dim=_DIM, a='b.embedding')}
+                * {_NORM_SQL.format(dim=_DIM, a='q.qv')}) AS cosine
+    FROM buck b CROSS JOIN q
+    WHERE (bit_count(xor(b.b0, q.qb0)) <= {_PROBE_RADIUS}
+           OR bit_count(xor(b.b1, q.qb1)) <= {_PROBE_RADIUS})
+      AND b.vec_id <> 0
+    ORDER BY cosine DESC, b.vec_id
+    LIMIT 10
+    """,
+)
+def sim_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH ANN: TWO independent 6-plane tables, each probed
+    at Hamming radius 2, candidates = the UNION of per-table probes —
+    the orthogonal recall lever to multiprobe radius (multiprobe widens
+    ONE partition of the sphere; an independent table REPARTITIONS it,
+    rescuing neighbors that straddle table-0 plane boundaries). Table 0
+    reuses sim_ann_multiprobe's planes, so the candidate set is a strict
+    superset and measured recall can only rise (tests/test_recall.py
+    pins both facts).
+
+    Scale: still one map-side pass — both buckets are per-row
+    expressions, the query row broadcasts both its bucket ids, and the
+    OR-of-two-popcounts filter runs before any shuffle; candidate
+    fan-in doubles at most. At 100 TB, tables trade storage/scan
+    (T× bucket columns) for recall without re-bucketing the corpus."""
+    emb = load(spark, sf_dir, "embeddings")
+    buck = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _bucket_expr_for(_PLANES, F.col("embedding")).alias("b0"),
+        _bucket_expr_for(_PLANES_T1, F.col("embedding")).alias("b1"),
+    )
+    q = buck.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        F.col("b0").alias("qb0"),
+        F.col("b1").alias("qb1"),
+        _norm(F.col("embedding")).alias("nq"),
+    )
+    probe = (
+        F.bit_count(F.col("b0").bitwiseXOR(F.col("qb0"))) <= _PROBE_RADIUS
+    ) | (
+        F.bit_count(F.col("b1").bitwiseXOR(F.col("qb1"))) <= _PROBE_RADIUS
+    )
+    cosine = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * F.col("nq")
+    )
+    return (
+        buck.crossJoin(F.broadcast(q))
+        .filter(probe & (F.col("vec_id") != 0))
         .select("vec_id", "label", cosine.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)

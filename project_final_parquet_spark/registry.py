@@ -126,6 +126,7 @@ ROUND6_QUEUE: list[str] = [
     "sim_mmr_diversify",
     "pack_length_buckets",
     "dedup_band_tuning_curve",
+    "sim_ann_multitable",
 ]
 
 # Round-5 window (positions 1-50) — the full-registry-closure round:

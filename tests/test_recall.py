@@ -30,3 +30,18 @@ def test_multiprobe_radius_is_the_recall_knob(spark, sf_dir):
     # query probes radius 2, radius 3 clears the 0.8 bar
     assert recall[2] >= 0.7
     assert recall[3] >= 0.8
+
+
+def test_multitable_union_dominates_single_table(spark, sf_dir):
+    """A second independent plane table at the same radius: candidates
+    are a strict superset of sim_ann_multiprobe's (table 0 IS its
+    planes), so recall can only rise — and on this corpus it does."""
+    from project_final_parquet_spark.operators.similarity import (
+        sim_ann_multitable,
+    )
+
+    exact = set(_ids(sim_topk_cosine(spark, sf_dir)))
+    single = len(set(_ids(ann_multiprobe(spark, sf_dir, radius=2))) & exact)
+    multi = len(set(_ids(sim_ann_multitable(spark, sf_dir))) & exact)
+    assert multi >= single
+    assert multi / len(exact) >= 0.7

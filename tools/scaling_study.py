@@ -97,6 +97,20 @@ BATTERY4 = [
 ]
 
 
+# --battery5: the round-5 sixth-session additions (retrieval
+# composition, batch shaping, LSH tuning) + the novelty curve that
+# postdated battery4. The fixed-size stages (RRF fusion, MMR greedy,
+# band-curve pair set) should keep the 10x ratio dominated by their
+# corpus-scale first stages.
+BATTERY5 = [
+    "sim_hybrid_rrf",            # BM25 scoring + cosine + 2 TakeOrdered
+    "sim_mmr_diversify",         # TakeOrdered shortlist + constant greedy
+    "pack_length_buckets",       # map-side count + bucket window
+    "dedup_band_tuning_curve",   # capped eval pair set (constant) + scan
+    "text_ngram_novelty",        # char-gram explode + first-occurrence agg
+]
+
+
 def _stride(spark, name: str) -> int:
     if name == "events_user":
         df = spark.read.parquet(f"{SRC_SF}/events.parquet")
@@ -180,6 +194,8 @@ def main() -> None:
 
         for _, d in sfs:
             cdf_lake(spark, d)
+    if "--battery5" in sys.argv:
+        battery = BATTERY5
     results: dict[str, dict[str, float]] = {}
     for name in battery:
         results[name] = {}
