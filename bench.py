@@ -112,6 +112,13 @@ HEADLINE = [
     "pack_length_buckets",
     "dedup_band_tuning_curve",
     "sim_ann_multitable",
+    # round-5 seventh-session additions (ROUND6_QUEUE tail)
+    "graph_jaccard_link_prediction",
+    "events_anomaly_mad",
+    "dq_k_anonymity",
+    "mm_audio_vad_segments",
+    "ml_linear_probe_auc",
+    "events_ab_srm_check",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

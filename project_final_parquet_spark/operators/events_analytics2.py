@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..registry import query
+from ..registry import DSUM_SQL, dsum, query
 from ..tables import load
 
 _DAY_US = 86_400_000_000
@@ -600,3 +600,171 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cusum_scaled"), "day")
         .limit(5)
     )
+
+
+# --- robust anomaly detection: median absolute deviation --------------------
+
+
+@query(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+             {DSUM_SQL.format(expr="value")} AS total
+      FROM events GROUP BY event_type, day
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER
+                  (PARTITION BY event_type ORDER BY total, day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM d
+    ),
+    m AS (
+      SELECT event_type,
+             (MAX(CASE WHEN rn = (n + 1) // 2 THEN total END)
+              + MAX(CASE WHEN rn = n // 2 + 1 THEN total END)) / 2 AS med
+      FROM r GROUP BY event_type
+    ),
+    a AS (
+      SELECT d.event_type, d.day, d.total, m.med,
+             ABS(d.total - m.med) AS absdev
+      FROM d JOIN m USING (event_type)
+    ),
+    r2 AS (
+      SELECT *, ROW_NUMBER() OVER
+                  (PARTITION BY event_type ORDER BY absdev, day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM a
+    ),
+    md AS (
+      SELECT event_type,
+             (MAX(CASE WHEN rn = (n + 1) // 2 THEN absdev END)
+              + MAX(CASE WHEN rn = n // 2 + 1 THEN absdev END)) / 2 AS mad
+      FROM r2 GROUP BY event_type
+    )
+    SELECT a.event_type, CAST(a.day AS BIGINT) AS day, a.total, a.med,
+           md.mad, a.absdev / md.mad AS robust_score
+    FROM a JOIN md USING (event_type)
+    WHERE md.mad > 0 AND a.absdev > 3 * md.mad
+    ORDER BY event_type, day
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-revenue anomalies per event type: days whose
+    DECIMAL-exact daily value total deviates from the type's MEDIAN by
+    more than 3x the median absolute deviation. The mean/stddev z-score
+    (events_anomaly_zscore) is itself dragged by the outliers it hunts;
+    the median/MAD pair has a 50% breakdown point — the robust twin
+    every production monitor runs alongside it.
+
+    Cross-engine medians WITHOUT trusting either engine's interpolation
+    kernel: rank the group (row_number, day tiebreak), then avg the
+    values at positions (n+1)//2 and n//2+1 explicitly — for odd n both
+    land on the middle row ((a+a)/2 == a exactly), for even n this is
+    (a+b)/2 computed with the same two IEEE ops in both engines. Spark's
+    percentile interpolation (lower + (higher-lower)*frac) and DuckDB's
+    quantile_cont are NOT guaranteed bit-identical, so neither is used.
+
+    Scale: daily totals are one map-side-combined shuffle on
+    (event_type, day); everything after runs on the |types| x |days|
+    aggregate frame (tiny at any corpus size), and the two ranking
+    windows partition on event_type — no unpartitioned window, no
+    second pass over raw events."""
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.expr(f"ts_us div {_DAY_US}").alias("day"),
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(dsum(F.col("value")).alias("total"))
+    )
+    by_type = W.partitionBy("event_type")
+
+    def group_median(frame: DataFrame, val: str, out: str) -> DataFrame:
+        r = frame.withColumn(
+            "rn", F.row_number().over(by_type.orderBy(val, "day"))
+        ).withColumn("n", F.count(F.lit(1)).over(by_type))
+        lo = F.max(F.when(F.expr("rn = (n + 1) div 2"), F.col(val)))
+        hi = F.max(F.when(F.expr("rn = n div 2 + 1"), F.col(val)))
+        return r.groupBy("event_type").agg(((lo + hi) / 2).alias(out))
+
+    m = group_median(d, "total", "med")
+    a = d.join(m, "event_type").withColumn(
+        "absdev", F.abs(F.col("total") - F.col("med"))
+    )
+    md = group_median(a, "absdev", "mad")
+    return (
+        a.join(md, "event_type")
+        .filter((F.col("mad") > 0) & (F.col("absdev") > 3 * F.col("mad")))
+        .select(
+            "event_type",
+            F.col("day").cast("long").alias("day"),
+            "total",
+            "med",
+            "mad",
+            (F.col("absdev") / F.col("mad")).alias("robust_score"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# --- A/B sample-ratio-mismatch check ---------------------------------------
+
+
+@query(
+    "events_ab_srm_check",
+    oracle="""
+    WITH exposed AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    counts AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b
+      FROM exposed GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) AS chi2,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+             > 3.841 AS srm_flag
+    FROM counts ORDER BY event_type
+    """,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the A/B assignment that
+    events_abtest_lift analyzes (user_id % 2 — the same hash split):
+    per exposure surface (event_type), count distinct users landing in
+    each arm and chi-square-test the observed split against the
+    designed 50/50. For two cells with expected n/2 the statistic
+    collapses to the closed form (n_a−n_b)²/n — exact BIGINT algebra
+    until one final double division — flagged at the 95% critical
+    value 3.841. SRM is the first gate every experimentation platform
+    runs: a lift read on a mismatched split is invalid regardless of
+    its p-value.
+
+    Scale: one distinct on (event_type, user_id) — map-side combined,
+    the only shuffle — then a bounded-cardinality rollup; no raw-event
+    second pass, no per-user state."""
+    ev = load(spark, sf_dir, "events")
+    exposed = ev.select("event_type", "user_id").distinct()
+    counts = exposed.groupBy("event_type").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    diff = F.col("n_a") - F.col("n_b")
+    chi2 = (diff * diff).cast("double") / (F.col("n_a") + F.col("n_b"))
+    return counts.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        chi2.alias("chi2"),
+        (chi2 > 3.841).alias("srm_flag"),
+    ).orderBy("event_type")

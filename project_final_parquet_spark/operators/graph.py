@@ -345,3 +345,146 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("n_wedges"), F.lit(0)),
         )
     )
+
+
+# --- link prediction: common-neighbor Jaccard ------------------------------
+
+
+@query(
+    "graph_jaccard_link_prediction",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_orderkey AS ok, l1.l_partkey AS a,
+             l2.l_partkey AS b
+      FROM lineitem l1
+      JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    edges AS (
+      SELECT a, b FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2
+    ),
+    adj AS (
+      SELECT a AS v, b AS w FROM edges
+      UNION ALL SELECT b AS v, a AS w FROM edges
+    ),
+    deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY v),
+    cand AS (
+      SELECT n1.v AS u, n2.v AS w, COUNT(*) AS common
+      FROM adj n1 JOIN adj n2 ON n1.w = n2.w AND n1.v < n2.v
+      GROUP BY n1.v, n2.v
+    ),
+    new_links AS (
+      SELECT c.u, c.w, c.common
+      FROM cand c
+      LEFT JOIN edges e ON e.a = c.u AND e.b = c.w
+      WHERE e.a IS NULL
+    )
+    SELECT nl.u AS u, nl.w AS w,
+           CAST(nl.common AS BIGINT) AS common_neighbors,
+           CAST(du.d AS BIGINT) AS deg_u, CAST(dw.d AS BIGINT) AS deg_w,
+           CAST(nl.common AS BIGINT)
+             / CAST(du.d + dw.d - nl.common AS BIGINT) AS jaccard
+    FROM new_links nl
+    JOIN deg du ON du.v = nl.u
+    JOIN deg dw ON dw.v = nl.w
+    ORDER BY common_neighbors DESC, jaccard DESC, u, w
+    LIMIT 20
+    """,
+)
+def graph_jaccard_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Link prediction on the part co-purchase graph: for every
+    NON-adjacent pair with at least one common neighbor, score by
+    neighbor-set Jaccard |N(u)∩N(w)| / |N(u)∪N(w)| and keep the top-20
+    candidate links — the classic common-neighbors recommender (and the
+    candidate generator behind "bought together" suggestions).
+
+    Shares graph_triangle_count's edge definition (co-bought in >= 2
+    orders) so the two queries audit the same graph. The union size
+    needs no set materialization: |N(u)∪N(w)| = d(u)+d(w)-common, all
+    exact BIGINTs; jaccard is one bigint→double division (IEEE-
+    deterministic both engines).
+
+    Scale: candidate generation is the 2-path self-join keyed on the
+    SHARED middle vertex — cost Σ_x d(x)², the same bound as wedge
+    counting, never |V|². Existing edges leave via left_anti on the
+    oriented pair (u<w matches the edge orientation a<b, so one probe
+    side suffices). The top-20 compiles to TakeOrderedAndProject —
+    only 20 rows reach the driver. At production scale super-nodes are
+    degree-capped before the 2-path join (drop or sample x with d(x)
+    over the cap) — the standard mitigation, which only REMOVES
+    candidates scored against hub vertices.
+
+    The DERIVED edge list is materialized once (localCheckpoint — the
+    pipeline_e2e_pretrain precedent, so this query executes its edge
+    extraction at construction): the graph has seven downstream
+    consumers (two adjacency directions, two degree probes, the 2-path
+    self-join, the anti-join), and while exchange reuse serves the
+    shuffle, each consumer would still replay the post-shuffle
+    aggregate over the |order|²-pair stream — measured 21.4 s → 4.3 s
+    at sf0.1. The co-bought-twice filter collapses the edge list to a
+    vanishing fraction of lineitem (3.6 k edges from 600 k rows at
+    sf0.1), so the checkpoint is tiny at any corpus scale and AQE
+    broadcasts the downstream joins on its runtime size."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+    )
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("a", "b")
+        .localCheckpoint()  # tiny (see docstring); cluster: checkpoint()
+    )
+    adj = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("w")
+    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    n1, n2 = adj.alias("n1"), adj.alias("n2")
+    cand = (
+        n1.join(
+            n2,
+            (F.col("n1.w") == F.col("n2.w"))
+            & (F.col("n1.v") < F.col("n2.v")),
+        )
+        .groupBy(F.col("n1.v").alias("u"), F.col("n2.v").alias("w"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    new_links = cand.join(
+        edges,
+        (cand["u"] == edges["a"]) & (cand["w"] == edges["b"]),
+        "left_anti",
+    )
+    du = deg.select(F.col("v").alias("u"), F.col("d").alias("deg_u"))
+    dw = deg.select(F.col("v").alias("w"), F.col("d").alias("deg_w"))
+    scored = (
+        new_links.join(du, "u")
+        .join(dw, "w")
+        .select(
+            "u",
+            "w",
+            F.col("common").cast("long").alias("common_neighbors"),
+            F.col("deg_u").cast("long").alias("deg_u"),
+            F.col("deg_w").cast("long").alias("deg_w"),
+            (
+                F.col("common").cast("long").cast("double")
+                / (F.col("deg_u") + F.col("deg_w") - F.col("common"))
+                .cast("long")
+                .cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("common_neighbors"), F.desc("jaccard"), "u", "w"
+    ).limit(20)

@@ -236,3 +236,87 @@ def embeddings_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- k-anonymity audit ------------------------------------------------------
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             c_mktsegment AS segment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM customer
+      GROUP BY 1, 2, 3
+    ),
+    risk AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN n_rows < 5 THEN n_rows END), 0)
+                  AS BIGINT) AS at_risk_rows,
+             CAST(SUM(n_rows) AS BIGINT) AS total_rows
+      FROM cells
+    )
+    SELECT c.nation, c.segment, c.bal_bucket, c.n_rows,
+           r.at_risk_rows, r.total_rows,
+           CAST(r.at_risk_rows AS DOUBLE) / r.total_rows AS at_risk_frac
+    FROM cells c CROSS JOIN risk r
+    WHERE c.n_rows < 5
+    ORDER BY c.nation, c.segment, c.bal_bucket
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the customer quasi-identifiers
+    (nation, market segment, account-balance band): every combination
+    matched by fewer than k individuals is a re-identification risk the
+    release pipeline must generalize or suppress — the governance check
+    that runs before any user-level table leaves the trust boundary.
+
+    Output: each risky cell with its population, plus the global
+    exposure (rows in risky cells / total rows) carried on every row so
+    the one flat table answers both "which cells" and "how bad". The
+    balance band is floor(acctbal/1000) — double division + floor,
+    bit-identical both engines.
+
+    Scale: one map-side-combined groupBy on the QI tuple (cell count is
+    bounded by the QI domain, not row count); the global risk numbers
+    aggregate the CELL table (already tiny) and broadcast back over it.
+    Raising generalization (wider bands, region over nation) until the
+    risky set empties is the standard remediation loop — each step is
+    the same one-shuffle query on a coarser key."""
+    cells = (
+        load(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias(
+                "bal_bucket"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    risk = cells.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("n_rows") < 5, F.col("n_rows"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("at_risk_rows"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+    )
+    return (
+        cells.filter(F.col("n_rows") < 5)
+        .crossJoin(F.broadcast(risk))
+        .select(
+            "nation",
+            "segment",
+            "bal_bucket",
+            "n_rows",
+            "at_risk_rows",
+            "total_rows",
+            (
+                F.col("at_risk_rows").cast("double") / F.col("total_rows")
+            ).alias("at_risk_frac"),
+        )
+        .orderBy("nation", "segment", "bal_bucket")
+    )

@@ -334,3 +334,136 @@ def embeddings_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --- linear-probe AUC -------------------------------------------------------
+
+
+@query(
+    "ml_linear_probe_auc",
+    oracle=f"""
+    WITH w AS (
+      SELECT i AS dim,
+             SUM(CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE)
+                            * {_VSCALE}) AS BIGINT)) AS s,
+             COUNT(*) AS c
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range({_DIM})) AS i) idx
+      WHERE label = 0
+      GROUP BY i
+    ),
+    wl AS (
+      SELECT list(CAST(s AS DOUBLE) / c / {_VSCALE} ORDER BY dim) AS wv
+      FROM w
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             list_aggregate(list_transform(range({_DIM}),
+               j -> CAST(e.embedding[j + 1] AS DOUBLE) * wv[j + 1]),
+               'sum') AS score
+      FROM embeddings e CROSS JOIN wl
+    ),
+    ranked AS (
+      SELECT label, ROW_NUMBER() OVER (ORDER BY score, vec_id) AS rn
+      FROM scored
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+             CAST(SUM(CASE WHEN label <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_neg,
+             CAST(SUM(CASE WHEN label = 0 THEN rn ELSE 0 END) AS BIGINT)
+               AS rank_sum
+      FROM ranked
+    )
+    SELECT n_pos, n_neg, rank_sum,
+           CAST(rank_sum - (n_pos * (n_pos + 1)) // 2 AS DOUBLE)
+             / (n_pos * n_neg) AS auc
+    FROM agg
+    """,
+)
+def ml_linear_probe_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-probe separability of the embedding space: score every
+    vector against the label-0 class centroid and report the
+    Mann-Whitney AUC of that one-weight-layer classifier — the standard
+    cheap probe for "does this embedding space already separate the
+    class" before any training run.
+
+    Exactness chain: the centroid uses the module's FLOOR-SCALED BIGINT
+    sums (no decimal tie-rounding hazard on raw floats), the score is
+    the shared left-fold dot (bit-identical both engines), and AUC
+    comes from the rank-sum identity U = Σrank_pos − n_pos(n_pos+1)/2 —
+    pure BIGINTs until the single final division. Rank ties break by
+    vec_id (identical scores both engines ⇒ identical ranks), so the
+    whole output is deterministic; the in-sample nature of the probe
+    (centroid fit on the same rows it scores) is the convention for
+    this audit and is stated here deliberately.
+
+    Scale: the centroid is one map-side-combined groupBy over dims
+    (64 rows out), broadcast back as a single array row; scoring is
+    map-side. The global rank is the one sort — at corpus scale the
+    exact form stays viable because ranking is a single
+    sort-of-doubles (Spark range-partitions it); past that, the
+    binned/histogram AUC estimator replaces the exact rank in the
+    same pipeline shape."""
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.filter(F.col("label") == 0).select(
+        F.posexplode("embedding").alias("dim", "v")
+    )
+    w = flat.groupBy("dim").agg(
+        F.sum(
+            F.floor(F.col("v").cast("double") * _VSCALE).cast("long")
+        ).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    wl = w.select(
+        F.struct(
+            "dim",
+            (F.col("s").cast("double") / F.col("c") / _VSCALE).alias("wj"),
+        ).alias("p")
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list("p")), lambda x: x["wj"]
+        ).alias("wv")
+    )
+    scored = emb.crossJoin(F.broadcast(wl)).select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("wv"),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("score"),
+    )
+    from pyspark.sql import Window as W
+
+    ranked = scored.select(
+        "label", F.row_number().over(W.orderBy("score", "vec_id")).alias("rn")
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("label") != 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_neg"),
+        F.sum(F.when(F.col("label") == 0, F.col("rn")).otherwise(0))
+        .cast("long")
+        .alias("rank_sum"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "rank_sum",
+        (
+            (
+                F.col("rank_sum")
+                - F.expr("(n_pos * (n_pos + 1)) div 2")
+            ).cast("double")
+            / (F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )

@@ -127,6 +127,12 @@ ROUND6_QUEUE: list[str] = [
     "pack_length_buckets",
     "dedup_band_tuning_curve",
     "sim_ann_multitable",
+    "graph_jaccard_link_prediction",
+    "events_anomaly_mad",
+    "dq_k_anonymity",
+    "mm_audio_vad_segments",
+    "ml_linear_probe_auc",
+    "events_ab_srm_check",
 ]
 
 # Round-5 window (positions 1-50) — the full-registry-closure round:

@@ -111,6 +111,20 @@ BATTERY5 = [
 ]
 
 
+# --battery6: the round-5 seventh-session additions (link prediction,
+# robust MAD anomalies, k-anonymity, audio VAD, probe AUC, SRM). The
+# link-prediction edge list rides the basket-bounded pair join; VAD is
+# a pure map-side Python stage; the rest are aggregate-frame work.
+BATTERY6 = [
+    "graph_jaccard_link_prediction",  # pair join + checkpointed graph
+    "events_anomaly_mad",             # day-grain medians via rank
+    "dq_k_anonymity",                 # QI-tuple groupBy + broadcast risk
+    "mm_audio_vad_segments",          # mapInPandas decode + frame math
+    "ml_linear_probe_auc",            # dim rollup + fold scores + 1 sort
+    "events_ab_srm_check",            # distinct + bounded rollup
+]
+
+
 def _stride(spark, name: str) -> int:
     if name == "events_user":
         df = spark.read.parquet(f"{SRC_SF}/events.parquet")
@@ -196,6 +210,8 @@ def main() -> None:
             cdf_lake(spark, d)
     if "--battery5" in sys.argv:
         battery = BATTERY5
+    if "--battery6" in sys.argv:
+        battery = BATTERY6
     results: dict[str, dict[str, float]] = {}
     for name in battery:
         results[name] = {}
