@@ -119,6 +119,10 @@ HEADLINE = [
     "mm_audio_vad_segments",
     "ml_linear_probe_auc",
     "events_ab_srm_check",
+    "mm_video_scene_cuts",
+    "sample_kcenter_coreset",
+    "events_forecast_backtest",
+    "graph_label_propagation",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

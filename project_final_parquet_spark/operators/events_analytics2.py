@@ -768,3 +768,95 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2"),
         (chi2 > 3.841).alias("srm_flag"),
     ).orderBy("event_type")
+
+
+# --- forecast baseline backtest ---------------------------------------------
+
+
+@query(
+    "events_forecast_backtest",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+             {DSUM_SQL.format(expr="value")} AS total
+      FROM events GROUP BY event_type, day
+    ),
+    l AS (
+      SELECT *,
+             LAG(total, 1) OVER (PARTITION BY event_type ORDER BY day)
+               AS f_naive,
+             LAG(total, 7) OVER (PARTITION BY event_type ORDER BY day)
+               AS f_seas
+      FROM d
+    ),
+    a AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days_tested,
+             {DSUM_SQL.format(expr="abs(total - f_naive)")} / COUNT(*)
+               AS mae_naive,
+             {DSUM_SQL.format(expr="abs(total - f_seas)")} / COUNT(*)
+               AS mae_seasonal
+      FROM l WHERE f_naive IS NOT NULL AND f_seas IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n_days_tested, mae_naive, mae_seasonal,
+           CASE WHEN mae_seasonal < mae_naive THEN 'seasonal'
+                WHEN mae_seasonal > mae_naive THEN 'naive'
+                ELSE 'tie' END AS winner
+    FROM a ORDER BY event_type
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline backtest per event type: walk the daily-value
+    series and score the two baselines every forecasting effort must
+    beat — naive (yesterday's total) and seasonal-naive (the total 7
+    observed days back) — by mean absolute error over every day where
+    both have history. The winner column is the one-line answer to
+    "does this series have weekly structure worth modeling".
+
+    Lags are ROWS-based over OBSERVED days (gap days don't shift the
+    seasonal index — the convention events_gap_fill exists to change);
+    daily totals and both MAE numerators use the DECIMAL(38,10)
+    order-independent sum, so every emitted double is deterministic.
+
+    Scale: one map-side-combined shuffle to day grain; the lag window
+    and the backtest aggregate both partition on event_type over the
+    |types|×|days| frame — no second pass over raw events, same shape
+    as events_anomaly_mad."""
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.expr(f"ts_us div {_DAY_US}").alias("day"),
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(dsum(F.col("value")).alias("total"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    l = d.select(
+        "event_type",
+        "total",
+        F.lag("total", 1).over(w).alias("f_naive"),
+        F.lag("total", 7).over(w).alias("f_seas"),
+    ).filter(F.col("f_naive").isNotNull() & F.col("f_seas").isNotNull())
+    a = l.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_tested"),
+        (
+            dsum(F.abs(F.col("total") - F.col("f_naive")))
+            / F.count(F.lit(1))
+        ).alias("mae_naive"),
+        (
+            dsum(F.abs(F.col("total") - F.col("f_seas")))
+            / F.count(F.lit(1))
+        ).alias("mae_seasonal"),
+    )
+    return a.select(
+        "event_type",
+        "n_days_tested",
+        "mae_naive",
+        "mae_seasonal",
+        F.when(F.col("mae_seasonal") < F.col("mae_naive"), "seasonal")
+        .when(F.col("mae_seasonal") > F.col("mae_naive"), "naive")
+        .otherwise("tie")
+        .alias("winner"),
+    ).orderBy("event_type")

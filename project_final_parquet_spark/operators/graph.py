@@ -488,3 +488,125 @@ def graph_jaccard_link_prediction(
     return scored.orderBy(
         F.desc("common_neighbors"), F.desc("jaccard"), "u", "w"
     ).limit(20)
+
+
+# --- label propagation (community detection) -------------------------------
+
+_LPA_ROUNDS = 2
+
+
+def _lpa_oracle() -> str:
+    edges = """
+    pairs AS (
+      SELECT DISTINCT l1.l_orderkey AS ok, l1.l_partkey AS a,
+             l2.l_partkey AS b
+      FROM lineitem l1
+      JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    edges AS (
+      SELECT a, b FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2
+    ),
+    adj AS (
+      SELECT a AS v, b AS w FROM edges
+      UNION ALL SELECT b AS v, a AS w FROM edges
+    ),
+    l0 AS (SELECT DISTINCT v, v AS label FROM adj)"""
+    rounds = []
+    for i in range(1, _LPA_ROUNDS + 1):
+        prev = f"l{i - 1}"
+        rounds.append(f"""
+    c{i} AS (
+      SELECT a.v, l.label, COUNT(*) AS c
+      FROM adj a JOIN {prev} l ON l.v = a.w
+      GROUP BY a.v, l.label
+    ),
+    l{i} AS (
+      SELECT v, label FROM (
+        SELECT v, label,
+               ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label)
+                 AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    )""")
+    return (
+        "WITH " + edges + "," + ",".join(rounds) + f"""
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS size
+    FROM l{_LPA_ROUNDS}
+    GROUP BY label ORDER BY size DESC, label LIMIT 20
+    """
+    )
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-purchase graph by semi-synchronous
+    label propagation: init label(v)=v, then each round every vertex
+    adopts the MOST FREQUENT label among its neighbors (ties → smallest
+    label — the determinism rule that makes LPA reproducible across
+    engines and runs, which vanilla random-tie LPA is not). Two rounds
+    here (the oracle unrolls them; production runs the same per-round
+    plan until the changed-count hits zero, exactly like
+    graph_pagerank's ε-stop twin), then the top-20 communities by size
+    — the category-cluster signal behind "customers also shop this
+    aisle" groupings.
+
+    Scale: one round = one join of the adjacency list with the label
+    frame (co-partitioned on the neighbor key) + a (v,label) count and
+    an argmax window partitioned BY VERTEX — all keyed shuffles, state
+    is one label per vertex, never a matrix. The shared edge list is
+    localCheckpointed once (same graph and same reason as
+    graph_jaccard_link_prediction: multiple consumers of a derived
+    subtree); per-round frames are localCheckpointed per the registry
+    iterative-query contract."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+    )
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    adj = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("w")
+    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
+    labels = adj.select("v").distinct().withColumn("label", F.col("v"))
+    from pyspark.sql import Window as W
+
+    for _ in range(_LPA_ROUNDS):
+        nl = adj.join(
+            labels.withColumnRenamed("v", "w"), "w"
+        ).select("v", "label")
+        cnt = nl.groupBy("v", "label").agg(F.count(F.lit(1)).alias("c"))
+        rn = F.row_number().over(
+            W.partitionBy("v").orderBy(F.desc("c"), "label")
+        )
+        labels = (
+            cnt.withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select("v", "label")
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("size").cast("long").alias("size"),
+        )
+        .orderBy(F.desc("size"), "label")
+        .limit(20)
+    )

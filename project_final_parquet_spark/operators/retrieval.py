@@ -301,3 +301,135 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("pick_order", "vec_id", "mmr_score").orderBy(
         "pick_order"
     )
+
+
+# --- k-center coreset selection ---------------------------------------------
+
+_KC_K = 8  # coreset size (seed + 7 greedy farthest-point picks)
+
+
+def _kc_dist_sql(m: str, p: str) -> str:
+    """Cosine distance 1 - dot/(norm·norm) with PRE-HOISTED norms (nv
+    carried on both frames — the same fold both engines run)."""
+    return (
+        f"1 - {_DOT_SQL.format(dim=_DIM, a=f'{m}.embedding', b=f'{p}.embedding')}"
+        f" / ({m}.nv * {p}.nv)"
+    )
+
+
+def _kcenter_oracle() -> str:
+    """Greedy farthest-point unrolled as MATERIALIZED chained CTEs (the
+    sim_mmr_diversify lesson: inlined, each round re-expands the whole
+    prefix exponentially)."""
+    norm = _NORM_SQL.format(dim=_DIM, a="embedding")
+    ctes = [
+        f"n AS MATERIALIZED (SELECT vec_id, embedding, {norm} AS nv"
+        "  FROM embeddings)",
+        "p1 AS MATERIALIZED (SELECT vec_id, embedding, nv FROM n"
+        "  WHERE vec_id = 0)",
+        f"m1 AS MATERIALIZED (SELECT m.vec_id, m.embedding, m.nv,"
+        f"  {_kc_dist_sql('m', 'p')} AS mind"
+        "  FROM n m, p1 p WHERE m.vec_id <> 0)",
+    ]
+    for i in range(2, _KC_K + 1):
+        prev = f"m{i - 1}"
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT * FROM {prev}"
+            f"  ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        if i < _KC_K:
+            ctes.append(
+                f"m{i} AS MATERIALIZED (SELECT m.vec_id, m.embedding,"
+                f"  m.nv, LEAST(m.mind, {_kc_dist_sql('m', 'p')}) AS mind"
+                f"  FROM {prev} m, p{i} p WHERE m.vec_id <> p.vec_id)"
+            )
+    selects = [
+        "SELECT CAST(1 AS BIGINT) AS pick_order,"
+        " CAST(0 AS BIGINT) AS vec_id, CAST(0.0 AS DOUBLE) AS radius"
+    ] + [
+        f"SELECT CAST({i} AS BIGINT), CAST(vec_id AS BIGINT), mind"
+        f" FROM p{i}"
+        for i in range(2, _KC_K + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY pick_order"
+    )
+
+
+@query("sample_kcenter_coreset", oracle=_kcenter_oracle())
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center coreset selection over the embedding corpus: greedy
+    farthest-point traversal (seed vec_id=0, then 7 picks, each the
+    vector MAXIMIZING its min cosine distance to everything selected;
+    ties → lower vec_id). The emitted radius sequence is the coverage
+    radius after each pick — the classic data-pruning diagnostic
+    (coreset selection keeps the most-spread examples; the 2-approx
+    guarantee of greedy k-center is why every curation stack uses it).
+    Extends the sampling family (sample_*) with the geometry-aware
+    selector the random/stratified samplers can't express.
+
+    Each round is ONE corpus-wide aggregate: the running min-distance
+    frame carries (vec_id, mind), the new pick broadcasts (1 row with
+    its pre-hoisted norm), and the update is LEAST(mind, dist-to-pick)
+    — O(k·N·dim) total work, no pairwise matrix anywhere. The running
+    frame is localCheckpointed per round (the registry
+    iterative-query contract — executes at construction); at cluster
+    scale the same loop runs with checkpoint() and the argmax is a
+    TakeOrdered(1). The oracle unrolls the identical greedy as
+    MATERIALIZED chained CTEs (the sim_mmr_diversify lesson)."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nv"))
+    seed = n.filter(F.col("vec_id") == 0)
+
+    def dist_to(pick):
+        p = pick.select(
+            F.col("embedding").alias("pe"), F.col("nv").alias("pn")
+        )
+        return p, 1 - _dot(F.col("embedding"), F.col("pe")) / (
+            F.col("nv") * F.col("pn")
+        )
+
+    p, d = dist_to(seed)
+    m = (
+        n.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(p))
+        .select("vec_id", "embedding", "nv", d.alias("mind"))
+        .localCheckpoint()
+    )
+    rows = [
+        seed.select(
+            F.lit(1).cast("long").alias("pick_order"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.lit(0.0).alias("radius"),
+        )
+    ]
+    for i in range(2, _KC_K + 1):
+        pick = (
+            m.orderBy(F.desc("mind"), "vec_id").limit(1).localCheckpoint()
+        )
+        rows.append(
+            pick.select(
+                F.lit(i).cast("long").alias("pick_order"),
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.col("mind").alias("radius"),
+            )
+        )
+        if i < _KC_K:
+            p, d = dist_to(pick)
+            m = (
+                m.join(pick.select("vec_id"), "vec_id", "left_anti")
+                .crossJoin(F.broadcast(p))
+                .select(
+                    "vec_id",
+                    "embedding",
+                    "nv",
+                    F.least(F.col("mind"), d).alias("mind"),
+                )
+                .localCheckpoint()
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("pick_order")

@@ -133,6 +133,10 @@ ROUND6_QUEUE: list[str] = [
     "mm_audio_vad_segments",
     "ml_linear_probe_auc",
     "events_ab_srm_check",
+    "mm_video_scene_cuts",
+    "sample_kcenter_coreset",
+    "events_forecast_backtest",
+    "graph_label_propagation",
 ]
 
 # Round-5 window (positions 1-50) — the full-registry-closure round:
