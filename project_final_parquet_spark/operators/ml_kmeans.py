@@ -12,14 +12,26 @@ iterative float algorithm):
 - fixed iteration count (the cross-engine-comparable form of a
   convergence loop).
 
-Scale (100 TB): each iteration is one broadcast of k×64 centroid values
-+ one map-side assignment + one (cluster, dim)-keyed partial-agg shuffle
-whose size is k×64 rows per task — the textbook distributed k-means
-shuffle budget. The iteration loop lives on the driver; data never does.
+Scale (100 TB): the iteration state is k×64 doubles and lives on the
+DRIVER (the MLlib pattern): each round ships the centroids inside an
+Arrow-vectorized assignment UDF (numpy argmin per batch — see
+``_assign_udf`` for why built-in HOFs lose here), then ONE aggregation
+collects k×dim rows of (count, scaled-integer sum) back to the driver —
+no crossJoin, no per-vector window shuffle, no localCheckpoint blocks.
+Per round the cluster shuffles k×dim longs per task (map-side partial
+aggs) and the driver holds k×64 doubles; data rows never shuffle at
+all. The returned assignment frame is a fully LAZY projection over the
+source — the only eager work at construction is the (iters-1) tiny
+stats collects. (The round-5 form — crossJoin + row_number window +
+localCheckpoint per round — measured 6.1 s at sf0.1 isolated and
+151.7 s under suite memory pressure, BENCH_r05; this form is one
+map-side pass per round.)
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -101,15 +113,146 @@ def _kmeans_oracle() -> str:
 # --- Spark implementation --------------------------------------------------
 
 
-def _spark_dist(vec, cent):
-    diff2 = F.zip_with(
-        vec,
-        cent,
-        lambda x, y: F.floor(
-            (x.cast("double") - y) * (x.cast("double") - y) * _DSCALE
-        ),
+def _assign_udf(cents: list[tuple[int, list[float]]]):
+    """argmin by (dist, cid) over driver-held centroids, as an
+    Arrow-vectorized pandas UDF.
+
+    Why a UDF here and not built-ins: the distance is a 64-term fold, so
+    the builtin forms are (a) zip_with+aggregate HOFs — interpreted, no
+    codegen, measured ~70 µs/row, and 64× worse when a downstream
+    posexplode collapses the projection into the Generate — or (b) an
+    unrolled 128-deep expression tree, measured 3× slower still (defeats
+    codegen; see SCALE.md "HOF fold"). NumPy does the same IEEE ops
+    SIMD-vectorized per Arrow batch, and ArrowEvalPython is a projection
+    barrier, so the assignment evaluates exactly once per row.
+
+    Bit-exactness vs the oracle: float32→float64 is exact; (v-c)·(v-c)
+    ·S elementwise and floor are the identical IEEE-754 ops; the per-dim
+    summands are int64 (exact, order-free); np.argmin takes the FIRST
+    minimum, and centroid columns are sorted by cid — exactly the
+    oracle's ROW_NUMBER ORDER BY dist, cid."""
+    from pyspark.sql.functions import pandas_udf
+
+    ids = np.array([int(cid) for cid, _ in cents], dtype=np.int64)
+    cmat = np.array([c for _, c in cents], dtype=np.float64)  # (k, dim)
+    dscale = float(_DSCALE)
+
+    @pandas_udf("long")
+    def assign(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int64")
+        vmat = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        dists = np.empty((vmat.shape[0], cmat.shape[0]), dtype=np.int64)
+        for j in range(cmat.shape[0]):
+            d = vmat - cmat[j]
+            dists[:, j] = (
+                np.floor(d * d * dscale).astype(np.int64).sum(axis=1)
+            )
+        return pd.Series(ids[np.argmin(dists, axis=1)])
+
+    return assign
+
+
+def _collect_init(emb: DataFrame) -> list[tuple[int, list[float]]]:
+    """c0 = embeddings of vec_id 0..k-1, as driver-side doubles."""
+    rows = (
+        emb.filter(F.col("vec_id") < _K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+        )
+        .collect()
     )
-    return F.aggregate(diff2, F.lit(0).cast("long"), lambda a, v: a + v)
+    return sorted((int(r["cid"]), list(r["c"])) for r in rows)
+
+
+def _stats_stage(cents: list[tuple[int, list[float]]]):
+    """mapInPandas partial-stats stage (the treeAggregate shape): per
+    Arrow batch, assign every vector (same numpy argmin as _assign_udf)
+    and emit per-cluster partials — k×dim long rows of (cid, d,
+    floor-scaled sum, count). Doing assignment AND the scaled sums in
+    ONE Python stage avoids the UDF-above-Generate trap (Catalyst
+    extracts a scalar pandas UDF ABOVE a posexplode in the same select,
+    re-serializing 64× the rows through Arrow — measured 3.7 s vs
+    0.9 s at sf1). Nested for by-value pickling."""
+    import numpy as _np
+    import pandas as _pd
+
+    ids = _np.array([int(cid) for cid, _ in cents], dtype=_np.int64)
+    cmat = _np.array([c for _, c in cents], dtype=_np.float64)
+    dscale, cscale = float(_DSCALE), float(_CSCALE)
+
+    def stage(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vmat = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            dists = _np.empty((vmat.shape[0], cmat.shape[0]), dtype=_np.int64)
+            for j in range(cmat.shape[0]):
+                d = vmat - cmat[j]
+                dists[:, j] = (
+                    _np.floor(d * d * dscale).astype(_np.int64).sum(axis=1)
+                )
+            assign = _np.argmin(dists, axis=1)
+            sv = _np.floor(vmat * cscale).astype(_np.int64)  # (n, dim)
+            out = {"cid": [], "d": [], "sv": [], "n": []}
+            for j in range(cmat.shape[0]):
+                mask = assign == j
+                n = int(mask.sum())
+                if n == 0:
+                    continue
+                sums = sv[mask].sum(axis=0)  # exact int64 per dim
+                out["cid"].extend([int(ids[j])] * sums.size)
+                out["d"].extend(range(sums.size))
+                out["sv"].extend(int(x) for x in sums)
+                out["n"].extend([n] * sums.size)
+            yield _pd.DataFrame(out)
+
+    return stage
+
+
+def _collect_stats(
+    emb: DataFrame, cents: list[tuple[int, list[float]]]
+) -> list[tuple[int, int, tuple[int, ...]]]:
+    """One aggregation pass: per (cluster, dim), the floor-scaled integer
+    sum and the cluster row count — k×dim tiny rows back to the driver.
+    The mapInPandas stage emits per-batch partials, so the shuffle moves
+    k×dim longs per batch regardless of row count."""
+    partials = emb.select("embedding").mapInPandas(
+        _stats_stage(cents), schema="cid long, d int, sv long, n long"
+    )
+    rows = (
+        partials.groupBy("cid", "d")
+        .agg(F.sum("sv").alias("sv"), F.sum("n").alias("n"))
+        .collect()
+    )
+    by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+    for r in rows:
+        by_cid.setdefault(int(r["cid"]), {})[int(r["d"])] = (
+            int(r["sv"]),
+            int(r["n"]),
+        )
+    return sorted(
+        (
+            cid,
+            dims[0][1],
+            tuple(dims[d][0] for d in range(_DIM)),
+        )
+        for cid, dims in by_cid.items()
+    )
+
+
+def _means(
+    stats: list[tuple[int, int, tuple[int, ...]]],
+) -> list[tuple[int, list[float]]]:
+    """Centroid means from integer stats, with the engines' exact cast
+    order: sum → double FIRST (float(s) is round-to-nearest, the same as
+    Spark's ``.cast("double")`` and DuckDB's ``CAST(... AS DOUBLE)``),
+    then two IEEE double divisions."""
+    return [
+        (cid, [(float(s) / float(_CSCALE)) / float(n) for s in sums])
+        for cid, n, sums in stats
+    ]
 
 
 def _lloyd(
@@ -117,74 +260,36 @@ def _lloyd(
 ) -> tuple[DataFrame, int]:
     """Run Lloyd iterations; returns (assignment frame, rounds executed).
 
-    ``converge=False``: exactly ``iters`` rounds (the oracle form).
-    ``converge=True``: stop as soon as a round leaves the assignment
-    unchanged (Lloyd's fixed point — once assignments repeat, centroids
-    repeat and so does every later round), bounded by ``iters``. The
-    stability probe is one join-count over the checkpointed (vec_id, cid)
-    frames — tiny next to the round's scoring pass."""
-    from pyspark.sql import Window as W
+    ``converge=False``: exactly ``iters`` assignment rounds (the oracle
+    form) — centroids are updated ``iters - 1`` times and the returned
+    frame assigns under the last update, exactly the CTE chain.
+    ``converge=True``: stop as soon as a round's cluster stats repeat
+    the previous round's (then the next centroid update is a no-op —
+    Lloyd's fixed point — and every later round is identical), bounded
+    by ``iters``. The probe is a driver-side tuple compare of the stats
+    the update pass already collected: free.
 
-    centroids = emb.filter(F.col("vec_id") < _K).select(
-        F.col("vec_id").alias("cid"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
-    )
-    assigned = None
+    The returned assignment frame is fully LAZY (a projection with the
+    final centroids as literals); the construction-time work is the
+    (rounds - 1) k-row stats collects. See the module docstring for the
+    scale story."""
+    cents = _collect_init(emb)
     rounds = 0
-    for _ in range(iters):
-        # assignment: broadcast k centroid arrays, argmin by (dist, cid)
-        scored = emb.crossJoin(F.broadcast(centroids)).select(
-            "vec_id",
-            "embedding",
-            "cid",
-            _spark_dist(F.col("embedding"), F.col("c")).alias("dist"),
-        )
-        w = W.partitionBy("vec_id").orderBy("dist", "cid")
-        # checkpoint the ASSIGNMENT (not the centroids): it truncates
-        # lineage equally, the final round's centroid update then never
-        # executes (nothing reads it), and the returned aggregation
-        # reuses the materialized assignment instead of recomputing it.
-        # NOTE: eager — this query executes during construction (see
-        # registry.py on iterative queries).
-        prev = assigned
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "cid")
-            .localCheckpoint()
-        )
+    prev_stats: list | None = None
+    for i in range(iters):
         rounds += 1
-        if converge and prev is not None:
-            moved = (
-                assigned.select("vec_id", "cid")
-                .join(
-                    prev.select(
-                        "vec_id", F.col("cid").alias("prev_cid")
-                    ),
-                    "vec_id",
-                )
-                .filter(F.col("cid") != F.col("prev_cid"))
-            )
-            if moved.isEmpty():
-                break
-        # update: exact per-dimension means via scaled-integer sums
-        exploded = assigned.select(
-            "cid", F.posexplode("embedding").alias("d", "val")
-        ).withColumn("sv", F.floor(F.col("val").cast("double") * _CSCALE))
-        per_dim = (
-            exploded.groupBy("cid", "d")
-            .agg(
-                (
-                    (F.sum("sv").cast("double") / _CSCALE) / F.count(F.lit(1))
-                ).alias("cd")
-            )
-        )
-        centroids = per_dim.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "cd"))),
-                lambda s: s["cd"],
-            ).alias("c")
-        )
+        if i == iters - 1:
+            break  # final round: assignment only, no update executes
+        stats = _collect_stats(emb, cents)
+        if converge and stats == prev_stats:
+            # assignment under ``cents`` equals the previous round's;
+            # centroids (and all later rounds) have stopped moving
+            break
+        prev_stats = stats
+        cents = _means(stats)
+    assigned = emb.select(
+        emb["*"], _assign_udf(cents)(F.col("embedding")).alias("cid")
+    )
     return assigned, rounds
 
 
@@ -261,10 +366,10 @@ def ml_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     assigned, _ = _lloyd(emb, _ITERS)
+    # the lazy assignment projection carries every emb column, so the
+    # label is already on the row — no join back to the source
     lab = (
-        assigned.select("vec_id", "cid")
-        .join(emb.select("vec_id", "label"), "vec_id")
-        .groupBy("cid", "label")
+        assigned.groupBy("cid", "label")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     w = Window.partitionBy("cid")
