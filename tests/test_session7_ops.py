@@ -195,6 +195,43 @@ def test_vad_parser_round_trips_real_wav_bytes():
         assert encode_wav(int(row.doc_id))[:4] == b"RIFF"
 
 
+def test_vad_parser_rejects_non_pcm16_mono():
+    """ADVICE r5: the stage's parser must enforce the same fmt-chunk
+    contract as parse_wav — a stereo, 8-bit, or non-PCM data chunk is
+    rejected, never misread as int16 mono."""
+    import struct
+
+    import pytest
+
+    parse = make_vad_stage().parse_samples
+
+    def wav(fmt_tag=1, channels=1, bits=16, with_fmt=True):
+        dat = struct.pack("<4sI", b"data", 4) + b"\x01\x02\x03\x04"
+        fmt = (
+            struct.pack(
+                "<4sIHHIIHH", b"fmt ", 16, fmt_tag, channels, 8000,
+                8000 * channels * bits // 8, channels * bits // 8, bits,
+            )
+            if with_fmt
+            else b""
+        )
+        return (
+            struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(dat), b"WAVE")
+            + fmt
+            + dat
+        )
+
+    assert list(parse(wav())) == [513, 1027]  # little-endian int16 pairs
+    for bad in (
+        wav(channels=2),
+        wav(bits=8),
+        wav(fmt_tag=3),
+        wav(with_fmt=False),
+    ):
+        with pytest.raises(ValueError):
+            parse(bad)
+
+
 # --- linear-probe AUC -------------------------------------------------------
 
 

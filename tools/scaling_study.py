@@ -125,6 +125,20 @@ BATTERY6 = [
 ]
 
 
+# --battery7: the round-5 eighth-session additions (video scene cuts,
+# k-center coreset, forecast backtest, label propagation) + the
+# round-6 ml_kmeans rework (driver-side centroids, Arrow assignment)
+# so the new iterative shape gets its own 10x record.
+BATTERY7 = [
+    "mm_video_scene_cuts",            # mapInPandas multi-frame decode
+    "sample_kcenter_coreset",         # k corpus aggregates + broadcasts
+    "events_forecast_backtest",       # day-grain lags + MAE rollup
+    "graph_label_propagation",        # per-round label join + argmax
+    "ml_kmeans",                      # driver centroids + Arrow argmin
+    "ml_cluster_purity",              # same + one (cid,label) rollup
+]
+
+
 def _stride(spark, name: str) -> int:
     if name == "events_user":
         df = spark.read.parquet(f"{SRC_SF}/events.parquet")
@@ -212,12 +226,20 @@ def main() -> None:
         battery = BATTERY5
     if "--battery6" in sys.argv:
         battery = BATTERY6
+    if "--battery7" in sys.argv:
+        battery = BATTERY7
     results: dict[str, dict[str, float]] = {}
     for name in battery:
         results[name] = {}
         for label, d in sfs:
             gc.collect()
             spark.catalog.clearCache()
+            try:  # same deterministic block cleanup as bench.py
+                for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                    rdd.unpersist()
+                spark._jvm.System.gc()
+            except Exception:
+                pass
             t0 = time.perf_counter()
             queries[name](spark, d).write.format("noop").mode("overwrite").save()
             results[name][label] = round(time.perf_counter() - t0, 3)
