@@ -123,6 +123,13 @@ HEADLINE = [
     "sample_kcenter_coreset",
     "events_forecast_backtest",
     "graph_label_propagation",
+    # round-6 additions (ROUND7_QUEUE): tracked from their first round
+    "dq_referential_integrity",
+    "events_churn_hazard",
+    "graph_kcore",
+    # round-6 rework: ml_cluster_purity joins the bench so the kmeans
+    # family's new driver-side-centroid shape is tracked on both paths
+    "ml_cluster_purity",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for
@@ -162,11 +169,22 @@ def main() -> None:
         # JVM ContextCleaner runs — without this, blocks pile up across
         # the run and the late heavy queries pay GC/memory pressure for
         # the early ones (measured: graph_pagerank 14.5s mid-suite vs
-        # 6.4s isolated, same code)
+        # 6.4s isolated, same code; the r5 DRIVER bench hit the same
+        # mode much harder on a loaded container — ml_kmeans 151.7 s vs
+        # 6.1 s isolated, BENCH_r05). gc+clearCache alone leaves the
+        # ContextCleaner's timing in charge, so ALSO unpersist every
+        # leftover persistent/checkpointed RDD deterministically and
+        # ask the JVM for a full GC before each timed query.
         import gc
 
         gc.collect()
         spark.catalog.clearCache()
+        try:
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+            spark._jvm.System.gc()
+        except Exception:
+            pass  # private API; isolation degrades gracefully
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

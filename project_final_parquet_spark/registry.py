@@ -24,12 +24,20 @@ the oracle SQL; deviations are bugs):
 5.  Any LIMIT/top-k is preceded by a TOTAL ordering (unique tiebreaker
     column included).
 
-Contract note — iterative queries (dedup_cluster_components, ml_kmeans,
-embeddings_top_eigenvector, events_markov_stationary) truncate lineage
-with eager localCheckpoint each round, so calling their query function
-EXECUTES the iterations at construction time; the returned DataFrame is
-the (cheap) final aggregation over materialized state. Every other
-query returns a fully lazy plan.
+Contract note — some queries materialize intermediate state at
+construction time (eager per-round localCheckpoint for iterative
+algorithms, a shared shortlist/edge-list checkpoint for multi-consumer
+plans, or driver-side algorithm state collected from tiny aggregates),
+so calling their query function EXECUTES work before the returned
+DataFrame is acted on; the returned frame is the cheap final plan over
+that state. The eager queries are: dedup_cluster_components,
+dedup_canonicalize, ml_kmeans, ml_cluster_purity (driver-side centroid
+collects), graph_pagerank, graph_jaccard_link_prediction,
+graph_label_propagation, events_markov_stationary,
+embeddings_top_eigenvector, sim_pq_trained, sim_mmr_diversify,
+sample_kcenter_coreset, graph_kcore, and pipeline_e2e_pretrain. Every
+other query returns a fully lazy plan. (tests/test_registry_lint.py
+keeps this list honest against the construction sites.)
 """
 
 from __future__ import annotations
@@ -139,56 +147,44 @@ ROUND6_QUEUE: list[str] = [
     "graph_label_propagation",
 ]
 
-# Round-5 window (positions 1-50) — the full-registry-closure round:
-#   1-19  ROUND5_QUEUE verbatim (the 19 post-r4-freeze additions; all
-#         local-oracle green in r4, never driver-gated). After this
-#         round, registry ∖ driver-gated-union = ∅.
-#   20-21 new this round, gated immediately per the r4
-#         mm_real_decode_stats precedent: events_rolling_distinct_hll
-#         (sketch twin of events_rolling_distinct, VERDICT r4 item 4)
-#         and src_avro_datasource (pure-Python Avro OCF connector —
-#         closes the one SURVEY §2 connector row the missing
-#         spark-avro module left open).
-#   22-50 freshness re-gates: 29 of the 44 queries whose only driver
-#         evidence is round 1 (the oldest green claims in the ledger) —
-#         the relational q2-q29 anchors + the encryption masking path.
-#         The 15 remaining r1-only names (q30_distinct + text_*/dedup_*/
-#         mm_*) are the natural round-6 refills.
-# tests/test_registry_lint.py::test_round5_window_closes_registry_union
+# Names registered after the round-6 gate window freezes: position 51+
+# this round, leading the round-7 rotation.
+ROUND7_QUEUE: list[str] = [
+    "dq_referential_integrity",
+    "events_churn_hazard",
+    "graph_kcore",
+]
+
+# Round-6 window (positions 1-50):
+#   1-36  ROUND6_QUEUE verbatim — the 36 round-5 in-round additions
+#         (lake layer, retrieval composition, pipeline4/5 families),
+#         every one local-oracle green at BOTH sf0.01 and sf0.001 in
+#         round 5, never driver-gated. After this round the driver
+#         union r1..r6 again covers the whole pre-freeze registry.
+#   37-50 freshness re-gates: 14 of the 15 queries whose LATEST driver
+#         evidence is round 1 (q30_distinct + the text_*/dedup_*/mm_*
+#         tail — the oldest green claims in the ledger). The one left
+#         out, text_pack_sequences, is the r1 name whose family has the
+#         freshest sibling evidence (pack_sequences, gated green r4/r5);
+#         it is the first natural round-7 refill.
+# tests/test_registry_lint.py::test_round6_window_leads_with_queue
 # asserts all of this mechanically.
 _GATE_FIRST = [
-    *ROUND5_QUEUE,
-    "events_rolling_distinct_hll",
-    "src_avro_datasource",
-    "q2_filter_project",
-    "q3_star_join_revenue",
-    "q4_top_revenue_orders",
-    "q5_semi_join_segments",
-    "q6_anti_join_no_orders",
-    "q7_top3_orders_per_customer",
-    "q8_running_qty_per_supplier",
-    "q9_event_gaps",
-    "q10_distinct_aggs",
-    "q11_rollup",
-    "q12_cube",
-    "q13_grouping_sets",
-    "q14_set_ops",
-    "q15_math_funcs",
-    "q16_string_funcs",
-    "q17_date_funcs",
-    "q18_array_funcs",
-    "q19_json_funcs",
-    "q20_in_subquery",
-    "q21_correlated_scalar",
-    "q22_range_join",
-    "q23_asof_join",
-    "q24_percentiles",
-    "q25_pivot",
-    "q26_full_outer_join",
-    "q27_unpivot",
-    "q28_having",
-    "q29_cross_join",
-    "enc_selective_mask",
+    *ROUND6_QUEUE,
+    "q30_distinct",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_bpe_token_count",
+    "text_fingerprint",
+    "text_rolling_hash",
+    "text_top_terms",
+    "text_chunking",
+    "dedup_fingerprint_prefix",
+    "dedup_near_simhash",
+    "dedup_ngram_jaccard",
+    "mm_metadata_stats",
+    "mm_decode_features",
 ]
 
 def _ordered() -> dict[str, RegisteredQuery]:
@@ -259,6 +255,7 @@ def _load_all() -> None:
         pipeline2,
         pipeline3,
         pipeline4,
+        pipeline5,
         corpus_prep,
         retrieval,
         lake_queries,

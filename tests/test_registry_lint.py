@@ -7,13 +7,16 @@ gate at least as strict as the driver on output shape:
 
 - no registered query emits an Array/Map/Struct output column
 - every registered query has a docstring; no oracle table typos
-- the round-5 gate window (first 50 of ``_GATE_FIRST``) leads with the
-  ROUND5_QUEUE verbatim and spends every refill slot on round-1-only
-  evidence, so round 5 closes the full-registry driver-green union.
+- the round-6 gate window (first 50 of ``_GATE_FIRST``) leads with the
+  ROUND6_QUEUE verbatim and spends every refill slot on round-1-only
+  evidence
+- the registry docstring's eager-at-construction contract note names
+  every query whose module-local call graph reaches localCheckpoint
 """
 
 from __future__ import annotations
 
+import ast
 import json
 import sys
 from pathlib import Path
@@ -22,12 +25,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 import lint_registry
 
+import project_final_parquet_spark.registry as registry_mod
 from project_final_parquet_spark.registry import (
     _GATE_FIRST,
     _load_all,
     _REGISTRY,
-    ROUND5_QUEUE,
     ROUND6_QUEUE,
+    ROUND7_QUEUE,
 )
 
 
@@ -46,38 +50,105 @@ def test_gate_first_names_registered():
     assert not unknown
 
 
-def test_round5_window_closes_registry_union():
-    """The round-5 contract (VERDICT r4 item 1), asserted mechanically:
-
-    - positions 1-19 are ROUND5_QUEUE verbatim — after this round the
-      driver union r1..r5 covers every query registered before the r5
-      freeze (registry ∖ gated-union = ∅);
-    - every never-driver-gated query (vs CORRECTNESS_r01..r04) is
-      either in the window or a declared post-freeze ROUND6_QUEUE name;
-    - every refill slot re-gates a query whose LATEST driver evidence
-      is round 1 (freshness goes to the oldest green claims first).
-    """
-    _load_all()
+def _latest_green() -> dict[str, int]:
     repo = Path(__file__).resolve().parent.parent
-    latest_green: dict[str, int] = {}
-    for p in sorted(repo.glob("CORRECTNESS_r0[1234].json")):
+    latest: dict[str, int] = {}
+    for p in sorted(repo.glob("CORRECTNESS_r0[12345].json")):
         rnd = int(p.stem[-1])
         rec = json.loads(p.read_text())
         for name, row in rec.items():
             if row.get("hash_match") or row.get("rows_match"):
-                latest_green[name] = max(latest_green.get(name, 0), rnd)
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def test_round6_window_leads_with_queue():
+    """The round-6 rotation contract, asserted mechanically:
+
+    - positions 1-36 are ROUND6_QUEUE verbatim (the round-5 in-round
+      additions, never driver-gated) — after this round the driver
+      union r1..r6 again covers every pre-freeze registration;
+    - every never-driver-gated query (vs CORRECTNESS_r01..r05) is
+      either in the window or a declared post-freeze ROUND7_QUEUE name;
+    - every refill slot re-gates a query whose LATEST driver evidence
+      is round 1 (freshness goes to the oldest green claims first),
+      and the only r1-only name left over for round 7 is
+      text_pack_sequences (its family has fresh sibling evidence:
+      pack_sequences, green r4).
+    """
+    _load_all()
+    latest_green = _latest_green()
     window = _GATE_FIRST[:50]
     assert len(window) == len(set(window)) == 50
-    assert window[:19] == ROUND5_QUEUE
+    assert window[: len(ROUND6_QUEUE)] == ROUND6_QUEUE
     never_gated = [n for n in _REGISTRY if n not in latest_green]
     missing = [
         n
         for n in never_gated
-        if n not in window and n not in ROUND6_QUEUE
+        if n not in window and n not in ROUND7_QUEUE
     ]
     assert not missing, f"never-driver-gated queries outside window: {missing}"
-    # new-in-round-5 queries are gated immediately (position 20 slot)
-    assert "events_rolling_distinct_hll" in window
-    refills = [n for n in window[19:] if n in latest_green]
+    refills = [n for n in window[len(ROUND6_QUEUE):] if n in latest_green]
     stale = {n: latest_green[n] for n in refills if latest_green[n] != 1}
     assert not stale, f"refill slots wasted on fresh evidence: {stale}"
+    leftover = {
+        n
+        for n, rnd in latest_green.items()
+        if rnd == 1 and n not in window and n in _REGISTRY
+    }
+    assert leftover == {"text_pack_sequences"}, leftover
+
+
+def test_eager_contract_note_is_complete():
+    """The registry docstring's eager-query list must name every
+    registered query whose module-local call graph reaches a
+    ``.localCheckpoint()`` call (construction-time materialization).
+    Extra documented names (e.g. the driver-side-collect pattern in
+    ml_kmeans) are allowed but must be registered queries."""
+    _load_all()
+    doc = registry_mod.__doc__
+    pkg = Path(registry_mod.__file__).resolve().parent
+    flagged: set[str] = set()
+    for py in list((pkg / "operators").glob("*.py")) + list(
+        (pkg / "streaming").glob("*.py")
+    ):
+        tree = ast.parse(py.read_text())
+        fns = {
+            n.name: n
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        }
+
+        def has_ckpt(fn: ast.AST) -> bool:
+            return any(
+                isinstance(n, ast.Call)
+                and isinstance(n.func, ast.Attribute)
+                and n.func.attr == "localCheckpoint"
+                for n in ast.walk(fn)
+            )
+
+        eager = {name for name, fn in fns.items() if has_ckpt(fn)}
+        # propagate through module-local calls to a fixpoint
+        changed = True
+        while changed:
+            changed = False
+            for name, fn in fns.items():
+                if name in eager:
+                    continue
+                refs = {
+                    n.id
+                    for n in ast.walk(fn)
+                    if isinstance(n, ast.Name)
+                }
+                if refs & eager:
+                    eager.add(name)
+                    changed = True
+        flagged |= eager & set(_REGISTRY)
+    undocumented = {n for n in flagged if n not in doc}
+    assert not undocumented, (
+        f"eager queries missing from the registry contract note: "
+        f"{sorted(undocumented)}"
+    )
+    # every name the note claims is eager must at least be a real query
+    documented = {n for n in _REGISTRY if n in doc and "_" in n}
+    assert flagged <= documented
