@@ -130,6 +130,17 @@ HEADLINE = [
     # round-6 rework: ml_cluster_purity joins the bench so the kmeans
     # family's new driver-side-centroid shape is tracked on both paths
     "ml_cluster_purity",
+    # round-6 in-round additions (ROUND7_QUEUE)
+    "ml_score_deciles_lift",
+    "ml_confusion_thresholds",
+    "embeddings_centroid_drift",
+    "graph_degree_assortativity",
+    "dq_l_diversity",
+    "events_ab_cuped",
+    "text_keyphrase_rake",
+    "dedup_soft_weights",
+    "ml_average_precision",
+    "events_diff_in_diff",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for
@@ -227,20 +238,30 @@ def main() -> None:
         json.dumps({**out, **deltas}, indent=1)
     )
 
+    # full per-query map on its own EARLIER line: survives in the
+    # captured tail when space allows, never at the expense of the
+    # parseable final line (the complete record is always in
+    # .benchmarks/last_run.json and the round notes)
+    print(json.dumps({"queries_full": timings}, separators=(",", ":")))
+
     # compact separators: ~2 bytes/entry of headroom at zero cost
     line = json.dumps(out, separators=(",", ":"))
     # degrade rounding before ever risking a truncated line; if even
-    # 1-decimal doesn't fit, drop the slowest-query detail last — the
-    # driver contract needs {metric, value, unit, queries, sf} parseable,
-    # and a short queries map beats a truncated long one
+    # 1-decimal doesn't fit, drop the FASTEST queries' detail first —
+    # the driver contract needs {metric, value, unit, queries, sf}
+    # parseable, and the heavy queries are the ones round-over-round
+    # tracking cares about; "omitted" records how many were cut
     for digits in (2, 1):
         if len(line) <= _MAX_FINAL_LINE:
             break
         out["queries"] = {n: round(s, digits) for n, s in timings.items()}
         line = json.dumps(out, separators=(",", ":"))
+    omitted = 0
     while len(line) > _MAX_FINAL_LINE and out["queries"]:
-        drop = max(out["queries"], key=lambda n: len(n))
+        drop = min(out["queries"], key=lambda n: (out["queries"][n], n))
         del out["queries"][drop]
+        omitted += 1
+        out["omitted"] = omitted
         line = json.dumps(out, separators=(",", ":"))
     assert len(line) <= _MAX_FINAL_LINE, (
         f"final bench line {len(line)}B > {_MAX_FINAL_LINE}B — would be "

@@ -1,0 +1,311 @@
+"""Model-evaluation tables over the linear-probe score stream: the
+decile lift/reliability table and the thresholded confusion matrix —
+the two artifacts an eval harness materializes next to the AUC when
+deciding whether an embedding space (or a trained filter model) is
+good enough to gate data with — plus the embedding-drift monitor a
+continuous-ingest pipeline runs per batch.
+
+Not in the reference (no ML surface there, SURVEY.md §2.1); extends
+the vector_stats.py evaluation family (ml_linear_probe_auc) — all
+three queries here rank from the IDENTICAL probe-score stream via the
+shared probe_scores / PROBE_SCORED_CTES pair, so the AUC, the decile
+table, and the confusion table are mutually consistent by
+construction.
+
+Determinism: scores are bit-identical cross-engine (floor-scaled
+BIGINT centroid, shared left-fold dot — vector_stats.py module
+docstring); ranks tie-break by vec_id; every derived statistic is
+counts + rational arithmetic, with DSUM only over per-bin score sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..registry import DSUM_SQL, dsum, query
+from ..tables import load
+from .vector_stats import _DIM, _VSCALE, PROBE_SCORED_CTES, probe_scores
+
+# Knuth-hash batch split shared with dedup_incremental /
+# dq_distribution_drift (pipeline4.py) — the SAME 20% "new batch"
+# definition, applied to vec_id, so the drift monitors across text and
+# embedding modalities audit one consistent ingest batch.
+from .pipeline4 import _INC_HASH, _INC_MOD, _INC_THRESH  # noqa: F401
+
+_N_DECILES = 10
+_PCTS = [10, 25, 50]  # top-p% operating points for the confusion table
+
+
+@query(
+    "ml_score_deciles_lift",
+    oracle=f"""
+    WITH {PROBE_SCORED_CTES},
+    bins AS (
+      SELECT label, score,
+             CAST(NTILE({_N_DECILES})
+                  OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS decile
+      FROM scored
+    ),
+    agg AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+             {DSUM_SQL.format(expr="score")} AS sum_score
+      FROM bins GROUP BY decile
+    )
+    SELECT decile, n_rows, n_pos,
+           CAST(n_pos AS DOUBLE) / n_rows AS pos_rate,
+           (CAST(n_pos AS DOUBLE) / n_rows)
+             / (CAST(SUM(n_pos) OVER () AS DOUBLE)
+                / CAST(SUM(n_rows) OVER () AS BIGINT)) AS lift,
+           sum_score / n_rows AS mean_score
+    FROM agg ORDER BY decile
+    """,
+)
+def ml_score_deciles_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table of the linear-probe classifier: rank every
+    vector by probe score (descending, vec_id tiebreak), cut into 10
+    equal-population bins, and report each decile's positive rate
+    against the global base rate — the reliability/lift artifact that
+    shows WHERE the score separates (a good filter concentrates
+    positives in decile 1-2 and starves 9-10), which the scalar AUC
+    cannot show.
+
+    Scale: scoring is map-side (broadcast centroid); the global rank is
+    the one sort — a single range-partitioned sort of doubles, the same
+    contract as ml_linear_probe_auc; NTILE binning needs no separate
+    count pass, so the scored stream is derived ONCE (plan-asserted:
+    two embedding scans total — centroid branch + scoring branch). The
+    decile aggregate is map-side combined into 10 rows; the global base
+    rate comes from a window over THAT 10-row frame, not a second
+    corpus pass. At corpus scale the exact rank swaps for the
+    binned-histogram rank in the same shape."""
+    scored = probe_scores(spark, sf_dir)
+    bins = scored.select(
+        "label",
+        "score",
+        F.ntile(_N_DECILES)
+        .over(W.orderBy(F.desc("score"), "vec_id"))
+        .cast("long")
+        .alias("decile"),
+    )
+    agg = bins.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        dsum(F.col("score")).alias("sum_score"),
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    pos_rate = F.col("n_pos").cast("double") / F.col("n_rows")
+    base_rate = F.sum("n_pos").over(w_all).cast("double") / F.sum(
+        "n_rows"
+    ).over(w_all)
+    return agg.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        pos_rate.alias("pos_rate"),
+        (pos_rate / base_rate).alias("lift"),
+        (F.col("sum_score") / F.col("n_rows")).alias("mean_score"),
+    ).orderBy("decile")
+
+
+@query(
+    "ml_confusion_thresholds",
+    oracle=f"""
+    WITH {PROBE_SCORED_CTES},
+    ranked AS (
+      SELECT label,
+             ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM scored
+    ),
+    pts AS (SELECT unnest([{", ".join(str(p) for p in _PCTS)}]) AS pct),
+    cells AS (
+      SELECT CAST(pct AS BIGINT) AS pct,
+             (n * pct) // 100 AS n_sel,
+             CAST(SUM(CASE WHEN rn <= (n * pct) // 100
+                            AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN rn <= (n * pct) // 100
+                            AND label <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN rn > (n * pct) // 100
+                            AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN rn > (n * pct) // 100
+                            AND label <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM ranked CROSS JOIN pts
+      GROUP BY 1, 2
+    )
+    SELECT pct, CAST(n_sel AS BIGINT) AS n_selected, tp, fp, fn, tn,
+           CAST(tp AS DOUBLE) / n_sel AS precision_at,
+           CAST(tp AS DOUBLE) / (tp + fn) AS recall_at,
+           CASE WHEN tp = 0 THEN NULL
+                ELSE 2.0 * (CAST(tp AS DOUBLE) / n_sel)
+                     * (CAST(tp AS DOUBLE) / (tp + fn))
+                     / (CAST(tp AS DOUBLE) / n_sel
+                        + CAST(tp AS DOUBLE) / (tp + fn))
+           END AS f1_at
+    FROM cells ORDER BY pct
+    """,
+)
+def ml_confusion_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the linear probe at three top-p%% operating
+    points (predict positive = score rank within the top 10/25/50%%):
+    TP/FP/FN/TN plus precision@p, recall@p, F1@p — the table that turns
+    the AUC into an actionable filter threshold (a data-quality gate
+    ships at ONE operating point, and this is how it gets picked).
+
+    Scale: one global score sort (shared contract with the AUC), then a
+    3x map-side replicated conditional aggregate — the percent frame is
+    a 3-row broadcast and the total count rides the already-sorted
+    stream as a window aggregate (no second corpus pass; the scored
+    lineage is derived ONCE, plan-asserted). F1 is NULL when tp = 0
+    (0/0 undefined), stated identically in both engines."""
+    scored = probe_scores(spark, sf_dir)
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = scored.select(
+        "label",
+        F.row_number().over(W.orderBy(F.desc("score"), "vec_id")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    pts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _PCTS])).alias("pct")
+    )
+    with_sel = ranked.crossJoin(F.broadcast(pts)).select(
+        F.col("pct").cast("long").alias("pct"),
+        F.expr("(n * pct) div 100").alias("n_sel"),
+        "rn",
+        "label",
+    )
+    sel = F.col("rn") <= F.col("n_sel")
+    pos = F.col("label") == 0
+    cells = with_sel.groupBy("pct", "n_sel").agg(
+        F.sum(F.when(sel & pos, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(sel & ~pos, 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(~sel & pos, 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~sel & ~pos, 1).otherwise(0)).cast("long").alias("tn"),
+    )
+    prec = F.col("tp").cast("double") / F.col("n_sel")
+    rec = F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
+    f1 = F.when(F.col("tp") == 0, F.lit(None).cast("double")).otherwise(
+        F.lit(2.0) * prec * rec / (prec + rec)
+    )
+    return cells.select(
+        "pct",
+        F.col("n_sel").cast("long").alias("n_selected"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        prec.alias("precision_at"),
+        rec.alias("recall_at"),
+        f1.alias("f1_at"),
+    ).orderBy("pct")
+
+
+@query(
+    "embeddings_centroid_drift",
+    oracle=f"""
+    WITH flat AS (
+      SELECT label, i AS dim,
+             CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE)
+                        * {_VSCALE}) AS BIGINT) AS fv,
+             ((vec_id % {_INC_MOD}) * {_INC_HASH}) % {_INC_MOD}
+               < {_INC_THRESH} AS is_batch
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range({_DIM})) AS i) idx
+    ),
+    per AS (
+      SELECT label, dim,
+        CAST(SUM(CASE WHEN is_batch THEN 0 ELSE fv END) AS BIGINT) AS s_h,
+        CAST(SUM(CASE WHEN is_batch THEN fv ELSE 0 END) AS BIGINT) AS s_b,
+        CAST(SUM(CASE WHEN is_batch THEN 0 ELSE 1 END) AS BIGINT) AS n_h,
+        CAST(SUM(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM flat GROUP BY label, dim
+    ),
+    dims AS (
+      SELECT label, n_h, n_b,
+             CAST(s_h AS DOUBLE) / n_h / {_VSCALE} AS ch,
+             CAST(s_b AS DOUBLE) / n_b / {_VSCALE} AS cb
+      FROM per WHERE n_h > 0 AND n_b > 0
+    )
+    SELECT CAST(label AS INT) AS label,
+           MAX(n_h) AS n_hist, MAX(n_b) AS n_batch,
+           sqrt({DSUM_SQL.format(expr="(cb - ch) * (cb - ch)")}) AS l2_drift,
+           {DSUM_SQL.format(expr="ch * cb")}
+             / (sqrt({DSUM_SQL.format(expr="ch * ch")})
+                * sqrt({DSUM_SQL.format(expr="cb * cb")})) AS cos_sim
+    FROM dims GROUP BY label ORDER BY label
+    """,
+)
+def embeddings_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift monitor for continuous ingest: split the corpus
+    into settled history vs the 20%% new batch (the SAME Knuth-hash
+    split dedup_incremental / dq_distribution_drift audit, applied to
+    vec_id), compute both halves' per-label centroids, and report each
+    label's centroid shift — L2 drift and cosine similarity. An
+    upstream encoder change (retrained model, silent version bump)
+    moves these before it shows up in downstream recall; this is the
+    check that catches it at ingest time.
+
+    Scale: ONE pass — posexplode to (label, dim) with conditional
+    floor-scaled BIGINT sums for both halves (map-side combined,
+    |labels|x64 keys), then per-label DSUM folds over 64 centroid rows.
+    No vector ever shuffles; the drift frame is |labels| rows at any
+    corpus size. Centroid coordinates are exact-integer ratios, the
+    64-term reductions are order-independent decimal sums, so every
+    output double is bit-identical cross-engine."""
+    emb = load(spark, sf_dir, "embeddings")
+    is_batch = (
+        (F.col("vec_id") % _INC_MOD) * F.lit(_INC_HASH)
+    ) % F.lit(_INC_MOD) < F.lit(_INC_THRESH)
+    flat = emb.select(
+        "label",
+        is_batch.alias("is_batch"),
+        F.posexplode("embedding").alias("dim", "vf"),
+    ).select(
+        "label",
+        "dim",
+        "is_batch",
+        F.floor(F.col("vf").cast("double") * _VSCALE).cast("long").alias("fv"),
+    )
+    per = flat.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("is_batch"), 0).otherwise(F.col("fv")))
+        .cast("long")
+        .alias("s_h"),
+        F.sum(F.when(F.col("is_batch"), F.col("fv")).otherwise(0))
+        .cast("long")
+        .alias("s_b"),
+        F.sum(F.when(F.col("is_batch"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_h"),
+        F.sum(F.when(F.col("is_batch"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    dims = per.filter((F.col("n_h") > 0) & (F.col("n_b") > 0)).select(
+        "label",
+        "n_h",
+        "n_b",
+        (F.col("s_h").cast("double") / F.col("n_h") / _VSCALE).alias("ch"),
+        (F.col("s_b").cast("double") / F.col("n_b") / _VSCALE).alias("cb"),
+    )
+    diff = F.col("cb") - F.col("ch")
+    return (
+        dims.groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.max("n_h").alias("n_hist"),
+            F.max("n_b").alias("n_batch"),
+            F.sqrt(dsum(diff * diff)).alias("l2_drift"),
+            (
+                dsum(F.col("ch") * F.col("cb"))
+                / (
+                    F.sqrt(dsum(F.col("ch") * F.col("ch")))
+                    * F.sqrt(dsum(F.col("cb") * F.col("cb")))
+                )
+            ).alias("cos_sim"),
+        )
+        .orderBy("label")
+    )

@@ -338,11 +338,12 @@ def embeddings_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- linear-probe AUC -------------------------------------------------------
 
-
-@query(
-    "ml_linear_probe_auc",
-    oracle=f"""
-    WITH w AS (
+# Shared "score every vector against the label-0 centroid" CTE chain
+# (w → wl → scored), reused by the ml_eval.py evaluation family so the
+# decile-lift / confusion tables rank from the IDENTICAL score stream
+# the AUC ranks from. Produces scored(vec_id, label, score).
+PROBE_SCORED_CTES = f"""
+    w AS (
       SELECT i AS dim,
              SUM(CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE)
                             * {_VSCALE}) AS BIGINT)) AS s,
@@ -362,7 +363,55 @@ def embeddings_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
                j -> CAST(e.embedding[j + 1] AS DOUBLE) * wv[j + 1]),
                'sum') AS score
       FROM embeddings e CROSS JOIN wl
-    ),
+    )"""
+
+
+def probe_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of PROBE_SCORED_CTES: (vec_id, label, score) where
+    score is the shared left-fold dot of each embedding against the
+    label-0 class centroid (floor-scaled BIGINT centroid sums, so the
+    weights — and therefore every score — are bit-identical
+    cross-engine). Centroid is one map-side-combined 64-key aggregate
+    broadcast back as a single array row; scoring is map-side."""
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.filter(F.col("label") == 0).select(
+        F.posexplode("embedding").alias("dim", "v")
+    )
+    w = flat.groupBy("dim").agg(
+        F.sum(
+            F.floor(F.col("v").cast("double") * _VSCALE).cast("long")
+        ).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    wl = w.select(
+        F.struct(
+            "dim",
+            (F.col("s").cast("double") / F.col("c") / _VSCALE).alias("wj"),
+        ).alias("p")
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list("p")), lambda x: x["wj"]
+        ).alias("wv")
+    )
+    return emb.crossJoin(F.broadcast(wl)).select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("wv"),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("score"),
+    )
+
+
+@query(
+    "ml_linear_probe_auc",
+    oracle=f"""
+    WITH {PROBE_SCORED_CTES},
     ranked AS (
       SELECT label, ROW_NUMBER() OVER (ORDER BY score, vec_id) AS rn
       FROM scored
@@ -406,39 +455,7 @@ def ml_linear_probe_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-of-doubles (Spark range-partitions it); past that, the
     binned/histogram AUC estimator replaces the exact rank in the
     same pipeline shape."""
-    emb = load(spark, sf_dir, "embeddings")
-    flat = emb.filter(F.col("label") == 0).select(
-        F.posexplode("embedding").alias("dim", "v")
-    )
-    w = flat.groupBy("dim").agg(
-        F.sum(
-            F.floor(F.col("v").cast("double") * _VSCALE).cast("long")
-        ).alias("s"),
-        F.count(F.lit(1)).alias("c"),
-    )
-    wl = w.select(
-        F.struct(
-            "dim",
-            (F.col("s").cast("double") / F.col("c") / _VSCALE).alias("wj"),
-        ).alias("p")
-    ).agg(
-        F.transform(
-            F.array_sort(F.collect_list("p")), lambda x: x["wj"]
-        ).alias("wv")
-    )
-    scored = emb.crossJoin(F.broadcast(wl)).select(
-        "vec_id",
-        "label",
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.col("wv"),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("score"),
-    )
+    scored = probe_scores(spark, sf_dir)
     from pyspark.sql import Window as W
 
     ranked = scored.select(

@@ -153,6 +153,16 @@ ROUND7_QUEUE: list[str] = [
     "dq_referential_integrity",
     "events_churn_hazard",
     "graph_kcore",
+    "ml_score_deciles_lift",
+    "ml_confusion_thresholds",
+    "embeddings_centroid_drift",
+    "graph_degree_assortativity",
+    "dq_l_diversity",
+    "events_ab_cuped",
+    "text_keyphrase_rake",
+    "dedup_soft_weights",
+    "ml_average_precision",
+    "events_diff_in_diff",
 ]
 
 # Round-6 window (positions 1-50):
@@ -260,6 +270,9 @@ def _load_all() -> None:
         retrieval,
         lake_queries,
         vector_stats,
+        ml_eval,
+        pipeline6,
+        pipeline7,
         reffile_source,
         avro_source,
         events_analytics,

@@ -1,0 +1,468 @@
+"""Replay, invariant, and plan tests for the round-6 in-round operator
+additions (ml_eval.py, pipeline6.py, pipeline7.py)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import numpy as np
+import pandas as pd
+
+from project_final_parquet_spark.operators.ml_eval import (
+    embeddings_centroid_drift,
+    ml_confusion_thresholds,
+    ml_score_deciles_lift,
+)
+from project_final_parquet_spark.operators.pipeline4 import (
+    _INC_HASH,
+    _INC_MOD,
+    _INC_THRESH,
+)
+from project_final_parquet_spark.operators.pipeline6 import (
+    dq_l_diversity,
+    events_ab_cuped,
+    graph_degree_assortativity,
+)
+from project_final_parquet_spark.operators.pipeline7 import (
+    _RAKE_TOPK,
+    _STOPWORDS,
+    dedup_soft_weights,
+    events_diff_in_diff,
+    ml_average_precision,
+    text_keyphrase_rake,
+)
+from project_final_parquet_spark.operators.vector_stats import (
+    _VSCALE,
+    probe_scores,
+)
+from project_final_parquet_spark.plans import physical_plan, plan_facts
+from project_final_parquet_spark.registry import all_queries
+
+BIG_SF = "/root/testdata/sf0.01"
+
+
+def _close(a, b):
+    """Replay comparison for DSUM-derived doubles: the engine quantizes
+    each summand to DECIMAL(38,10) (1e-10 grid) before the exact sum,
+    so a float replay agrees only to ~1e-8 absolute."""
+    return math.isclose(a, b, rel_tol=1e-6, abs_tol=1e-8)
+
+
+def _probe_scores_py(sf_dir):
+    """Pure-Python replay of the shared probe score: floor-scaled
+    BIGINT label-0 centroid, then the left-fold dot in array order."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = [np.asarray(v, dtype=np.float32) for v in emb["embedding"]]
+    lab0 = [v for v, l in zip(vecs, emb["label"]) if l == 0]
+    dim = len(vecs[0])
+    wv = []
+    for j in range(dim):
+        s = sum(math.floor(float(v[j]) * _VSCALE) for v in lab0)
+        wv.append(s / len(lab0) / _VSCALE)
+    scores = []
+    for v in vecs:
+        acc = 0.0
+        for j in range(dim):
+            acc = acc + float(v[j]) * wv[j]
+        scores.append(acc)
+    return pd.DataFrame(
+        {
+            "vec_id": emb["vec_id"],
+            "label": emb["label"],
+            "score": scores,
+        }
+    )
+
+
+# --- ml_score_deciles_lift ---------------------------------------------------
+
+
+def test_score_deciles_matches_python_replay(spark, sf_dir):
+    rows = {r.decile: r for r in ml_score_deciles_lift(spark, sf_dir).collect()}
+    rep = _probe_scores_py(sf_dir).sort_values(
+        ["score", "vec_id"], ascending=[False, True]
+    )
+    n = len(rep)
+    n_pos_g = int((rep["label"] == 0).sum())
+    # NTILE(10): first n%10 buckets get the extra row
+    base, rem = n // 10, n % 10
+    deciles = []
+    for b in range(1, 11):
+        deciles += [b] * (base + (1 if b <= rem else 0))
+    rep = rep.assign(decile=deciles)
+    assert set(rows) == set(range(1, 11))
+    for d, grp in rep.groupby("decile"):
+        r = rows[d]
+        assert r.n_rows == len(grp)
+        assert r.n_pos == int((grp["label"] == 0).sum())
+        assert math.isclose(
+            r.pos_rate, r.n_pos / r.n_rows, rel_tol=0, abs_tol=0
+        )
+        assert math.isclose(
+            r.lift, (r.n_pos / r.n_rows) / (n_pos_g / n), rel_tol=1e-12
+        )
+        assert _close(r.mean_score, float(grp["score"].mean()))
+
+
+def test_score_deciles_partition_is_equal_population(spark, sf_dir):
+    rows = ml_score_deciles_lift(spark, sf_dir).collect()
+    sizes = [r.n_rows for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # lift must average to 1 weighted by population
+    total = sum(r.n_rows for r in rows)
+    base = sum(r.n_pos for r in rows) / total
+    w = sum(r.lift * r.n_rows for r in rows) / total
+    assert math.isclose(w, 1.0, rel_tol=1e-9)
+
+
+# --- ml_confusion_thresholds -------------------------------------------------
+
+
+def test_confusion_thresholds_matches_python_replay(spark, sf_dir):
+    rows = {r.pct: r for r in ml_confusion_thresholds(spark, sf_dir).collect()}
+    rep = _probe_scores_py(sf_dir).sort_values(
+        ["score", "vec_id"], ascending=[False, True]
+    )
+    n = len(rep)
+    labels = rep["label"].to_numpy()
+    assert set(rows) == {10, 25, 50}
+    for pct, r in rows.items():
+        n_sel = (n * pct) // 100
+        sel = labels[:n_sel]
+        rest = labels[n_sel:]
+        tp, fp = int((sel == 0).sum()), int((sel != 0).sum())
+        fn, tn = int((rest == 0).sum()), int((rest != 0).sum())
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+        assert r.n_selected == n_sel
+        assert math.isclose(r.precision_at, tp / n_sel, rel_tol=1e-12)
+        assert math.isclose(r.recall_at, tp / (tp + fn), rel_tol=1e-12)
+        prec, rec = tp / n_sel, tp / (tp + fn)
+        assert math.isclose(
+            r.f1_at, 2 * prec * rec / (prec + rec), rel_tol=1e-12
+        )
+
+
+def test_confusion_recall_monotone_in_pct(spark, sf_dir):
+    rows = sorted(
+        ml_confusion_thresholds(spark, sf_dir).collect(), key=lambda r: r.pct
+    )
+    recalls = [r.recall_at for r in rows]
+    assert recalls == sorted(recalls)
+    # confusion cells must partition the corpus at every threshold
+    n = rows[0].tp + rows[0].fp + rows[0].fn + rows[0].tn
+    assert all(r.tp + r.fp + r.fn + r.tn == n for r in rows)
+
+
+# --- ml_average_precision ----------------------------------------------------
+
+
+def test_average_precision_matches_python_replay(spark, sf_dir):
+    r = ml_average_precision(spark, sf_dir).collect()[0]
+    rep = _probe_scores_py(sf_dir).sort_values(
+        ["score", "vec_id"], ascending=[False, True]
+    )
+    labels = rep["label"].to_numpy()
+    pr = 0
+    ap_sum = 0.0
+    for i, lab in enumerate(labels, start=1):
+        if lab == 0:
+            pr += 1
+            ap_sum += pr / i
+    assert r.n_pos == pr
+    assert _close(r.ap_sum, ap_sum)
+    assert _close(r.average_precision, ap_sum / pr)
+    # AP of a better-than-random ranking beats the base rate
+    assert r.average_precision > pr / len(labels)
+
+
+# --- embeddings_centroid_drift -----------------------------------------------
+
+
+def test_centroid_drift_matches_numpy_replay(spark, sf_dir):
+    rows = {r.label: r for r in embeddings_centroid_drift(spark, sf_dir).collect()}
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = np.stack([np.asarray(v, dtype=np.float32) for v in emb["embedding"]])
+    is_batch = (
+        (emb["vec_id"].to_numpy() % _INC_MOD) * _INC_HASH
+    ) % _INC_MOD < _INC_THRESH
+    for lab in sorted(set(emb["label"])):
+        m = emb["label"].to_numpy() == lab
+        vh, vb = vecs[m & ~is_batch], vecs[m & is_batch]
+        r = rows[lab]
+        assert r.n_hist == len(vh) and r.n_batch == len(vb)
+        fh = np.floor(vh.astype(np.float64) * _VSCALE).sum(axis=0)
+        fb = np.floor(vb.astype(np.float64) * _VSCALE).sum(axis=0)
+        ch = fh / len(vh) / _VSCALE
+        cb = fb / len(vb) / _VSCALE
+        assert _close(r.l2_drift, float(np.sqrt(((cb - ch) ** 2).sum())))
+        cos = float(
+            (ch * cb).sum()
+            / (np.sqrt((ch * ch).sum()) * np.sqrt((cb * cb).sum()))
+        )
+        assert _close(r.cos_sim, cos)
+        # cosine of two centroids is a valid similarity; with few
+        # batch vectors the label centroid is noise-dominated, so the
+        # invariant is only the algebraic range
+        assert -1.0 <= r.cos_sim <= 1.0
+
+
+# --- graph_degree_assortativity ----------------------------------------------
+
+
+def _copurchase_edges_py(sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    pair_cnt: Counter = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        parts = sorted(set(grp["l_partkey"]))
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                pair_cnt[(parts[i], parts[j])] += 1
+    return [e for e, c in pair_cnt.items() if c >= 2]
+
+
+def test_assortativity_matches_python_replay(spark, sf_dir):
+    r = graph_degree_assortativity(spark, sf_dir).collect()[0]
+    edges = _copurchase_edges_py(sf_dir)
+    deg: Counter = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    assert r.n_vertices == len(deg)
+    assert r.n_edges == len(edges)
+    assert r.max_degree == max(deg.values())
+    assert math.isclose(
+        r.avg_degree, 2 * len(edges) / len(deg), rel_tol=1e-12
+    )
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    m = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    rr = (m * sxy - sx * sy) / math.sqrt(
+        (m * sxx - sx * sx) * (m * syy - sy * sy)
+    )
+    assert _close(r.assortativity_r, rr)
+    assert -1.0 <= r.assortativity_r <= 1.0
+
+
+# --- dq_l_diversity ----------------------------------------------------------
+
+
+def test_l_diversity_matches_pandas_replay(spark, sf_dir):
+    rows = dq_l_diversity(spark, sf_dir).collect()
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    cells = cust.assign(
+        bal_bucket=np.floor(cust["c_acctbal"] / 1000.0).astype(int)
+    ).groupby(["c_nationkey", "bal_bucket"])["c_mktsegment"]
+    stats = {
+        k: (len(v), v.nunique()) for k, v in cells
+    }
+    risky = {k: s for k, s in stats.items() if s[1] < 3}
+    assert len(rows) == len(risky)
+    low_rows = sum(s[0] for s in risky.values())
+    total = len(cust)
+    for r in rows:
+        n, l = stats[(r.nation, r.bal_bucket)]
+        assert (r.n_rows, r.l_distinct) == (n, l)
+        assert r.l_distinct < 3
+        assert r.low_div_rows == low_rows
+        assert r.total_rows == total
+        assert math.isclose(r.low_div_frac, low_rows / total, rel_tol=1e-12)
+
+
+# --- events_ab_cuped / events_diff_in_diff -----------------------------------
+
+
+def _per_user_prepost(sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    day = ev["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    d0, d1 = int(day.min()), int(day.max())
+    mid = d0 + (d1 - d0 + 1) // 2
+    df = pd.DataFrame(
+        {
+            "user_id": ev["user_id"],
+            "x": np.where(day < mid, ev["value"], 0.0),
+            "y": np.where(day >= mid, ev["value"], 0.0),
+        }
+    )
+    per = df.groupby("user_id")[["x", "y"]].sum().reset_index()
+    per["variant"] = np.where(per["user_id"] % 2 == 0, "A", "B")
+    return per
+
+
+def test_ab_cuped_matches_pandas_replay(spark, sf_dir):
+    rows = {r.variant: r for r in events_ab_cuped(spark, sf_dir).collect()}
+    per = _per_user_prepost(sf_dir)
+    n = len(per)
+    sx, sy = per["x"].sum(), per["y"].sum()
+    sxy = (per["x"] * per["y"]).sum()
+    sxx = (per["x"] * per["x"]).sum()
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    for v, grp in per.groupby("variant"):
+        r = rows[v]
+        assert r.n_users == len(grp)
+        assert _close(r.mean_x, grp["x"].mean())
+        assert _close(r.mean_y, grp["y"].mean())
+        assert math.isclose(r.theta, theta, rel_tol=1e-6)
+        adj = grp["y"].mean() - theta * (grp["x"].mean() - sx / n)
+        assert math.isclose(r.mean_y_cuped, adj, rel_tol=1e-6)
+
+
+def test_cuped_reduces_between_arm_gap_vs_raw(spark, sf_dir):
+    """CUPED must actually correct: the parity arms have different
+    pre-period baselines, so |adjusted A-B gap| differs from the raw
+    gap by exactly theta * (baseline gap) — verify the identity."""
+    rows = {r.variant: r for r in events_ab_cuped(spark, sf_dir).collect()}
+    a, b = rows["A"], rows["B"]
+    raw_gap = b.mean_y - a.mean_y
+    adj_gap = b.mean_y_cuped - a.mean_y_cuped
+    assert math.isclose(
+        adj_gap, raw_gap - a.theta * (b.mean_x - a.mean_x), rel_tol=1e-9
+    )
+
+
+def test_diff_in_diff_matches_pandas_replay(spark, sf_dir):
+    r = events_diff_in_diff(spark, sf_dir).collect()[0]
+    per = _per_user_prepost(sf_dir)
+    g = per.groupby("variant")[["x", "y"]].mean()
+    assert r.n_a == int((per["variant"] == "A").sum())
+    assert r.n_b == int((per["variant"] == "B").sum())
+    assert _close(r.mean_pre_a, g.loc["A", "x"])
+    assert _close(r.mean_post_b, g.loc["B", "y"])
+    did = (g.loc["B", "y"] - g.loc["B", "x"]) - (
+        g.loc["A", "y"] - g.loc["A", "x"]
+    )
+    assert math.isclose(r.did_estimate, did, rel_tol=1e-6)
+
+
+# --- text_keyphrase_rake -----------------------------------------------------
+
+
+def _rake_py(sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    phrases = []  # (phrase_tuple)
+    for text in docs["text"]:
+        cur = []
+        for tok in [t for t in text.split(" ") if t]:
+            if tok in _STOPWORDS:
+                if cur:
+                    phrases.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(tok)
+        if cur:
+            phrases.append(tuple(cur))
+    freq: Counter = Counter()
+    deg: Counter = Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    scored: dict = defaultdict(lambda: [0, 0.0])
+    for p in phrases:
+        s = sum(deg[w] / freq[w] for w in p)
+        key = " ".join(p)
+        scored[key][0] += 1
+        scored[key][1] = s
+    return scored
+
+
+def test_rake_matches_python_replay(spark, sf_dir):
+    rows = text_keyphrase_rake(spark, sf_dir).collect()
+    scored = _rake_py(sf_dir)
+    top = sorted(scored.items(), key=lambda kv: (-kv[1][1], kv[0]))[
+        :_RAKE_TOPK
+    ]
+    assert len(rows) == _RAKE_TOPK
+    for r, (phrase, (n_occ, score)) in zip(rows, top):
+        assert r.phrase == phrase
+        assert r.n_occurrences == n_occ
+        assert _close(r.score, score)
+
+
+def test_rake_phrases_contain_no_stopwords(spark, sf_dir):
+    rows = text_keyphrase_rake(spark, sf_dir).collect()
+    for r in rows:
+        assert not set(r.phrase.split(" ")) & set(_STOPWORDS)
+
+
+# --- dedup_soft_weights ------------------------------------------------------
+
+
+def test_soft_weights_matches_pandas_replay(spark, sf_dir):
+    rows = {r.cluster_size: r for r in dedup_soft_weights(spark, sf_dir).collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    fp = docs["text"].map(lambda t: " ".join(t.split(" ")[:5]))
+    sizes = Counter(Counter(fp).values())
+    assert set(rows) == set(sizes)
+    total_docs = len(docs)
+    total_eff = sum(n for n in sizes.values())  # one unit per cluster
+    for cs, n_clusters in sizes.items():
+        r = rows[cs]
+        assert r.n_clusters == n_clusters
+        assert r.n_docs == cs * n_clusters
+        assert math.isclose(r.soft_weight, 1.0 / cs, rel_tol=1e-12)
+        assert r.total_docs == total_docs
+        assert math.isclose(r.total_eff, float(total_eff), rel_tol=1e-12)
+        assert math.isclose(
+            r.retention_ratio, total_eff / total_docs, rel_tol=1e-12
+        )
+    # mass check: weighted docs == effective size
+    assert math.isclose(
+        sum(r.n_docs * r.soft_weight for r in rows.values()),
+        total_eff,
+        rel_tol=1e-9,
+    )
+
+
+# --- plan shapes -------------------------------------------------------------
+
+
+def test_rake_plan_single_lineage_and_topk(spark):
+    df = all_queries()["text_keyphrase_rake"](spark, BIG_SF)
+    p = physical_plan(df)
+    tree = p.split("\n\n(1)")[0]
+    # window-attached phrase stats keep the exploded stream a single
+    # lineage: the broadcast word-stat arm + the probe arm => at most
+    # two document scans / explodes, never one per self-join
+    assert tree.count("Scan parquet") <= 2
+    import re
+
+    assert len(re.findall(r"\(\d+\) Generate\b", tree)) <= 2
+    assert plan_facts(df).has_take_ordered
+    # documents scan prunes to the two needed columns
+    schemas = [s for s in plan_facts(df).read_schemas if "text" in s]
+    assert schemas and all("lang" not in s for s in schemas)
+
+
+def test_probe_eval_plans_scan_embeddings_twice_at_most(spark):
+    for name in (
+        "ml_score_deciles_lift",
+        "ml_confusion_thresholds",
+        "ml_average_precision",
+    ):
+        df = all_queries()[name](spark, BIG_SF)
+        tree = physical_plan(df).split("\n\n(1)")[0]
+        assert tree.count("Scan parquet") <= 2, name
+
+
+def test_centroid_drift_single_pass_plan(spark):
+    df = all_queries()["embeddings_centroid_drift"](spark, BIG_SF)
+    tree = physical_plan(df).split("\n\n(1)")[0]
+    assert tree.count("Scan parquet") == 1
+    f = plan_facts(df)
+    assert f.n_nested_loop_joins == 0
+
+
+def test_assortativity_prunes_lineitem_scan(spark):
+    df = all_queries()["graph_degree_assortativity"](spark, BIG_SF)
+    f = plan_facts(df)
+    for s in f.read_schemas:
+        assert "l_quantity" not in s and "l_extendedprice" not in s
