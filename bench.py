@@ -141,6 +141,7 @@ HEADLINE = [
     "dedup_soft_weights",
     "ml_average_precision",
     "events_diff_in_diff",
+    "pipeline_e2e_rag",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

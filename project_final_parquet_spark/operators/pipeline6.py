@@ -103,16 +103,21 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal that decides whether degree-based sampling or hub-capping is
     needed before graph algorithms run at scale.
 
-    Scale: the edge list is the shared basket-bounded derivation; the
-    degree join is two keyed broadcasts-or-shuffles on vertex id; the
-    moments are ONE map-side-combined aggregate into a single row.
-    Degrees are exact BIGINTs cast to double (exact below 2^53), the
-    six moments are order-independent DSUMs, and r is a fixed IEEE
-    expression over them — bit-identical cross-engine. At 100 TB the
-    identical plan holds (moments are still one combine-aggregated
-    pass); only the DSUM precision ceiling would move the sums to
-    DECIMAL(38,0) on raw integers."""
-    edges = _copurchase_edges(spark, sf_dir)
+    Scale: the edge list is the shared basket-bounded derivation,
+    localCheckpointed ONCE — six plan consumers (und both orientations,
+    deg, the two degree joins, the vertex/edge counts) would otherwise
+    each replay the basket pair join (measured: 18 lineitem scans and
+    19.4 s at sf0.1 fully lazy vs 3.4 s checkpointed; cluster jobs swap
+    checkpoint() — the registry eager-query contract, like
+    graph_jaccard_link_prediction). The degree join is two keyed
+    shuffles on vertex id; the moments are ONE map-side-combined
+    aggregate into a single row. Degrees are exact BIGINTs cast to
+    double (exact below 2^53), the six moments are order-independent
+    DSUMs, and r is a fixed IEEE expression over them — bit-identical
+    cross-engine. At 100 TB the identical plan holds; only the DSUM
+    precision ceiling would move the sums to DECIMAL(38,0) on raw
+    integers."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
     deg = (
         edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))

@@ -433,3 +433,190 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("pick_order")
+
+
+# --- end-to-end RAG retrieval flagship --------------------------------------
+
+_RAG_OUT = 5  # final diversified slate
+
+
+def _rag_oracle() -> str:
+    """RRF fusion CTEs (verbatim from sim_hybrid_rrf) + unrolled greedy
+    MMR over the fused top-15 — generated programmatically so the SQL
+    stays in lockstep with the Spark composition."""
+    pair_cos = (
+        f"{_DOT_SQL.format(dim=_DIM, a='a.embedding', b='b.embedding')}"
+        f" / ({_NORM_SQL.format(dim=_DIM, a='a.embedding')}"
+        f" * {_NORM_SQL.format(dim=_DIM, a='b.embedding')})"
+    )
+    ctes = [
+        f"""{BM25_SCORED_CTES},
+    bydoc AS ({BM25_BYDOC_SQL}),
+    lex AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS rank_lex
+      FROM bydoc WHERE doc_id <> 0
+      ORDER BY score DESC, doc_id LIMIT {_RRF_N}
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cosd AS (
+      SELECT e.vec_id AS doc_id, {_COS_SQL} AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    ),
+    sem AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+                  AS BIGINT) AS rank_sem
+      FROM cosd
+      ORDER BY cosine DESC, doc_id LIMIT {_RRF_N}
+    ),
+    fused AS MATERIALIZED (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             COALESCE(1.0 / ({_RRF_K} + l.rank_lex), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + s.rank_sem), 0.0) AS rrf_score
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+      ORDER BY rrf_score DESC, COALESCE(l.doc_id, s.doc_id)
+      LIMIT {_RRF_OUT}
+    ),
+    sl AS MATERIALIZED (
+      SELECT f.doc_id AS vec_id, f.rrf_score * 30.0 AS rel
+      FROM fused f
+    ),
+    slemb AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN sl ON e.vec_id = sl.vec_id
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS va, b.vec_id AS vb, {pair_cos} AS sim
+      FROM slemb a JOIN slemb b ON a.vec_id <> b.vec_id
+    ),
+    p1 AS MATERIALIZED (
+      SELECT vec_id, {_LAM} * rel AS mmr_score FROM sl
+      ORDER BY mmr_score DESC, vec_id LIMIT 1
+    )"""
+    ]
+    for i in range(2, _RAG_OUT + 1):
+        picked = " UNION ALL ".join(
+            f"SELECT vec_id FROM p{j}" for j in range(1, i)
+        )
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT s.vec_id,
+             {_LAM} * s.rel - {_ONE_MINUS_LAM} * (
+               SELECT MAX(p.sim) FROM pairs p
+               WHERE p.va = s.vec_id AND p.vb IN ({picked})
+             ) AS mmr_score
+      FROM sl s
+      WHERE s.vec_id NOT IN ({picked})
+      ORDER BY mmr_score DESC, s.vec_id LIMIT 1
+    )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS pick_order, vec_id AS doc_id,"
+        f" mmr_score FROM p{i}"
+        for i in range(1, _RAG_OUT + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"\n{finals}\nORDER BY pick_order"
+    )
+
+
+@query("pipeline_e2e_rag", oracle=_rag_oracle())
+def pipeline_e2e_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval flagship: the full first-stage →
+    fusion → diversification chain a production retrieval pipeline
+    runs per query, composed from this repo's proven pieces — BM25
+    lexical top-50 (text_bm25_rank's shared scorer) and exact cosine
+    top-50 (sim_topk_cosine's fold) fused by reciprocal-rank fusion
+    (sim_hybrid_rrf, k=60) into a top-15 slate, then greedy MMR
+    (sim_mmr_diversify's loop, λ=0.75) re-ranks the slate to the final
+    k=5 diversified picks. Relevance inside MMR is the fused score
+    rescaled by 30 (an exact binary multiple) so both terms share a
+    comparable range; similarity is pairwise cosine over the slate.
+
+    Scale: both first stages are corpus-scale TakeOrdereds (the only
+    big-data work); fusion and MMR run over 50/15-row frames. The
+    fused slate + 15×15 sims are localCheckpointed once and the 5
+    greedy steps are plans over those tiny frames (executes at
+    construction — registry iterative-query contract). This is the
+    second flagship composition next to pipeline_e2e_pretrain: it
+    proves the retrieval primitives COMPOSE, not just pass in
+    isolation.
+
+    Determinism: integer ranks from total orderings, exact-double RRF
+    and λ arithmetic, the shared fold for every dot/norm — identical
+    in DuckDB's unrolled greedy (MATERIALIZED chained CTEs, as
+    sim_mmr_diversify's oracle)."""
+    fused = sim_hybrid_rrf(spark, sf_dir).localCheckpoint()
+    emb = load(spark, sf_dir, "embeddings")
+    sl = (
+        fused.select(
+            F.col("doc_id").alias("vec_id"),
+            (F.col("rrf_score") * F.lit(30.0)).alias("rel"),
+        )
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "vec_id",
+            "rel",
+            "embedding",
+            _norm(F.col("embedding")).alias("nv"),
+        )
+        .localCheckpoint()
+    )
+    a = sl.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nv").alias("na"),
+    )
+    b = sl.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nv").alias("nb"),
+    )
+    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    # 15×15 slate sim matrix: bounded nested-loop join, never corpus
+    pairs = (
+        a.join(b, F.col("va") != F.col("vb"))
+        .select("va", "vb", sim.alias("sim"))
+        .localCheckpoint()
+    )
+    lam, oml = F.lit(float(_LAM)), F.lit(float(_ONE_MINUS_LAM))
+    first = (
+        sl.select("vec_id", (lam * F.col("rel")).alias("mmr_score"))
+        .orderBy(F.desc("mmr_score"), "vec_id")
+        .limit(1)
+        .withColumn("pick_order", F.lit(1).cast("long"))
+        .localCheckpoint()
+    )
+    picks = [first]
+    picked_ids = first.select("vec_id")
+    for i in range(2, _RAG_OUT + 1):
+        maxsim = (
+            pairs.join(picked_ids.withColumnRenamed("vec_id", "vb"), "vb")
+            .groupBy("va")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        cand = sl.join(picked_ids, "vec_id", "left_anti")
+        p = (
+            cand.join(maxsim, cand.vec_id == maxsim.va)
+            .select(
+                "vec_id",
+                (lam * F.col("rel") - oml * F.col("maxsim")).alias(
+                    "mmr_score"
+                ),
+            )
+            .orderBy(F.desc("mmr_score"), "vec_id")
+            .limit(1)
+            .withColumn("pick_order", F.lit(i).cast("long"))
+            .localCheckpoint()
+        )
+        picks.append(p)
+        picked_ids = picked_ids.union(p.select("vec_id"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.union(p)
+    return out.select(
+        "pick_order", F.col("vec_id").alias("doc_id"), "mmr_score"
+    ).orderBy("pick_order")

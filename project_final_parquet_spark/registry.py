@@ -35,7 +35,8 @@ dedup_canonicalize, ml_kmeans, ml_cluster_purity (driver-side centroid
 collects), graph_pagerank, graph_jaccard_link_prediction,
 graph_label_propagation, events_markov_stationary,
 embeddings_top_eigenvector, sim_pq_trained, sim_mmr_diversify,
-sample_kcenter_coreset, graph_kcore, and pipeline_e2e_pretrain. Every
+sample_kcenter_coreset, graph_kcore, pipeline_e2e_pretrain,
+graph_degree_assortativity, and pipeline_e2e_rag. Every
 other query returns a fully lazy plan. (tests/test_registry_lint.py
 keeps this list honest against the construction sites.)
 """
@@ -163,6 +164,7 @@ ROUND7_QUEUE: list[str] = [
     "dedup_soft_weights",
     "ml_average_precision",
     "events_diff_in_diff",
+    "pipeline_e2e_rag",
 ]
 
 # Round-6 window (positions 1-50):

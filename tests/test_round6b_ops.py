@@ -466,3 +466,83 @@ def test_assortativity_prunes_lineitem_scan(spark):
     f = plan_facts(df)
     for s in f.read_schemas:
         assert "l_quantity" not in s and "l_extendedprice" not in s
+
+
+# --- pipeline_e2e_rag --------------------------------------------------------
+
+
+def test_rag_flagship_mmr_stage_matches_python_replay(spark, sf_dir):
+    """The MMR stage must reproduce the greedy arithmetic exactly when
+    fed the (oracle-proven) RRF slate: replay the greedy in pure Python
+    from sim_hybrid_rrf's own output + the raw embeddings."""
+    from project_final_parquet_spark.operators.retrieval import (
+        _LAM,
+        _ONE_MINUS_LAM,
+        _RAG_OUT,
+        pipeline_e2e_rag,
+        sim_hybrid_rrf,
+    )
+
+    fused = {
+        r.doc_id: r.rrf_score for r in sim_hybrid_rrf(spark, sf_dir).collect()
+    }
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vec = {
+        int(i): np.asarray(v, dtype=np.float32)
+        for i, v in zip(emb["vec_id"], emb["embedding"])
+    }
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for j in range(len(a)):
+            acc = acc + float(a[j]) * float(b[j])
+        return acc
+
+    def norm(a):
+        return math.sqrt(fold_dot(a, a))
+
+    rel = {d: s * 30.0 for d, s in fused.items()}
+    ids = sorted(fused)
+    sim = {
+        (x, y): fold_dot(vec[x], vec[y]) / (norm(vec[x]) * norm(vec[y]))
+        for x in ids
+        for y in ids
+        if x != y
+    }
+    lam, oml = float(_LAM), float(_ONE_MINUS_LAM)
+    picked: list = []
+    expect = []
+    for step in range(1, _RAG_OUT + 1):
+        best = None
+        for d in ids:
+            if d in picked:
+                continue
+            if not picked:
+                score = lam * rel[d]
+            else:
+                score = lam * rel[d] - oml * max(sim[(d, p)] for p in picked)
+            if best is None or (score, -d) > (best[1], -best[0]):
+                best = (d, score)
+        picked.append(best[0])
+        expect.append((step, best[0], best[1]))
+    rows = pipeline_e2e_rag(spark, sf_dir).collect()
+    got = [(r.pick_order, r.doc_id, r.mmr_score) for r in rows]
+    assert [(o, d) for o, d, _ in got] == [(o, d) for o, d, _ in expect]
+    for (_, _, gs), (_, _, es) in zip(got, expect):
+        assert math.isclose(gs, es, rel_tol=1e-9)
+
+
+def test_rag_flagship_picks_are_diverse_subset_of_fused(spark, sf_dir):
+    from project_final_parquet_spark.operators.retrieval import (
+        pipeline_e2e_rag,
+        sim_hybrid_rrf,
+    )
+
+    fused_ids = {r.doc_id for r in sim_hybrid_rrf(spark, sf_dir).collect()}
+    rows = pipeline_e2e_rag(spark, sf_dir).collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids)) == 5
+    assert set(ids) <= fused_ids
+    # greedy scores are non-increasing only for the relevance-sorted
+    # prefix; the hard invariant is pick 1 = max lambda*rel
+    assert rows[0].mmr_score == max(r.mmr_score for r in rows)

@@ -138,6 +138,24 @@ BATTERY7 = [
     "ml_cluster_purity",              # same + one (cid,label) rollup
 ]
 
+# --battery8: the round-6 in-round additions (probe-eval family, drift,
+# experiment trio, RAKE, soft dedup). The probe-eval trio shares one
+# global score sort; RAKE is the only one with a corpus-size window
+# (per-doc partition).
+BATTERY8 = [
+    "ml_score_deciles_lift",          # shared sort + 10-row rollup
+    "ml_confusion_thresholds",        # shared sort + 3x conditional agg
+    "ml_average_precision",           # two sorts, no running window
+    "embeddings_centroid_drift",      # one pass, (label,dim) partials
+    "graph_degree_assortativity",     # edge derivation + moment agg
+    "dq_l_diversity",                 # QI-tuple distinct-count rollup
+    "events_ab_cuped",                # user shuffle + moment singletons
+    "events_diff_in_diff",            # same frame, arm pivot
+    "text_keyphrase_rake",            # explode + per-doc window + topk
+    "dedup_soft_weights",             # fingerprint agg + histogram
+    "pipeline_e2e_rag",               # BM25+cosine TakeOrdereds + MMR
+]
+
 
 def _stride(spark, name: str) -> int:
     if name == "events_user":
@@ -228,6 +246,8 @@ def main() -> None:
         battery = BATTERY6
     if "--battery7" in sys.argv:
         battery = BATTERY7
+    if "--battery8" in sys.argv:
+        battery = BATTERY8
     results: dict[str, dict[str, float]] = {}
     for name in battery:
         results[name] = {}
