@@ -142,6 +142,9 @@ HEADLINE = [
     "ml_average_precision",
     "events_diff_in_diff",
     "pipeline_e2e_rag",
+    "events_anova_dow",
+    "dq_benford_test",
+    "events_order_autocorr",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -1,0 +1,364 @@
+"""Round-6 pipeline operators, batch 3: one-way ANOVA over the
+day-of-week revenue effect, a Benford first-digit fraud audit, and
+lagged autocorrelation of the daily revenue series.
+
+Not in the reference (SURVEY.md §2.1 — no stats surface); extends the
+events-analytics and data-quality families with the three classical
+screens an analytics warehouse runs on monetary series: does a factor
+matter (ANOVA), are the amounts organic (Benford), is the series
+memoryful (autocorrelation).
+
+Determinism: day indexes and counts are exact integers; linear sums
+flow DSUM (order-independent DECIMAL(38,10) sums) and PRODUCT sums
+flow the tie-free floor-scaled variant _fsum (both hazards below were
+caught by the oracle gate, not guessed); Benford's expected
+probabilities are hard-coded exponent-notation double literals — no
+log10 at query time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..registry import DSUM_SQL, dsum, query
+from ..tables import load
+
+# Daily revenue series CTE (shared shape with the anomaly/forecast
+# family): exact per-day decimal sums of event value over observed days.
+_DAILY_SQL = f"""
+    daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             {DSUM_SQL.format(expr="value")} AS y
+      FROM events GROUP BY 1
+    )"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day")
+        )
+        .agg(dsum(F.col("value")).alias("y"))
+    )
+
+
+# Tie-free sum of a product term: FLOOR(x*1e6) has no rounding ties
+# (unlike CAST(x AS DECIMAL(38,10)), where a product landing exactly
+# on a half-ulp rounds HALF_UP in Spark but differently in DuckDB —
+# caught by the oracle gate on this very query), and the DECIMAL(38,0)
+# sum of the floors is exact at any row count. Same convention as
+# vector_stats' floor-scaled BIGINT sums, widened to decimal.
+_FSCALE = "1000000.0"
+_FSUM_SQL = (
+    "CAST(CAST(SUM(CAST(FLOOR(({expr}) * " + _FSCALE + ") "
+    "AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / " + _FSCALE
+)
+
+
+def _fsum(col):
+    from pyspark.sql import functions as F
+
+    return (
+        F.sum(F.floor(col * float(_FSCALE)).cast("decimal(38,0)"))
+        .cast("double")
+        / float(_FSCALE)
+    )
+
+
+@query(
+    "events_anova_dow",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    g AS (
+      SELECT day % 7 AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             {DSUM_SQL.format(expr="y")} AS s_g,
+             {_FSUM_SQL.format(expr="y * y")} AS ss_g
+      FROM daily GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             {DSUM_SQL.format(expr="s_g")} AS s,
+             {DSUM_SQL.format(expr="ss_g")} AS ss,
+             {_FSUM_SQL.format(expr="(s_g / n_g) * s_g")} AS sb_raw
+      FROM g
+    )
+    SELECT n AS n_days, k AS k_groups,
+           sb_raw - s * (s / n) AS ss_between,
+           ss - sb_raw AS ss_within,
+           ((sb_raw - s * (s / n)) / (k - 1))
+             / ((ss - sb_raw) / (n - k)) AS f_stat
+    FROM tot
+    """,
+)
+def events_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of daily revenue across day-of-week groups: F =
+    (SS_between/(k-1)) / (SS_within/(N-k)) over the observed-day
+    series — the screen for "does weekday structurally move revenue"
+    that decides whether downstream models need the dow feature and
+    whether A/B windows must block on week boundaries. Day-of-week is
+    epoch-day mod 7 (pure integer — engine dayofweek() conventions
+    disagree, so neither is used). SS identities: SS_between =
+    Σ n_g·mean_g² − N·mean², SS_within = Σy² − Σ n_g·mean_g², both
+    computed from three DSUM moments per group.
+
+    Scale: one day-grain shuffle (map-side combined into |days| rows),
+    a 7-row group aggregate, a single-row moment rollup — nothing
+    beyond the daily aggregate touches data scale. Every double is
+    DSUM-then-IEEE; bit-identical cross-engine."""
+    daily = _daily(spark, sf_dir)
+    g = daily.groupBy((F.col("day") % 7).alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        dsum(F.col("y")).alias("s_g"),
+        _fsum(F.col("y") * F.col("y")).alias("ss_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        dsum(F.col("s_g")).alias("s"),
+        dsum(F.col("ss_g")).alias("ss"),
+        _fsum((F.col("s_g") / F.col("n_g")) * F.col("s_g")).alias(
+            "sb_raw"
+        ),
+    )
+    n, k, s_, ss, sb = (
+        F.col("n"),
+        F.col("k"),
+        F.col("s"),
+        F.col("ss"),
+        F.col("sb_raw"),
+    )
+    ssb = sb - s_ * (s_ / n)
+    ssw = ss - sb
+    return tot.select(
+        n.alias("n_days"),
+        k.alias("k_groups"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        ((ssb / (k - 1)) / (ssw / (n - k))).alias("f_stat"),
+    )
+
+
+# Benford's law first-digit probabilities log10(1 + 1/d), hard-coded as
+# literals so no engine evaluates a logarithm (identical tokens parse
+# to identical doubles in Spark and DuckDB).
+_BENFORD_P = [
+    ("1", "0.3010299956639812"),
+    ("2", "0.17609125905568124"),
+    ("3", "0.12493873660829993"),
+    ("4", "0.09691001300805642"),
+    ("5", "0.07918124604762482"),
+    ("6", "0.06694678963061322"),
+    ("7", "0.05799194697768673"),
+    ("8", "0.05115252244738129"),
+    ("9", "0.045757490560675115"),
+]
+
+# First significant digit of a positive double via a magnitude CASE
+# ladder (o_totalprice is < 1e7 at any SF here; the ladder states its
+# domain and the query asserts it by construction below).
+_FSD_SQL = """CAST(FLOOR(CASE
+      WHEN {x} >= 1000000 THEN {x} / 1000000
+      WHEN {x} >= 100000 THEN {x} / 100000
+      WHEN {x} >= 10000 THEN {x} / 10000
+      WHEN {x} >= 1000 THEN {x} / 1000
+      WHEN {x} >= 100 THEN {x} / 100
+      WHEN {x} >= 10 THEN {x} / 10
+      ELSE {x} END) AS BIGINT)"""
+
+# Exponent-notation literals: DuckDB types a plain decimal literal as
+# DECIMAL(17,17) and its DECIMAL→DOUBLE cast is not correctly rounded
+# (the registry DSUM_SQL VARCHAR-trick hazard — caught here by the
+# oracle gate, digits 3 and 7 drifting one binary ulp). A literal with
+# an exponent ('1.23e-1') is typed DOUBLE directly, bit-identical to
+# Spark's float literal.
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {float(p):.17e}" for d, p in _BENFORD_P
+)
+
+
+@query(
+    "dq_benford_test",
+    oracle=f"""
+    WITH digits AS (
+      SELECT {_FSD_SQL.format(x="o_totalprice")} AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT digit, n_obs,
+           CAST(n_obs AS DOUBLE) / n AS obs_frac,
+           CASE digit {_BENFORD_CASE} END AS benford_p,
+           (CAST(n_obs AS DOUBLE) / n - CASE digit {_BENFORD_CASE} END)
+             * (CAST(n_obs AS DOUBLE) / n - CASE digit {_BENFORD_CASE} END)
+             / (CASE digit {_BENFORD_CASE} END) AS chi2_term
+    FROM obs CROSS JOIN tot ORDER BY digit
+    """,
+)
+def dq_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: organic monetary
+    amounts follow P(d) = log10(1 + 1/d); fabricated or capped values
+    don't — the classic forensic-accounting screen, run here as a DQ
+    gate with per-digit chi-square distance terms. (TPC-H-style
+    uniform prices will flunk it loudly — which is the point: the
+    audit MEASURES the deviation rather than assuming it.) The first
+    digit comes from a magnitude CASE ladder (double divisions by
+    exact powers of ten), not log10, so both engines compute identical
+    IEEE ops; the Benford expectations are hard-coded literals.
+
+    Scale: one map-side digit projection + a 9-key combine-aggregated
+    groupBy + a broadcast singleton total. Output is 9 rows at any
+    corpus size."""
+    orders = load(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    digit = (
+        F.floor(
+            F.when(x >= 1000000, x / 1000000)
+            .when(x >= 100000, x / 100000)
+            .when(x >= 10000, x / 10000)
+            .when(x >= 1000, x / 1000)
+            .when(x >= 100, x / 100)
+            .when(x >= 10, x / 10)
+            .otherwise(x)
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = (
+        orders.filter(x >= 1)
+        .select(digit)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    bp = F.col("digit")
+    benford = F.when(bp == 1, float(_BENFORD_P[0][1]))
+    for d, p in _BENFORD_P[1:]:
+        benford = benford.when(bp == int(d), float(p))
+    obs_frac = F.col("n_obs").cast("double") / F.col("n")
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            obs_frac.alias("obs_frac"),
+            benford.alias("benford_p"),
+            (
+                (obs_frac - benford) * (obs_frac - benford) / benford
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+_ACF_LAGS = [1, 2, 3]
+
+
+@query(
+    "events_order_autocorr",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    mu AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             {DSUM_SQL.format(expr="y")} AS s
+      FROM daily
+    ),
+    lagged AS (
+      SELECT day, y,
+             lag(y, 1) OVER (ORDER BY day) AS y1,
+             lag(y, 2) OVER (ORDER BY day) AS y2,
+             lag(y, 3) OVER (ORDER BY day) AS y3
+      FROM daily
+    ),
+    den AS (
+      SELECT {_FSUM_SQL.format(expr="(y - s / n) * (y - s / n)")} AS d0
+      FROM daily CROSS JOIN mu
+    ),
+    num AS (
+      SELECT lg.lag,
+             CAST(COUNT(CASE lg.lag WHEN 1 THEN y1 WHEN 2 THEN y2
+                        ELSE y3 END) AS BIGINT) AS n_pairs,
+             {_FSUM_SQL.format(
+                 expr="CASE WHEN (CASE lg.lag WHEN 1 THEN y1 WHEN 2 "
+                 "THEN y2 ELSE y3 END) IS NULL THEN 0.0 ELSE "
+                 "(y - s / n) * ((CASE lg.lag WHEN 1 THEN y1 WHEN 2 "
+                 "THEN y2 ELSE y3 END) - s / n) END"
+             )} AS num_l
+      FROM lagged CROSS JOIN mu
+      CROSS JOIN (SELECT unnest([{", ".join(map(str, _ACF_LAGS))}])
+                  AS lag) lg
+      GROUP BY lg.lag
+    )
+    SELECT CAST(num.lag AS BIGINT) AS lag, n_pairs,
+           num_l / d0 AS autocorr
+    FROM num CROSS JOIN den ORDER BY lag
+    """,
+)
+def events_order_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/2/3 autocorrelation of the daily revenue series (the
+    standard ACF normalization: lagged cross-moments about the global
+    mean over the full-series variance) — the memory screen that
+    decides whether the forecast family's seasonal-naive baseline is
+    even plausible and how wide an A/B washout window must be.
+
+    Scale: the only data-scale work is the day-grain aggregate; the
+    lag window runs over the BOUNDED observed-day frame (the
+    events_forecast_backtest / day-grain convention — |days| rows in
+    one partition by design), and the moment rollups are 3-row
+    aggregates. DSUM everywhere a double is summed; the lag columns
+    replicate 3x against a broadcast lag frame, not three window
+    passes."""
+    daily = _daily(spark, sf_dir)
+    mu = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(F.col("y")).alias("s"),
+    )
+    wd = W.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "y",
+        F.lag("y", 1).over(wd).alias("y1"),
+        F.lag("y", 2).over(wd).alias("y2"),
+        F.lag("y", 3).over(wd).alias("y3"),
+    )
+    mean = F.col("s") / F.col("n")
+    den = daily.crossJoin(F.broadcast(mu)).agg(
+        _fsum((F.col("y") - mean) * (F.col("y") - mean)).alias("d0")
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(l) for l in _ACF_LAGS])).alias("lag")
+    )
+    ylag = (
+        F.when(F.col("lag") == 1, F.col("y1"))
+        .when(F.col("lag") == 2, F.col("y2"))
+        .otherwise(F.col("y3"))
+    )
+    num = (
+        lagged.crossJoin(F.broadcast(mu))
+        .crossJoin(F.broadcast(lags))
+        .groupBy("lag")
+        .agg(
+            F.count(ylag).cast("long").alias("n_pairs"),
+            _fsum(
+                F.when(ylag.isNull(), 0.0).otherwise(
+                    (F.col("y") - mean) * (ylag - mean)
+                )
+            ).alias("num_l"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_pairs",
+            (F.col("num_l") / F.col("d0")).alias("autocorr"),
+        )
+        .orderBy("lag")
+    )

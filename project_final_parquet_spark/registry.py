@@ -165,6 +165,9 @@ ROUND7_QUEUE: list[str] = [
     "ml_average_precision",
     "events_diff_in_diff",
     "pipeline_e2e_rag",
+    "events_anova_dow",
+    "dq_benford_test",
+    "events_order_autocorr",
 ]
 
 # Round-6 window (positions 1-50):
@@ -275,6 +278,7 @@ def _load_all() -> None:
         ml_eval,
         pipeline6,
         pipeline7,
+        pipeline8,
         reffile_source,
         avro_source,
         events_analytics,

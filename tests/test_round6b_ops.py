@@ -546,3 +546,81 @@ def test_rag_flagship_picks_are_diverse_subset_of_fused(spark, sf_dir):
     # greedy scores are non-increasing only for the relevance-sorted
     # prefix; the hard invariant is pick 1 = max lambda*rel
     assert rows[0].mmr_score == max(r.mmr_score for r in rows)
+
+
+# --- events_anova_dow / dq_benford_test / events_order_autocorr --------------
+
+
+def _daily_py(sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    day = ev["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    return (
+        pd.DataFrame({"day": day, "v": ev["value"]})
+        .groupby("day")["v"]
+        .sum()
+        .sort_index()
+    )
+
+
+def test_anova_dow_matches_python_replay(spark, sf_dir):
+    from project_final_parquet_spark.operators.pipeline8 import (
+        events_anova_dow,
+    )
+
+    r = events_anova_dow(spark, sf_dir).collect()[0]
+    daily = _daily_py(sf_dir)
+    df = pd.DataFrame({"dow": daily.index % 7, "y": daily.to_numpy()})
+    n, k = len(df), df["dow"].nunique()
+    assert (r.n_days, r.k_groups) == (n, k)
+    mean = df["y"].mean()
+    sb = sum(
+        len(g) * (g["y"].mean() - mean) ** 2 for _, g in df.groupby("dow")
+    )
+    sw = sum(
+        ((g["y"] - g["y"].mean()) ** 2).sum() for _, g in df.groupby("dow")
+    )
+    assert _close(r.ss_between / max(abs(sb), 1), sb / max(abs(sb), 1))
+    assert _close(r.ss_within / max(abs(sw), 1), sw / max(abs(sw), 1))
+    f = (sb / (k - 1)) / (sw / (n - k))
+    assert math.isclose(r.f_stat, f, rel_tol=1e-4)
+    # decomposition identity: SSB + SSW = total SS
+    sst = ((df["y"] - mean) ** 2).sum()
+    assert math.isclose(r.ss_between + r.ss_within, sst, rel_tol=1e-6)
+
+
+def test_benford_matches_python_replay(spark, sf_dir):
+    from project_final_parquet_spark.operators.pipeline8 import (
+        dq_benford_test,
+    )
+
+    rows = {r.digit: r for r in dq_benford_test(spark, sf_dir).collect()}
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")["o_totalprice"]
+    digits = o[o >= 1].map(lambda x: int(str(f"{x:.15e}")[0]))
+    cnt = Counter(digits)
+    n = sum(cnt.values())
+    assert set(rows) <= set(range(1, 10))
+    for d, r in rows.items():
+        assert r.n_obs == cnt[d]
+        assert math.isclose(r.obs_frac, cnt[d] / n, rel_tol=1e-12)
+        assert math.isclose(
+            r.benford_p, math.log10(1 + 1 / d), rel_tol=1e-12
+        )
+        exp = (cnt[d] / n - r.benford_p) ** 2 / r.benford_p
+        assert math.isclose(r.chi2_term, exp, rel_tol=1e-9)
+
+
+def test_autocorr_matches_python_replay(spark, sf_dir):
+    from project_final_parquet_spark.operators.pipeline8 import (
+        events_order_autocorr,
+    )
+
+    rows = {r.lag: r for r in events_order_autocorr(spark, sf_dir).collect()}
+    y = _daily_py(sf_dir).to_numpy()
+    mu = y.mean()
+    den = ((y - mu) ** 2).sum()
+    assert set(rows) == {1, 2, 3}
+    for lag, r in rows.items():
+        num = ((y[lag:] - mu) * (y[:-lag] - mu)).sum()
+        assert r.n_pairs == len(y) - lag
+        assert math.isclose(r.autocorr, num / den, rel_tol=1e-5)
+    assert all(abs(r.autocorr) <= 1.0 + 1e-9 for r in rows.values())

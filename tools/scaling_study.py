@@ -154,6 +154,9 @@ BATTERY8 = [
     "text_keyphrase_rake",            # explode + per-doc window + topk
     "dedup_soft_weights",             # fingerprint agg + histogram
     "pipeline_e2e_rag",               # BM25+cosine TakeOrdereds + MMR
+    "events_anova_dow",               # day-grain agg + 7-row rollup
+    "dq_benford_test",                # digit ladder + 9-key agg
+    "events_order_autocorr",          # day-grain agg + bounded lags
 ]
 
 
