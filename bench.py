@@ -145,6 +145,8 @@ HEADLINE = [
     "events_anova_dow",
     "dq_benford_test",
     "events_order_autocorr",
+    "sim_filtered_topk",
+    "sim_multi_query_topk",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -168,6 +168,8 @@ ROUND7_QUEUE: list[str] = [
     "events_anova_dow",
     "dq_benford_test",
     "events_order_autocorr",
+    "sim_filtered_topk",
+    "sim_multi_query_topk",
 ]
 
 # Round-6 window (positions 1-50):
@@ -279,6 +281,7 @@ def _load_all() -> None:
         pipeline6,
         pipeline7,
         pipeline8,
+        similarity6,
         reffile_source,
         avro_source,
         events_analytics,

@@ -624,3 +624,84 @@ def test_autocorr_matches_python_replay(spark, sf_dir):
         assert r.n_pairs == len(y) - lag
         assert math.isclose(r.autocorr, num / den, rel_tol=1e-5)
     assert all(abs(r.autocorr) <= 1.0 + 1e-9 for r in rows.values())
+
+
+# --- sim_filtered_topk / sim_multi_query_topk --------------------------------
+
+
+def _cosines_py(sf_dir):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {
+        int(i): np.asarray(v, dtype=np.float32)
+        for i, v in zip(emb["vec_id"], emb["embedding"])
+    }
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+
+    def cos(a, b):
+        acc = 0.0
+        na = nb = 0.0
+        for j in range(len(a)):
+            acc += float(a[j]) * float(b[j])
+            na += float(a[j]) * float(a[j])
+            nb += float(b[j]) * float(b[j])
+        return acc / (math.sqrt(na) * math.sqrt(nb))
+
+    return vecs, labels, cos
+
+
+def test_filtered_topk_matches_python_replay(spark, sf_dir):
+    from project_final_parquet_spark.operators.similarity6 import (
+        _FILT_K,
+        _FILT_LABEL,
+        sim_filtered_topk,
+    )
+
+    rows = sim_filtered_topk(spark, sf_dir).collect()
+    vecs, labels, cos = _cosines_py(sf_dir)
+    qv = vecs[0]
+    cand = sorted(
+        (
+            (-cos(vecs[i], qv), i)
+            for i in vecs
+            if i != 0 and labels[i] == _FILT_LABEL
+        ),
+    )[:_FILT_K]
+    assert [r.vec_id for r in rows] == [i for _, i in cand]
+    assert all(r.label == _FILT_LABEL for r in rows)
+    for r, (negc, _) in zip(rows, cand):
+        assert math.isclose(r.cosine, -negc, rel_tol=1e-9)
+
+
+def test_filtered_topk_pushes_label_predicate(spark):
+    df = all_queries()["sim_filtered_topk"](spark, BIG_SF)
+    f = plan_facts(df)
+    assert any("label" in p for p in f.pushed_filters)
+    assert f.has_take_ordered
+
+
+def test_multi_query_topk_matches_python_replay(spark, sf_dir):
+    from project_final_parquet_spark.operators.similarity6 import (
+        _BATCH_K,
+        _BATCH_QIDS,
+        sim_multi_query_topk,
+    )
+
+    rows = sim_multi_query_topk(spark, sf_dir).collect()
+    vecs, labels, cos = _cosines_py(sf_dir)
+    expect = []
+    for qid in _BATCH_QIDS:
+        cand = sorted(
+            ((-cos(vecs[i], vecs[qid]), i) for i in vecs if i != qid),
+        )[:_BATCH_K]
+        for rank, (negc, i) in enumerate(cand, start=1):
+            expect.append((qid, rank, i, -negc))
+    assert len(rows) == len(expect)
+    for r, (qid, rank, i, c) in zip(rows, expect):
+        assert (r.qid, r.rank, r.vec_id) == (qid, rank, i)
+        assert math.isclose(r.cosine, c, rel_tol=1e-9)
+
+
+def test_multi_query_scans_corpus_once(spark):
+    df = all_queries()["sim_multi_query_topk"](spark, BIG_SF)
+    tree = physical_plan(df).split("\n\n(1)")[0]
+    assert tree.count("Scan parquet") <= 2  # corpus + broadcast queries

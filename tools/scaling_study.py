@@ -157,6 +157,8 @@ BATTERY8 = [
     "events_anova_dow",               # day-grain agg + 7-row rollup
     "dq_benford_test",                # digit ladder + 9-key agg
     "events_order_autocorr",          # day-grain agg + bounded lags
+    "sim_filtered_topk",              # pushed filter + TakeOrdered
+    "sim_multi_query_topk",           # one corpus pass, 5x fan-out
 ]
 
 
