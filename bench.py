@@ -160,10 +160,25 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     queries = all_queries()
 
-    # warm-up: JVM/codegen/session init outside the measured window
+    # warm-up: JVM/codegen/session init outside the measured window.
+    # One aggregate query alone leaves the shared HOF-fold / window /
+    # checkpoint machinery cold — the first HEADLINE query of each
+    # expression class then pays multi-second C2 JIT that reads as a
+    # phantom round-over-round regression (measured: ml_linear_probe_auc
+    # 7.5 s first run vs 1.2 s second, same plan). Warm each class once
+    # at the TINY sf so the timed loop measures plans, not JIT.
     queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    _tiny = "/root/testdata/sf0.001"
+    for _warm in (
+        "sim_topk_cosine",          # HOF zip_with/aggregate fold
+        "q7_top3_orders_per_customer",  # window functions
+        "graph_pagerank",           # localCheckpoint + iterative joins
+    ):
+        queries[_warm](spark, _tiny).write.format("noop").mode(
+            "overwrite"
+        ).save()
     # lake staging (two commits, write-side) happens once per sf_dir;
     # stage it here so the measured lake_* timings are the READ path
     from project_final_parquet_spark.operators.lake_queries import (
