@@ -147,6 +147,8 @@ HEADLINE = [
     "events_order_autocorr",
     "sim_filtered_topk",
     "sim_multi_query_topk",
+    "mix_token_budget_allocator",
+    "events_ab_power",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

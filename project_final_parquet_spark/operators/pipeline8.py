@@ -362,3 +362,255 @@ def events_order_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# --- training-mix token budget allocation ------------------------------------
+
+_MIX_BUDGET = 1_000_000  # target token budget for the mix manifest
+
+
+@query(
+    "mix_token_budget_allocator",
+    oracle=f"""
+    WITH src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, n_tokens,
+             sqrt(CAST(n_tokens AS DOUBLE)) AS wgt
+      FROM src
+    ),
+    tot AS (
+      SELECT {DSUM_SQL.format(expr="wgt")} AS wsum FROM w
+    ),
+    quota AS (
+      SELECT source, n_docs, n_tokens, wgt,
+             CAST({_MIX_BUDGET} AS DOUBLE) * (wgt / wsum) AS exact_quota,
+             CAST(FLOOR(CAST({_MIX_BUDGET} AS DOUBLE) * (wgt / wsum))
+                  AS BIGINT) AS floor_quota
+      FROM w CROSS JOIN tot
+    ),
+    short AS (
+      SELECT CAST({_MIX_BUDGET} - SUM(floor_quota) AS BIGINT) AS shortfall
+      FROM quota
+    ),
+    ranked AS (
+      SELECT q.*, s.shortfall,
+             CAST(row_number() OVER (
+               ORDER BY q.exact_quota - q.floor_quota DESC, q.source
+             ) AS BIGINT) AS rem_rank
+      FROM quota q CROSS JOIN short s
+    )
+    SELECT source, n_docs, n_tokens,
+           wgt / (SELECT wsum FROM tot) AS weight,
+           floor_quota + CASE WHEN rem_rank <= shortfall THEN 1 ELSE 0 END
+             AS alloc_tokens,
+           CAST(floor_quota + CASE WHEN rem_rank <= shortfall
+                THEN 1 ELSE 0 END AS DOUBLE) / n_tokens
+             AS oversample_factor
+    FROM ranked ORDER BY source
+    """,
+)
+def mix_token_budget_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix token budget allocation: given per-source token
+    inventories and a fixed budget, allocate integer token quotas
+    proportional to temperature-weighted shares (alpha = 0.5, the
+    sample_temperature_mix recipe) using the LARGEST-REMAINDER method
+    so the quotas sum to the budget EXACTLY — the arithmetic that
+    turns a mixing recipe into a training manifest (fractional quotas
+    rounded naively under- or over-shoot the budget; largest-remainder
+    is the standard apportionment fix). oversample_factor > 1 flags
+    sources whose quota exceeds their inventory (epoch repetition).
+
+    Determinism: token counts are exact BIGINTs; sqrt is correctly
+    rounded; the weight normalizer is a DSUM; quotas/floors/remainder
+    ranks are exact integer arithmetic on identical doubles with a
+    source tiebreak.
+
+    Scale: one map-side token-count scan + a source-key combine
+    aggregate; the apportionment window runs over |sources| rows —
+    metadata scale at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = src.withColumn("wgt", F.sqrt(F.col("n_tokens").cast("double")))
+    tot = w.agg(dsum(F.col("wgt")).alias("wsum"))
+    budget = F.lit(float(_MIX_BUDGET))
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "wgt",
+        "wsum",
+        (budget * (F.col("wgt") / F.col("wsum"))).alias("exact_quota"),
+        F.floor(budget * (F.col("wgt") / F.col("wsum")))
+        .cast("long")
+        .alias("floor_quota"),
+    )
+    short = quota.agg(
+        (F.lit(_MIX_BUDGET) - F.sum("floor_quota"))
+        .cast("long")
+        .alias("shortfall")
+    )
+    ranked = quota.crossJoin(F.broadcast(short)).select(
+        "*",
+        F.row_number()
+        .over(
+            W.orderBy(
+                F.desc(F.col("exact_quota") - F.col("floor_quota")),
+                "source",
+            )
+        )
+        .cast("long")
+        .alias("rem_rank"),
+    )
+    alloc = F.col("floor_quota") + F.when(
+        F.col("rem_rank") <= F.col("shortfall"), 1
+    ).otherwise(0)
+    return ranked.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("wgt") / F.col("wsum")).alias("weight"),
+        alloc.cast("long").alias("alloc_tokens"),
+        (alloc.cast("double") / F.col("n_tokens")).alias(
+            "oversample_factor"
+        ),
+    ).orderBy("source")
+
+
+# --- A/B power / minimum detectable effect -----------------------------------
+
+# z quantiles as exponent-notation double literals (the Benford lesson:
+# DuckDB types plain decimal literals as DECIMAL and its DECIMAL→DOUBLE
+# cast is not correctly rounded).
+_Z_ALPHA2 = "1.9599639845400545e0"  # two-sided 5%
+_Z_BETA = "8.4162123357291419e-1"  # 80% power
+
+
+@query(
+    "events_ab_power",
+    oracle=f"""
+    WITH conv AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                       > COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT
+        CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_a,
+        CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_b,
+        CAST(SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END)
+             AS BIGINT) AS c_a,
+        CAST(SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END)
+             AS BIGINT) AS c_b
+      FROM conv
+    )
+    SELECT n_a, n_b,
+      CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS pooled_rate,
+      CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a
+        AS observed_delta,
+      ({_Z_ALPHA2} + {_Z_BETA})
+        * sqrt(2.0 * (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+               * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+               / (CASE WHEN n_a < n_b THEN n_a ELSE n_b END))
+        AS mde_at_current_n,
+      CASE WHEN c_b * n_a = c_a * n_b THEN NULL
+        ELSE CAST(CEIL(
+          2.0 * (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+            * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+            * (({_Z_ALPHA2} + {_Z_BETA})
+               / (CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a))
+            * (({_Z_ALPHA2} + {_Z_BETA})
+               / (CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a))
+        ) AS BIGINT) END AS required_n_per_arm
+    FROM s
+    """,
+)
+def events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power planning readout over the shared experiment frame
+    (user-parity arms, purchase>click conversion): the minimum
+    detectable effect at the CURRENT sample (alpha = 5% two-sided,
+    80% power — z quantiles as exact literals) and the required
+    per-arm n to power the OBSERVED delta — the two numbers an
+    experimentation platform prints next to every lift estimate so
+    readers know whether "not significant" means "no effect" or
+    "underpowered". NULL required_n when the observed delta is exactly
+    zero (the cross-multiplied integer test c_b*n_a = c_a*n_b avoids
+    comparing doubles to 0).
+
+    Scale: one user-keyed conversion shuffle (shared shape with
+    events_abtest_lift) into a single-row conditional aggregate;
+    everything after is constant arithmetic. sqrt/ceil are correctly
+    rounded on identical IEEE inputs — bit-identical cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    conv = (
+        ev.select("user_id", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.count(F.when(F.col("event_type") == "purchase", 1))
+                > F.count(F.when(F.col("event_type") == "click", 1)),
+                1,
+            )
+            .otherwise(0)
+            .alias("converted")
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "A")
+            .otherwise("B")
+            .alias("variant"),
+            "converted",
+        )
+    )
+    s = conv.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == "A", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("variant") == "B", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    z = F.lit(1.9599639845400545) + F.lit(0.84162123357291419)
+    n_a, n_b, c_a, c_b = (F.col(c) for c in ("n_a", "n_b", "c_a", "c_b"))
+    pooled = (c_a + c_b).cast("double") / (n_a + n_b)
+    delta = c_b.cast("double") / n_b - c_a.cast("double") / n_a
+    n_min = F.when(n_a < n_b, n_a).otherwise(n_b)
+    mde = z * F.sqrt(
+        F.lit(2.0) * pooled * (F.lit(1.0) - pooled) / n_min
+    )
+    req = F.when(c_b * n_a == c_a * n_b, F.lit(None).cast("long")).otherwise(
+        F.ceil(
+            F.lit(2.0)
+            * pooled
+            * (F.lit(1.0) - pooled)
+            * (z / delta)
+            * (z / delta)
+        ).cast("long")
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        pooled.alias("pooled_rate"),
+        delta.alias("observed_delta"),
+        mde.alias("mde_at_current_n"),
+        req.alias("required_n_per_arm"),
+    )

@@ -170,6 +170,8 @@ ROUND7_QUEUE: list[str] = [
     "events_order_autocorr",
     "sim_filtered_topk",
     "sim_multi_query_topk",
+    "mix_token_budget_allocator",
+    "events_ab_power",
 ]
 
 # Round-6 window (positions 1-50):

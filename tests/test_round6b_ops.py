@@ -705,3 +705,118 @@ def test_multi_query_scans_corpus_once(spark):
     df = all_queries()["sim_multi_query_topk"](spark, BIG_SF)
     tree = physical_plan(df).split("\n\n(1)")[0]
     assert tree.count("Scan parquet") <= 2  # corpus + broadcast queries
+
+
+# --- copurchase_edges derivation equivalence ---------------------------------
+
+
+def test_copurchase_edges_equals_selfjoin_form(spark, sf_dir):
+    """The array-combination derivation must emit exactly the edge set
+    of the relational distinct + self-join form (the oracle SQL spec)
+    — on the real corpus, not just a toy."""
+    from pyspark.sql import functions as F
+
+    from project_final_parquet_spark.operators.graph import (
+        copurchase_edges,
+    )
+    from project_final_parquet_spark.tables import load
+
+    got = {(r.a, r.b) for r in copurchase_edges(spark, sf_dir).collect()}
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    ref = {
+        (r.a, r.b)
+        for r in (
+            x.join(
+                y,
+                (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+                & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+            )
+            .select(
+                F.col("x.l_partkey").alias("a"),
+                F.col("y.l_partkey").alias("b"),
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .filter(F.col("w") >= 2)
+            .select("a", "b")
+            .collect()
+        )
+    }
+    assert got == ref and got  # identical and non-empty
+    assert all(a < b for a, b in got)  # orientation invariant
+
+
+# --- mix_token_budget_allocator / events_ab_power ----------------------------
+
+
+def test_mix_allocator_matches_python_replay_and_sums_to_budget(spark, sf_dir):
+    from project_final_parquet_spark.operators.pipeline8 import (
+        _MIX_BUDGET,
+        mix_token_budget_allocator,
+    )
+
+    rows = mix_token_budget_allocator(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.assign(nt=docs["text"].map(lambda t: len(t.split(" "))))
+    inv = toks.groupby("source")["nt"].agg(["count", "sum"])
+    wgt = {s: math.sqrt(float(r["sum"])) for s, r in inv.iterrows()}
+    wsum = sum(wgt.values())
+    exact = {s: _MIX_BUDGET * (w / wsum) for s, w in wgt.items()}
+    floors = {s: math.floor(v) for s, v in exact.items()}
+    shortfall = _MIX_BUDGET - sum(floors.values())
+    order = sorted(exact, key=lambda s: (-(exact[s] - floors[s]), s))
+    alloc = {
+        s: floors[s] + (1 if i < shortfall else 0)
+        for i, s in enumerate(order)
+    }
+    assert sum(r.alloc_tokens for r in rows) == _MIX_BUDGET
+    for r in rows:
+        assert r.n_docs == inv.loc[r.source, "count"]
+        assert r.n_tokens == inv.loc[r.source, "sum"]
+        assert r.alloc_tokens == alloc[r.source]
+        assert _close(r.weight, wgt[r.source] / wsum)
+        assert _close(
+            r.oversample_factor, alloc[r.source] / inv.loc[r.source, "sum"]
+        )
+
+
+def test_ab_power_matches_python_replay(spark, sf_dir):
+    from project_final_parquet_spark.operators.pipeline8 import (
+        events_ab_power,
+    )
+
+    r = events_ab_power(spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    per = ev.groupby("user_id")["event_type"].agg(
+        purchases=lambda s: (s == "purchase").sum(),
+        clicks=lambda s: (s == "click").sum(),
+    )
+    conv = (per["purchases"] > per["clicks"]).astype(int)
+    arm_a = conv[conv.index % 2 == 0]
+    arm_b = conv[conv.index % 2 == 1]
+    n_a, n_b = len(arm_a), len(arm_b)
+    c_a, c_b = int(arm_a.sum()), int(arm_b.sum())
+    assert (r.n_a, r.n_b) == (n_a, n_b)
+    p = (c_a + c_b) / (n_a + n_b)
+    delta = c_b / n_b - c_a / n_a
+    z = 1.9599639845400545 + 0.84162123357291419
+    assert math.isclose(r.pooled_rate, p, rel_tol=1e-12)
+    assert math.isclose(r.observed_delta, delta, rel_tol=1e-12)
+    assert math.isclose(
+        r.mde_at_current_n,
+        z * math.sqrt(2 * p * (1 - p) / min(n_a, n_b)),
+        rel_tol=1e-12,
+    )
+    if delta != 0:
+        assert r.required_n_per_arm == math.ceil(
+            2 * p * (1 - p) * (z / delta) ** 2
+        )
+    # consistency: if the observed delta is below the MDE, the
+    # required n must exceed the current min arm size (underpowered)
+    if abs(delta) < r.mde_at_current_n:
+        assert r.required_n_per_arm > min(n_a, n_b)

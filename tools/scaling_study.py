@@ -159,6 +159,8 @@ BATTERY8 = [
     "events_order_autocorr",          # day-grain agg + bounded lags
     "sim_filtered_topk",              # pushed filter + TakeOrdered
     "sim_multi_query_topk",           # one corpus pass, 5x fan-out
+    "mix_token_budget_allocator",     # token scan + |sources| window
+    "events_ab_power",                # user shuffle + 1-row readout
 ]
 
 
