@@ -174,36 +174,60 @@ ROUND7_QUEUE: list[str] = [
     "events_ab_power",
 ]
 
-# Round-6 window (positions 1-50):
-#   1-36  ROUND6_QUEUE verbatim — the 36 round-5 in-round additions
-#         (lake layer, retrieval composition, pipeline4/5 families),
-#         every one local-oracle green at BOTH sf0.01 and sf0.001 in
-#         round 5, never driver-gated. After this round the driver
-#         union r1..r6 again covers the whole pre-freeze registry.
-#   37-50 freshness re-gates: 14 of the 15 queries whose LATEST driver
-#         evidence is round 1 (q30_distinct + the text_*/dedup_*/mm_*
-#         tail — the oldest green claims in the ledger). The one left
-#         out, text_pack_sequences, is the r1 name whose family has the
-#         freshest sibling evidence (pack_sequences, gated green r4/r5);
-#         it is the first natural round-7 refill.
-# tests/test_registry_lint.py::test_round6_window_leads_with_queue
+# Names registered after the round-7 gate window freezes: position 51+
+# this round, leading the round-8 rotation. Grows as round-7 operators
+# land; tests/test_registry_lint.py asserts it exactly equals the set of
+# registered queries with no driver evidence that are outside the window.
+ROUND8_QUEUE: list[str] = []
+
+# Round-7 window (positions 1-50):
+#   1-21  ROUND7_QUEUE verbatim — the 21 round-6 in-round additions
+#         (probe-eval, experiment-audit completion, RAKE, soft dedup,
+#         audits, ANN serving shapes, RAG flagship), every one
+#         local-oracle green at BOTH sf0.01 and sf0.001 in round 6,
+#         never driver-gated. After this round the driver union
+#         r1..r7 covers the whole pre-freeze registry (269/269).
+#   22    text_pack_sequences — the single remaining query whose latest
+#         driver evidence is round 1 (deliberately left out of the
+#         round-6 refill; the registry comment there named it the
+#         first natural round-7 refill).
+#   23-50 freshness re-gates: the 28 queries with the OLDEST remaining
+#         driver evidence (round 2), in round-2-window order — the
+#         relational2 q31-q44 block, the similarity/skew/sources
+#         batch, and the four streaming windows.
+# tests/test_registry_lint.py::test_round7_window_leads_with_queue
 # asserts all of this mechanically.
 _GATE_FIRST = [
-    *ROUND6_QUEUE,
-    "q30_distinct",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_bpe_token_count",
-    "text_fingerprint",
-    "text_rolling_hash",
-    "text_top_terms",
-    "text_chunking",
-    "dedup_fingerprint_prefix",
-    "dedup_near_simhash",
-    "dedup_ngram_jaccard",
-    "mm_metadata_stats",
-    "mm_decode_features",
+    *ROUND7_QUEUE,
+    "text_pack_sequences",
+    "q31_window_range_frame",
+    "q32_rank_functions",
+    "q33_regex_fuzzy",
+    "q34_map_funcs",
+    "q35_union_by_name",
+    "q36_hex_codecs",
+    "q37_try_decrypt_wrong_key",
+    "q38_pandas_udf",
+    "q39_csv_roundtrip",
+    "q40_json_roundtrip",
+    "q41_orc_roundtrip",
+    "q43_left_outer_join",
+    "q44_null_semantics",
+    "q42_approx_aggs",
+    "sim_pairs_label_block",
+    "sim_ann_lsh",
+    "sim_ann_multiprobe",
+    "sim_ivf_probe",
+    "dedup_embedding_cosine",
+    "sim_centroids",
+    "skew_salted_join",
+    "skew_salted_distinct",
+    "src_partitioned_pruning",
+    "src_binaryfile_ingest",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_dedup_first",
 ]
 
 def _ordered() -> dict[str, RegisteredQuery]:

@@ -7,9 +7,9 @@ gate at least as strict as the driver on output shape:
 
 - no registered query emits an Array/Map/Struct output column
 - every registered query has a docstring; no oracle table typos
-- the round-6 gate window (first 50 of ``_GATE_FIRST``) leads with the
-  ROUND6_QUEUE verbatim and spends every refill slot on round-1-only
-  evidence
+- the round-7 gate window (first 50 of ``_GATE_FIRST``) leads with the
+  ROUND7_QUEUE verbatim and spends every refill slot on the oldest
+  remaining driver evidence (text_pack_sequences r1, then round-2 names)
 - the registry docstring's eager-at-construction contract note names
   every query whose module-local call graph reaches localCheckpoint
 """
@@ -30,8 +30,8 @@ from project_final_parquet_spark.registry import (
     _GATE_FIRST,
     _load_all,
     _REGISTRY,
-    ROUND6_QUEUE,
     ROUND7_QUEUE,
+    ROUND8_QUEUE,
 )
 
 
@@ -53,7 +53,7 @@ def test_gate_first_names_registered():
 def _latest_green() -> dict[str, int]:
     repo = Path(__file__).resolve().parent.parent
     latest: dict[str, int] = {}
-    for p in sorted(repo.glob("CORRECTNESS_r0[12345].json")):
+    for p in sorted(repo.glob("CORRECTNESS_r0[123456].json")):
         rnd = int(p.stem[-1])
         rec = json.loads(p.read_text())
         for name, row in rec.items():
@@ -62,41 +62,42 @@ def _latest_green() -> dict[str, int]:
     return latest
 
 
-def test_round6_window_leads_with_queue():
-    """The round-6 rotation contract, asserted mechanically:
+def test_round7_window_leads_with_queue():
+    """The round-7 rotation contract, asserted mechanically:
 
-    - positions 1-36 are ROUND6_QUEUE verbatim (the round-5 in-round
+    - positions 1-21 are ROUND7_QUEUE verbatim (the round-6 in-round
       additions, never driver-gated) — after this round the driver
-      union r1..r6 again covers every pre-freeze registration;
-    - every never-driver-gated query (vs CORRECTNESS_r01..r05) is
-      either in the window or a declared post-freeze ROUND7_QUEUE name;
-    - every refill slot re-gates a query whose LATEST driver evidence
-      is round 1 (freshness goes to the oldest green claims first),
-      and the only r1-only name left over for round 7 is
-      text_pack_sequences (its family has fresh sibling evidence:
-      pack_sequences, green r4).
+      union r1..r7 covers every pre-freeze registration (269/269);
+    - every never-driver-gated query (vs CORRECTNESS_r01..r06) is
+      either in the window or a declared post-freeze ROUND8_QUEUE name,
+      and ROUND8_QUEUE contains nothing else (no stale/fresh names);
+    - position 22 is text_pack_sequences (the single remaining r1-only
+      name), and every later refill re-gates round-2 evidence — the
+      oldest green claims in the ledger after round 6 refreshed the
+      r1 tail.
     """
     _load_all()
     latest_green = _latest_green()
     window = _GATE_FIRST[:50]
     assert len(window) == len(set(window)) == 50
-    assert window[: len(ROUND6_QUEUE)] == ROUND6_QUEUE
-    never_gated = [n for n in _REGISTRY if n not in latest_green]
-    missing = [
-        n
-        for n in never_gated
-        if n not in window and n not in ROUND7_QUEUE
-    ]
-    assert not missing, f"never-driver-gated queries outside window: {missing}"
-    refills = [n for n in window[len(ROUND6_QUEUE):] if n in latest_green]
-    stale = {n: latest_green[n] for n in refills if latest_green[n] != 1}
+    assert window[: len(ROUND7_QUEUE)] == ROUND7_QUEUE
+    never_gated = {n for n in _REGISTRY if n not in latest_green}
+    assert set(ROUND8_QUEUE) == never_gated - set(window), (
+        "ROUND8_QUEUE must be exactly the never-driver-gated "
+        "registrations outside the round-7 window"
+    )
+    refills = window[len(ROUND7_QUEUE):]
+    assert refills[0] == "text_pack_sequences"
+    assert latest_green["text_pack_sequences"] == 1
+    stale = {n: latest_green[n] for n in refills[1:] if latest_green[n] != 2}
     assert not stale, f"refill slots wasted on fresh evidence: {stale}"
+    # no r1-only names remain after this window
     leftover = {
         n
         for n, rnd in latest_green.items()
         if rnd == 1 and n not in window and n in _REGISTRY
     }
-    assert leftover == {"text_pack_sequences"}, leftover
+    assert leftover == set(), leftover
 
 
 def test_eager_contract_note_is_complete():
