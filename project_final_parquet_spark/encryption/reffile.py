@@ -76,18 +76,41 @@ def _decode_column(plain: str) -> list[str]:
     return out
 
 
+# The reference format is ONE sequential file with a trailing footer
+# (src/parquet_writer.cpp:223-234), so writing it requires a driver-side
+# materialization — exactly as the reference itself is RAM-bound
+# (src/parquet_reader.cpp:66-69). The cap keeps that explicit: parity
+# below it, a loud redirect to the distributed PME path above it.
+_WRITE_ROW_CAP = 100_000
+
+
 def write_reference_format(
     df: DataFrame,
     path: str,
     config: EncryptionConfig,
     kms=None,
 ) -> None:
-    """Write ``df`` (all-string columns) in the reference's file layout."""
+    """Write ``df`` (all-string columns) in the reference's file layout.
+
+    Byte-parity layer for SMALL frames only (row cap above): the format
+    is inherently single-file/single-pass. For real data volumes use
+    ``encryption.pme`` (Spark's native Parquet Modular Encryption) —
+    distributed, columnar, and KMS-integrated."""
     if not config.master_key_hex:
         raise ValueError("master key required (footer is always encrypted)")
     kms = kms or (ReferenceCompatKMS() if config.use_kms else None)
     spark = df.sparkSession
     cols = sorted(df.columns)  # lexicographic, std::set semantics
+    n = df.limit(_WRITE_ROW_CAP + 1).count()
+    if n > _WRITE_ROW_CAP:
+        raise ValueError(
+            f"write_reference_format materializes rows on the driver and "
+            f"is capped at {_WRITE_ROW_CAP} rows (the reference format is "
+            f"one sequential file + trailing footer); for large frames "
+            f"use project_final_parquet_spark.encryption.pme "
+            f"(write_pme_distributed), the distributed encrypted-parquet "
+            f"path"
+        )
     rows = df.select(*cols).collect()
     keys, meta = resolve_write_keys(cols, config, kms)
 

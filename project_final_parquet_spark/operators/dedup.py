@@ -24,6 +24,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..ckpt import checkpoint, release
 from ..registry import query
 from ..tables import load
 
@@ -449,15 +450,17 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the local form; cluster jobs use checkpoint() on fault-tolerant
     # storage. NOTE: this query therefore executes during construction
     # (see registry.py on iterative queries).
-    pairs = (
+    pairs = checkpoint(
         _minhash_pairs(spark, sf_dir, persist=False, ordered=False)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
     )
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnsRenamed({"doc_a": "u", "doc_b": "v"})
     labels, _rounds = connected_components_converged(edges)
+    # the final label frame is materialized; the pair list no longer
+    # backs the returned plan — free its blocks now (ckpt.py)
+    release(pairs)
     return labels.select(
         F.col("u").alias("doc_id"), F.col("label").alias("component_id")
     ).orderBy("doc_id")
@@ -480,16 +483,14 @@ def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
     via = hopped.select(
         F.col("u").alias("lbl_node"), F.col("label").alias("lbl_label")
     )
-    return (
-        hopped.join(via, hopped.label == via.lbl_node, "left")
-        .select(
+    return checkpoint(
+        hopped.join(via, hopped.label == via.lbl_node, "left").select(
             "u",
             F.least(
                 F.col("label"),
                 F.coalesce(F.col("lbl_label"), F.col("label")),
             ).alias("label"),
         )
-        .localCheckpoint()
     )
 
 
@@ -506,7 +507,9 @@ def connected_components(edges: DataFrame, iters: int) -> DataFrame:
     components."""
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     for _ in range(iters):
+        prev = labels
         labels = _cc_round(edges, labels)
+        release(prev)
     return labels
 
 
@@ -534,6 +537,7 @@ def connected_components_converged(
             .filter(F.col("n.label") != F.col("o.label"))
         )
         converged = changed.isEmpty()
+        release(labels)  # round N-1 superseded (probe above consumed it)
         labels = new_labels
         if converged:
             break

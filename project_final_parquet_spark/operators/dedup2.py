@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..ckpt import checkpoint, release
 from ..registry import query
 from ..tables import load
 from .dedup import _CC_ITERS, _minhash_pairs, _minhash_pairs_sql, connected_components
@@ -68,10 +69,9 @@ def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars, tie → min doc_id), and how many members get dropped.
     Executes the CC iterations at construction (see registry contract
     note on iterative queries)."""
-    pairs = (
+    pairs = checkpoint(
         _minhash_pairs(spark, sf_dir, persist=False, ordered=False)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
     )
     edges = pairs.union(
         pairs.select(
@@ -81,6 +81,7 @@ def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(edges, _CC_ITERS).select(
         F.col("u").alias("doc_id"), F.col("label").alias("component_id")
     )
+    release(pairs)  # final CC frame is materialized; pairs superseded
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     ranked = labels.join(docs, "doc_id").withColumn(

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..ckpt import checkpoint, release
 from ..registry import query
 from ..tables import load
 
@@ -109,12 +110,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pair.union(
-        pair.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    edges = checkpoint(
+        pair.union(
+            pair.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
 
     ranks, _rounds = _pagerank_ranks(edges, deg, iters=_ITERS)
+    # the final rank frame is materialized; the edge list (the big
+    # block) no longer backs the returned plan — free it now rather
+    # than leaving it to GC + ContextCleaner (ckpt.py)
+    release(edges)
 
     return (
         ranks.select(
@@ -164,9 +171,8 @@ def _pagerank_ranks(
             .alias("cq"),
         )
         sums = contrib.groupBy("dst").agg(F.sum("cq").alias("s"))
-        new_ranks = (
-            deg.join(sums, deg["u"] == sums["dst"], "left")
-            .select(
+        new_ranks = checkpoint(
+            deg.join(sums, deg["u"] == sums["dst"], "left").select(
                 "u",
                 (
                     F.lit(tele)
@@ -177,7 +183,6 @@ def _pagerank_ranks(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
         rounds += 1
         if eps is not None:
@@ -188,10 +193,12 @@ def _pagerank_ranks(
                 .agg(F.max(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
                 .first()["d"]
             )
+            release(ranks)  # round N-1 superseded by round N's blocks
             ranks = new_ranks
             if delta is not None and delta < eps:
                 break
         else:
+            release(ranks)
             ranks = new_ranks
     return ranks, rounds
 
@@ -215,11 +222,14 @@ def graph_pagerank_converged(
         )
         .distinct()
     )
-    edges = pair.union(
-        pair.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    edges = checkpoint(
+        pair.union(
+            pair.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     ranks, rounds = _pagerank_ranks(edges, deg, eps=eps, max_iters=max_iters)
+    release(edges)
     return (
         ranks.select(
             F.col("u").alias("node_id"),
@@ -558,8 +568,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed once (same graph and same reason as
     graph_jaccard_link_prediction: multiple consumers of a derived
     subtree); per-round frames are localCheckpointed per the registry
-    iterative-query contract."""
-    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    iterative-query contract, each round releasing the previous round's
+    blocks and the edge list released once the final label frame is
+    materialized (ckpt.py)."""
+    edges = checkpoint(copurchase_edges(spark, sf_dir))
     adj = edges.select(
         F.col("a").alias("v"), F.col("b").alias("w")
     ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
@@ -574,12 +586,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn = F.row_number().over(
             W.partitionBy("v").orderBy(F.desc("c"), "label")
         )
-        labels = (
+        prev = labels
+        labels = checkpoint(
             cnt.withColumn("rn", rn)
             .filter(F.col("rn") == 1)
             .select("v", "label")
-            .localCheckpoint()
         )
+        release(prev)
+    release(edges)
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("size"))

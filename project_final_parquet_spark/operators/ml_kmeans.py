@@ -223,7 +223,13 @@ def _collect_stats(
     )
     rows = (
         partials.groupBy("cid", "d")
-        .agg(F.sum("sv").alias("sv"), F.sum("n").alias("n"))
+        # DECIMAL(38,0): Spark's integral SUM overflows int64 silently;
+        # with CSCALE=1e9 and |v|~0.1 the long headroom is ~1e11 rows
+        # per (cid, dim) — under the 100 TB design point (ADVICE r6)
+        .agg(
+            F.sum(F.col("sv").cast("decimal(38,0)")).alias("sv"),
+            F.sum("n").alias("n"),
+        )
         .collect()
     )
     by_cid: dict[int, dict[int, tuple[int, int]]] = {}

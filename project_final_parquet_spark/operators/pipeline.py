@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..ckpt import checkpoint, release
 from ..registry import query
 from ..tables import load
 
@@ -620,10 +621,9 @@ def pipeline_e2e_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
 
-    pairs = (
+    pairs = checkpoint(
         _minhash_pairs(spark, sf_dir, persist=False, ordered=False)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
     )
     edges = pairs.union(
         pairs.select(
@@ -633,6 +633,7 @@ def pipeline_e2e_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(edges, _CC_ITERS).select(
         F.col("u").alias("doc_id"), F.col("label").alias("component_id")
     )
+    release(pairs)  # final CC frame is materialized; pairs superseded
 
     ranked = labels.join(
         docs.select("doc_id", "n_chars"), "doc_id"

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..ckpt import checkpoint, release
 from ..registry import query
 from ..tables import load
 from .similarity import _DIM, _DOT_SQL, _NORM_SQL, _dot, _norm
@@ -228,7 +229,7 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = _dot(F.col("embedding"), F.col("qv")) / (
         _norm(F.col("embedding")) * F.col("nq")
     )
-    sl = (
+    sl = checkpoint(
         emb.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != 0)
         .select(
@@ -239,7 +240,6 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rel"), "vec_id")
         .limit(_MMR_M)
-        .localCheckpoint()
     )
     a = sl.select(
         F.col("vec_id").alias("va"),
@@ -254,19 +254,18 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     # m×m shortlist sim matrix: the nested-loop join is intentional and
     # bounded by m=24 rows per side, never the corpus.
-    pairs = (
-        a.join(b, F.col("va") != F.col("vb"))
-        .select("va", "vb", sim.alias("sim"))
-        .localCheckpoint()
+    pairs = checkpoint(
+        a.join(b, F.col("va") != F.col("vb")).select(
+            "va", "vb", sim.alias("sim")
+        )
     )
 
     lam, oml = F.lit(float(_LAM)), F.lit(float(_ONE_MINUS_LAM))
-    first = (
+    first = checkpoint(
         sl.select("vec_id", (lam * F.col("rel")).alias("mmr_score"))
         .orderBy(F.desc("mmr_score"), "vec_id")
         .limit(1)
         .withColumn("pick_order", F.lit(1).cast("long"))
-        .localCheckpoint()
     )
     picks = [first]
     picked_ids = first.select("vec_id")
@@ -279,7 +278,7 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("sim").alias("maxsim"))
         )
         cand = sl.join(picked_ids, "vec_id", "left_anti")
-        p = (
+        p = checkpoint(
             cand.join(maxsim, cand.vec_id == maxsim.va)
             .select(
                 "vec_id",
@@ -290,11 +289,13 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("mmr_score"), "vec_id")
             .limit(1)
             .withColumn("pick_order", F.lit(i).cast("long"))
-            .localCheckpoint()
         )
         picks.append(p)
         picked_ids = picked_ids.union(p.select("vec_id"))
 
+    # the greedy is done: only the 1-row pick checkpoints back the
+    # returned union — the shortlist and sim matrix are superseded
+    release(sl, pairs)
     out = picks[0]
     for p in picks[1:]:
         out = out.union(p)
@@ -392,11 +393,14 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     p, d = dist_to(seed)
-    m = (
+    # m is CORPUS-sized (vec_id, embedding, nv, mind) — each round's
+    # checkpoint supersedes the previous one, so release as we go and
+    # free the last one after the final pick; only the 1-row pick
+    # checkpoints back the returned plan (ckpt.py)
+    m = checkpoint(
         n.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(p))
         .select("vec_id", "embedding", "nv", d.alias("mind"))
-        .localCheckpoint()
     )
     rows = [
         seed.select(
@@ -406,9 +410,7 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     for i in range(2, _KC_K + 1):
-        pick = (
-            m.orderBy(F.desc("mind"), "vec_id").limit(1).localCheckpoint()
-        )
+        pick = checkpoint(m.orderBy(F.desc("mind"), "vec_id").limit(1))
         rows.append(
             pick.select(
                 F.lit(i).cast("long").alias("pick_order"),
@@ -418,7 +420,8 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if i < _KC_K:
             p, d = dist_to(pick)
-            m = (
+            prev_m = m
+            m = checkpoint(
                 m.join(pick.select("vec_id"), "vec_id", "left_anti")
                 .crossJoin(F.broadcast(p))
                 .select(
@@ -427,8 +430,9 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "nv",
                     F.least(F.col("mind"), d).alias("mind"),
                 )
-                .localCheckpoint()
             )
+            release(prev_m)
+    release(m)
     out = rows[0]
     for r in rows[1:]:
         out = out.unionAll(r)
@@ -443,7 +447,15 @@ _RAG_OUT = 5  # final diversified slate
 def _rag_oracle() -> str:
     """RRF fusion CTEs (verbatim from sim_hybrid_rrf) + unrolled greedy
     MMR over the fused top-15 — generated programmatically so the SQL
-    stays in lockstep with the Spark composition."""
+    stays in lockstep with the Spark composition.
+
+    The MMR slate (``sl``) is EXPLICITLY restricted to fused docs that
+    have an embedding row, matching the Spark side's inner join: MMR
+    needs a vector to diversify against, and lexical-only BM25 hits
+    (documents outnumber embeddings in this corpus) have none. Without
+    the join here the two engines diverge silently — the oracle would
+    keep embedding-less docs eligible for pick 1 via a NULL max-sim
+    while Spark cannot pick them at all (round-7 ADVICE fix)."""
     pair_cos = (
         f"{_DOT_SQL.format(dim=_DIM, a='a.embedding', b='b.embedding')}"
         f" / ({_NORM_SQL.format(dim=_DIM, a='a.embedding')}"
@@ -482,7 +494,7 @@ def _rag_oracle() -> str:
     ),
     sl AS MATERIALIZED (
       SELECT f.doc_id AS vec_id, f.rrf_score * 30.0 AS rel
-      FROM fused f
+      FROM fused f JOIN embeddings e ON e.vec_id = f.doc_id
     ),
     slemb AS MATERIALIZED (
       SELECT e.vec_id, e.embedding FROM embeddings e
@@ -549,9 +561,12 @@ def pipeline_e2e_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
     and λ arithmetic, the shared fold for every dot/norm — identical
     in DuckDB's unrolled greedy (MATERIALIZED chained CTEs, as
     sim_mmr_diversify's oracle)."""
-    fused = sim_hybrid_rrf(spark, sf_dir).localCheckpoint()
+    fused = checkpoint(sim_hybrid_rrf(spark, sf_dir))
     emb = load(spark, sf_dir, "embeddings")
-    sl = (
+    # the MMR slate is the fused top-15 RESTRICTED to docs that have an
+    # embedding row (lexical-only BM25 hits have no vector to diversify
+    # against) — the oracle's sl CTE applies the same join explicitly
+    sl = checkpoint(
         fused.select(
             F.col("doc_id").alias("vec_id"),
             (F.col("rrf_score") * F.lit(30.0)).alias("rel"),
@@ -563,7 +578,6 @@ def pipeline_e2e_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             _norm(F.col("embedding")).alias("nv"),
         )
-        .localCheckpoint()
     )
     a = sl.select(
         F.col("vec_id").alias("va"),
@@ -577,18 +591,17 @@ def pipeline_e2e_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     # 15×15 slate sim matrix: bounded nested-loop join, never corpus
-    pairs = (
-        a.join(b, F.col("va") != F.col("vb"))
-        .select("va", "vb", sim.alias("sim"))
-        .localCheckpoint()
+    pairs = checkpoint(
+        a.join(b, F.col("va") != F.col("vb")).select(
+            "va", "vb", sim.alias("sim")
+        )
     )
     lam, oml = F.lit(float(_LAM)), F.lit(float(_ONE_MINUS_LAM))
-    first = (
+    first = checkpoint(
         sl.select("vec_id", (lam * F.col("rel")).alias("mmr_score"))
         .orderBy(F.desc("mmr_score"), "vec_id")
         .limit(1)
         .withColumn("pick_order", F.lit(1).cast("long"))
-        .localCheckpoint()
     )
     picks = [first]
     picked_ids = first.select("vec_id")
@@ -599,7 +612,7 @@ def pipeline_e2e_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("sim").alias("maxsim"))
         )
         cand = sl.join(picked_ids, "vec_id", "left_anti")
-        p = (
+        p = checkpoint(
             cand.join(maxsim, cand.vec_id == maxsim.va)
             .select(
                 "vec_id",
@@ -610,10 +623,12 @@ def pipeline_e2e_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("mmr_score"), "vec_id")
             .limit(1)
             .withColumn("pick_order", F.lit(i).cast("long"))
-            .localCheckpoint()
         )
         picks.append(p)
         picked_ids = picked_ids.union(p.select("vec_id"))
+    # the greedy is done: only the 1-row pick checkpoints back the
+    # returned union — slate, sim matrix and fused frame are superseded
+    release(fused, sl, pairs)
     out = picks[0]
     for p in picks[1:]:
         out = out.union(p)

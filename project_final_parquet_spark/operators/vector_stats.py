@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..ckpt import checkpoint, release
 from ..registry import query
 from ..tables import load
 
@@ -300,12 +301,16 @@ def embeddings_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection — without this, every round re-derives the corpus-scale
     Gram lineage (measured: 212-exchange plan vs 8)."""
     emb = load(spark, sf_dir, "embeddings")
+    # g stays resident: the returned plan's Rayleigh quotient reads it.
+    # It is 64x64 keys — O(dim^2), corpus-size-independent.
     g = _gram(emb).localCheckpoint()
     x = spark.range(_DIM).select(
         F.col("id").alias("j"), F.lit(1).cast("long").alias("x")
     )
     for _ in range(_PCA_ROUNDS):
-        x = _power_round(g, x).localCheckpoint()
+        prev = x
+        x = checkpoint(_power_round(g, x))
+        release(prev)
     nrm = x.agg(
         F.sqrt(F.sum(F.col("x") * F.col("x")).cast("double")).alias("nrm")
     )

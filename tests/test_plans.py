@@ -580,3 +580,79 @@ def test_vad_is_single_python_stage_no_shuffle_before_sort(spark):
     assert f.n_exchanges == 1  # the orderBy range exchange only
     assert f.n_sortmerge_joins == 0 and f.n_broadcast_joins == 0
     assert "struct<doc_id:bigint>" in ";".join(f.read_schemas)
+
+
+def test_pagerank_round_plan_is_shuffle_stable(spark):
+    """Pin the PageRank per-round plan shape round-over-round: the
+    round-2 plan (built over round-1's CHECKPOINTED rank frame) must
+    have exactly the same exchange/join structure as round 1 — a
+    Catalyst change that stopped the checkpoint from truncating lineage
+    would show up here as nested or doubled exchanges (graph.py's
+    docstring claim, made checkable)."""
+    from pyspark.sql import functions as F
+
+    from project_final_parquet_spark.ckpt import checkpoint, release
+    from project_final_parquet_spark.operators.graph import (
+        _SCALE,
+        _SUPP_OFFSET,
+    )
+    from project_final_parquet_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pair = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("v"),
+        )
+        .distinct()
+    )
+    edges = checkpoint(
+        pair.union(pair.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+
+    def round_plan(ranks):
+        contrib = edges.join(ranks, "u").join(deg, "u").select(
+            F.col("v").alias("dst"),
+            F.floor(
+                F.col("rank")
+                / F.col("deg").cast("double")
+                * F.lit(float(_SCALE))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cq"),
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("cq").alias("s"))
+        return deg.join(sums, deg["u"] == sums["dst"], "left").select(
+            "u",
+            (
+                F.lit(0.15)
+                + F.lit(0.85)
+                * (
+                    F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                    / F.lit(float(_SCALE))
+                )
+            ).alias("rank"),
+        )
+
+    r0 = deg.select("u", F.lit(1.0).alias("rank"))
+    p1 = round_plan(r0)
+    f1 = plan_facts(p1)
+    r1 = checkpoint(p1)
+    p2 = round_plan(r1)
+    f2 = plan_facts(p2)
+    release(edges, r1)
+    # same structure, pinned absolute shape: 5 exchanges, 3 SMJ, no
+    # nested-loop join, no corpus re-scan (checkpointed edge RDD only)
+    assert (f2.n_exchanges, f2.n_sortmerge_joins) == (
+        f1.n_exchanges,
+        f1.n_sortmerge_joins,
+    )
+    assert f2.n_exchanges == 5 and f2.n_sortmerge_joins == 3
+    assert f2.n_nested_loop_joins == 0
+    from project_final_parquet_spark.plans import physical_plan as _pp
+    assert "Scan parquet" not in _pp(p2)

@@ -112,3 +112,19 @@ def test_reference_artifact_predates_current_config(spark):
             with pytest.raises(pyspark.errors.PySparkException):
                 _aes_bytes(spark, enc_footer, key_hex, encrypt=False)
     assert attempted == 8
+
+
+def test_writer_row_cap_redirects_to_pme(spark, tmp_path, monkeypatch):
+    """The reference-format writer materializes rows on the driver (the
+    format is one sequential file + trailing footer, exactly as the
+    RAM-bound reference); above the row cap it must refuse LOUDLY and
+    point at the distributed PME path instead of OOMing the driver."""
+    import project_final_parquet_spark.encryption.reffile as rf
+
+    monkeypatch.setattr(rf, "_WRITE_ROW_CAP", 5)
+    big = spark.range(6).selectExpr("CAST(id AS STRING) AS Name")
+    with pytest.raises(ValueError, match="write_pme_distributed"):
+        rf.write_reference_format(big, str(tmp_path / "x.bin"), CONFIG)
+    # at the cap: writes fine (parity layer unaffected below the cap)
+    ok = spark.range(5).selectExpr("CAST(id AS STRING) AS Name")
+    rf.write_reference_format(ok, str(tmp_path / "ok.bin"), CONFIG)

@@ -121,10 +121,19 @@ def test_eager_contract_note_is_complete():
         }
 
         def has_ckpt(fn: ast.AST) -> bool:
+            # .localCheckpoint() or the tracked ckpt.checkpoint() helper
             return any(
                 isinstance(n, ast.Call)
-                and isinstance(n.func, ast.Attribute)
-                and n.func.attr == "localCheckpoint"
+                and (
+                    (
+                        isinstance(n.func, ast.Attribute)
+                        and n.func.attr in ("localCheckpoint", "checkpoint")
+                    )
+                    or (
+                        isinstance(n.func, ast.Name)
+                        and n.func.id == "checkpoint"
+                    )
+                )
                 for n in ast.walk(fn)
             )
 

@@ -8,6 +8,7 @@ from collections import Counter, defaultdict
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from project_final_parquet_spark.operators.ml_eval import (
     embeddings_centroid_drift,
@@ -471,10 +472,20 @@ def test_assortativity_prunes_lineitem_scan(spark):
 # --- pipeline_e2e_rag --------------------------------------------------------
 
 
-def test_rag_flagship_mmr_stage_matches_python_replay(spark, sf_dir):
+@pytest.mark.parametrize(
+    "rag_sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.1"],
+    ids=["sf0.001", "sf0.1"],
+)
+def test_rag_flagship_mmr_stage_matches_python_replay(spark, rag_sf_dir):
     """The MMR stage must reproduce the greedy arithmetic exactly when
     fed the (oracle-proven) RRF slate: replay the greedy in pure Python
-    from sim_hybrid_rrf's own output + the raw embeddings."""
+    from sim_hybrid_rrf's own output + the raw embeddings. The MMR
+    slate is the fused top-15 RESTRICTED to docs with an embedding row
+    (both engines apply that join explicitly — round-7 ADVICE fix), so
+    the replay applies the same restriction; sf0.1 is parametrized in
+    because that is the SF where lexical-only BM25 hits actually reach
+    the fused slate."""
     from project_final_parquet_spark.operators.retrieval import (
         _LAM,
         _ONE_MINUS_LAM,
@@ -483,7 +494,8 @@ def test_rag_flagship_mmr_stage_matches_python_replay(spark, sf_dir):
         sim_hybrid_rrf,
     )
 
-    fused = {
+    sf_dir = rag_sf_dir
+    all_fused = {
         r.doc_id: r.rrf_score for r in sim_hybrid_rrf(spark, sf_dir).collect()
     }
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -491,6 +503,16 @@ def test_rag_flagship_mmr_stage_matches_python_replay(spark, sf_dir):
         int(i): np.asarray(v, dtype=np.float32)
         for i, v in zip(emb["vec_id"], emb["embedding"])
     }
+    # the explicit slate restriction — replayed, not assumed: at sf0.1
+    # several fused docs are lexical-only (no embedding row) and MUST
+    # be excluded from MMR candidacy on both engines
+    fused = {d: s for d, s in all_fused.items() if d in vec}
+    if sf_dir.endswith("sf0.1"):
+        assert len(fused) < len(all_fused), (
+            "expected lexical-only docs in the sf0.1 fused slate — if "
+            "the corpus changed, this test no longer exercises the "
+            "slate-restriction path"
+        )
 
     def fold_dot(a, b):
         acc = 0.0
