@@ -149,6 +149,18 @@ HEADLINE = [
     "sim_multi_query_topk",
     "mix_token_budget_allocator",
     "events_ab_power",
+    # round-7 additions (ROUND8_QUEUE): tracked from their first round
+    "events_retention_cohorts",
+    "events_sessionize_gap",
+    "events_rfm_segments",
+    "profile_pareto_revenue",
+    "sample_stratified_exact",
+    "dq_schema_drift",
+    "graph_bridge_edges",
+    "sim_ivf_balance_audit",
+    "sim_ann_recall_curve",
+    "text_hapax_ratio",
+    "pipeline_e2e_eval_harness",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

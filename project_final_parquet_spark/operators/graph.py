@@ -604,3 +604,105 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("size"), "label")
         .limit(20)
     )
+
+
+# --- local bridges (edges with no common neighbor) ---------------------------
+
+
+@query(
+    "graph_bridge_edges",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_orderkey AS ok, l1.l_partkey AS a,
+             l2.l_partkey AS b
+      FROM lineitem l1
+      JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    edges AS (
+      SELECT a, b FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2
+    ),
+    adj AS (
+      SELECT a AS v, b AS w FROM edges
+      UNION ALL SELECT b AS v, a AS w FROM edges
+    ),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY v),
+    cn AS (
+      SELECT DISTINCT e.a, e.b
+      FROM edges e
+      JOIN adj na ON na.v = e.a
+      JOIN adj nb ON nb.v = e.b AND nb.w = na.w
+    ),
+    bridges AS (
+      SELECT e.a, e.b FROM edges e
+      LEFT JOIN cn ON cn.a = e.a AND cn.b = e.b
+      WHERE cn.a IS NULL
+    ),
+    tot AS (
+      SELECT CAST((SELECT COUNT(*) FROM bridges) AS BIGINT) AS n_bridges,
+             CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges
+    )
+    SELECT b.a, b.b, da.d AS deg_a, db.d AS deg_b,
+           t.n_bridges, t.n_edges
+    FROM bridges b
+    JOIN deg da ON da.v = b.a
+    JOIN deg db ON db.v = b.b
+    CROSS JOIN tot t
+    ORDER BY deg_a + deg_b DESC, b.a, b.b
+    LIMIT 20
+    """,
+)
+def graph_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local bridges of the co-purchase graph: edges whose endpoints
+    share ZERO common neighbors — removing one disconnects its
+    endpoints locally (the span-2 structural-hole definition). These
+    are the weak-tie conduits between product communities: the
+    recommendation edges that EXPAND a basket rather than echo it, and
+    the first edges a noise filter should inspect. Reports the top-20
+    by combined endpoint degree (high-degree bridges are the
+    interesting ones — hubs whose link shares no triangle) plus the
+    global bridge/edge counts.
+
+    Scale: common-neighbor detection is the triangle 2-path join
+    (cost Σ d(x)² keyed on the shared middle vertex, the wedge bound —
+    never |V|²) deduped to edge granularity; bridges are one left-anti
+    probe of the edge list against it. The shared edge list is
+    localCheckpointed once (jaccard precedent: 7 plan consumers) and
+    backs the returned frame, so it stays resident — it is the
+    co-bought-twice filtrate, vanishingly small at any corpus scale.
+    Top-20 is TakeOrderedAndProject; integer math throughout."""
+    edges = checkpoint(copurchase_edges(spark, sf_dir))
+    adj = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("w")
+    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    na = adj.select(F.col("v").alias("na_v"), F.col("w").alias("na_w"))
+    nb = adj.select(F.col("v").alias("nb_v"), F.col("w").alias("nb_w"))
+    cn = (
+        edges.join(na, F.col("na_v") == F.col("a"))
+        .join(
+            nb,
+            (F.col("nb_v") == F.col("b"))
+            & (F.col("nb_w") == F.col("na_w")),
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    bridges = edges.join(cn, ["a", "b"], "left_anti")
+    tot = bridges.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bridges")
+    ).crossJoin(
+        edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("deg_b"))
+    return (
+        bridges.join(da, "a")
+        .join(db, "b")
+        .crossJoin(F.broadcast(tot))
+        .select("a", "b", "deg_a", "deg_b", "n_bridges", "n_edges")
+        .orderBy(
+            (F.col("deg_a") + F.col("deg_b")).desc(), "a", "b"
+        )
+        .limit(20)
+    )

@@ -630,3 +630,72 @@ def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("reasons")
     )
+
+
+@query(
+    "text_hapax_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT d.lang, t.term
+      FROM documents d,
+           unnest(string_split(d.text, ' ')) AS t(term)
+    ),
+    tf AS (
+      SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM tok GROUP BY lang, term
+    )
+    SELECT lang,
+           CAST(SUM(freq) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS hapax_share,
+           CAST((1000000 * COUNT(*)) // SUM(freq) AS BIGINT) AS ttr_ppm
+    FROM tf GROUP BY lang ORDER BY lang
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language lexical-richness profile: token count, vocabulary
+    size (types), hapax legomena (terms occurring exactly once), hapax
+    share, and type-token ratio as exact ppm. The corpus-linguistics
+    vitality signal: a synthetically templated or heavily duplicated
+    slice shows a collapsing hapax share and TTR long before dedup
+    metrics move, and a noisy OCR slice shows the opposite spike —
+    complementing text_oov_rate (closed-vocab view) with the
+    open-vocab view. Same whitespace tokenization as text_top_terms.
+
+    Scale: explode → ONE (lang, term) keyed shuffle with map-side
+    combine (the term-frequency shape every text op here uses), then a
+    per-lang fold over the tf frame — bounded by vocabulary size, never
+    corpus size. Counts are exact BIGINTs; hapax_share is one
+    bigint→double division; TTR is floor-ppm on nonnegative ints."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    hapax = F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)).cast("long")
+    return (
+        tf.groupBy("lang")
+        .agg(
+            F.sum("freq").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            hapax.alias("n_hapax"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            (F.col("n_hapax").cast("double") / F.col("n_types")).alias(
+                "hapax_share"
+            ),
+            F.expr("1000000 * n_types div n_tokens")
+            .cast("long")
+            .alias("ttr_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -309,3 +309,156 @@ def embeddings_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "pipeline_e2e_eval_harness",
+    oracle=f"""
+    WITH {PROBE_SCORED_CTES},
+    ranked AS (
+      SELECT label,
+             ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rn
+      FROM scored
+    ),
+    run AS (
+      SELECT rn, label,
+             SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cp,
+             SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) OVER () AS p,
+             COUNT(*) OVER () AS n
+      FROM ranked
+    ),
+    agg AS (
+      SELECT CAST(MAX(p) AS BIGINT) AS p,
+             CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MAX(n) - MAX(p) AS BIGINT) AS nn,
+             CAST(SUM(CASE WHEN label = 0 THEN rn ELSE 0 END) AS BIGINT)
+               AS rank_sum_desc,
+             {DSUM_SQL.format(
+                 expr="CASE WHEN label = 0 "
+                 "THEN CAST(cp AS DOUBLE) / rn ELSE 0.0 END"
+             )} AS ap_sum,
+             CAST(MAX(ABS(cp * (n - p) - (rn - cp) * p)) AS BIGINT)
+               AS ks_num,
+             MAX(2.0 * cp / (rn + p)) AS best_f1,
+             CAST(MAX(CASE WHEN rn = p THEN cp END) AS BIGINT) AS cp_at_p
+      FROM run
+    )
+    SELECT metric, value FROM (
+      SELECT 'auc' AS metric,
+             CAST(p * (n + 1) - rank_sum_desc
+                  - (p * (p + 1)) // 2 AS DOUBLE) / (p * nn) AS value
+      FROM agg
+      UNION ALL
+      SELECT 'average_precision', ap_sum / p FROM agg
+      UNION ALL
+      SELECT 'ks_statistic', CAST(ks_num AS DOUBLE) / (p * nn) FROM agg
+      UNION ALL
+      SELECT 'best_f1', best_f1 FROM agg
+      UNION ALL
+      SELECT 'r_precision', CAST(cp_at_p AS DOUBLE) / p FROM agg
+      UNION ALL
+      SELECT 'base_rate', CAST(p AS DOUBLE) / n FROM agg
+    ) ORDER BY metric
+    """,
+)
+def pipeline_e2e_eval_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition #3 — the model-eval harness as ONE pass:
+    every ranking metric an embedding/filter eval reports (ROC-AUC,
+    average precision, KS separation, best-F1 over all thresholds,
+    R-precision, base rate) computed from a SINGLE sorted sweep of the
+    shared probe-score stream. The standalone queries
+    (ml_linear_probe_auc, ml_average_precision, ml_confusion_thresholds)
+    each pay the probe sort for one artifact; a real eval harness pays
+    it ONCE and derives the whole report — this query IS that shape,
+    and its oracle cross-checks all six numbers simultaneously (AUC by
+    the rank-sum identity on the SAME descending rank, AP by the
+    running-precision sum, KS/best-F1/R-precision off the one running
+    positive count).
+
+    Determinism: one global rank (score DESC, vec_id), one running
+    integer window (cum positives), then pure-integer identities —
+    AUC from the descending rank sum, KS as a maximized |integer
+    cross-product|, best-F1 as a MAX of identical IEEE divisions,
+    ap_sum the only DSUM. Output is a 6-row (metric, value) report.
+
+    Scale: scoring is map-side against the broadcast centroid; the
+    rank and the running window share ONE sort (same ordering key, no
+    second exchange); the final aggregate is map-side combinable to a
+    single row. Embeddings are scanned exactly twice (centroid branch +
+    scoring branch — the probe_scores contract, plan-asserted). The
+    integer cross-products stay under int64 up to ~3·10^9 rows per
+    class; past that the same sweep runs on the binned-histogram rank
+    like the standalone AUC."""
+    scored = probe_scores(spark, sf_dir)
+    ranked = scored.select(
+        "label",
+        F.row_number().over(W.orderBy(F.desc("score"), "vec_id")).alias("rn"),
+    )
+    pos = F.when(F.col("label") == 0, 1).otherwise(0)
+    w_run = W.orderBy("rn").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    run = ranked.select(
+        "rn",
+        "label",
+        F.sum(pos).over(w_run).alias("cp"),
+        F.sum(pos).over(w_all).alias("p"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    agg = run.agg(
+        F.max("p").cast("long").alias("p"),
+        F.max("n").cast("long").alias("n"),
+        (F.max("n") - F.max("p")).cast("long").alias("nn"),
+        F.sum(F.when(F.col("label") == 0, F.col("rn")).otherwise(0))
+        .cast("long")
+        .alias("rank_sum_desc"),
+        dsum(
+            F.when(
+                F.col("label") == 0,
+                F.col("cp").cast("double") / F.col("rn"),
+            ).otherwise(F.lit(0.0))
+        ).alias("ap_sum"),
+        F.max(
+            F.abs(
+                F.col("cp") * (F.col("n") - F.col("p"))
+                - (F.col("rn") - F.col("cp")) * F.col("p")
+            )
+        )
+        .cast("long")
+        .alias("ks_num"),
+        F.max(
+            F.lit(2.0) * F.col("cp") / (F.col("rn") + F.col("p"))
+        ).alias("best_f1"),
+        F.max(F.when(F.col("rn") == F.col("p"), F.col("cp")))
+        .cast("long")
+        .alias("cp_at_p"),
+    )
+    auc = (
+        F.col("p") * (F.col("n") + 1)
+        - F.col("rank_sum_desc")
+        - F.expr("(p * (p + 1)) div 2")
+    ).cast("double") / (F.col("p") * F.col("nn"))
+    vals = agg.select(
+        auc.alias("v_auc"),
+        (F.col("ap_sum") / F.col("p")).alias("v_ap"),
+        (F.col("ks_num").cast("double") / (F.col("p") * F.col("nn"))).alias(
+            "v_ks"
+        ),
+        F.col("best_f1").alias("v_f1"),
+        (F.col("cp_at_p").cast("double") / F.col("p")).alias("v_rp"),
+        (F.col("p").cast("double") / F.col("n")).alias("v_br"),
+    )
+    return vals.select(
+        F.expr(
+            "stack(6, "
+            "'auc', v_auc, "
+            "'average_precision', v_ap, "
+            "'ks_statistic', v_ks, "
+            "'best_f1', v_f1, "
+            "'r_precision', v_rp, "
+            "'base_rate', v_br"
+            ") AS (metric, value)"
+        )
+    ).orderBy("metric")

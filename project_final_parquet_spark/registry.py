@@ -36,7 +36,8 @@ collects), graph_pagerank, graph_jaccard_link_prediction,
 graph_label_propagation, events_markov_stationary,
 embeddings_top_eigenvector, sim_pq_trained, sim_mmr_diversify,
 sample_kcenter_coreset, graph_kcore, pipeline_e2e_pretrain,
-graph_degree_assortativity, and pipeline_e2e_rag. Every
+graph_degree_assortativity, graph_bridge_edges, and pipeline_e2e_rag.
+Every
 other query returns a fully lazy plan. (tests/test_registry_lint.py
 keeps this list honest against the construction sites.)
 """
@@ -178,7 +179,19 @@ ROUND7_QUEUE: list[str] = [
 # this round, leading the round-8 rotation. Grows as round-7 operators
 # land; tests/test_registry_lint.py asserts it exactly equals the set of
 # registered queries with no driver evidence that are outside the window.
-ROUND8_QUEUE: list[str] = []
+ROUND8_QUEUE: list[str] = [
+    "events_retention_cohorts",
+    "events_sessionize_gap",
+    "events_rfm_segments",
+    "profile_pareto_revenue",
+    "sample_stratified_exact",
+    "dq_schema_drift",
+    "graph_bridge_edges",
+    "sim_ivf_balance_audit",
+    "sim_ann_recall_curve",
+    "text_hapax_ratio",
+    "pipeline_e2e_eval_harness",
+]
 
 # Round-7 window (positions 1-50):
 #   1-21  ROUND7_QUEUE verbatim — the 21 round-6 in-round additions
@@ -307,7 +320,9 @@ def _load_all() -> None:
         pipeline6,
         pipeline7,
         pipeline8,
+        pipeline9,
         similarity6,
+        similarity7,
         reffile_source,
         avro_source,
         events_analytics,
