@@ -161,6 +161,8 @@ HEADLINE = [
     "sim_ann_recall_curve",
     "text_hapax_ratio",
     "pipeline_e2e_eval_harness",
+    "sim_pq_recall_audit",
+    "lake_manifest_audit",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

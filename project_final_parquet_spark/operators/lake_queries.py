@@ -555,3 +555,61 @@ def lake_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@query(
+    "lake_manifest_audit",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS all_rows,
+             CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{_CUTOFF}'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v1_rows
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS version,
+             CAST({_FILES_PER_COMMIT} AS BIGINT) AS n_files,
+             v1_rows AS n_rows,
+             CAST({_FILES_PER_COMMIT} AS BIGINT) AS files_added,
+             v1_rows AS rows_added
+      FROM c
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), CAST({2 * _FILES_PER_COMMIT} AS BIGINT),
+             all_rows, CAST({_FILES_PER_COMMIT} AS BIGINT),
+             all_rows - v1_rows
+      FROM c
+    ) ORDER BY version
+    """,
+)
+def lake_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-log audit, METADATA-ONLY: per lake version, the file
+    count, total row count, and what the commit added — derived
+    entirely from the manifest (zero data files opened; the only Spark
+    job is over a driver-built |versions|-row frame). This is the
+    table-health dashboard every lakehouse serves from its log
+    (Delta's DESCRIBE HISTORY, Iceberg's snapshots table), and the
+    oracle hash-matching the SOURCE table proves the manifest's row
+    accounting is exact — the lake loses/duplicates nothing, verified
+    without scanning it.
+
+    Scale: manifests are O(files) JSON on the driver by design; at
+    100 TB this query still reads only the log. The audit row counts
+    come from per-file counts captured at commit time."""
+    table = orders_lake(spark, sf_dir)
+    rows = []
+    for v in table.versions():
+        man = table.manifest(v)
+        rows.append(
+            (
+                v,
+                len(man),
+                sum(f.rows for f in man),
+                sum(1 for f in man if f.added == v),
+                sum(f.rows for f in man if f.added == v),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, n_files long, n_rows long, "
+        "files_added long, rows_added long",
+    ).orderBy("version")

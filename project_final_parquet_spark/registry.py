@@ -191,6 +191,8 @@ ROUND8_QUEUE: list[str] = [
     "sim_ann_recall_curve",
     "text_hapax_ratio",
     "pipeline_e2e_eval_harness",
+    "sim_pq_recall_audit",
+    "lake_manifest_audit",
 ]
 
 # Round-7 window (positions 1-50):

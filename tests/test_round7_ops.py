@@ -400,3 +400,82 @@ def test_eval_harness_two_scans_one_sort(spark):
     assert tree.count("Scan parquet") == 2
     p = physical_plan(df)
     assert p.count("rangepartitioning") <= 2  # score sort + 6-row output
+
+
+# --- sim_pq_recall_audit --------------------------------------------------------
+
+
+def test_pq_recall_audit_matches_replay(spark, sf_dir):
+    from project_final_parquet_spark.operators.similarity4 import (
+        _K,
+        _M,
+        _SUB,
+    )
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {
+        int(i): np.asarray(v, dtype=np.float32)
+        for i, v in zip(emb["vec_id"], emb["embedding"])
+    }
+    order = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), i) for i in vecs
+    )[:_K]
+    books = [np.asarray(vecs[i], dtype=np.float64) for _, i in order]
+    qv = np.asarray(vecs[0], dtype=np.float64)
+
+    def seq_sq(a, b, off):
+        acc = 0.0
+        for j in range(_SUB):
+            d = float(a[off + j]) - float(b[off + j])
+            acc = acc + d * d
+        return acc
+
+    scored = []
+    for i, v in vecs.items():
+        if i == 0:
+            continue
+        v64 = np.asarray(v, dtype=np.float64)
+        exact = 0.0
+        adc = None
+        for t in range(_M):
+            off = t * _SUB
+            term = seq_sq(v64, qv, off)
+            exact = term if t == 0 else exact + term
+            dists = [seq_sq(v64, cb, off) for cb in books]
+            c = dists.index(min(dists))
+            a_t = seq_sq(qv, books[c], off)
+            adc = a_t if adc is None else adc + a_t
+        scored.append((i, exact, adc))
+    expect = []
+    for k in (5, 10, 20):
+        truth = {
+            i for i, _, _ in sorted(scored, key=lambda t: (t[1], t[0]))[:k]
+        }
+        approx = {
+            i for i, _, _ in sorted(scored, key=lambda t: (t[2], t[0]))[:k]
+        }
+        hits = len(truth & approx)
+        expect.append((k, hits, (1_000_000 * hits) // k))
+    rows = all_queries()["sim_pq_recall_audit"](spark, sf_dir).collect()
+    got = [(r.k, r.n_hits, r.recall_ppm) for r in rows]
+    assert got == expect
+
+
+# --- lake_manifest_audit --------------------------------------------------------
+
+
+def test_lake_manifest_audit_is_metadata_only(spark, sf_dir):
+    """The audit's plan must not scan a single lake data file — its
+    only input is the driver-built manifest frame."""
+    from project_final_parquet_spark.operators.lake_queries import (
+        orders_lake,
+    )
+
+    orders_lake(spark, sf_dir)  # ensure staged
+    df = all_queries()["lake_manifest_audit"](spark, sf_dir)
+    p = physical_plan(df)
+    assert "Scan parquet" not in p
+    rows = df.collect()
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    assert rows[-1].n_rows == len(orders)
+    assert rows[0].n_rows + rows[-1].rows_added == len(orders)
