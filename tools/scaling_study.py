@@ -163,6 +163,28 @@ BATTERY8 = [
     "events_ab_power",                # user shuffle + 1-row readout
 ]
 
+# --battery9: the round-7 additions (lifecycle analytics, sampling, DQ
+# structure, ANN/PQ audits, hapax, eval-harness flagship) + the
+# sim_pq_trained rework (driver-side codebook training) so the new
+# shape gets its own 10x record. lake_manifest_audit is metadata-only
+# (flat by construction) and included as the control.
+BATTERY9 = [
+    "events_retention_cohorts",       # user-grain min + cohort rollup
+    "events_sessionize_gap",          # 2 per-user windows + histogram
+    "events_rfm_segments",            # user shuffle + 3 quartile sorts
+    "profile_pareto_revenue",         # user shuffle + decile sort
+    "sample_stratified_exact",        # per-stratum rank windows
+    "dq_schema_drift",                # one wide conditional aggregate
+    "graph_bridge_edges",             # 2-path join + anti-probe
+    "sim_ivf_balance_audit",          # one cell count + singleton
+    "sim_ann_recall_curve",           # one pass + 4-radius broadcast
+    "sim_pq_recall_audit",            # one pass, exact + ADC side-by-side
+    "text_hapax_ratio",               # (lang, term) tf + per-lang fold
+    "pipeline_e2e_eval_harness",      # one sort, one running window
+    "sim_pq_trained",                 # driver-side codebook training
+    "lake_manifest_audit",            # metadata-only control
+]
+
 
 def _stride(spark, name: str) -> int:
     if name == "events_user":
@@ -255,6 +277,14 @@ def main() -> None:
         battery = BATTERY7
     if "--battery8" in sys.argv:
         battery = BATTERY8
+    if "--battery9" in sys.argv:
+        battery = BATTERY9
+        from project_final_parquet_spark.operators.lake_queries import (
+            orders_lake,
+        )
+
+        for _, d in sfs:
+            orders_lake(spark, d)
     results: dict[str, dict[str, float]] = {}
     for name in battery:
         results[name] = {}
