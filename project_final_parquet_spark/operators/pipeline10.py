@@ -1,0 +1,526 @@
+"""Round-7 batch-2 operators: Kaplan-Meier survival curve, lead-lag
+cross-correlation, funnel time-to-convert percentiles, and the
+Heaps-law vocabulary-growth curve.
+
+Not in the reference (no analytics surface, SURVEY.md §2.1 — its
+entire query capability is selective decryption,
+src/parquet_reader.cpp:92-101); these deepen the events-analytics and
+text-analysis families with the survival/diagnostic artifacts a
+warehouse and a corpus-prep pipeline actually materialize.
+
+Determinism conventions (registry docstring): epoch time math is pure
+integer over NTZ-safe epoch microseconds, percentile selection is
+rank-based pass-through (never interpolation), and the one cumulative
+PRODUCT in the KM curve is an ordered left fold over an identically
+ordered bounded list in both engines (Spark ``F.aggregate`` over a
+windowed ``collect_list``, DuckDB ``list_reduce`` over a windowed
+``list``) — same multiply order, bit-identical IEEE doubles. No
+transcendental log/exp anywhere (house rule since text_index's BM25).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..registry import DSUM_SQL, dsum, query
+from ..tables import load
+from .pipeline5 import _CHURN_WINDOW_DAYS, _DAY_US, _EPOCH_US
+
+# lead-lag sweep for the daily view→purchase cross-correlation
+_XCORR_MAX_LAG = 7
+# Heaps-law vocabulary checkpoints (token-count prefix sizes); both
+# engines keep only checkpoints <= the corpus token total, so the row
+# set adapts to SF without any engine-side branching.
+_HEAPS_CHECKPOINTS = [
+    1000, 2000, 4000, 8000, 16000, 32000, 64000, 128000,
+    256000, 512000, 1024000,
+]
+_FUNNEL_PCTS = [25, 50, 75, 90]
+
+
+@query(
+    "events_survival_km",
+    oracle=f"""
+    WITH u AS (
+      SELECT o_custkey,
+             MIN(epoch_us(o_orderdate) // {_DAY_US}) AS f,
+             MAX(epoch_us(o_orderdate) // {_DAY_US}) AS l
+      FROM orders GROUP BY o_custkey
+    ),
+    obs AS (SELECT MAX(l) AS end_day FROM u),
+    lt AS (
+      SELECT (l - f) // 7 AS dur,
+             (l < end_day - {_CHURN_WINDOW_DAYS - 1}) AS churned
+      FROM u CROSS JOIN obs
+    ),
+    g AS (
+      SELECT dur,
+             CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT) AS c
+      FROM lt GROUP BY dur
+    ),
+    r AS (
+      SELECT dur, d, c,
+             SUM(d + c) OVER (ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at_risk
+      FROM g
+    ),
+    fct AS (
+      SELECT dur, d, c, at_risk,
+             CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) / at_risk AS km_factor
+      FROM r
+    ),
+    s AS (
+      SELECT dur, d, c, at_risk, km_factor,
+             list_reduce(
+               list(km_factor) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               (a, b) -> a * b) AS survival
+      FROM fct
+    )
+    SELECT CAST(dur AS BIGINT) AS duration_weeks,
+           CAST(at_risk AS BIGINT) AS n_at_risk,
+           d AS n_churned, c AS n_censored,
+           km_factor, survival
+    FROM s WHERE d > 0 ORDER BY duration_weeks
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over customer order lifetimes — the
+    integral of events_churn_hazard's life table (pipeline5.py:152,
+    same lifetime/censoring framing: lifetime = last−first order day in
+    weeks, censored when the last order falls in the corpus's final 90
+    days). Per event week t: the KM factor (1 − d_t/n_t) and the
+    survival estimate S(t) = Π_{{t'≤t}} (1 − d_t'/n_t') — the curve a
+    retention dashboard plots and the quantity whose medians get
+    compared across cohorts.
+
+    Determinism: the cumulative product is an ordered LEFT FOLD over
+    the per-week factors (Spark ``F.aggregate`` on a running
+    ``collect_list`` window, DuckDB ``list_reduce`` on a running
+    ``list``) — both engines multiply the SAME doubles in the SAME
+    ascending-week order, so every S(t) is bit-identical; no
+    exp(sum(ln)) anywhere. Zero-event weeks contribute an exact 1.0
+    factor (multiplicative identity — bitwise no-op) and are dropped
+    from the output like the hazard table's d>0 rule.
+
+    Scale: ONE customer-grain shuffle (min/max order day per key,
+    map-side combined); every later frame is |distinct lifetime weeks|
+    rows (bounded by the corpus date span, ~350 at any corpus size),
+    so the descending at-risk window, the running product list, and
+    the fold all run single-partition over that bounded frame by
+    design — the same bounded-frame argument as events_churn_hazard."""
+    ev = load(spark, sf_dir, "orders")
+    day = f"{_EPOCH_US.format(col='o_orderdate')} div {_DAY_US}"
+    u = (
+        ev.select("o_custkey", F.expr(day).alias("day"))
+        .groupBy("o_custkey")
+        .agg(F.min("day").alias("f"), F.max("day").alias("l"))
+    )
+    obs = u.agg(F.max("l").alias("end_day"))
+    lt = u.crossJoin(F.broadcast(obs)).select(
+        F.expr("(l - f) div 7").alias("dur"),
+        (F.col("l") < F.col("end_day") - (_CHURN_WINDOW_DAYS - 1)).alias(
+            "churned"
+        ),
+    )
+    g = lt.groupBy("dur").agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).cast("long").alias("d"),
+        F.sum(F.when(F.col("churned"), 0).otherwise(1)).cast("long").alias("c"),
+    )
+    w_desc = W.orderBy(F.desc("dur")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    r = g.select(
+        "dur", "d", "c", F.sum(F.col("d") + F.col("c")).over(w_desc).alias(
+            "at_risk"
+        )
+    )
+    fct = r.select(
+        "dur",
+        "d",
+        "c",
+        "at_risk",
+        (
+            F.lit(1.0) - F.col("d").cast("double") / F.col("at_risk")
+        ).alias("km_factor"),
+    )
+    w_asc = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
+    s = fct.select(
+        "dur",
+        "d",
+        "c",
+        "at_risk",
+        "km_factor",
+        F.aggregate(
+            F.collect_list("km_factor").over(w_asc),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        ).alias("survival"),
+    )
+    return (
+        s.filter(F.col("d") > 0)
+        .select(
+            F.col("dur").cast("long").alias("duration_weeks"),
+            F.col("at_risk").cast("long").alias("n_at_risk"),
+            F.col("d").alias("n_churned"),
+            F.col("c").alias("n_censored"),
+            "km_factor",
+            "survival",
+        )
+        .orderBy("duration_weeks")
+    )
+
+
+@query(
+    "events_cross_correlation",
+    oracle=f"""
+    WITH e AS (
+      SELECT epoch_us(ts) // {_DAY_US} AS day, event_type FROM events
+    ),
+    b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM e),
+    spine AS (SELECT unnest(range(mn, mx + 1)) AS day FROM b),
+    d AS (
+      SELECT spine.day,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS x,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS y
+      FROM spine LEFT JOIN e ON e.day = spine.day
+      GROUP BY spine.day
+    ),
+    lags AS (SELECT unnest(range(0, {_XCORR_MAX_LAG + 1})) AS lag),
+    pairs AS (
+      SELECT lags.lag, dx.x, dy.y
+      FROM lags
+      JOIN d dx ON TRUE
+      JOIN d dy ON dy.day = dx.day + lags.lag
+    ),
+    agg AS (
+      SELECT lag,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag_days, n_days,
+           CASE WHEN (n_days * sxx - sx * sx) = 0
+                  OR (n_days * syy - sy * sy) = 0 THEN NULL
+                ELSE CAST(n_days * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))
+           END AS xcorr
+    FROM agg ORDER BY lag_days
+    """,
+)
+def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the daily 'view' and
+    'purchase' count series: Pearson r between x_t (views on day t)
+    and y_{{t+L}} (purchases L days later) for L = 0..7 — the
+    diagnostic that answers "how many days does engagement lead
+    revenue", sibling of events_order_autocorr's ACF but across TWO
+    series. Days with no events count as exact zeros via the dense
+    min..max day spine (dropping them would bias r toward bursts).
+
+    Determinism: the daily counts and all five sufficient statistics
+    (Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs; r is one double
+    division over two sqrt's of exact-integer-valued doubles — IEEE
+    division and sqrt are correctly rounded, so r is bit-identical
+    cross-engine. Degenerate (zero-variance) windows yield NULL,
+    stated identically on both sides. Int64 headroom: the products
+    overflow only past ~3e9 events/day (Σ(x·y) over a ~month of days);
+    beyond that the same shape runs with DECIMAL(38,0) partials.
+
+    Scale: ONE conditional-aggregate pass over events (map-side
+    combined to |days| rows); the spine, the lag table, and the
+    shifted self-join all operate on that bounded daily frame (~30
+    rows here, ~3650 for a decade — never corpus-sized), so the
+    join is a broadcast no matter the corpus size."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr(f"ts_us div {_DAY_US}").alias("day"), "event_type"
+    )
+    b = ev.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = b.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("day")
+    )
+    counts = ev.groupBy("day").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    d = (
+        spine.join(counts, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    lags = spark.range(_XCORR_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    dx = d.select(F.col("day").alias("dx_day"), F.col("x"))
+    dy = d.select(F.col("day").alias("dy_day"), F.col("y"))
+    pairs = (
+        dx.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(dy),
+            F.col("dy_day") == F.col("dx_day") + F.col("lag"),
+        )
+        .select("lag", "x", "y")
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    varx = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = F.when((varx == 0) | (vary == 0), F.lit(None).cast("double")).otherwise(
+        num.cast("double")
+        / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double")))
+    )
+    return agg.select(
+        F.col("lag").cast("long").alias("lag_days"),
+        "n_days",
+        r.alias("xcorr"),
+    ).orderBy("lag_days")
+
+
+@query(
+    "events_funnel_time_to_convert",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id) AS t_view
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, event_type, t, t_view,
+             MIN(CASE WHEN event_type = 'click' AND t > t_view THEN t END)
+               OVER (PARTITION BY user_id) AS t_click
+      FROM v
+    ),
+    p AS (
+      SELECT user_id, t_view, t_click,
+             MIN(CASE WHEN event_type = 'purchase' AND t > t_click
+                      THEN t END)
+               OVER (PARTITION BY user_id) AS t_purchase
+      FROM c
+    ),
+    u AS (SELECT DISTINCT user_id, t_view, t_click, t_purchase FROM p),
+    delays AS (
+      SELECT user_id, 'view_to_click' AS step,
+             t_click - t_view AS delay_us
+      FROM u WHERE t_click IS NOT NULL
+      UNION ALL
+      SELECT user_id, 'click_to_purchase' AS step,
+             t_purchase - t_click AS delay_us
+      FROM u WHERE t_purchase IS NOT NULL
+    ),
+    ranked AS (
+      SELECT step, delay_us,
+             ROW_NUMBER() OVER (
+               PARTITION BY step ORDER BY delay_us, user_id) AS rn,
+             COUNT(*) OVER (PARTITION BY step) AS n
+      FROM delays
+    )
+    SELECT step,
+           CAST(MAX(n) AS BIGINT) AS n_users,
+           {" ".join(
+               f"CAST(MAX(CASE WHEN rn = ({p} * n + 99) // 100"
+               f" THEN delay_us END) AS BIGINT) AS p{p}_us,"
+               for p in _FUNNEL_PCTS
+           )}
+           {DSUM_SQL.format(expr="CAST(delay_us AS DOUBLE)")} / MAX(n)
+             AS mean_us
+    FROM ranked GROUP BY step ORDER BY step
+    """,
+)
+def events_funnel_time_to_convert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-to-convert distribution for each adjacent funnel step
+    (view→click, click→purchase, the events_funnel step chain without
+    its 1-hour cutoff): per step, the exact p25/p50/p75/p90 of the
+    per-user conversion delay plus the mean — the latency profile that
+    tells a growth team WHERE the funnel stalls, which the step-count
+    funnel cannot show. Delays are first-view to first-qualifying-
+    click to first-qualifying-purchase, strictly ordered per user.
+
+    Determinism: step times come from chained conditional window
+    minima over exact epoch-µs integers (the events_funnel recipe,
+    events_analytics.py:58); delays are integer subtraction;
+    percentiles are rank-selected pass-through values (ceil(p·n) by
+    integer arithmetic, user_id tiebreak — the events_percentiles_exact
+    recipe); the mean is DSUM / n.
+
+    Scale: the three chained windows share the user_id partitioning —
+    ONE user shuffle, windows evaluated in sequence on the sorted run;
+    the delay frame is ≤2 rows per user; the percentile rank within
+    each of the 2 step partitions is the distributed sort an exact
+    percentile fundamentally needs (approx path: q42's
+    approx_percentile)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts_us").alias("t")
+    )
+    w = W.partitionBy("user_id")
+    v = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("t"))).over(w),
+    )
+    c = v.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("t") > F.col("t_view")),
+                F.col("t"),
+            )
+        ).over(w),
+    )
+    p = c.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("t") > F.col("t_click")),
+                F.col("t"),
+            )
+        ).over(w),
+    )
+    u = p.select("user_id", "t_view", "t_click", "t_purchase").distinct()
+    delays = u.selectExpr(
+        "user_id",
+        "stack(2, "
+        "'view_to_click', t_click - t_view, "
+        "'click_to_purchase', t_purchase - t_click"
+        ") AS (step, delay_us)",
+    ).filter(F.col("delay_us").isNotNull())
+    ws = W.partitionBy("step")
+    ranked = delays.select(
+        "step",
+        "delay_us",
+        F.row_number().over(ws.orderBy("delay_us", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+    )
+
+    def pick(pct: int):
+        idx = F.expr(f"({pct} * n + 99) div 100")
+        return (
+            F.max(F.when(F.col("rn") == idx, F.col("delay_us")))
+            .cast("long")
+            .alias(f"p{pct}_us")
+        )
+
+    return (
+        ranked.groupBy("step")
+        .agg(
+            F.max("n").cast("long").alias("n_users"),
+            *[pick(pct) for pct in _FUNNEL_PCTS],
+            (
+                dsum(F.col("delay_us").cast("double")) / F.max("n")
+            ).alias("mean_us"),
+        )
+        .orderBy("step")
+    )
+
+
+@query(
+    "text_heaps_law",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    w AS (
+      SELECT doc_id, u.i, t[u.i + 1] AS token
+      FROM tok, LATERAL (SELECT unnest(range(len(t))) AS i) u
+    ),
+    nz AS (SELECT doc_id, i, token FROM w WHERE token <> ''),
+    idx AS (
+      SELECT token,
+             ROW_NUMBER() OVER (ORDER BY doc_id, i) AS gidx
+      FROM nz
+    ),
+    frst AS (SELECT token, MIN(gidx) AS fi FROM idx GROUP BY token),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+    chk AS (
+      SELECT unnest([{", ".join(str(c) for c in _HEAPS_CHECKPOINTS)}])
+        AS n_tokens
+    )
+    SELECT CAST(n_tokens AS BIGINT) AS n_tokens_seen,
+           CAST(SUM(CASE WHEN fi <= n_tokens THEN 1 ELSE 0 END) AS BIGINT)
+             AS vocab_size
+    FROM frst CROSS JOIN chk CROSS JOIN tot
+    WHERE n_tokens <= n
+    GROUP BY n_tokens
+    ORDER BY n_tokens_seen
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: distinct-token count after
+    the first N corpus tokens (N = 1k, 2k, 4k, ... capped at the corpus
+    total), reading the corpus in (doc_id, position) order — the
+    diagnostic that tells a tokenizer/vocab team whether vocabulary is
+    still growing (fresh data) or saturating (dup-heavy crawl), and the
+    empirical curve V(N) ≈ K·N^β whose flattening is a dedup health
+    signal. Checkpoints beyond the corpus size are dropped identically
+    in both engines, so the row set adapts to SF with no branching.
+
+    Determinism: token order is total ((doc_id, pos) — split positions
+    are assigned BEFORE the empty-token filter in both engines); the
+    global index is a ROW_NUMBER over that total order; first-occurrence
+    index and all checkpoint counts are exact integers.
+
+    Scale: the corpus-order global index is the one big operation — a
+    range-partitioned sort keyed by (doc_id, pos), the same contract as
+    the engine's other global ranks; first-occurrence is one map-side-
+    combinable MIN per token; the checkpoint grid is a broadcast
+    ~11-row frame. At 100 TB the curve is computed on a bounded prefix
+    (the checkpoints cap N), so a scan-and-stop over doc_id-ordered
+    shards reads only the prefix — the full-corpus sort here is the
+    exact-gate shape, not the production one."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    w_tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("i", "token"),
+    )
+    nz = w_tok.filter(F.col("token") != "")
+    idx = nz.select(
+        "token",
+        F.row_number().over(W.orderBy("doc_id", "i")).alias("gidx"),
+    )
+    frst = idx.groupBy("token").agg(F.min("gidx").alias("fi"))
+    tot = idx.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    chk = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(c) for c in _HEAPS_CHECKPOINTS])
+        ).alias("n_tokens")
+    )
+    return (
+        frst.crossJoin(F.broadcast(chk))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_tokens") <= F.col("n"))
+        .groupBy("n_tokens")
+        .agg(
+            F.sum(F.when(F.col("fi") <= F.col("n_tokens"), 1).otherwise(0))
+            .cast("long")
+            .alias("vocab_size")
+        )
+        .select(
+            F.col("n_tokens").cast("long").alias("n_tokens_seen"),
+            "vocab_size",
+        )
+        .orderBy("n_tokens_seen")
+    )

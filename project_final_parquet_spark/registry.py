@@ -193,6 +193,10 @@ ROUND8_QUEUE: list[str] = [
     "pipeline_e2e_eval_harness",
     "sim_pq_recall_audit",
     "lake_manifest_audit",
+    "events_survival_km",
+    "events_cross_correlation",
+    "events_funnel_time_to_convert",
+    "text_heaps_law",
 ]
 
 # Round-7 window (positions 1-50):
@@ -325,6 +329,7 @@ def _load_all() -> None:
         pipeline9,
         similarity6,
         similarity7,
+        pipeline10,
         reffile_source,
         avro_source,
         events_analytics,

@@ -1,0 +1,247 @@
+"""Round-7 batch-2 operator tests (pipeline10.py): pure-Python
+replays with exact equality — including the KM curve's ordered-fold
+product, which must be BIT-identical to the replay because both sides
+multiply the same doubles in the same order — plus plan pins for the
+scale claims (pruned scans, single keyed shuffle for the chained
+funnel windows).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pandas as pd
+
+from project_final_parquet_spark.plans import physical_plan, plan_facts
+from project_final_parquet_spark.registry import all_queries
+
+BIG_SF = "/root/testdata/sf0.01"
+
+_DAY_US = 86_400_000_000
+_CHURN_WINDOW_DAYS = 90
+
+
+def _events(sf):
+    df = pd.read_parquet(f"{sf}/events.parquet")
+    df["ts_us"] = (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(
+        microseconds=1
+    )
+    return df
+
+
+def _order_day_us(sf):
+    o = pd.read_parquet(f"{sf}/orders.parquet")
+    o["day"] = (
+        (o["o_orderdate"] - pd.Timestamp(0))
+        // pd.Timedelta(microseconds=1)
+    ) // _DAY_US
+    return o
+
+
+# --- events_survival_km -----------------------------------------------------
+
+
+def test_survival_km_matches_replay_bitexact(spark, sf_dir):
+    o = _order_day_us(sf_dir)
+    per = o.groupby("o_custkey")["day"].agg(["min", "max"])
+    end_day = per["max"].max()
+    lt = pd.DataFrame(
+        {
+            "dur": (per["max"] - per["min"]) // 7,
+            "churned": per["max"] < end_day - (_CHURN_WINDOW_DAYS - 1),
+        }
+    )
+    g = (
+        lt.groupby("dur")["churned"]
+        .agg(d="sum", n="count")
+        .sort_index()
+    )
+    g["c"] = g["n"] - g["d"]
+    # descending cumulative at-risk, then ascending ordered-fold product
+    at_risk = g["n"][::-1].cumsum()[::-1]
+    surv, expect = 1.0, []
+    for dur in g.index:
+        d, c, ar = int(g.loc[dur, "d"]), int(g.loc[dur, "c"]), int(
+            at_risk.loc[dur]
+        )
+        factor = 1.0 - float(d) / ar
+        surv = surv * factor  # same left-fold order as both engines
+        if d > 0:
+            expect.append((dur, ar, d, c, factor, surv))
+    rows = all_queries()["events_survival_km"](spark, sf_dir).collect()
+    got = [
+        (
+            r.duration_weeks,
+            r.n_at_risk,
+            r.n_churned,
+            r.n_censored,
+            r.km_factor,
+            r.survival,
+        )
+        for r in rows
+    ]
+    assert got == expect  # floats compare bit-exact: same fold order
+    # survival is non-increasing and in (0, 1]
+    s = [r.survival for r in rows]
+    assert all(a >= b for a, b in zip(s, s[1:]))
+    assert all(0.0 < x <= 1.0 for x in s)
+
+
+def test_survival_km_scan_pruned(spark):
+    df = all_queries()["events_survival_km"](spark, BIG_SF)
+    facts = plan_facts(df)
+    # orders scan must read only the two columns the lifetime needs
+    assert any(
+        "o_custkey" in s and "o_orderdate" in s and "o_totalprice" not in s
+        for s in facts.read_schemas
+    )
+
+
+# --- events_cross_correlation -------------------------------------------------
+
+
+def test_cross_correlation_matches_replay(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev["day"] = ev["ts_us"] // _DAY_US
+    mn, mx = int(ev["day"].min()), int(ev["day"].max())
+    x = {d: 0 for d in range(mn, mx + 1)}
+    y = dict(x)
+    for d, t in ev[["day", "event_type"]].itertuples(index=False):
+        if t == "view":
+            x[d] += 1
+        elif t == "purchase":
+            y[d] += 1
+    expect = []
+    for lag in range(8):
+        days = list(range(mn, mx + 1 - lag))
+        n = len(days)
+        xs = [x[d] for d in days]
+        ys = [y[d + lag] for d in days]
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        r = (
+            None
+            if vx == 0 or vy == 0
+            else float(n * sxy - sx * sy)
+            / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+        )
+        expect.append((lag, n, r))
+    rows = all_queries()["events_cross_correlation"](spark, sf_dir).collect()
+    got = [(r.lag_days, r.n_days, r.xcorr) for r in rows]
+    assert got == expect
+    assert all(r.xcorr is None or -1.0 <= r.xcorr <= 1.0 for r in rows)
+
+
+def test_cross_correlation_scan_pruned(spark):
+    df = all_queries()["events_cross_correlation"](spark, BIG_SF)
+    facts = plan_facts(df)
+    # events scan: ts + event_type only — value/props never read
+    assert any(
+        "event_type" in s and "value" not in s and "props" not in s
+        for s in facts.read_schemas
+    )
+    assert facts.n_nested_loop_joins <= 2  # lag grid broadcasts only
+
+
+# --- events_funnel_time_to_convert ---------------------------------------------
+
+
+def test_funnel_ttc_matches_replay(spark, sf_dir):
+    ev = _events(sf_dir)
+    delays = defaultdict(list)
+    for _, g in ev.groupby("user_id"):
+        tv = g.loc[g["event_type"] == "view", "ts_us"].min()
+        tc = (
+            g.loc[
+                (g["event_type"] == "click") & (g["ts_us"] > tv), "ts_us"
+            ].min()
+            if pd.notna(tv)
+            else float("nan")
+        )
+        tp = (
+            g.loc[
+                (g["event_type"] == "purchase") & (g["ts_us"] > tc),
+                "ts_us",
+            ].min()
+            if pd.notna(tc)
+            else float("nan")
+        )
+        if pd.notna(tc):
+            delays["view_to_click"].append(int(tc - tv))
+        if pd.notna(tp):
+            delays["click_to_purchase"].append(int(tp - tc))
+    expect = []
+    for step in sorted(delays):
+        ds = sorted(delays[step])
+        n = len(ds)
+        pct = {p: ds[(p * n + 99) // 100 - 1] for p in (25, 50, 75, 90)}
+        mean = float(sum(ds)) / n
+        expect.append(
+            (step, n, pct[25], pct[50], pct[75], pct[90], mean)
+        )
+    rows = all_queries()["events_funnel_time_to_convert"](
+        spark, sf_dir
+    ).collect()
+    got = [
+        (r.step, r.n_users, r.p25_us, r.p50_us, r.p75_us, r.p90_us, r.mean_us)
+        for r in rows
+    ]
+    assert got == expect
+    for r in rows:
+        assert r.p25_us <= r.p50_us <= r.p75_us <= r.p90_us
+
+
+def test_funnel_ttc_single_user_shuffle(spark):
+    """The three chained conditional-min windows must share ONE
+    user_id hash exchange (the events_funnel contract)."""
+    df = all_queries()["events_funnel_time_to_convert"](spark, BIG_SF)
+    p = physical_plan(df)
+    assert p.count("hashpartitioning(user_id") == 1
+
+
+# --- text_heaps_law -------------------------------------------------------------
+
+
+def test_heaps_law_matches_replay(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet").sort_values(
+        "doc_id"
+    )
+    seen, first_idx, idx = set(), {}, 0
+    for text in docs["text"]:
+        for tok in text.split(" "):
+            if tok == "":
+                continue
+            idx += 1
+            if tok not in seen:
+                seen.add(tok)
+                first_idx[tok] = idx
+    total = idx
+    checkpoints = [
+        1000, 2000, 4000, 8000, 16000, 32000, 64000, 128000,
+        256000, 512000, 1024000,
+    ]
+    expect = [
+        (n, sum(1 for fi in first_idx.values() if fi <= n))
+        for n in checkpoints
+        if n <= total
+    ]
+    rows = all_queries()["text_heaps_law"](spark, sf_dir).collect()
+    got = [(r.n_tokens_seen, r.vocab_size) for r in rows]
+    assert got == expect
+    # vocabulary growth is monotone non-decreasing and sub-linear
+    vs = [v for _, v in got]
+    assert all(a <= b for a, b in zip(vs, vs[1:]))
+    assert all(v <= n for n, v in got)
+
+
+def test_heaps_law_scan_pruned(spark):
+    df = all_queries()["text_heaps_law"](spark, BIG_SF)
+    facts = plan_facts(df)
+    assert any(
+        "doc_id" in s and "text" in s and "lang" not in s
+        for s in facts.read_schemas
+    )
