@@ -706,3 +706,122 @@ def graph_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# --- per-node local clustering coefficient ----------------------------------
+
+
+@query(
+    "graph_local_clustering",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_orderkey AS ok, l1.l_partkey AS a,
+             l2.l_partkey AS b
+      FROM lineitem l1
+      JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    edges AS (
+      SELECT a, b FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+      ) GROUP BY v
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tv AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS t
+      FROM (SELECT unnest([x, y, z]) AS v FROM tri) GROUP BY v
+    ),
+    lcc AS (
+      SELECT deg.v, deg.d, COALESCE(tv.t, 0) AS t,
+             CAST(2 * COALESCE(tv.t, 0) AS DOUBLE) / (deg.d * (deg.d - 1))
+               AS coeff
+      FROM deg LEFT JOIN tv ON deg.v = tv.v
+      WHERE deg.d >= 2
+    )
+    SELECT v AS node_id, d AS degree, t AS n_triangles, coeff
+    FROM lcc
+    ORDER BY coeff DESC, node_id
+    LIMIT 20
+    """,
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient on the part co-purchase
+    graph: c(v) = 2·t(v) / (d(v)·(d(v)−1)), where t(v) counts the
+    triangles through v — the node-level sibling of
+    graph_triangle_count's global closure ratio, and the signal a
+    recommender uses to tell tight accessory bundles (c≈1) from hub
+    parts that bridge unrelated baskets (c≈0). Top-20 by coefficient
+    (node id tiebreak), degree ≥ 2 (the coefficient is undefined below).
+
+    Determinism: triangle and degree counts are exact integers from the
+    same oriented (a<b<c) enumeration as graph_triangle_count — each
+    triangle found once, then credited to all three corners via an
+    array explode (map-side, no extra join); the coefficient is one
+    double division of exact ints; ordering carries the node tiebreak.
+
+    Scale: identical join profile to graph_triangle_count (the shared
+    copurchase_edges derivation — one orderkey shuffle, basket-bounded
+    pair explode; Spark reuses the edges exchange across the three
+    aliases), plus one map-side-combinable per-node count; the top-20
+    is TakeOrderedAndProject, never a global sort materialization. At
+    production scale the orientation is by (degree, id), bounding e1's
+    fan-out by arboricity — as noted on the global count."""
+    edges = copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tv = (
+        tri.select(
+            F.explode(F.array("x", "y", "z")).alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    lcc = (
+        deg.filter(F.col("d") >= 2)
+        .join(tv, "v", "left")
+        .select(
+            "v",
+            "d",
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("t"),
+            (
+                (F.lit(2) * F.coalesce(F.col("t"), F.lit(0))).cast("double")
+                / (F.col("d") * (F.col("d") - 1))
+            ).alias("coeff"),
+        )
+    )
+    return (
+        lcc.select(
+            F.col("v").alias("node_id"),
+            F.col("d").alias("degree"),
+            F.col("t").alias("n_triangles"),
+            "coeff",
+        )
+        .orderBy(F.desc("coeff"), "node_id")
+        .limit(20)
+    )

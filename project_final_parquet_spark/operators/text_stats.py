@@ -217,3 +217,94 @@ def text_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(15)
     )
+
+
+# --- term burstiness (Fano factor) ------------------------------------------
+
+
+@query(
+    "text_burstiness",
+    oracle=f"""
+    WITH t2 AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, token FROM t2 WHERE token <> ''),
+    pc AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, token
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    top AS (
+      SELECT token, CAST(SUM(c) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_docs_with,
+             CAST(SUM(c * c) AS BIGINT) AS sum_sq
+      FROM pc GROUP BY token
+      ORDER BY total DESC, token LIMIT 15
+    )
+    SELECT token, total AS corpus_count, n_docs_with,
+           CAST(total AS DOUBLE) / n AS mean_per_doc,
+           CAST(n * sum_sq - total * total AS DOUBLE) / (n * total)
+             AS fano
+    FROM top CROSS JOIN nd
+    ORDER BY corpus_count DESC, token
+    """,
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor — variance-to-mean ratio of the per-doc
+    count, zeros included) for the 15 highest-frequency corpus terms:
+    function words occur uniformly (Fano ≈ 1, Poisson-like) while
+    content/boilerplate terms clump into few documents (Fano >> 1) —
+    the classic signal separating stopword candidates from topical or
+    template vocabulary, complementing text_top_terms (which ranks by
+    raw count alone) and the tf-idf family.
+
+    Determinism: with n docs, per-term Σc and Σc² over occurring docs
+    equal the zero-inclusive sums, so Fano = (n·Σc² − (Σc)²)/(n·Σc) is
+    a ratio of exact BIGINTs — one double division, bit-identical.
+    Top-15 selection is (count DESC, token) — total order.
+
+    Scale: one tokenize pass → per-(doc, term) counts (map-side
+    combined on the doc-local grain), one term-grain aggregate with
+    map-side combine, then a TakeOrdered top-15 and a broadcast 1-row
+    count frame; nothing after the term aggregate is corpus-sized.
+    Int64 headroom: Σc² caps at (max per-doc count)·Σc — overflow needs
+    a trillion-token term with 1e6-token docs; the DECIMAL(38,0) form
+    swaps in past that."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    pc = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    top = (
+        pc.groupBy("token")
+        .agg(
+            F.sum("c").cast("long").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n_docs_with"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+        )
+        .orderBy(F.desc("total"), "token")
+        .limit(15)
+    )
+    return (
+        top.crossJoin(F.broadcast(nd))
+        .select(
+            "token",
+            F.col("total").alias("corpus_count"),
+            "n_docs_with",
+            (F.col("total").cast("double") / F.col("n")).alias(
+                "mean_per_doc"
+            ),
+            (
+                (
+                    F.col("n") * F.col("sum_sq")
+                    - F.col("total") * F.col("total")
+                ).cast("double")
+                / (F.col("n") * F.col("total"))
+            ).alias("fano"),
+        )
+        .orderBy(F.desc("corpus_count"), "token")
+    )

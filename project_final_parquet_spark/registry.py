@@ -197,6 +197,9 @@ ROUND8_QUEUE: list[str] = [
     "events_cross_correlation",
     "events_funnel_time_to_convert",
     "text_heaps_law",
+    "graph_local_clustering",
+    "text_burstiness",
+    "mm_aspect_bucket",
 ]
 
 # Round-7 window (positions 1-50):

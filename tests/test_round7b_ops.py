@@ -245,3 +245,118 @@ def test_heaps_law_scan_pruned(spark):
         "doc_id" in s and "text" in s and "lang" not in s
         for s in facts.read_schemas
     )
+
+
+# --- graph_local_clustering -----------------------------------------------
+
+
+def _copurchase_edges(sf):
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    pair_count = defaultdict(int)
+    for _, g in li.groupby("l_orderkey"):
+        ps = sorted(g["l_partkey"].unique())
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_count[(ps[i], ps[j])] += 1
+    return {e for e, c in pair_count.items() if c >= 2}
+
+
+def test_local_clustering_matches_replay(spark, sf_dir):
+    edges = _copurchase_edges(sf_dir)
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expect = []
+    for v in adj:
+        d = len(adj[v])
+        if d < 2:
+            continue
+        nb = adj[v]
+        t = sum(len(adj[w] & nb) for w in nb) // 2
+        expect.append((v, d, t, float(2 * t) / (d * (d - 1))))
+    expect.sort(key=lambda r: (-r[3], r[0]))
+    expect = expect[:20]
+    rows = all_queries()["graph_local_clustering"](spark, sf_dir).collect()
+    got = [(r.node_id, r.degree, r.n_triangles, r.coeff) for r in rows]
+    assert got == expect
+    assert all(0.0 <= c <= 1.0 for _, _, _, c in got)
+
+
+# --- text_burstiness ---------------------------------------------------------
+
+
+def test_burstiness_matches_replay(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    n = len(docs)
+    per_term = defaultdict(lambda: [0, 0, 0])  # total, n_docs_with, sum_sq
+    for text in docs["text"]:
+        from collections import Counter
+
+        c = Counter(t for t in text.split(" ") if t != "")
+        for tok, k in c.items():
+            acc = per_term[tok]
+            acc[0] += k
+            acc[1] += 1
+            acc[2] += k * k
+    top = sorted(per_term.items(), key=lambda kv: (-kv[1][0], kv[0]))[:15]
+    expect = [
+        (
+            tok,
+            tot,
+            ndw,
+            float(tot) / n,
+            float(n * ssq - tot * tot) / (n * tot),
+        )
+        for tok, (tot, ndw, ssq) in top
+    ]
+    rows = all_queries()["text_burstiness"](spark, sf_dir).collect()
+    got = [
+        (r.token, r.corpus_count, r.n_docs_with, r.mean_per_doc, r.fano)
+        for r in rows
+    ]
+    assert got == expect
+    # Fano of a zero-variance (uniform 1-per-doc everywhere) term is
+    # (n*t - t^2)/(n*t) = 1 - t/n < 1; clumped terms exceed 1
+    assert all(r.fano >= 0 for r in rows)
+
+
+# --- mm_aspect_bucket ---------------------------------------------------------
+
+_LADDER = [("3:4", 3, 4), ("1:1", 1, 1), ("4:3", 4, 3), ("16:9", 16, 9), ("2:1", 2, 1)]
+
+
+def test_aspect_bucket_matches_closed_form(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    even = [int(d) for d in docs["doc_id"] if d % 2 == 0]
+    agg = defaultdict(lambda: [0, 0, []])
+    for d in even:
+        w, h = 4 + d % 5, 3 + d % 3
+        best = min(
+            (abs(w * q - p * h) / q, i, name)
+            for i, (name, p, q) in enumerate(_LADDER)
+        )[2]
+        acc = agg[best]
+        acc[0] += 1
+        acc[1] += w * h
+        acc[2].append(w / h)
+    rows = all_queries()["mm_aspect_bucket"](spark, sf_dir).collect()
+    assert [r.bucket for r in rows] == sorted(agg)
+    for r in rows:
+        n, px, ratios = agg[r.bucket]
+        assert (r.n_images, r.total_px) == (n, px)
+        # DSUM quantizes each element to DECIMAL(38,10): per-element
+        # error <= 5e-11, so the replay bound scales with n
+        assert abs(r.mean_ratio - sum(ratios) / n) < 5e-11 * n
+    assert sum(r.n_images for r in rows) == len(even)
+
+
+def test_aspect_bucket_is_map_side(spark):
+    """Static-ladder argmin must compile to zero pre-aggregate
+    exchanges: only the 5-row aggregate + final order shuffle."""
+    df = all_queries()["mm_aspect_bucket"](spark, BIG_SF)
+    facts = plan_facts(df)
+    assert facts.n_joins == 0
+    assert facts.n_exchanges <= 2
