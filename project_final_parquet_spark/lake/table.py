@@ -91,6 +91,10 @@ class FileEntry:
     # incremental consumers must not re-emit them (Delta's dataChange
     # flag, Iceberg's rewrite snapshots — same public contract)
     data_change: bool = True
+    # equality-delete vector sidecar (Iceberg v2 equality-delete files,
+    # scoped to this data file): path of a JSON doc {key_col, keys};
+    # read() drops those keys from THIS file without rewriting it
+    dv: str | None = None
 
     def to_json(self) -> dict:
         return {
@@ -100,6 +104,7 @@ class FileEntry:
             "added": self.added,
             "bytes": self.bytes,
             "data_change": self.data_change,
+            "dv": self.dv,
         }
 
     @staticmethod
@@ -111,6 +116,7 @@ class FileEntry:
             d["added"],
             d.get("bytes", 0),
             d.get("data_change", True),
+            d.get("dv"),
         )
 
 
@@ -403,6 +409,98 @@ class LakeTable:
         self._publish(version, kept + new_entries)
         return version
 
+    # per-file DV key-list cap: past this, the sidecar stops being
+    # metadata-scale and the copy-on-write path is the right tool
+    DV_MAX_KEYS = 100_000
+
+    def delete_where_dv(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo: Any,
+        hi: Any,
+        predicate,
+        key_col: str,
+        expected_parent: int | None = None,
+    ) -> int:
+        """Merge-on-read delete via equality-delete vectors (the
+        Iceberg v2 delete-file pattern): rows matching ``predicate``
+        are removed WITHOUT rewriting any data file. Manifest stats
+        prune to the files whose [min,max] on ``col`` can overlap
+        [lo, hi); for each, the deleted ``key_col`` values are computed
+        by scanning JUST that file (predicate pushed down) and written
+        as a JSON sidecar; the new manifest version re-lists the same
+        data files with their ``dv`` pointer set. ``read()`` applies
+        the vectors as a broadcast anti-join over only the DV-carrying
+        files — untouched files never pay it.
+
+        This is the low-latency delete for 100 TB tables (GDPR purge,
+        bad-row retraction at minutes cadence); ``delete_where`` is the
+        copy-on-write sibling that compaction eventually converges the
+        table back to. Sidecars are capped at ``DV_MAX_KEYS`` keys per
+        file — past that the DV is no longer metadata-scale and the
+        caller is pointed at the rewrite path.
+
+        Returns the new version (parent unchanged if no file overlaps).
+        """
+        parent = (
+            self.current_version
+            if expected_parent is None
+            else expected_parent
+        )
+        entries = self.manifest(parent)
+        lo_s, hi_s = _ser(lo), _ser(hi)
+        touched_paths = {
+            e.path
+            for e in entries
+            if col not in e.stats
+            or not (e.stats[col][0] >= hi_s or e.stats[col][1] < lo_s)
+        }
+        if not touched_paths:
+            return parent
+        version = parent + 1
+        dv_dir = self.root / "_dv" / f"v{version}"
+        dv_dir.mkdir(parents=True, exist_ok=True)
+        new_entries = []
+        for e in entries:
+            if e.path not in touched_paths:
+                new_entries.append(e)
+                continue
+            keys = [
+                r[0]
+                for r in spark.read.parquet(e.path)
+                .filter(predicate)
+                .select(key_col)
+                .limit(self.DV_MAX_KEYS + 1)
+                .collect()
+            ]
+            if len(keys) > self.DV_MAX_KEYS:
+                raise ValueError(
+                    f"DV for {e.path} exceeds {self.DV_MAX_KEYS} keys; "
+                    "use delete_where (copy-on-write rewrite) for "
+                    "deletes this wide"
+                )
+            if not keys:
+                new_entries.append(e)
+                continue
+            dv_path = dv_dir / f"{Path(e.path).stem}.json"
+            dv_path.write_text(
+                json.dumps({"key_col": key_col, "keys": sorted(keys)})
+            )
+            new_entries.append(
+                FileEntry(
+                    e.path,
+                    e.rows,
+                    e.stats,
+                    e.added,
+                    e.bytes,
+                    data_change=e.data_change,
+                    dv=str(dv_path),
+                )
+            )
+        self._publish(version, new_entries)
+        return version
+
     def merge_upsert(
         self,
         spark: SparkSession,
@@ -612,13 +710,43 @@ class LakeTable:
     def read(
         self, spark: SparkSession, version: int | None = None
     ) -> DataFrame:
-        paths = [e.path for e in self.manifest(version)]
-        if not paths:
+        entries = self.manifest(version)
+        if not entries:
             raise ValueError("empty table (no committed snapshot)")
         # mergeSchema: commits may evolve the schema (add columns);
         # the merged read fills missing columns with NULL — footer-read
         # cost only, metadata-scale
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+        dv_entries = [e for e in entries if e.dv]
+        plain = [e for e in entries if not e.dv]
+        if not dv_entries:
+            return spark.read.option("mergeSchema", "true").parquet(
+                *[e.path for e in entries]
+            )
+        # merge-on-read: files carrying a delete vector pay a broadcast
+        # anti-join on the deleted keys; every other file streams
+        # through untouched (the Iceberg equality-delete read path)
+        key_cols, keys = set(), []
+        for e in dv_entries:
+            doc = json.loads(Path(e.dv).read_text())
+            key_cols.add(doc["key_col"])
+            keys.extend(doc["keys"])
+        if len(key_cols) != 1:
+            raise ValueError(f"mixed DV key columns: {sorted(key_cols)}")
+        key_col = key_cols.pop()
+        scan_dv = spark.read.option("mergeSchema", "true").parquet(
+            *[e.path for e in dv_entries]
+        )
+        key_df = spark.createDataFrame(
+            [(k,) for k in keys],
+            f"{key_col} {scan_dv.schema[key_col].dataType.simpleString()}",
+        )
+        surv = scan_dv.join(F.broadcast(key_df), key_col, "left_anti")
+        if not plain:
+            return surv
+        scan_plain = spark.read.option("mergeSchema", "true").parquet(
+            *[e.path for e in plain]
+        )
+        return scan_plain.unionByName(surv, allowMissingColumns=True)
 
     def incremental(
         self,

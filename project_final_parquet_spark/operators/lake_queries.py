@@ -613,3 +613,91 @@ def lake_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version long, n_files long, n_rows long, "
         "files_added long, rows_added long",
     ).orderBy("version")
+
+
+# --- merge-on-read delete via equality-delete vectors ------------------------
+
+# DV delete: a date-bounded retraction of every 7th order in the window
+# (a "bad ingest batch" purge). Bounds declared for the stats pruner.
+_DV_LO = "1996-03-01"
+_DV_HI = "1997-03-01"
+_DV_MOD = 7
+
+
+def dv_lake(spark: SparkSession, sf_dir: str) -> LakeTable:
+    """Stage (or reuse) the DV-delete orders lake: the two standard
+    commits, then one equality-delete-vector commit (v3) that retracts
+    every {_DV_MOD}th order inside [{_DV_LO}, {_DV_HI}) without
+    rewriting a single data file."""
+    table = LakeTable(_lake_root(sf_dir, name="orders_dv"))
+    if table.current_version == 3:
+        return table
+    if table.root.exists():
+        shutil.rmtree(table.root)
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit(_CUTOFF).cast("timestamp_ntz")
+    for part in (
+        orders.filter(F.col("o_orderdate") < cutoff),
+        orders.filter(F.col("o_orderdate") >= cutoff),
+    ):
+        table.commit_append(
+            part,
+            stats_cols=_STATS_COLS,
+            num_files=_FILES_PER_COMMIT,
+            range_by="o_orderdate",
+        )
+    lo = F.lit(_DV_LO).cast("timestamp_ntz")
+    hi = F.lit(_DV_HI).cast("timestamp_ntz")
+    table.delete_where_dv(
+        spark,
+        col="o_orderdate",
+        lo=_DV_LO,
+        hi=_DV_HI,
+        predicate=(
+            (F.col("o_orderdate") >= lo)
+            & (F.col("o_orderdate") < hi)
+            & (F.col("o_orderkey") % _DV_MOD == 0)
+        ),
+        key_col="o_orderkey",
+    )
+    return table
+
+
+@query(
+    "lake_deletion_vectors",
+    oracle=f"""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {DSUM_SQL.format(expr="o_totalprice")} AS total_price
+    FROM orders
+    WHERE NOT (o_orderdate >= TIMESTAMP '{_DV_LO}'
+               AND o_orderdate < TIMESTAMP '{_DV_HI}'
+               AND o_orderkey % {_DV_MOD} = 0)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read delete via equality-delete vectors (Iceberg v2's
+    delete-file pattern, Delta's deletion vectors): a date-bounded
+    purge commits as per-file key sidecars — ZERO data files rewritten
+    — and the read applies them as a broadcast anti-join over only the
+    DV-carrying files (manifest-stats pruning bounds which files those
+    are). The oracle is the plain relational NOT-predicate over the
+    source table, so the hash match proves the sidecar mechanism drops
+    exactly the retracted rows and nothing else.
+
+    Scale: the delete touches metadata + one pushdown scan per
+    overlapping file (at 100 TB: the few files the date range maps to);
+    the read pays the anti-join only on those files' rows — untouched
+    files stream through with no join at all. Compaction (``compact``)
+    later folds DVs back into clean files; ``delete_where`` is the
+    copy-on-write sibling measured by lake_replace_where."""
+    table = dv_lake(spark, sf_dir)
+    return (
+        table.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

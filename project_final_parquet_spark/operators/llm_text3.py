@@ -699,3 +699,98 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- bigram transition surprisal (integer LM-score proxy) -------------------
+
+
+@query(
+    "text_bigram_surprisal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[u.i + 1] AS w1, t[u.i + 2] AS w2
+      FROM tok, LATERAL (SELECT unnest(range(len(t) - 1)) AS i) u
+    ),
+    c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg GROUP BY w1, w2
+    ),
+    c1 AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+             COUNT(*) AS n_bigrams,
+             SUM(length(bin(c1.c1)) - length(bin(c12.c12)))
+               AS surprisal_sum
+      FROM bg
+      JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+      JOIN c1 ON bg.w1 = c1.w1
+      GROUP BY bg.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(surprisal_sum AS BIGINT) AS surprisal_sum,
+           CAST((100 * surprisal_sum) // n_bigrams AS BIGINT)
+             AS avg_surprisal_x100
+    FROM scored ORDER BY doc_id
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram surprisal — the integer stand-in for an
+    n-gram LM score: each transition w1→w2 costs
+    bitwidth(c(w1·)) − bitwidth(c(w1 w2)) ≈ −log2 p(w2|w1), summed per
+    document (the bin()-length trick of text_rare_token_score extended
+    from unigram rarity to TRANSITION probability — what a KenLM-style
+    quality filter scores, minus the transcendental log that would not
+    be bit-reproducible across engines). High average surprisal flags
+    incoherent/shuffled text; low flags templated boilerplate.
+
+    Determinism: all counts exact BIGINTs; the per-transition score is
+    a bitwidth difference (c12 ≤ c1 ⇒ score ≥ 0); the x100 average is
+    floor integer division. Bigrams follow text_repetition_filter's
+    raw-split-adjacency convention.
+
+    Scale: one bigram pass → (w1,w2) counts (map-side combined); the
+    continuation totals c1 derive from the ALREADY-aggregated c12 frame
+    (vocab²-bounded, not corpus-bounded); the score join back is
+    co-partitioned on the bigram key; final per-doc aggregate is
+    map-side combinable. No vocabulary ever sits on one node — the
+    unbounded-vocab template of text_rare_token_score."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    zipped = F.arrays_zip(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+    )
+    bg = tok.filter(F.size("t") >= 2).select(
+        "doc_id", F.explode(zipped).alias("z")
+    ).select(
+        "doc_id",
+        F.col("z").getField("0").alias("w1"),
+        F.col("z").getField("1").alias("w2"),
+    )
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    score = F.length(F.bin(F.col("c1"))) - F.length(F.bin(F.col("c12")))
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(score).cast("long").alias("surprisal_sum"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "surprisal_sum",
+        F.expr("(100 * surprisal_sum) div n_bigrams").alias(
+            "avg_surprisal_x100"
+        ),
+    ).orderBy("doc_id")

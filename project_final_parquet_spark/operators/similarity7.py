@@ -387,3 +387,100 @@ def sim_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --- reciprocal nearest neighbors -------------------------------------------
+
+_RNN_N = 300  # self-contained audit subset (oracle tractability)
+
+
+@query(
+    "sim_reciprocal_nn",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_RNN_N}
+    ),
+    scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {_DOT_SQL.format(dim=_DIM, a='a.embedding', b='b.embedding')}
+               / ({_NORM_SQL.format(dim=_DIM, a='a.embedding')}
+                  * {_NORM_SQL.format(dim=_DIM, a='b.embedding')}) AS cosine
+      FROM s a JOIN s b ON a.vec_id <> b.vec_id
+    ),
+    nn AS (
+      SELECT src, dst, cosine FROM (
+        SELECT src, dst, cosine,
+               ROW_NUMBER() OVER (
+                 PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+        FROM scored
+      ) t WHERE rn = 1
+    )
+    SELECT n1.src AS a, n1.dst AS b, n1.cosine
+    FROM nn n1 JOIN nn n2 ON n2.src = n1.dst AND n2.dst = n1.src
+    WHERE n1.src < n1.dst
+    ORDER BY a
+    """,
+)
+def sim_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest neighbors: pairs (a, b) where each is the
+    other's cosine top-1 — the high-precision pairing rule semantic
+    dedup and cross-lingual mining use (Artetxe/Schwenk margin-based
+    mining keeps RNN pairs; one-directional NN is noise-prone). Runs on
+    a self-contained id-prefix subset so the mutual property is closed
+    under the oracle's relation; pairs report once, oriented a < b.
+
+    Determinism: the SAME left-fold dot / hoisted-norm cosine as
+    sim_knn_graph, top-1 totally ordered by (cosine DESC, dst), and the
+    reciprocity self-join is exact id equality.
+
+    Scale: the subset broadcasts (it is the audit frame); the corpus
+    form shards sources exactly like sim_knn_graph — each shard's NN
+    pass is one broadcast map-side scan, and reciprocity is a
+    co-partitioned self-join of the |V| NN edges on (src, dst) — never
+    pairwise at corpus scale; LSH/IVF blocking (the gated bucketed
+    shapes) bounds each shard's candidate set."""
+    emb = load(spark, sf_dir, "embeddings")
+    s = emb.filter(F.col("vec_id") < _RNN_N).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    a = s.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = s.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    scored = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (
+                _dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    nn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("src", "dst", "cosine")
+    )
+    n2 = nn.select(
+        F.col("src").alias("r_src"), F.col("dst").alias("r_dst")
+    )
+    return (
+        nn.join(
+            n2,
+            (F.col("r_src") == F.col("dst"))
+            & (F.col("r_dst") == F.col("src")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"), "cosine")
+        .orderBy("a")
+    )

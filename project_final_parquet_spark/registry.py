@@ -200,6 +200,9 @@ ROUND8_QUEUE: list[str] = [
     "graph_local_clustering",
     "text_burstiness",
     "mm_aspect_bucket",
+    "lake_deletion_vectors",
+    "sim_reciprocal_nn",
+    "text_bigram_surprisal",
 ]
 
 # Round-7 window (positions 1-50):

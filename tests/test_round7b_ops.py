@@ -360,3 +360,150 @@ def test_aspect_bucket_is_map_side(spark):
     facts = plan_facts(df)
     assert facts.n_joins == 0
     assert facts.n_exchanges <= 2
+
+
+# --- lake_deletion_vectors ------------------------------------------------
+
+
+def test_deletion_vectors_rewrite_nothing(spark, sf_dir):
+    import json
+    import os
+
+    from project_final_parquet_spark.operators.lake_queries import (
+        _DV_HI,
+        _DV_LO,
+        _DV_MOD,
+        dv_lake,
+    )
+
+    table = dv_lake(spark, sf_dir)
+    v2, v3 = table.manifest(2), table.manifest(3)
+    # MOR contract: the DV commit lists the SAME data files (no
+    # rewrite, no new files) — only dv pointers differ
+    assert [e.path for e in v3] == [e.path for e in v2]
+    assert all(e.dv is None for e in v2)
+    dv_files = [e for e in v3 if e.dv]
+    assert dv_files, "the date range must overlap at least one file"
+    # stats pruning: files fully outside [lo, hi) carry no DV
+    for e in v3:
+        lo_s, hi_s = _DV_LO, _DV_HI
+        mn, mx = e.stats["o_orderdate"]
+        if mn >= hi_s or mx < lo_s:
+            assert e.dv is None
+    # sidecars are sorted unique keys of the declared column
+    for e in dv_files:
+        doc = json.loads(open(e.dv).read())
+        assert doc["key_col"] == "o_orderkey"
+        assert doc["keys"] == sorted(set(doc["keys"]))
+    # row accounting: v3 view = v2 view minus exactly the predicate rows
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    ts = orders["o_orderdate"]
+    deleted = (
+        (ts >= pd.Timestamp(_DV_LO))
+        & (ts < pd.Timestamp(_DV_HI))
+        & (orders["o_orderkey"] % _DV_MOD == 0)
+    ).sum()
+    n_v2 = table.read(spark, version=2).count()
+    n_v3 = table.read(spark, version=3).count()
+    assert n_v2 == len(orders)
+    assert n_v3 == len(orders) - int(deleted)
+    # time travel to v2 is unaffected by the later DV commit
+    assert deleted > 0
+
+
+def test_deletion_vector_cap_errors(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from project_final_parquet_spark.lake import LakeTable
+    from pyspark.sql import functions as F
+
+    table = LakeTable(tmp_path / "dvcap")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    table.commit_append(df, stats_cols=("k",), num_files=1, range_by="k")
+    old_cap = LakeTable.DV_MAX_KEYS
+    LakeTable.DV_MAX_KEYS = 10
+    try:
+        with _pytest.raises(ValueError, match="copy-on-write"):
+            table.delete_where_dv(
+                spark,
+                col="k",
+                lo=0,
+                hi=1000,
+                predicate=F.col("k") >= 0,
+                key_col="k",
+            )
+    finally:
+        LakeTable.DV_MAX_KEYS = old_cap
+
+
+# --- sim_reciprocal_nn ---------------------------------------------------------
+
+
+def test_reciprocal_nn_matches_replay(spark, sf_dir):
+    import numpy as np
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb[emb["vec_id"] < 300].sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    sims = m @ m.T / (
+        np.linalg.norm(m, axis=1)[:, None] * np.linalg.norm(m, axis=1)[None, :]
+    )
+    np.fill_diagonal(sims, -2.0)
+    nn = {}
+    for i, vid in enumerate(ids):
+        order = sorted(
+            range(len(ids)), key=lambda j: (-sims[i, j], ids[j])
+        )
+        nn[vid] = ids[order[0]]
+    expect_pairs = sorted(
+        (a, b) for a, b in nn.items() if a < b and nn[b] == a
+    )
+    rows = all_queries()["sim_reciprocal_nn"](spark, sf_dir).collect()
+    assert [(r.a, r.b) for r in rows] == expect_pairs
+    # numpy's BLAS dot differs in summation order from the left fold —
+    # cosine agreement is approximate here (the oracle hash is the
+    # bit-exact check); reciprocity itself is exact
+    for r in rows:
+        i = int(np.where(ids == r.a)[0][0])
+        j = int(np.where(ids == r.b)[0][0])
+        assert abs(r.cosine - sims[i, j]) < 1e-9
+
+
+# --- text_bigram_surprisal -------------------------------------------------------
+
+
+def test_bigram_surprisal_matches_replay(spark, sf_dir):
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    per_doc_bgs = {}
+    c12, c1 = Counter(), Counter()
+    for did, text in docs[["doc_id", "text"]].itertuples(index=False):
+        t = text.split(" ")
+        bgs = list(zip(t[:-1], t[1:]))
+        per_doc_bgs[did] = bgs
+        for bgr in bgs:
+            c12[bgr] += 1
+            c1[bgr[0]] += 1
+    expect = []
+    for did in sorted(per_doc_bgs):
+        bgs = per_doc_bgs[did]
+        if not bgs:
+            continue
+        ssum = sum(
+            c1[w1].bit_length() - c12[(w1, w2)].bit_length()
+            for w1, w2 in bgs
+        )
+        expect.append(
+            (did, len(bgs), ssum, (100 * ssum) // len(bgs))
+        )
+    rows = all_queries()["text_bigram_surprisal"](spark, sf_dir).collect()
+    got = [
+        (r.doc_id, r.n_bigrams, r.surprisal_sum, r.avg_surprisal_x100)
+        for r in rows
+    ]
+    assert got == expect
+    assert all(r.surprisal_sum >= 0 for r in rows)
