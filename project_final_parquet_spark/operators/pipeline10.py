@@ -524,3 +524,111 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_tokens_seen")
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle=f"""
+    WITH om AS (
+      SELECT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+             o_totalprice
+      FROM orders
+    ),
+    coh AS (SELECT o_custkey, MIN(m) AS cm FROM om GROUP BY o_custkey),
+    sizes AS (
+      SELECT cm, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM coh GROUP BY cm
+    ),
+    rev AS (
+      SELECT coh.cm, om.m - coh.cm AS off,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(om.o_totalprice AS DECIMAL(38,10))) AS rev_dec
+      FROM om JOIN coh ON om.o_custkey = coh.o_custkey
+      GROUP BY coh.cm, om.m - coh.cm
+    ),
+    cum AS (
+      SELECT cm, off, n_orders, rev_dec,
+             SUM(rev_dec) OVER (PARTITION BY cm ORDER BY off
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec
+      FROM rev
+    )
+    SELECT CAST(cum.cm AS BIGINT) AS cohort_month,
+           CAST(cum.off AS BIGINT) AS month_offset,
+           sizes.n_customers, cum.n_orders,
+           CAST(CAST(cum.rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(CAST(cum.cum_dec AS VARCHAR) AS DOUBLE)
+             / sizes.n_customers AS cum_ltv_per_user
+    FROM cum JOIN sizes ON cum.cm = sizes.cm
+    ORDER BY cohort_month, month_offset
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers cohorted by FIRST-order
+    month, each cohort's revenue tracked by month offset since
+    acquisition, cumulated into LTV-per-user — the revenue-side
+    companion of events_retention_cohorts (which counts activity, not
+    value) and the curve a growth model fits payback periods on.
+    Month index is the pure-integer year·12+month−1 (calendar fields of
+    NTZ timestamps — no date arithmetic whose week/month rules could
+    diverge).
+
+    Determinism: the cumulative revenue is windowed over
+    DECIMAL(38,10) — exact and ORDER-FREE, so it is immune to the
+    engines' different windowed-sum accumulation orders (DuckDB's
+    segment tree vs Spark's running frame — a double cum-sum here
+    would be last-ulp unstable); the only doubles are final casts and
+    one division by the exact cohort size.
+
+    Scale: one customer-grain shuffle for cohorts, one co-partitioned
+    join back on custkey, a (cohort × offset)-grain aggregate with
+    map-side combine — the window then runs over that bounded frame
+    (≤ span² ≈ 7k rows for 7 years, at any corpus size), partitioned
+    by cohort."""
+    om = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).alias("m"),
+        "o_totalprice",
+    )
+    coh = om.groupBy("o_custkey").agg(F.min("m").alias("cm"))
+    sizes = coh.groupBy("cm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    rev = (
+        om.join(coh, "o_custkey")
+        .groupBy("cm", (F.col("m") - F.col("cm")).alias("off"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias(
+                "rev_dec"
+            ),
+        )
+    )
+    w_cum = (
+        W.partitionBy("cm")
+        .orderBy("off")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = rev.select(
+        "cm",
+        "off",
+        "n_orders",
+        "rev_dec",
+        F.sum("rev_dec").over(w_cum).alias("cum_dec"),
+    )
+    return (
+        cum.join(sizes, "cm")
+        .select(
+            F.col("cm").cast("long").alias("cohort_month"),
+            F.col("off").cast("long").alias("month_offset"),
+            "n_customers",
+            "n_orders",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            (
+                F.col("cum_dec").cast("double") / F.col("n_customers")
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )

@@ -489,3 +489,80 @@ def ml_linear_probe_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_pos") * F.col("n_neg"))
         ).alias("auc"),
     )
+
+
+# --- effective rank (participation ratio) -----------------------------------
+
+
+@query(
+    "embeddings_effective_rank",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS vi
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range({_DIM})) AS i) idx
+    ),
+    g AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(CAST(floor(a.vi * b.vi * {_PCA_S1}.0) AS BIGINT))
+                  AS BIGINT) AS g
+      FROM flat a JOIN flat b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
+    ),
+    tr AS (
+      SELECT CAST(SUM(CASE WHEN i = j THEN g ELSE 0 END) AS BIGINT)
+               AS trg,
+             SUM(CAST(g AS DECIMAL(38,0)) * CAST(g AS DECIMAL(38,0)))
+               AS trg2
+      FROM g
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM embeddings)
+    SELECT CAST({_DIM} AS BIGINT) AS dim, n_vectors, trg AS gram_trace,
+           (CAST(trg AS DOUBLE) * CAST(trg AS DOUBLE))
+             / CAST(trg2 AS DOUBLE) AS effective_rank,
+           (CAST(trg AS DOUBLE) * CAST(trg AS DOUBLE))
+             / CAST(trg2 AS DOUBLE) / {_DIM} AS isotropy_ratio
+    FROM tr CROSS JOIN n
+    """,
+)
+def embeddings_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective rank (participation ratio) of the embedding space:
+    PR = tr(G)² / tr(G²) = (Σλᵢ)² / Σλᵢ² over the uncentered Gram
+    spectrum — an EXACT spectral-concentration diagnostic with NO
+    eigendecomposition (both traces are polynomial in the Gram entries:
+    tr(G²) = Σᵢⱼ G²ᵢⱼ by symmetry). PR ≈ dim means isotropic use of the
+    space; PR ≪ dim means representation collapse — the number a
+    retrieval team watches after every encoder retrain, complementing
+    embeddings_top_eigenvector (the direction) with the spectrum's
+    shape (how dominant it is).
+
+    Determinism: the Gram matrix is the shared floor-scaled exact
+    BIGINT accumulation (_gram); tr(G) is an int64 sum, tr(G²) a
+    DECIMAL(38,0) sum of integer squares (G²ᵢⱼ overflows int64 at
+    corpus scale, decimal is exact in both engines); the two final
+    divisions are identical IEEE ops.
+
+    Scale: one data-scale flat self-join co-partitioned on vec_id (the
+    _gram contract — map-side combinable into 64×64 = 4096 cells); the
+    trace reductions run over that 4096-row frame. The whole statistic
+    is one pass regardless of corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    g = _gram(emb)
+    gd = F.col("g").cast("decimal(38,0)")
+    tr = g.agg(
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("g")).otherwise(0))
+        .cast("long")
+        .alias("trg"),
+        F.sum(gd * gd).alias("trg2"),
+    )
+    n = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    er = (
+        F.col("trg").cast("double") * F.col("trg").cast("double")
+    ) / F.col("trg2").cast("double")
+    return tr.crossJoin(F.broadcast(n)).select(
+        F.lit(_DIM).cast("long").alias("dim"),
+        "n_vectors",
+        F.col("trg").alias("gram_trace"),
+        er.alias("effective_rank"),
+        (er / _DIM).alias("isotropy_ratio"),
+    )

@@ -203,6 +203,9 @@ ROUND8_QUEUE: list[str] = [
     "lake_deletion_vectors",
     "sim_reciprocal_nn",
     "text_bigram_surprisal",
+    "embeddings_effective_rank",
+    "orders_cohort_ltv",
+    "stream_windowed_distinct",
 ]
 
 # Round-7 window (positions 1-50):

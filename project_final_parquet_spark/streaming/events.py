@@ -360,3 +360,56 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(make_emit(), "user_id long, milestone long, ts_us long")
         .orderBy("user_id", "milestone")
     )
+
+
+# --- exact windowed distinct (dedup → windowed agg chain) -------------------
+
+_US_6H = 6 * 60 * 60 * 1_000_000
+
+
+def windowed_distinct_users(events: DataFrame) -> DataFrame:
+    """Exact distinct users per 6-hour tumbling window, as the
+    dedup→agg two-stateful-operator chain: ``dropDuplicates`` on
+    (window, user) — whose state the watermark evicts once the window
+    closes — feeding a windowed count. This is THE streaming shape for
+    exact distinct (plain ``count_distinct`` is unsupported in
+    streaming aggregation; the HLL sketch family is the approximate
+    alternative at unbounded cardinality)."""
+    dedup = events.select(
+        F.window("ts", "6 hours").alias("w"), "user_id"
+    ).dropDuplicates(["w", "user_id"])
+    return (
+        dedup.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_users",
+        )
+    )
+
+
+@query(
+    "stream_windowed_distinct",
+    oracle=f"""
+    SELECT epoch_us(ts) - epoch_us(ts) % {_US_6H} AS window_start_us,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per 6-hour tumbling window — the batch form of
+    the streaming dedup→windowed-agg chain (tests/test_streaming.py
+    runs the SAME transformation under readStream in append mode with
+    a sentinel-advanced watermark and asserts identical rows). Exact
+    distinct is a two-shuffle operation in batch ((window, user) dedup,
+    then window count with map-side combine) and a two-stateful-
+    operator chain in streaming; state is bounded by active users per
+    open window, evicted at watermark passage.
+
+    Scale: the dedup shuffle is the data-scale step (same key shape as
+    dedup_exact); the count shuffle is |windows| rows. The HLL variant
+    (events_rolling_distinct_hll) swaps in when per-window user sets
+    stop fitting state."""
+    ev = _with_event_time(load(spark, sf_dir, "events"))
+    return windowed_distinct_users(ev).orderBy("window_start_us")

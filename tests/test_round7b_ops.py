@@ -507,3 +507,71 @@ def test_bigram_surprisal_matches_replay(spark, sf_dir):
     ]
     assert got == expect
     assert all(r.surprisal_sum >= 0 for r in rows)
+
+
+# --- embeddings_effective_rank ------------------------------------------------
+
+
+def test_effective_rank_matches_replay(spark, sf_dir):
+    import numpy as np
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    s1 = 1_000_000_000
+    # exact integer Gram replay: G[i,j] = sum_n floor(v_ni*v_nj*S1)
+    g = np.zeros((64, 64), dtype=object)
+    prod = m[:, :, None] * m[:, None, :]
+    fl = np.floor(prod * float(s1)).astype(np.int64)
+    g = fl.sum(axis=0, dtype=np.int64)
+    trg = int(np.trace(g))
+    trg2 = int(sum(int(x) * int(x) for x in g.flatten()))
+    er = (float(trg) * float(trg)) / float(trg2)
+    rows = all_queries()["embeddings_effective_rank"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.dim, r.n_vectors, r.gram_trace) == (64, len(emb), trg)
+    assert r.effective_rank == er
+    assert r.isotropy_ratio == er / 64
+    # spectrum sanity: 1 <= PR <= dim
+    assert 1.0 <= r.effective_rank <= 64.0
+
+
+# --- orders_cohort_ltv ----------------------------------------------------------
+
+
+def test_cohort_ltv_invariants_and_replay(spark, sf_dir):
+    from decimal import Decimal
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["m"] = o["o_orderdate"].dt.year * 12 + o["o_orderdate"].dt.month - 1
+    first = o.groupby("o_custkey")["m"].min()
+    o["cm"] = o["o_custkey"].map(first)
+    o["off"] = o["m"] - o["cm"]
+    sizes = first.value_counts()
+    rows = all_queries()["orders_cohort_ltv"](spark, sf_dir).collect()
+    # exact integer frame: one row per observed (cohort, offset)
+    cells = o.groupby(["cm", "off"])
+    assert len(rows) == len(cells)
+    by_key = {(r.cohort_month, r.month_offset): r for r in rows}
+    for (cm, off), grp in cells:
+        r = by_key[(int(cm), int(off))]
+        assert r.n_orders == len(grp)
+        assert r.n_customers == int(sizes[cm])
+        # DECIMAL(38,10)-quantized exact revenue
+        exp_rev = float(
+            sum(
+                Decimal(repr(v)).quantize(Decimal("1.0000000000"))
+                for v in grp["o_totalprice"]
+            )
+        )
+        assert abs(r.revenue - exp_rev) < 1e-6
+    # LTV curve is non-decreasing within each cohort
+    from collections import defaultdict as dd
+
+    curves = dd(list)
+    for r in sorted(rows, key=lambda r: (r.cohort_month, r.month_offset)):
+        curves[r.cohort_month].append(r.cum_ltv_per_user)
+    for vs in curves.values():
+        assert all(a <= b + 1e-9 for a, b in zip(vs, vs[1:]))

@@ -326,3 +326,90 @@ def test_stateful_milestones_match_batch_across_microbatches(spark, sf_dir):
         assert len(exp) > 0 and got == exp
     finally:
         shutil.rmtree(split_dir, ignore_errors=True)
+
+
+def test_windowed_distinct_stream_equivalence(spark, sf_dir):
+    """dedup→windowed-agg chain (two stateful operators) under
+    readStream in APPEND mode: append only emits a window once the
+    watermark passes its end, so a far-future sentinel row is fed in a
+    second micro-batch to close every real window — then the emitted
+    rows must equal the batch form exactly (minus the sentinel's own
+    still-open window)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from project_final_parquet_spark.streaming.events import (
+        windowed_distinct_users,
+    )
+
+    stage = tempfile.mkdtemp(prefix="events_wdist_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stage, "events.parquet"),
+    )
+    raw = spark.readStream.schema(_RAW_SCHEMA).parquet(stage)
+    stream_ev = raw.withColumn(
+        "ts_us",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " timestamp_ntz'1970-01-01 00:00:00', ts)"
+        ),
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    stream = windowed_distinct_users(
+        stream_ev.withWatermark("ts", "10 minutes")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_wdist")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # sentinel 2 days past corpus end: advances the watermark past
+        # every real window's close
+        ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+        sentinel_ts = ev["ts"].max() + pd.Timedelta(days=2)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # ts must land as TIMESTAMP(MICROS, isAdjustedToUTC=false) to
+        # match the stream schema's timestamp_ntz
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([-1], pa.int64()),
+                    "ts": pa.array(
+                        [sentinel_ts.to_pydatetime()], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([-1], pa.int64()),
+                    "event_type": pa.array(["view"], pa.string()),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array(["{}"], pa.string()),
+                }
+            ),
+            os.path.join(stage, "sentinel.parquet"),
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.window_start_us, r.n_users)
+        for r in spark.sql("SELECT * FROM t_wdist").collect()
+    }
+    exp = {
+        (r.window_start_us, r.n_users)
+        for r in windowed_distinct_users(
+            _with_event_time(load(spark, sf_dir, "events"))
+        ).collect()
+    }
+    # the sentinel's own window may or may not have been finalized;
+    # every REAL window must be present and exact
+    sentinel_us = (sentinel_ts - pd.Timestamp(0)) // pd.Timedelta(
+        microseconds=1
+    )
+    got = {r for r in got if r[0] <= max(e[0] for e in exp)}
+    assert got == exp
+    assert all(w < sentinel_us for w, _ in got)
