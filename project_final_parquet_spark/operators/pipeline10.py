@@ -632,3 +632,152 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "month_offset")
     )
+
+
+@query(
+    "events_new_vs_returning",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+    ),
+    ud AS (SELECT DISTINCT user_id, day FROM e),
+    frst AS (SELECT user_id, MIN(day) AS f FROM ud GROUP BY user_id)
+    SELECT CAST(ud.day AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN frst.f = ud.day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN frst.f = ud.day THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_returning,
+           CAST((1000000 * SUM(CASE WHEN frst.f = ud.day THEN 1 ELSE 0
+                               END)) // COUNT(*) AS BIGINT) AS new_ppm
+    FROM ud JOIN frst ON ud.user_id = frst.user_id
+    GROUP BY ud.day ORDER BY day
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users decomposed into NEW (first-ever-seen today)
+    vs RETURNING — the growth-accounting split every DAU dashboard
+    leads with (a flat DAU can hide collapsing acquisition masked by
+    retention, and vice versa); new_ppm is the acquisition share as an
+    exact integer ppm.
+
+    Determinism: pure integer day bucketing (epoch-µs div), exact
+    counts, floor ppm — no floats anywhere.
+
+    Scale: one (user, day) dedup shuffle, one user-grain MIN (map-side
+    combined), one co-partitioned join back on user_id, then a
+    |days|-row aggregate. The first-seen frame is the incremental
+    state a production pipeline keeps as a keyed table — this query is
+    its full-recompute spec."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"ts_us div {_DAY_US}").alias("day")
+    )
+    ud = e.distinct()
+    frst = ud.groupBy("user_id").agg(F.min("day").alias("f"))
+    flagged = ud.join(frst, "user_id").select(
+        "day", (F.col("f") == F.col("day")).alias("is_new")
+    )
+    return (
+        flagged.groupBy(F.col("day").cast("long").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("is_new"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_returning"),
+            F.expr(
+                "(1000000 * sum(case when is_new then 1 else 0 end))"
+                " div count(*)"
+            )
+            .cast("long")
+            .alias("new_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "events_interarrival_stats",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS gap_us
+      FROM events
+    ),
+    gg AS (SELECT user_id, event_id, gap_us FROM g
+           WHERE gap_us IS NOT NULL),
+    r AS (
+      SELECT gap_us,
+             ROW_NUMBER() OVER (ORDER BY gap_us, user_id, event_id)
+               AS rn,
+             COUNT(*) OVER () AS n
+      FROM gg
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MAX(CASE WHEN rn = (50 * n + 99) // 100
+                         THEN gap_us END) AS BIGINT) AS p50_us,
+           CAST(MAX(CASE WHEN rn = (90 * n + 99) // 100
+                         THEN gap_us END) AS BIGINT) AS p90_us,
+           CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100
+                         THEN gap_us END) AS BIGINT) AS p99_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_us,
+           CAST(SUM(gap_us) AS BIGINT) / CAST(MAX(n) AS DOUBLE)
+             AS mean_us
+    FROM r
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution: per-user consecutive event
+    gaps (event-time order, event_id tiebreak), summarized as exact
+    p50/p90/p99/max/mean — the statistic that CALIBRATES the
+    sessionization gap threshold (where events_sessionize_gap's
+    30-minute cut falls in this distribution decides how aggressively
+    sessions fragment) and feeds arrival-process models.
+
+    Determinism: gaps are exact integer µs from a per-user LAG;
+    percentiles are rank-selected pass-through integers (the
+    events_percentiles_exact recipe with a (gap, user, event) total
+    order); the mean is an exact BIGINT sum over a double count.
+
+    Scale: one user_id shuffle for the LAG window, then ONE global
+    rank over the gap stream — the distributed sort an exact global
+    percentile fundamentally needs (approx path: q42). The final
+    aggregate is a single row."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts_us")
+    wu = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("ts_us") - F.lag("ts_us").over(wu)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    r = g.select(
+        "gap_us",
+        F.row_number()
+        .over(W.orderBy("gap_us", "user_id", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+
+    def pick(p: int):
+        idx = F.expr(f"({p} * n + 99) div 100")
+        return (
+            F.max(F.when(F.col("rn") == idx, F.col("gap_us")))
+            .cast("long")
+            .alias(f"p{p}_us")
+        )
+
+    return r.agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        pick(50),
+        pick(90),
+        pick(99),
+        F.max("gap_us").cast("long").alias("max_us"),
+        (
+            F.sum("gap_us").cast("long") / F.max("n").cast("double")
+        ).alias("mean_us"),
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ckpt import checkpoint, release
-from ..registry import query
+from ..registry import DSUM_SQL, dsum, query
 from ..tables import load
 
 _DIM = 64
@@ -565,4 +565,127 @@ def embeddings_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("trg").alias("gram_trace"),
         er.alias("effective_rank"),
         (er / _DIM).alias("isotropy_ratio"),
+    )
+
+
+# --- per-dimension chi-square feature screen ---------------------------------
+
+
+@query(
+    "ml_feature_chi2_screen",
+    oracle=f"""
+    WITH flat AS (
+      SELECT label, i AS dim,
+             CASE WHEN CAST(embedding[i + 1] AS DOUBLE) >= 0
+                  THEN 1 ELSE 0 END AS s
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range({_DIM})) AS i) idx
+    ),
+    cells AS (
+      SELECT dim, label, s, CAST(COUNT(*) AS BIGINT) AS o
+      FROM flat GROUP BY dim, label, s
+    ),
+    rows_ AS (
+      SELECT dim, label, CAST(SUM(o) AS BIGINT) AS rt
+      FROM cells GROUP BY dim, label
+    ),
+    cols_ AS (
+      SELECT dim, s, CAST(SUM(o) AS BIGINT) AS ct
+      FROM cells GROUP BY dim, s
+    ),
+    tot AS (SELECT dim, CAST(SUM(o) AS BIGINT) AS n FROM cells
+            GROUP BY dim),
+    grid AS (
+      SELECT rows_.dim, rows_.label, cols_.s, rows_.rt, cols_.ct, tot.n,
+             COALESCE(cells.o, 0) AS o
+      FROM rows_
+      JOIN cols_ ON rows_.dim = cols_.dim
+      JOIN tot ON rows_.dim = tot.dim
+      LEFT JOIN cells ON cells.dim = rows_.dim
+                     AND cells.label = rows_.label AND cells.s = cols_.s
+    ),
+    terms AS (
+      SELECT dim,
+             (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+             * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+             / (CAST(rt AS DOUBLE) * ct / n) AS term
+      FROM grid
+    ),
+    chi AS (
+      SELECT dim, {DSUM_SQL.format(expr="term")} AS chi2
+      FROM terms GROUP BY dim
+    ),
+    pos AS (
+      SELECT dim, CAST(SUM(CASE WHEN s = 1 THEN o ELSE 0 END) AS BIGINT)
+               AS n_pos_sign
+      FROM cells GROUP BY dim
+    )
+    SELECT CAST(chi.dim AS BIGINT) AS dim, chi.chi2, pos.n_pos_sign
+    FROM chi JOIN pos ON chi.dim = pos.dim
+    ORDER BY chi2 DESC, dim LIMIT 10
+    """,
+)
+def ml_feature_chi2_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature screen over embedding dimensions: for each
+    dim, the chi² statistic of the (sign(v_d) × label) contingency
+    table — the classic filter-method feature selector (mutual
+    information needs a log; chi² is the rational-arithmetic screen
+    with the same ranking power), reporting the 10 most
+    label-predictive dimensions. An encoder whose top dims concentrate
+    all the label signal is a Matryoshka-truncation candidate; one
+    whose chi² is flat carries the signal diffusely.
+
+    Determinism: observed counts are exact integers from ONE
+    posexplode pass; expected counts rt·ct/n and the χ² terms are
+    identical IEEE double expressions of those integers; the per-dim
+    sum is a DSUM over ≤ 2·|labels| cells; top-10 ordering carries the
+    dim tiebreak. The zero-count guard is structural: every (label,
+    sign) margin pair appears via the rows×cols grid with o=0 where
+    absent (expected > 0 whenever both margins are > 0 — and a margin
+    of 0 cannot appear in rows_/cols_ at all).
+
+    Scale: one flat pass, map-side combined into 64·|labels|·2 cells —
+    every later frame is cell-bounded, never corpus-bounded; the whole
+    screen is a single data-scale shuffle-free aggregation."""
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "vf")
+    ).select(
+        "label",
+        "dim",
+        F.when(F.col("vf").cast("double") >= 0, 1).otherwise(0).alias("s"),
+    )
+    cells = flat.groupBy("dim", "label", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows_ = cells.groupBy("dim", "label").agg(
+        F.sum("o").cast("long").alias("rt")
+    )
+    cols_ = cells.groupBy("dim", "s").agg(
+        F.sum("o").cast("long").alias("ct")
+    )
+    tot = cells.groupBy("dim").agg(F.sum("o").cast("long").alias("n"))
+    grid = (
+        rows_.join(cols_, "dim")
+        .join(tot, "dim")
+        .join(cells, ["dim", "label", "s"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    term = (F.col("o").cast("double") - e) * (
+        F.col("o").cast("double") - e
+    ) / e
+    chi = grid.select("dim", term.alias("term")).groupBy("dim").agg(
+        dsum(F.col("term")).alias("chi2")
+    )
+    pos = cells.groupBy("dim").agg(
+        F.sum(F.when(F.col("s") == 1, F.col("o")).otherwise(0))
+        .cast("long")
+        .alias("n_pos_sign")
+    )
+    return (
+        chi.join(pos, "dim")
+        .select(F.col("dim").cast("long").alias("dim"), "chi2", "n_pos_sign")
+        .orderBy(F.desc("chi2"), "dim")
+        .limit(10)
     )

@@ -206,6 +206,9 @@ ROUND8_QUEUE: list[str] = [
     "embeddings_effective_rank",
     "orders_cohort_ltv",
     "stream_windowed_distinct",
+    "events_new_vs_returning",
+    "events_interarrival_stats",
+    "ml_feature_chi2_screen",
 ]
 
 # Round-7 window (positions 1-50):

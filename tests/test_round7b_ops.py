@@ -575,3 +575,91 @@ def test_cohort_ltv_invariants_and_replay(spark, sf_dir):
         curves[r.cohort_month].append(r.cum_ltv_per_user)
     for vs in curves.values():
         assert all(a <= b + 1e-9 for a, b in zip(vs, vs[1:]))
+
+
+# --- events_new_vs_returning -----------------------------------------------
+
+
+def test_new_vs_returning_matches_replay(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev["day"] = ev["ts_us"] // _DAY_US
+    ud = ev[["user_id", "day"]].drop_duplicates()
+    first = ud.groupby("user_id")["day"].min()
+    expect = []
+    for day, grp in sorted(ud.groupby("day")):
+        new = sum(1 for u in grp["user_id"] if first[u] == day)
+        n = len(grp)
+        expect.append((day, n, new, n - new, (1_000_000 * new) // n))
+    rows = all_queries()["events_new_vs_returning"](spark, sf_dir).collect()
+    got = [
+        (r.day, r.n_active, r.n_new, r.n_returning, r.new_ppm)
+        for r in rows
+    ]
+    assert got == expect
+    # conservation: total new users across days == total users
+    assert sum(r.n_new for r in rows) == ud["user_id"].nunique()
+    # day 1 is all-new
+    assert rows[0].n_returning == 0 and rows[0].new_ppm == 1_000_000
+
+
+# --- events_interarrival_stats -------------------------------------------------
+
+
+def test_interarrival_matches_replay(spark, sf_dir):
+    ev = _events(sf_dir).sort_values(["user_id", "ts_us", "event_id"])
+    gaps = []
+    for _, g in ev.groupby("user_id"):
+        ts = g["ts_us"].to_numpy()
+        gaps.extend(int(b - a) for a, b in zip(ts, ts[1:]))
+    gaps.sort()
+    n = len(gaps)
+    pick = lambda p: gaps[(p * n + 99) // 100 - 1]  # noqa: E731
+    rows = all_queries()["events_interarrival_stats"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_gaps, r.p50_us, r.p90_us, r.p99_us, r.max_us) == (
+        n,
+        pick(50),
+        pick(90),
+        pick(99),
+        gaps[-1],
+    )
+    assert r.mean_us == float(sum(gaps)) / n
+    assert 0 < r.p50_us <= r.p90_us <= r.p99_us <= r.max_us
+
+
+# --- ml_feature_chi2_screen ------------------------------------------------------
+
+
+def test_chi2_screen_matches_replay(spark, sf_dir):
+    import numpy as np
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    labels = emb["label"].to_numpy()
+    uniq = sorted(set(labels))
+    chi2 = {}
+    npos = {}
+    for d in range(64):
+        s = (m[:, d] >= 0).astype(int)
+        npos[d] = int(s.sum())
+        n = len(s)
+        total = 0.0
+        for lab in uniq:
+            for sv in (0, 1):
+                o = int(((labels == lab) & (s == sv)).sum())
+                rt = int((labels == lab).sum())
+                ct = int((s == sv).sum())
+                if ct == 0:
+                    continue  # absent margin never enters the grid
+                e = float(rt) * ct / n
+                total += (o - e) * (o - e) / e
+        chi2[d] = total
+    expect = sorted(chi2, key=lambda d: (-chi2[d], d))[:10]
+    rows = all_queries()["ml_feature_chi2_screen"](spark, sf_dir).collect()
+    assert [r.dim for r in rows] == expect
+    for r in rows:
+        assert abs(r.chi2 - chi2[r.dim]) < 1e-7
+        assert r.n_pos_sign == npos[r.dim]
