@@ -781,3 +781,113 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gap_us").cast("long") / F.max("n").cast("double")
         ).alias("mean_us"),
     )
+
+
+_HOUR_US = 3_600_000_000
+_BASE_WEEKS = 3  # baseline window for the seasonal-residual monitor
+
+
+@query(
+    "events_seasonal_residual_anomaly",
+    oracle=f"""
+    WITH e AS (
+      SELECT epoch_us(ts) // ({_DAY_US} * 7) AS week,
+             (epoch_us(ts) // {_DAY_US} + 3) % 7 AS dow,
+             (epoch_us(ts) // {_HOUR_US}) % 24 AS hour
+      FROM events
+    ),
+    mn AS (SELECT MIN(week) AS w0 FROM e),
+    cells AS (
+      SELECT week, dow, hour, CAST(COUNT(*) AS BIGINT) AS x
+      FROM e GROUP BY week, dow, hour
+    ),
+    base AS (
+      SELECT dow, hour,
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS ss
+      FROM cells CROSS JOIN mn
+      WHERE week < w0 + {_BASE_WEEKS}
+      GROUP BY dow, hour
+    ),
+    ev AS (
+      SELECT cells.week, cells.dow, cells.hour, cells.x,
+             base.nb, base.s, base.ss
+      FROM cells CROSS JOIN mn
+      JOIN base ON cells.dow = base.dow AND cells.hour = base.hour
+      WHERE cells.week >= mn.w0 + {_BASE_WEEKS}
+    )
+    SELECT CAST(week AS BIGINT) AS week,
+           CAST(dow AS BIGINT) AS dow,
+           CAST(hour AS BIGINT) AS hour,
+           x AS n_events,
+           CAST(s AS DOUBLE) / nb AS baseline_mean,
+           CAST(nb * x - s AS DOUBLE) / sqrt(CAST(nb * ss - s * s
+                                                  AS DOUBLE)) AS z
+    FROM ev
+    WHERE nb * ss > s * s
+      AND (nb * x - s) * (nb * x - s) > 4 * (nb * ss - s * s)
+    ORDER BY week, dow, hour
+    """,
+)
+def events_seasonal_residual_anomaly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonality-aware volume anomalies: hourly event counts in the
+    evaluation weeks are z-scored against the SAME (dow, hour) cell's
+    baseline (first {_BASE_WEEKS} corpus weeks) — the residual monitor
+    that doesn't page on every Monday-morning spike the way a flat
+    threshold (events_anomaly_zscore's per-user variant) would.
+    Flagged: |z| > 2 with positive baseline variance.
+
+    Determinism: the flag decision is PURE INTEGER — the |z| > 2 test
+    cross-multiplies to (nb·x − s)² > 4·(nb·ss − s²) before any
+    division, so no borderline cell can flip on a float ulp; the
+    reported z re-derives the same quantity as one double division
+    over an IEEE sqrt of an exact integer.
+
+    Scale: one map-side bucketing pass into (week × 168) cells; the
+    baseline aggregate and the join both run on that bounded frame
+    (weeks·168 rows at any event volume). The production form keeps
+    the 168-cell baseline as a broadcast dimension updated weekly."""
+    e = load(spark, sf_dir, "events").select(
+        F.expr(f"ts_us div ({_DAY_US} * 7)").alias("week"),
+        ((F.expr(f"ts_us div {_DAY_US}") + 3) % 7).alias("dow"),
+        (F.expr(f"ts_us div {_HOUR_US}") % 24).alias("hour"),
+    )
+    mn = e.agg(F.min("week").alias("w0"))
+    cells = e.groupBy("week", "dow", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    cm = cells.crossJoin(F.broadcast(mn))
+    base = (
+        cm.filter(F.col("week") < F.col("w0") + _BASE_WEEKS)
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nb"),
+            F.sum("x").cast("long").alias("s"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+        )
+    )
+    ev = (
+        cm.filter(F.col("week") >= F.col("w0") + _BASE_WEEKS)
+        .join(F.broadcast(base), ["dow", "hour"])
+    )
+    var_n2 = F.col("nb") * F.col("ss") - F.col("s") * F.col("s")
+    dev_n = F.col("nb") * F.col("x") - F.col("s")
+    return (
+        ev.filter((var_n2 > 0) & (dev_n * dev_n > 4 * var_n2))
+        .select(
+            F.col("week").cast("long").alias("week"),
+            F.col("dow").cast("long").alias("dow"),
+            F.col("hour").cast("long").alias("hour"),
+            F.col("x").alias("n_events"),
+            (F.col("s").cast("double") / F.col("nb")).alias(
+                "baseline_mean"
+            ),
+            (dev_n.cast("double") / F.sqrt(var_n2.cast("double"))).alias(
+                "z"
+            ),
+        )
+        .orderBy("week", "dow", "hour")
+    )

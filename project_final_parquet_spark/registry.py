@@ -209,6 +209,7 @@ ROUND8_QUEUE: list[str] = [
     "events_new_vs_returning",
     "events_interarrival_stats",
     "ml_feature_chi2_screen",
+    "events_seasonal_residual_anomaly",
 ]
 
 # Round-7 window (positions 1-50):

@@ -663,3 +663,55 @@ def test_chi2_screen_matches_replay(spark, sf_dir):
     for r in rows:
         assert abs(r.chi2 - chi2[r.dim]) < 1e-7
         assert r.n_pos_sign == npos[r.dim]
+
+
+# --- events_seasonal_residual_anomaly ----------------------------------------
+
+
+def test_seasonal_residual_matches_replay(spark, sf_dir):
+    import math as _math
+
+    ev = _events(sf_dir)
+    ev["week"] = ev["ts_us"] // (_DAY_US * 7)
+    ev["dow"] = (ev["ts_us"] // _DAY_US + 3) % 7
+    ev["hour"] = (ev["ts_us"] // 3_600_000_000) % 24
+    cells = (
+        ev.groupby(["week", "dow", "hour"]).size().rename("x").reset_index()
+    )
+    w0 = int(cells["week"].min())
+    base = cells[cells["week"] < w0 + 3]
+    stats = {}
+    for (dow, hr), g in base.groupby(["dow", "hour"]):
+        xs = [int(v) for v in g["x"]]
+        stats[(dow, hr)] = (len(xs), sum(xs), sum(v * v for v in xs))
+    expect = []
+    for week, dow, hr, x in cells[
+        cells["week"] >= w0 + 3
+    ].itertuples(index=False):
+        if (dow, hr) not in stats:
+            continue
+        nb, s, ss = stats[(dow, hr)]
+        var_n2 = nb * ss - s * s
+        dev_n = nb * int(x) - s
+        if var_n2 > 0 and dev_n * dev_n > 4 * var_n2:
+            expect.append(
+                (
+                    int(week),
+                    int(dow),
+                    int(hr),
+                    int(x),
+                    float(s) / nb,
+                    float(dev_n) / _math.sqrt(float(var_n2)),
+                )
+            )
+    expect.sort()
+    rows = all_queries()["events_seasonal_residual_anomaly"](
+        spark, sf_dir
+    ).collect()
+    got = [
+        (r.week, r.dow, r.hour, r.n_events, r.baseline_mean, r.z)
+        for r in rows
+    ]
+    assert got == expect
+    # flag rule is |z| > 2 by construction
+    assert all(abs(r.z) > 2.0 for r in rows)
