@@ -186,6 +186,33 @@ BATTERY9 = [
 ]
 
 
+# --battery10: the round-7 in-session additions (survival/lifecycle
+# curves, cross-series correlation, Heaps/burstiness/surprisal text
+# diagnostics, local clustering, aspect bucketing, DV lake read,
+# reciprocal NN, effective rank, chi2 screen, streaming-shape batch
+# distinct, seasonal residual monitor). The DV lake is staged outside
+# the timed window (write side is a one-time commit).
+BATTERY10 = [
+    "events_survival_km",             # customer-grain min/max + fold
+    "events_cross_correlation",       # day-grain agg + bounded lag join
+    "events_funnel_time_to_convert",  # 3 chained user windows + ranks
+    "text_heaps_law",                 # (doc,pos) global rank + min agg
+    "graph_local_clustering",         # triangle join + per-node credit
+    "text_burstiness",                # doc-term counts + term rollup
+    "mm_aspect_bucket",               # mapInPandas decode + map argmin
+    "lake_deletion_vectors",          # DV anti-join merge-on-read
+    "sim_reciprocal_nn",              # subset NN + reciprocity join
+    "text_bigram_surprisal",          # bigram counts + co-part join back
+    "embeddings_effective_rank",      # vec_id self-join Gram + traces
+    "orders_cohort_ltv",              # cohort join + decimal cum window
+    "stream_windowed_distinct",       # (window,user) dedup + count
+    "events_new_vs_returning",        # (user,day) dedup + first-seen
+    "events_interarrival_stats",      # user lag window + global rank
+    "ml_feature_chi2_screen",         # one posexplode pass + cell grid
+    "events_seasonal_residual_anomaly",  # (week,dow,hr) cells + base join
+]
+
+
 def _stride(spark, name: str) -> int:
     if name == "events_user":
         df = spark.read.parquet(f"{SRC_SF}/events.parquet")
@@ -285,6 +312,14 @@ def main() -> None:
 
         for _, d in sfs:
             orders_lake(spark, d)
+    if "--battery10" in sys.argv:
+        battery = BATTERY10
+        from project_final_parquet_spark.operators.lake_queries import (
+            dv_lake,
+        )
+
+        for _, d in sfs:
+            dv_lake(spark, d)
     results: dict[str, dict[str, float]] = {}
     for name in battery:
         results[name] = {}
