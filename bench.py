@@ -163,6 +163,25 @@ HEADLINE = [
     "pipeline_e2e_eval_harness",
     "sim_pq_recall_audit",
     "lake_manifest_audit",
+    # round-7 in-session additions (ROUND8_QUEUE tail): tracked from
+    # their first round
+    "events_survival_km",
+    "events_cross_correlation",
+    "events_funnel_time_to_convert",
+    "text_heaps_law",
+    "graph_local_clustering",
+    "text_burstiness",
+    "mm_aspect_bucket",
+    "lake_deletion_vectors",
+    "sim_reciprocal_nn",
+    "text_bigram_surprisal",
+    "embeddings_effective_rank",
+    "orders_cohort_ltv",
+    "stream_windowed_distinct",
+    "events_new_vs_returning",
+    "events_interarrival_stats",
+    "ml_feature_chi2_screen",
+    "events_seasonal_residual_anomaly",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for
