@@ -501,6 +501,54 @@ class LakeTable:
         self._publish(version, new_entries)
         return version
 
+    def compact_dv(
+        self,
+        spark: SparkSession,
+        stats_cols: tuple[str, ...] = (),
+        expected_parent: int | None = None,
+    ) -> int:
+        """Fold delete vectors back into clean data files: each
+        DV-carrying file is rewritten WITHOUT its deleted keys and its
+        ``dv`` pointer cleared; DV-free files keep their paths
+        untouched. This is the maintenance commit that converges a
+        merge-on-read table back to copy-on-write read performance
+        (Iceberg's rewrite-data-files with delete compaction) — the
+        rewritten rows are NOT new data, so survivors republish with
+        ``data_change=False`` and incremental consumers skip them.
+
+        Returns the new version (parent unchanged if no DVs exist)."""
+        parent = (
+            self.current_version
+            if expected_parent is None
+            else expected_parent
+        )
+        entries = self.manifest(parent)
+        dv_entries = [e for e in entries if e.dv]
+        if not dv_entries:
+            return parent
+        version = parent + 1
+        out = self.data_dir / f"v{version}"
+        out.mkdir(parents=True, exist_ok=True)
+        new_entries = [e for e in entries if not e.dv]
+        for i, e in enumerate(dv_entries):
+            doc = json.loads(Path(e.dv).read_text())
+            key_col = doc["key_col"]
+            scan = spark.read.parquet(e.path)
+            key_df = spark.createDataFrame(
+                [(k,) for k in doc["keys"]],
+                f"{key_col} {scan.schema[key_col].dataType.simpleString()}",
+            )
+            surv = scan.join(F.broadcast(key_df), key_col, "left_anti")
+            dst = out / f"part-{i:05d}"
+            surv.coalesce(1).write.mode("overwrite").parquet(str(dst))
+            for p in sorted(dst.glob("*.parquet")):
+                ent = self._file_entry(p, stats_cols, version)
+                ent.data_change = False  # rewrite, not new rows
+                if ent.rows > 0:
+                    new_entries.append(ent)
+        self._publish(version, new_entries)
+        return version
+
     def merge_upsert(
         self,
         spark: SparkSession,

@@ -701,3 +701,81 @@ def lake_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def dvc_lake(spark: SparkSession, sf_dir: str) -> LakeTable:
+    """Stage (or reuse) the DV-compaction lake: the dv_lake recipe
+    (two commits + equality-delete-vector commit) followed by a
+    ``compact_dv`` rewrite commit (v4) that folds the vectors back
+    into clean files."""
+    table = LakeTable(_lake_root(sf_dir, name="orders_dvc"))
+    if table.current_version == 4:
+        return table
+    if table.root.exists():
+        shutil.rmtree(table.root)
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit(_CUTOFF).cast("timestamp_ntz")
+    for part in (
+        orders.filter(F.col("o_orderdate") < cutoff),
+        orders.filter(F.col("o_orderdate") >= cutoff),
+    ):
+        table.commit_append(
+            part,
+            stats_cols=_STATS_COLS,
+            num_files=_FILES_PER_COMMIT,
+            range_by="o_orderdate",
+        )
+    lo = F.lit(_DV_LO).cast("timestamp_ntz")
+    hi = F.lit(_DV_HI).cast("timestamp_ntz")
+    table.delete_where_dv(
+        spark,
+        col="o_orderdate",
+        lo=_DV_LO,
+        hi=_DV_HI,
+        predicate=(
+            (F.col("o_orderdate") >= lo)
+            & (F.col("o_orderdate") < hi)
+            & (F.col("o_orderkey") % _DV_MOD == 0)
+        ),
+        key_col="o_orderkey",
+    )
+    table.compact_dv(spark, stats_cols=_STATS_COLS)
+    return table
+
+
+@query(
+    "lake_dv_compaction",
+    oracle=f"""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {DSUM_SQL.format(expr="o_totalprice")} AS total_price
+    FROM orders
+    WHERE NOT (o_orderdate >= TIMESTAMP '{_DV_LO}'
+               AND o_orderdate < TIMESTAMP '{_DV_HI}'
+               AND o_orderkey % {_DV_MOD} = 0)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_dv_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DV lifecycle CLOSED: after ``compact_dv`` folds the
+    equality-delete vectors into rewritten files (data_change=False —
+    incremental consumers skip the rewrite), the read is a plain
+    pruned parquet scan with NO anti-join, and it must hash-match the
+    SAME oracle as lake_deletion_vectors — same relational view,
+    merge-on-read converged back to copy-on-write storage. Together
+    the two queries pin both halves of how a 100 TB table does
+    low-latency deletes: sidecars at delete time, amortized rewrite at
+    maintenance time.
+
+    Scale: compaction rewrites ONLY the DV-carrying files (the few the
+    date range mapped to); the final manifest carries zero DV
+    pointers, so every later read is join-free (test-asserted)."""
+    table = dvc_lake(spark, sf_dir)
+    return (
+        table.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -891,3 +891,102 @@ def events_seasonal_residual_anomaly(
         )
         .orderBy("week", "dow", "hour")
     )
+
+
+_ATTR_WINDOW_US = 7 * _DAY_US  # attribution lookback
+
+
+@query(
+    "events_attribution_linear",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id AS pid, epoch_us(ts) AS pt
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tt
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    touch AS (
+      SELECT p.pid, t.event_type
+      FROM p JOIN t ON t.user_id = p.user_id
+                   AND t.tt < p.pt AND t.tt >= p.pt - {_ATTR_WINDOW_US}
+    ),
+    per AS (
+      SELECT pid, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM touch GROUP BY pid, event_type
+    ),
+    tot AS (SELECT pid, CAST(SUM(c) AS BIGINT) AS n FROM per GROUP BY pid),
+    npur AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases FROM p),
+    credit AS (
+      SELECT per.event_type, per.c,
+             CAST(per.c AS DOUBLE) / tot.n AS w
+      FROM per JOIN tot ON per.pid = tot.pid
+    )
+    SELECT event_type AS channel,
+           CAST(SUM(c) AS BIGINT) AS n_touches,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases_touched,
+           {DSUM_SQL.format(expr="w")} AS credit,
+           n_purchases
+    FROM credit CROSS JOIN npur
+    GROUP BY event_type, n_purchases ORDER BY channel
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-weight) multi-touch attribution: every
+    non-purchase touch in the 7 days before a purchase shares that
+    purchase's credit equally — the standard counterweight to
+    events_attribution_last_touch (last-touch over-credits the final
+    click; linear spreads it over the journey). Per channel: touch
+    volume, purchases reached, and summed fractional credit; total
+    credit across channels equals the number of attributed purchases
+    (conservation — test-pinned).
+
+    Determinism: per-(purchase, channel) counts and per-purchase
+    totals are exact integers; each weight c/n is one double division
+    done identically in both engines; the channel rollup is a DSUM.
+
+    Scale: the touch join is a per-user RANGE join (same shape as the
+    as-of family — co-partitioned on user_id, time-bounded so the
+    per-user pair fan-out is window-bounded, never history-unbounded);
+    everything after is (purchase, channel)-grain with map-side
+    combine. At production scale the range join becomes the bucketed
+    interval join the asof operators document."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts_us").alias("pt")
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", F.col("ts_us").alias("tt")
+    )
+    touch = p.join(t, "user_id").filter(
+        (F.col("tt") < F.col("pt"))
+        & (F.col("tt") >= F.col("pt") - _ATTR_WINDOW_US)
+    )
+    per = touch.groupBy("pid", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = per.groupBy("pid").agg(F.sum("c").cast("long").alias("n"))
+    npur = p.agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+    credit = per.join(tot, "pid").select(
+        "event_type",
+        "c",
+        (F.col("c").cast("double") / F.col("n")).alias("w"),
+    )
+    return (
+        credit.crossJoin(F.broadcast(npur))
+        .groupBy(F.col("event_type").alias("channel"), F.col("n_purchases"))
+        .agg(
+            F.sum("c").cast("long").alias("n_touches"),
+            F.count(F.lit(1)).cast("long").alias("n_purchases_touched"),
+            dsum(F.col("w")).alias("credit"),
+        )
+        .select(
+            "channel",
+            "n_touches",
+            "n_purchases_touched",
+            "credit",
+            "n_purchases",
+        )
+        .orderBy("channel")
+    )

@@ -484,3 +484,91 @@ def sim_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("a"), F.col("dst").alias("b"), "cosine")
         .orderBy("a")
     )
+
+
+# --- hard-negative mining ----------------------------------------------------
+
+_HN_ANCHORS = 200   # anchors: vec_id < this
+_HN_POOL = 1000     # negative pool: vec_id < this, label differs
+
+
+@query(
+    "sample_hard_negatives",
+    oracle=f"""
+    WITH a AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id < {_HN_ANCHORS}
+    ),
+    pool AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id < {_HN_POOL}
+    ),
+    scored AS (
+      SELECT a.vec_id AS anchor, CAST(a.label AS INT) AS anchor_label,
+             p.vec_id AS negative, CAST(p.label AS INT) AS negative_label,
+             {_DOT_SQL.format(dim=_DIM, a='a.embedding', b='p.embedding')}
+               / ({_NORM_SQL.format(dim=_DIM, a='a.embedding')}
+                  * {_NORM_SQL.format(dim=_DIM, a='p.embedding')}) AS cosine
+      FROM a JOIN pool p ON p.label <> a.label
+    )
+    SELECT anchor, anchor_label, negative, negative_label, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY anchor ORDER BY cosine DESC, negative) AS rn
+      FROM scored
+    ) t WHERE rn = 1
+    ORDER BY anchor
+    """,
+)
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    most cosine-similar vector with a DIFFERENT label — the negative
+    that actually moves a contrastive/metric-learning loss (random
+    negatives are trivially separated; the hard ones define the
+    decision boundary). Anchors are an id-prefix audit set against a
+    larger cross-label pool; pairs report (anchor, negative, both
+    labels, cosine).
+
+    Determinism: the shared left-fold dot / hoisted-norm cosine, top-1
+    totally ordered by (cosine DESC, negative id).
+
+    Scale: the pool broadcasts at audit size; the corpus form is
+    sim_knn_graph's sharded broadcast scan with a label-inequality
+    residual filter, or the IVF-bucketed variant when anchors ≈ corpus
+    — mining cost is one corpus pass per anchor shard either way, and
+    the per-anchor top-1 keeps the shuffle at |anchors| rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < _HN_ANCHORS).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").cast("int").alias("anchor_label"),
+        F.col("embedding").alias("ea"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    pool = emb.filter(F.col("vec_id") < _HN_POOL).select(
+        F.col("vec_id").alias("negative"),
+        F.col("label").cast("int").alias("negative_label"),
+        F.col("embedding").alias("ep"),
+        _norm(F.col("embedding")).alias("np_"),
+    )
+    scored = (
+        a.crossJoin(F.broadcast(pool))
+        .filter(F.col("negative_label") != F.col("anchor_label"))
+        .select(
+            "anchor",
+            "anchor_label",
+            "negative",
+            "negative_label",
+            (
+                _dot(F.col("ea"), F.col("ep"))
+                / (F.col("na") * F.col("np_"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("anchor").orderBy(F.desc("cosine"), "negative")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor", "anchor_label", "negative", "negative_label", "cosine"
+        )
+        .orderBy("anchor")
+    )

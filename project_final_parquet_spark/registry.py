@@ -210,6 +210,9 @@ ROUND8_QUEUE: list[str] = [
     "events_interarrival_stats",
     "ml_feature_chi2_screen",
     "events_seasonal_residual_anomaly",
+    "sample_hard_negatives",
+    "lake_dv_compaction",
+    "events_attribution_linear",
 ]
 
 # Round-7 window (positions 1-50):

@@ -715,3 +715,114 @@ def test_seasonal_residual_matches_replay(spark, sf_dir):
     assert got == expect
     # flag rule is |z| > 2 by construction
     assert all(abs(r.z) > 2.0 for r in rows)
+
+
+# --- sample_hard_negatives ------------------------------------------------
+
+
+def test_hard_negatives_matches_replay(spark, sf_dir):
+    import numpy as np
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pool = emb[emb["vec_id"] < 1000]
+    anchors = emb[emb["vec_id"] < 200]
+    pm = np.stack(pool["embedding"].to_numpy()).astype(np.float64)
+    pids = pool["vec_id"].to_numpy()
+    plabs = pool["label"].to_numpy()
+    pn = np.linalg.norm(pm, axis=1)
+    expect = []
+    for _, a in anchors.iterrows():
+        av = np.asarray(a["embedding"], dtype=np.float64)
+        sims = pm @ av / (pn * np.linalg.norm(av))
+        mask = plabs != a["label"]
+        order = sorted(
+            np.where(mask)[0], key=lambda j: (-sims[j], pids[j])
+        )
+        j = order[0]
+        expect.append(
+            (int(a["vec_id"]), int(a["label"]), int(pids[j]), int(plabs[j]))
+        )
+    rows = all_queries()["sample_hard_negatives"](spark, sf_dir).collect()
+    got = [
+        (r.anchor, r.anchor_label, r.negative, r.negative_label)
+        for r in rows
+    ]
+    assert got == expect
+    assert all(r.anchor_label != r.negative_label for r in rows)
+    assert len(rows) == len(anchors)
+
+
+# --- lake_dv_compaction ----------------------------------------------------
+
+
+def test_dv_compaction_lifecycle(spark, sf_dir):
+    from project_final_parquet_spark.operators.lake_queries import dvc_lake
+
+    table = dvc_lake(spark, sf_dir)
+    v3, v4 = table.manifest(3), table.manifest(4)
+    # v3 carries DVs; v4 carries none — the lifecycle closed
+    assert any(e.dv for e in v3)
+    assert all(e.dv is None for e in v4)
+    # only DV-carrying files were rewritten; clean files keep paths
+    clean_v3 = {e.path for e in v3 if not e.dv}
+    assert clean_v3 <= {e.path for e in v4}
+    # rewritten files are rewrites, not new data (incremental skips)
+    rewritten = [e for e in v4 if e.added == 4]
+    assert rewritten and all(not e.data_change for e in rewritten)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        table.incremental(spark, since_version=3, to_version=4)
+    # the compacted read equals the DV read row-for-row
+    n_v3, n_v4 = (
+        table.read(spark, version=3).count(),
+        table.read(spark, version=4).count(),
+    )
+    assert n_v4 == n_v3
+    # v3 manifest rows still count PRE-delete rows (DVs are sidecars);
+    # the gap is exactly the deleted-key count
+    n_deleted = sum(e.rows for e in v3) - n_v3
+    assert n_deleted > 0
+    # after compaction the manifest row accounting is physical again
+    assert sum(e.rows for e in v4) == n_v4
+
+
+# --- events_attribution_linear -----------------------------------------------
+
+
+def test_attribution_linear_conserves_credit(spark, sf_dir):
+    ev = _events(sf_dir)
+    purchases = ev[ev["event_type"] == "purchase"]
+    touches = ev[ev["event_type"] != "purchase"]
+    win = 7 * _DAY_US
+    credit = defaultdict(float)
+    n_touches = defaultdict(int)
+    n_pt = defaultdict(int)
+    touched_purchases = 0
+    by_user = dict(tuple(touches.groupby("user_id")))
+    for _, p in purchases.iterrows():
+        tu = by_user.get(p["user_id"])
+        if tu is None:
+            continue
+        w = tu[
+            (tu["ts_us"] < p["ts_us"]) & (tu["ts_us"] >= p["ts_us"] - win)
+        ]
+        if len(w) == 0:
+            continue
+        touched_purchases += 1
+        counts = w["event_type"].value_counts()
+        for ch, c in counts.items():
+            credit[ch] += float(int(c)) / len(w)
+            n_touches[ch] += int(c)
+            n_pt[ch] += 1
+    rows = all_queries()["events_attribution_linear"](
+        spark, sf_dir
+    ).collect()
+    assert sorted(r.channel for r in rows) == sorted(credit)
+    for r in rows:
+        assert r.n_touches == n_touches[r.channel]
+        assert r.n_purchases_touched == n_pt[r.channel]
+        assert abs(r.credit - credit[r.channel]) < 1e-6
+        assert r.n_purchases == len(purchases)
+    # conservation: total credit == purchases with >=1 touch
+    assert abs(sum(r.credit for r in rows) - touched_purchases) < 1e-6
