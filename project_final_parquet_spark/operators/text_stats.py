@@ -308,3 +308,92 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("corpus_count"), "token")
     )
+
+
+# --- pairwise source vocabulary overlap --------------------------------------
+
+
+@query(
+    "text_source_jaccard",
+    oracle="""
+    WITH st AS (
+      SELECT DISTINCT source, token FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ),
+    sz AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM st
+      GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT inter.src_a, inter.src_b, sa.n AS n_a, sb.n AS n_b,
+           inter.n_common,
+           CAST(inter.n_common AS DOUBLE)
+             / (sa.n + sb.n - inter.n_common) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.source = inter.src_a
+    JOIN sz sb ON sb.source = inter.src_b
+    ORDER BY jaccard DESC, src_a, src_b
+    LIMIT 20
+    """,
+)
+def text_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard: which ingest sources write
+    with the same vocabulary — the corpus-mixture diagnostic that
+    flags mirror/scraper pairs BEFORE document-level dedup has to pay
+    for them (two sources with vocab Jaccard near 1 are candidates for
+    source-level dedup), complementing text_source_divergence (each
+    source vs the global mix) with the source×source structure.
+    Top-20 most-overlapping pairs, oriented a < b.
+
+    Determinism: set sizes and intersections are exact integers from
+    one (source, token) distinct; Jaccard is one double division;
+    ordering ties break on the pair names.
+
+    Scale: the token-key self-join is co-partitioned on token (the
+    inverted-list shape — each token's posting is |sources|-bounded,
+    ≤ 20 here, so the pair fan-out per token is bounded by the source
+    count squared, NOT corpus-sized); the pair aggregate is
+    |sources|²-bounded with map-side combine."""
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    st = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = st.select(F.col("source").alias("src_a"), "token")
+    b = st.select(F.col("source").alias("src_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "src_a", "src_b")
+        .limit(20)
+    )

@@ -689,3 +689,111 @@ def ml_feature_chi2_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("chi2"), "dim")
         .limit(10)
     )
+
+
+# --- pairwise class-centroid separation --------------------------------------
+
+
+@query(
+    "embeddings_class_separation",
+    oracle=f"""
+    WITH flat AS (
+      SELECT label, i AS dim,
+             CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE)
+                        * {_VSCALE}) AS BIGINT) AS fv
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range({_DIM})) AS i) idx
+    ),
+    per AS (
+      SELECT label, dim, CAST(SUM(fv) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM flat GROUP BY label, dim
+    ),
+    coord AS (
+      SELECT label, dim,
+             CAST(s AS DOUBLE) / {_VSCALE} / n AS c
+      FROM per
+    ),
+    pair AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             {DSUM_SQL.format(expr="a.c * b.c")} AS dot,
+             {DSUM_SQL.format(expr="a.c * a.c")} AS na2,
+             {DSUM_SQL.format(expr="b.c * b.c")} AS nb2,
+             {DSUM_SQL.format(
+                 expr="(a.c - b.c) * (a.c - b.c)"
+             )} AS d2
+      FROM coord a JOIN coord b
+        ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT CAST(label_a AS INT) AS label_a,
+           CAST(label_b AS INT) AS label_b,
+           dot / (sqrt(na2) * sqrt(nb2)) AS cos_sim,
+           sqrt(d2) AS l2_dist
+    FROM pair ORDER BY label_a, label_b
+    """,
+)
+def embeddings_class_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise class-centroid separation matrix: cosine similarity
+    and L2 distance between every pair of label centroids — the
+    separability readout that tells an embedding team WHICH classes an
+    encoder confuses (the probe-AUC says how separable overall; this
+    says where), and the margin audit behind contrastive-pair mining
+    (sample_hard_negatives digs where this matrix is tightest).
+
+    Determinism: centroid coordinates are exact-integer ratios
+    (floor-scaled BIGINT sums — the sim_centroids convention); the
+    64-term pair reductions are DSUMs of identical IEEE products; the
+    final cosine/L2 are identical double expressions.
+
+    Scale: ONE posexplode pass map-side combined into |labels|×64
+    rows; the pair join and everything after run on that bounded
+    centroid frame (|labels|²·64 terms), never corpus-sized."""
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "vf")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("vf").cast("double") * _VSCALE).cast("long").alias(
+            "fv"
+        ),
+    )
+    per = flat.groupBy("label", "dim").agg(
+        F.sum("fv").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    coord = per.select(
+        "label",
+        "dim",
+        (F.col("s").cast("double") / _VSCALE / F.col("n")).alias("c"),
+    )
+    a = coord.select(
+        F.col("label").alias("label_a"), "dim", F.col("c").alias("ca")
+    )
+    b = coord.select(
+        F.col("label").alias("label_b"), "dim", F.col("c").alias("cb")
+    )
+    pair = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            dsum(F.col("ca") * F.col("cb")).alias("dot"),
+            dsum(F.col("ca") * F.col("ca")).alias("na2"),
+            dsum(F.col("cb") * F.col("cb")).alias("nb2"),
+            dsum(
+                (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+            ).alias("d2"),
+        )
+    )
+    return pair.select(
+        F.col("label_a").cast("int").alias("label_a"),
+        F.col("label_b").cast("int").alias("label_b"),
+        (
+            F.col("dot") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+        ).alias("cos_sim"),
+        F.sqrt(F.col("d2")).alias("l2_dist"),
+    ).orderBy("label_a", "label_b")

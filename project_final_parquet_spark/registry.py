@@ -213,6 +213,9 @@ ROUND8_QUEUE: list[str] = [
     "sample_hard_negatives",
     "lake_dv_compaction",
     "events_attribution_linear",
+    "text_source_jaccard",
+    "mm_wav_loudness_gate",
+    "embeddings_class_separation",
 ]
 
 # Round-7 window (positions 1-50):

@@ -826,3 +826,91 @@ def test_attribution_linear_conserves_credit(spark, sf_dir):
         assert r.n_purchases == len(purchases)
     # conservation: total credit == purchases with >=1 touch
     assert abs(sum(r.credit for r in rows) - touched_purchases) < 1e-6
+
+
+# --- text_source_jaccard --------------------------------------------------
+
+
+def test_source_jaccard_matches_replay(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    vocab = defaultdict(set)
+    for src, text in docs[["source", "text"]].itertuples(index=False):
+        vocab[src].update(t for t in text.split(" ") if t != "")
+    pairs = []
+    srcs = sorted(vocab)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(vocab[a] & vocab[b])
+            if inter == 0:
+                continue
+            uni = len(vocab[a]) + len(vocab[b]) - inter
+            pairs.append(
+                (a, b, len(vocab[a]), len(vocab[b]), inter, inter / uni)
+            )
+    pairs.sort(key=lambda r: (-r[5], r[0], r[1]))
+    expect = pairs[:20]
+    rows = all_queries()["text_source_jaccard"](spark, sf_dir).collect()
+    got = [
+        (r.src_a, r.src_b, r.n_a, r.n_b, r.n_common, r.jaccard)
+        for r in rows
+    ]
+    assert got == expect
+    assert all(0.0 < r.jaccard <= 1.0 for r in rows)
+
+
+# --- mm_wav_loudness_gate --------------------------------------------------
+
+
+def test_wav_loudness_matches_closed_form(spark, sf_dir):
+    import math as _math
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    odd = sorted(int(d) for d in docs["doc_id"] if d % 2 == 1)
+    expect = []
+    for d in odd:
+        n = 64 + d % 64
+        ss = sum(
+            (((d * 31 + i * 17) % 2003) - 1001) ** 2 for i in range(n)
+        )
+        expect.append(
+            (d, n, ss, _math.sqrt(ss / n), ss > 580 * 580 * n)
+        )
+    rows = all_queries()["mm_wav_loudness_gate"](spark, sf_dir).collect()
+    got = [
+        (r.doc_id, r.n_samples, r.sum_sq, r.rms, r.kept) for r in rows
+    ]
+    assert got == expect
+    # the gate must actually split the corpus (both outcomes occur)
+    kept = [r.kept for r in rows]
+    assert any(kept) and not all(kept)
+
+
+# --- embeddings_class_separation ---------------------------------------------
+
+
+def test_class_separation_invariants(spark, sf_dir):
+    import numpy as np
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    labels = sorted(emb["label"].unique())
+    rows = all_queries()["embeddings_class_separation"](
+        spark, sf_dir
+    ).collect()
+    k = len(labels)
+    assert len(rows) == k * (k - 1) // 2
+    # approximate replay (numpy centroid; DSUM/floor differences are
+    # below 1e-9 at this scale — the oracle hash is the exact check)
+    cents = {}
+    for lab in labels:
+        m = np.stack(
+            emb.loc[emb["label"] == lab, "embedding"].to_numpy()
+        ).astype(np.float64)
+        cents[lab] = m.mean(axis=0)
+    for r in rows:
+        ca, cb = cents[r.label_a], cents[r.label_b]
+        cos = float(ca @ cb) / (
+            np.linalg.norm(ca) * np.linalg.norm(cb)
+        )
+        assert abs(r.cos_sim - cos) < 1e-6
+        assert abs(r.l2_dist - float(np.linalg.norm(ca - cb))) < 1e-6
+        assert -1.0 <= r.cos_sim <= 1.0 and r.l2_dist >= 0
