@@ -990,3 +990,189 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# Holt's linear-trend smoothing constants; written as the literals
+# "0.5"/"0.3" in BOTH engines so the parsed doubles are identical
+_HOLT_ALPHA = "0.5"
+_HOLT_BETA = "0.3"
+
+
+@query(
+    "events_holt_linear_forecast",
+    # The oracle iterates the recursion as a RECURSIVE CTE rather than
+    # a list_reduce struct fold: DuckDB's struct_pack-in-lambda rebinds
+    # already-assigned field names for later fields (assigning l :=
+    # makes subsequent acc.l resolve to the NEW l), which silently
+    # corrupts any 2-component state recursion. The CTE is plain scalar
+    # SQL — no shadowing — and applies the SAME double expressions in
+    # the SAME order as the Spark fold.
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM (
+        SELECT epoch_us(ts) // {_DAY_US} AS day,
+               CAST(COUNT(*) AS DOUBLE) AS x
+        FROM events GROUP BY day
+      )
+    ),
+    rec AS (
+      SELECT rn, day, x, x AS l, CAST(0 AS DOUBLE) AS b
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.rn, d.day, d.x,
+             CAST({_HOLT_ALPHA} AS DOUBLE) * d.x
+               + CAST({1} - {_HOLT_ALPHA} AS DOUBLE)
+                 * (rec.l + rec.b),
+             CAST({_HOLT_BETA} AS DOUBLE)
+               * (CAST({_HOLT_ALPHA} AS DOUBLE) * d.x
+                  + CAST({1} - {_HOLT_ALPHA} AS DOUBLE)
+                    * (rec.l + rec.b) - rec.l)
+               + CAST({1} - {_HOLT_BETA} AS DOUBLE) * rec.b
+      FROM rec JOIN d ON d.rn = rec.rn + 1
+    )
+    SELECT CAST(day AS BIGINT) AS day, x AS n_events,
+           l AS level, b AS trend, l + b AS forecast_next
+    FROM rec ORDER BY day
+    """,
+)
+def events_holt_linear_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing of the daily
+    event-count series: level and trend state per day plus the
+    one-step-ahead forecast — the trend-aware upgrade of events_ewma
+    (single smoothing lags any drifting series by design) and the
+    classic capacity-planning forecaster. State recursion:
+    l_t = αx_t + (1−α)(l+b), b_t = β(l_t−l) + (1−β)b, seeded
+    (l₁, b₁) = (x₁, 0).
+
+    Determinism: the recursion is an ordered LEFT FOLD over the day
+    series — Spark ``F.aggregate`` with a struct accumulator over a
+    running ``collect_list`` window, DuckDB ``list_reduce`` over a
+    windowed ``list`` of structs; both engines seed from the first
+    element and apply the SAME double expressions in the SAME order
+    (the events_survival_km product-fold pattern generalized to
+    2-component state). α, β enter as identical text literals.
+
+    Scale: one map-side day bucketing; the fold runs on the bounded
+    |days| frame (single partition by design — same argument as every
+    day-grain series op). The production streaming form carries
+    (l, b) as applyInPandasWithState state with identical update
+    arithmetic."""
+    d = (
+        load(spark, sf_dir, "events")
+        .select(F.expr(f"ts_us div {_DAY_US}").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    xs = F.collect_list("x").over(w)
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    step = (
+        f"(acc, e) -> named_struct("
+        f"'l', {a} * e + (1 - {a}) * (acc.l + acc.b), "
+        f"'b', {b} * ({a} * e + (1 - {a}) * (acc.l + acc.b) - acc.l)"
+        f" + (1 - {b}) * acc.b)"
+    )
+    # bind the windowed list under a fixed name for the fold expr
+    st = (
+        d.withColumn("xs_", xs)
+        .select(
+            "day",
+            "x",
+            F.expr(
+                "aggregate(slice(xs_, 2, greatest(size(xs_) - 1, 0)), "
+                "named_struct('l', element_at(xs_, 1), "
+                "'b', cast(0 as double)), "
+                f"{step})"
+            ).alias("s"),
+        )
+    )
+    return st.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("x").alias("n_events"),
+        F.col("s.l").alias("level"),
+        F.col("s.b").alias("trend"),
+        (F.col("s.l") + F.col("s.b")).alias("forecast_next"),
+    ).orderBy("day")
+
+
+@query(
+    "pipeline_dedup_impact",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, text,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    surv AS (
+      SELECT text, MIN(doc_id) AS sid FROM documents GROUP BY text
+    ),
+    flagged AS (
+      SELECT tok.source, tok.n_tok,
+             tok.doc_id = surv.sid AS kept
+      FROM tok JOIN surv ON tok.text = surv.text
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs_before,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_after,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_before,
+           CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+             AS tokens_after,
+           CAST((1000000 * SUM(CASE WHEN kept THEN 0 ELSE 1 END))
+                // COUNT(*) AS BIGINT) AS dup_doc_ppm
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+)
+def pipeline_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report BY SOURCE: how many documents and tokens
+    each ingest source loses to exact dedup (global keep-lowest-id
+    survivors, the dedup_exact rule) — the accounting a data-sourcing
+    team reads before renegotiating a crawl (a source that is 40%
+    duplicates of the corpus is paying for bytes the pipeline throws
+    away), and the per-source companion of the corpus-level
+    pipeline_e2e_pretrain manifest.
+
+    Determinism: survivor choice is MIN(doc_id) per exact text; token
+    counts use the house whitespace/non-empty convention; dup share is
+    floor ppm — all exact integers.
+
+    Scale: one content-grain aggregate (at 100 TB the group key is
+    sha2(text) — the dedup_exact note), one co-partitioned join back
+    on the content key, one |sources|-row rollup with map-side
+    combine."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    tok = docs.withColumn(
+        "n_tok",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast(
+            "long"
+        ),
+    )
+    surv = docs.groupBy("text").agg(F.min("doc_id").alias("sid"))
+    flagged = tok.join(surv, "text").select(
+        "source", "n_tok", (F.col("doc_id") == F.col("sid")).alias("kept")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_before"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("docs_after"),
+            F.sum("n_tok").cast("long").alias("tokens_before"),
+            F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("tokens_after"),
+            F.expr(
+                "(1000000 * sum(case when kept then 0 else 1 end))"
+                " div count(*)"
+            )
+            .cast("long")
+            .alias("dup_doc_ppm"),
+        )
+        .orderBy("source")
+    )

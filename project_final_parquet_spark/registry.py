@@ -216,6 +216,8 @@ ROUND8_QUEUE: list[str] = [
     "text_source_jaccard",
     "mm_wav_loudness_gate",
     "embeddings_class_separation",
+    "events_holt_linear_forecast",
+    "pipeline_dedup_impact",
 ]
 
 # Round-7 window (positions 1-50):

@@ -914,3 +914,80 @@ def test_class_separation_invariants(spark, sf_dir):
         assert abs(r.cos_sim - cos) < 1e-6
         assert abs(r.l2_dist - float(np.linalg.norm(ca - cb))) < 1e-6
         assert -1.0 <= r.cos_sim <= 1.0 and r.l2_dist >= 0
+
+
+# --- events_holt_linear_forecast ---------------------------------------------
+
+
+def test_holt_forecast_matches_replay_bitexact(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev["day"] = ev["ts_us"] // _DAY_US
+    series = sorted(
+        (int(d), float(n)) for d, n in ev.groupby("day").size().items()
+    )
+    # literal-faithful replay: Spark parses 0.5/0.3 as exact decimals
+    # promoted to the nearest doubles — same as Python's literals
+    l, b = series[0][1], 0.0
+    expect = [(series[0][0], series[0][1], l, b, l + b)]
+    for d, x in series[1:]:
+        ln = 0.5 * x + (1 - 0.5) * (l + b)
+        bn = 0.3 * (0.5 * x + (1 - 0.5) * (l + b) - l) + (1 - 0.3) * b
+        l, b = ln, bn
+        expect.append((d, x, l, b, l + b))
+    rows = all_queries()["events_holt_linear_forecast"](
+        spark, sf_dir
+    ).collect()
+    got = [
+        (r.day, r.n_events, r.level, r.trend, r.forecast_next)
+        for r in rows
+    ]
+    assert got == expect  # bit-exact: same fold order, same literals
+    # the smoother tracks the series: level stays within its range
+    xs = [x for _, x in series]
+    assert all(min(xs) * 0.5 <= r.level <= max(xs) * 1.5 for r in rows)
+
+
+# --- pipeline_dedup_impact -----------------------------------------------------
+
+
+def test_dedup_impact_matches_replay(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    surv = docs.groupby("text")["doc_id"].min()
+    per = defaultdict(lambda: [0, 0, 0, 0])
+    for did, src, text in docs[
+        ["doc_id", "source", "text"]
+    ].itertuples(index=False):
+        ntok = sum(1 for t in text.split(" ") if t != "")
+        kept = surv[text] == did
+        acc = per[src]
+        acc[0] += 1
+        acc[1] += 1 if kept else 0
+        acc[2] += ntok
+        acc[3] += ntok if kept else 0
+    expect = [
+        (
+            src,
+            a[0],
+            a[1],
+            a[2],
+            a[3],
+            (1_000_000 * (a[0] - a[1])) // a[0],
+        )
+        for src, a in sorted(per.items())
+    ]
+    rows = all_queries()["pipeline_dedup_impact"](spark, sf_dir).collect()
+    got = [
+        (
+            r.source,
+            r.docs_before,
+            r.docs_after,
+            r.tokens_before,
+            r.tokens_after,
+            r.dup_doc_ppm,
+        )
+        for r in rows
+    ]
+    assert got == expect
+    # global conservation vs dedup_exact: survivors across sources
+    # equal the distinct-text count
+    assert sum(r.docs_after for r in rows) == docs["text"].nunique()
