@@ -182,6 +182,14 @@ HEADLINE = [
     "events_interarrival_stats",
     "ml_feature_chi2_screen",
     "events_seasonal_residual_anomaly",
+    "sample_hard_negatives",
+    "lake_dv_compaction",
+    "events_attribution_linear",
+    "text_source_jaccard",
+    "mm_wav_loudness_gate",
+    "embeddings_class_separation",
+    "events_holt_linear_forecast",
+    "pipeline_dedup_impact",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -210,6 +210,14 @@ BATTERY10 = [
     "events_interarrival_stats",      # user lag window + global rank
     "ml_feature_chi2_screen",         # one posexplode pass + cell grid
     "events_seasonal_residual_anomaly",  # (week,dow,hr) cells + base join
+    "sample_hard_negatives",          # broadcast pool + per-anchor top-1
+    "lake_dv_compaction",             # DV-file rewrite + join-free read
+    "events_attribution_linear",      # user-range touch join + rollup
+    "text_source_jaccard",            # token-key posting self-join
+    "mm_wav_loudness_gate",           # mapInPandas decode + int gate
+    "embeddings_class_separation",    # one posexplode + centroid pairs
+    "events_holt_linear_forecast",    # day-grain struct fold
+    "pipeline_dedup_impact",          # content-grain agg + join back
 ]
 
 
