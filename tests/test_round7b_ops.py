@@ -991,3 +991,46 @@ def test_dedup_impact_matches_replay(spark, sf_dir):
     # global conservation vs dedup_exact: survivors across sources
     # equal the distinct-text count
     assert sum(r.docs_after for r in rows) == docs["text"].nunique()
+
+
+# --- plan pins for the batch 7-9 scale claims --------------------------------
+
+
+def test_topk_ops_use_take_ordered(spark):
+    """Every bounded top-k in the new batch must compile to
+    TakeOrderedAndProject — no global sort materialization."""
+    for name in (
+        "text_burstiness",
+        "text_source_jaccard",
+        "graph_local_clustering",
+        "ml_feature_chi2_screen",
+    ):
+        df = all_queries()[name](spark, BIG_SF)
+        assert plan_facts(df).has_take_ordered, name
+
+
+def test_attribution_scan_pruned(spark):
+    df = all_queries()["events_attribution_linear"](spark, BIG_SF)
+    facts = plan_facts(df)
+    # events scans read only id/type/ts — props and value never read
+    assert facts.read_schemas and all(
+        "props" not in s and "value" not in s for s in facts.read_schemas
+    )
+
+
+def test_effective_rank_scan_pruned(spark):
+    df = all_queries()["embeddings_effective_rank"](spark, BIG_SF)
+    facts = plan_facts(df)
+    # the Gram branch needs vec_id+embedding only; label never read
+    assert facts.read_schemas and all(
+        "label" not in s for s in facts.read_schemas
+    )
+
+
+def test_loudness_gate_is_shuffle_free(spark):
+    """Decode + gate is pipeline-parallel: no exchange before the
+    trivially bounded final sort."""
+    df = all_queries()["mm_wav_loudness_gate"](spark, BIG_SF)
+    facts = plan_facts(df)
+    assert facts.n_joins == 0
+    assert facts.n_exchanges <= 1  # only the output ORDER BY
