@@ -642,6 +642,122 @@ class LakeTable:
         self._publish(version, kept + new_entries)
         return version
 
+    # bloom sidecar sizing: m bits / k Knuth multiplicative hashes.
+    # m = 1<<17 keeps the false-positive rate ~1% up to ~10k distinct
+    # keys per file; the sidecar stores SET BIT indices (metadata-scale
+    # by construction: <= m entries however many rows the file has).
+    BLOOM_M = 1 << 17
+    BLOOM_HASHES = (2654435761, 2246822519, 3266489917)
+
+    def add_blooms(
+        self,
+        spark: SparkSession,
+        col: str,
+        expected_parent: int | None = None,
+    ) -> int:
+        """Attach per-file BLOOM sidecars for ``col`` (the Parquet
+        bloom-filter / Iceberg bloom story, lifted to the manifest):
+        each live data file gets a bitset built from its distinct
+        ``col`` values under k fixed Knuth multiplicative hashes.
+        Point-lookup reads then skip files whose bloom excludes the
+        key — the pruning that min/max stats CANNOT give for a
+        high-cardinality key scattered across every file's range.
+
+        The bitset is computed DISTRIBUTED (one pushdown scan per
+        file, aggregated to distinct bit positions — bounded by m, so
+        the driver-side sidecar is metadata-scale regardless of file
+        row count) and stored as sorted set-bit indices in JSON next
+        to the log. Returns the new version."""
+        parent = (
+            self.current_version
+            if expected_parent is None
+            else expected_parent
+        )
+        entries = self.manifest(parent)
+        version = parent + 1
+        bdir = self.root / "_bloom" / f"v{version}"
+        bdir.mkdir(parents=True, exist_ok=True)
+        new_entries = []
+        for e in entries:
+            scan = spark.read.parquet(e.path).select(
+                F.col(col).cast("long").alias("k")
+            )
+            bits = sorted(
+                set(
+                    int(r[0])
+                    for h in self.BLOOM_HASHES
+                    for r in scan.select(
+                        ((F.col("k") * h) % (1 << 32))
+                        .cast("long")
+                        .bitwiseAND(self.BLOOM_M - 1)
+                        .alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                )
+            )
+            bpath = bdir / f"{Path(e.path).stem}.json"
+            bpath.write_text(
+                json.dumps({"col": col, "m": self.BLOOM_M, "bits": bits})
+            )
+            stats = dict(e.stats)
+            stats[f"__bloom__{col}"] = [str(bpath), ""]
+            new_entries.append(
+                FileEntry(
+                    e.path,
+                    e.rows,
+                    stats,
+                    e.added,
+                    e.bytes,
+                    data_change=e.data_change,
+                    dv=e.dv,
+                )
+            )
+        self._publish(version, new_entries)
+        return version
+
+    def read_bloom_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        value: int,
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """Point-lookup scan keeping only the files whose bloom for
+        ``col`` might contain ``value`` — a superset guarantee exactly
+        like stats pruning (the caller still applies the row filter);
+        files without a bloom sidecar are conservatively kept."""
+        entries = self.manifest(version)
+        keep = []
+        for e in entries:
+            ref = e.stats.get(f"__bloom__{col}")
+            if not ref:
+                keep.append(e)
+                continue
+            doc = json.loads(Path(ref[0]).read_text())
+            bits = set(doc["bits"])
+            m = doc["m"]
+            hits = all(
+                ((value * h) % (1 << 32)) & (m - 1) in bits
+                for h in self.BLOOM_HASHES
+            )
+            if hits:
+                keep.append(e)
+        if not keep:
+            # bloom proved absence everywhere: empty frame, same schema
+            return (
+                spark.read.parquet(entries[0].path).limit(0),
+                0,
+                len(entries),
+            )
+        return (
+            spark.read.option("mergeSchema", "true").parquet(
+                *[e.path for e in keep]
+            ),
+            len(keep),
+            len(entries),
+        )
+
     def streaming_sink(
         self,
         app_id: str,

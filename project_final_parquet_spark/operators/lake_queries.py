@@ -779,3 +779,83 @@ def lake_dv_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- bloom-filter point-lookup pruning ---------------------------------------
+
+_BLOOM_KEY_MOD = 7
+_BLOOM_KEY_REM = 3
+
+
+def bloom_lake(spark: SparkSession, sf_dir: str) -> LakeTable:
+    """Stage (or reuse) the bloom lake: the standard two date-ranged
+    commits, then an ``add_blooms`` commit (v3) attaching per-file
+    o_orderkey bloom sidecars. Files are date-partitioned, so every
+    file's ORDERKEY RANGE spans the table — min/max stats cannot skip
+    a single file for a key lookup; the blooms can."""
+    table = LakeTable(_lake_root(sf_dir, name="orders_bloom"))
+    if table.current_version == 3:
+        return table
+    if table.root.exists():
+        shutil.rmtree(table.root)
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit(_CUTOFF).cast("timestamp_ntz")
+    for part in (
+        orders.filter(F.col("o_orderdate") < cutoff),
+        orders.filter(F.col("o_orderdate") >= cutoff),
+    ):
+        table.commit_append(
+            part,
+            stats_cols=_STATS_COLS,
+            num_files=_FILES_PER_COMMIT,
+            range_by="o_orderdate",
+        )
+    table.add_blooms(spark, col="o_orderkey")
+    return table
+
+
+@query(
+    "lake_bloom_point_lookup",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey = (
+      SELECT MAX(o_orderkey) FROM orders
+      WHERE o_orderkey % {_BLOOM_KEY_MOD} = {_BLOOM_KEY_REM}
+    )
+    """,
+)
+def lake_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through manifest-level BLOOM pruning (the Parquet
+    bloom-filter / Iceberg bloom story): the lake's files are
+    date-partitioned, so a key lookup defeats min/max stats (every
+    file's orderkey range overlaps every key) — the per-file bloom
+    sidecars are what let the scan skip the files that cannot contain
+    the key. The bloom is a superset guarantee; the row filter still
+    applies, so the result equals the plain relational lookup (the
+    oracle) regardless of false positives.
+
+    Determinism: the looked-up key is a deterministic aggregate of the
+    data (max orderkey ≡ {_BLOOM_KEY_REM} mod {_BLOOM_KEY_MOD}); bloom
+    membership uses k fixed Knuth multiplicative hashes — no RNG, no
+    seed, same bits everywhere. tests assert files_read < files_total
+    (pruning actually happened).
+
+    Scale: sidecar build is one pushdown scan per file aggregated to
+    ≤m set-bit positions (metadata-scale however large the file); the
+    lookup is driver-side bit probes + a scan of only the surviving
+    files. At 100 TB keys the Knuth hash swaps for xxhash64 (the
+    integer multiply overflows int64 past ~3.4e9 keys) — same shape."""
+    table = bloom_lake(spark, sf_dir)
+    key = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % _BLOOM_KEY_MOD == _BLOOM_KEY_REM)
+        .agg(F.max("o_orderkey"))
+        .first()[0]
+    )
+    df, _read, _total = table.read_bloom_pruned(
+        spark, col="o_orderkey", value=int(key)
+    )
+    return df.filter(F.col("o_orderkey") == int(key)).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )

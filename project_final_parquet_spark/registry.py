@@ -218,6 +218,7 @@ ROUND8_QUEUE: list[str] = [
     "embeddings_class_separation",
     "events_holt_linear_forecast",
     "pipeline_dedup_impact",
+    "lake_bloom_point_lookup",
 ]
 
 # Round-7 window (positions 1-50):

@@ -1034,3 +1034,30 @@ def test_loudness_gate_is_shuffle_free(spark):
     facts = plan_facts(df)
     assert facts.n_joins == 0
     assert facts.n_exchanges <= 1  # only the output ORDER BY
+
+
+# --- lake_bloom_point_lookup -----------------------------------------------
+
+
+def test_bloom_pruning_actually_skips_files(spark, sf_dir):
+    from project_final_parquet_spark.operators.lake_queries import (
+        bloom_lake,
+    )
+
+    table = bloom_lake(spark, sf_dir)
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    present = int(orders["o_orderkey"].iloc[17])
+    df, n_read, n_total = table.read_bloom_pruned(
+        spark, col="o_orderkey", value=present
+    )
+    # superset guarantee: the key's row survives pruning
+    assert df.filter(f"o_orderkey = {present}").count() == 1
+    # the date-partitioned layout defeats stats; bloom must skip files
+    assert n_read < n_total
+    # absent key: bloom proves absence in (almost) every file
+    absent = int(orders["o_orderkey"].max()) + 987_654
+    df2, n_read2, _ = table.read_bloom_pruned(
+        spark, col="o_orderkey", value=absent
+    )
+    assert df2.filter(f"o_orderkey = {absent}").count() == 0
+    assert n_read2 <= n_read
