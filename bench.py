@@ -190,6 +190,7 @@ HEADLINE = [
     "embeddings_class_separation",
     "events_holt_linear_forecast",
     "pipeline_dedup_impact",
+    "lake_bloom_point_lookup",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

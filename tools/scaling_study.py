@@ -218,6 +218,7 @@ BATTERY10 = [
     "embeddings_class_separation",    # one posexplode + centroid pairs
     "events_holt_linear_forecast",    # day-grain struct fold
     "pipeline_dedup_impact",          # content-grain agg + join back
+    "lake_bloom_point_lookup",        # bloom-pruned point scan
 ]
 
 
@@ -323,11 +324,15 @@ def main() -> None:
     if "--battery10" in sys.argv:
         battery = BATTERY10
         from project_final_parquet_spark.operators.lake_queries import (
+            bloom_lake,
             dv_lake,
+            dvc_lake,
         )
 
         for _, d in sfs:
             dv_lake(spark, d)
+            dvc_lake(spark, d)
+            bloom_lake(spark, d)
     results: dict[str, dict[str, float]] = {}
     for name in battery:
         results[name] = {}
