@@ -191,6 +191,8 @@ HEADLINE = [
     "events_holt_linear_forecast",
     "pipeline_dedup_impact",
     "lake_bloom_point_lookup",
+    "events_covisitation_matrix",
+    "sample_time_split_leakage",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

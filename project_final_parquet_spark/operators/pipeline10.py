@@ -1176,3 +1176,214 @@ def pipeline_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_COVISIT_GAP_US = 30 * 60 * 1_000_000  # shared 30-min session cut
+
+
+@query(
+    "events_covisitation_matrix",
+    oracle=f"""
+    WITH lagd AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(json_extract_string(props, '$.k') AS VARCHAR)
+               AS item,
+             LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS prev
+      FROM events WHERE event_type = 'view'
+    ),
+    sess AS (
+      SELECT user_id, item,
+             SUM(CASE WHEN prev IS NULL OR ts_us - prev > {_COVISIT_GAP_US}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM lagd
+    ),
+    si AS (
+      SELECT DISTINCT user_id, sid, item FROM sess
+      WHERE item IS NOT NULL
+    ),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM si a JOIN si b
+        ON a.user_id = b.user_id AND a.sid = b.sid AND a.item < b.item
+      GROUP BY a.item, b.item
+    )
+    SELECT item_a, item_b, n_sessions
+    FROM pairs
+    ORDER BY n_sessions DESC, item_a, item_b
+    LIMIT 20
+    """,
+)
+def events_covisitation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session co-visitation matrix: pairs of pages viewed within the
+    SAME 30-minute session (the events_sessionize_gap cut applied to
+    'view' events, item = the props JSON's k field) ranked by co-session
+    count — the classic candidate-generation structure behind
+    "viewed-together" recommenders (the event-session sibling of
+    basket_part_pairs' order-basket co-occurrence). Top-20 pairs,
+    oriented item_a < item_b.
+
+    Determinism: session ids are the exact running gap-flag sum (same
+    total order as sessionize); the per-session item set is DISTINCT,
+    so the pair count is exact; ranking is totally ordered by
+    (count DESC, pair).
+
+    Scale: one user shuffle for the two chained windows; the pair join
+    is WITHIN-(user, session) only — fan-out bounded by per-session
+    distinct items (the basket-bound argument), never corpus²; the
+    pair aggregate is map-side combinable and the top-20 is
+    TakeOrdered. The production form at catalog scale salts hot items
+    exactly like skew_salted_join."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            F.get_json_object("props", "$.k").alias("item"),
+        )
+    )
+    wu = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lagd = ev.withColumn("prev", F.lag("ts_us").over(wu))
+    flag = F.when(
+        F.col("prev").isNull()
+        | (F.col("ts_us") - F.col("prev") > _COVISIT_GAP_US),
+        1,
+    ).otherwise(0)
+    sess = lagd.withColumn(
+        "sid",
+        F.sum(flag).over(
+            wu.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    si = (
+        sess.filter(F.col("item").isNotNull())
+        .select("user_id", "sid", "item")
+        .distinct()
+    )
+    a = si.select("user_id", "sid", F.col("item").alias("item_a"))
+    b = si.select("user_id", "sid", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, ["user_id", "sid"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+    return pairs.orderBy(
+        F.desc("n_sessions"), "item_a", "item_b"
+    ).limit(20)
+
+
+# time-based split: train < cutoff day <= test (80th percentile day)
+_TSPLIT_PCT = 80
+
+
+@query(
+    "sample_time_split_leakage",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+    ),
+    days AS (
+      SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             COUNT(*) OVER () AS n
+      FROM (SELECT DISTINCT day FROM e)
+    ),
+    cut AS (
+      SELECT day AS cutoff FROM days
+      WHERE rn = ({_TSPLIT_PCT} * n + 99) // 100
+    ),
+    lab AS (
+      SELECT user_id, day,
+             CASE WHEN day < cutoff THEN 'train' ELSE 'test' END AS split
+      FROM e CROSS JOIN cut
+    ),
+    per AS (
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM lab GROUP BY split
+    ),
+    overlap AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap FROM (
+        SELECT user_id FROM lab GROUP BY user_id
+        HAVING COUNT(DISTINCT split) = 2
+      )
+    )
+    SELECT per.split, per.n_events, per.n_users, overlap.n_overlap,
+           CAST((1000000 * overlap.n_overlap) // per.n_users AS BIGINT)
+             AS overlap_ppm
+    FROM per CROSS JOIN overlap
+    ORDER BY split
+    """,
+)
+def sample_time_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with a LEAKAGE audit: events before
+    the 80th-percentile distinct day go to train, the rest to test —
+    the split an event-sequence model must use (random splits leak the
+    future) — and the audit counts users appearing in BOTH halves
+    (entity overlap: legitimate for per-user forecasting, fatal for
+    user-level generalization claims; either way the number must be
+    REPORTED, which is this query). Per split: events, users, plus the
+    shared overlap count and its ppm of the split's users.
+
+    Determinism: the cutoff is a rank-selected distinct day (exact
+    integer arithmetic); all counts exact; ppm is floor division.
+
+    Scale: the distinct-day frame is date-span-bounded; labeling is a
+    broadcast 1-row cutoff; the overlap audit is one user-grain
+    aggregate with map-side distinct — nothing after the (user, split)
+    dedup is corpus-sized."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"ts_us div {_DAY_US}").alias("day")
+    )
+    days = (
+        e.select("day")
+        .distinct()
+        .select(
+            "day",
+            F.row_number().over(W.orderBy("day")).alias("rn"),
+            F.count(F.lit(1))
+            .over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+            .alias("n"),
+        )
+    )
+    cut = days.filter(
+        F.col("rn") == F.expr(f"({_TSPLIT_PCT} * n + 99) div 100")
+    ).select(F.col("day").alias("cutoff"))
+    lab = e.crossJoin(F.broadcast(cut)).select(
+        "user_id",
+        F.when(F.col("day") < F.col("cutoff"), "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+    per = lab.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    overlap = (
+        lab.select("user_id", "split")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") == 2)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        per.crossJoin(F.broadcast(overlap))
+        .select(
+            "split",
+            "n_events",
+            "n_users",
+            "n_overlap",
+            F.expr("(1000000 * n_overlap) div n_users")
+            .cast("long")
+            .alias("overlap_ppm"),
+        )
+        .orderBy("split")
+    )

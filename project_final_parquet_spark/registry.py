@@ -219,6 +219,8 @@ ROUND8_QUEUE: list[str] = [
     "events_holt_linear_forecast",
     "pipeline_dedup_impact",
     "lake_bloom_point_lookup",
+    "events_covisitation_matrix",
+    "sample_time_split_leakage",
 ]
 
 # Round-7 window (positions 1-50):

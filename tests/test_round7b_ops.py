@@ -1061,3 +1061,75 @@ def test_bloom_pruning_actually_skips_files(spark, sf_dir):
     )
     assert df2.filter(f"o_orderkey = {absent}").count() == 0
     assert n_read2 <= n_read
+
+
+# --- events_covisitation_matrix ----------------------------------------------
+
+
+def test_covisitation_matches_replay(spark):
+    import json as _json
+
+    ev = _events(BIG_SF)
+    ev = ev[ev["event_type"] == "view"].sort_values(
+        ["user_id", "ts_us", "event_id"]
+    )
+    gap = 30 * 60 * 1_000_000
+    sess_items = defaultdict(set)
+    for uid, g in ev.groupby("user_id"):
+        sid, prev = 0, None
+        for ts, props in g[["ts_us", "props"]].itertuples(index=False):
+            if prev is None or ts - prev > gap:
+                sid += 1
+            prev = ts
+            item = _json.loads(props).get("k")
+            if item is not None:
+                sess_items[(uid, sid)].add(str(item))
+    pair_count = defaultdict(int)
+    for items in sess_items.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pair_count[(s[i], s[j])] += 1
+    expect = sorted(
+        ((a, b, n) for (a, b), n in pair_count.items()),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )[:20]
+    rows = all_queries()["events_covisitation_matrix"](
+        spark, BIG_SF
+    ).collect()
+    got = [(r.item_a, r.item_b, r.n_sessions) for r in rows]
+    assert got == expect
+    assert all(r.item_a < r.item_b for r in rows)
+
+
+# --- sample_time_split_leakage --------------------------------------------------
+
+
+def test_time_split_leakage_matches_replay(spark, sf_dir):
+    ev = _events(sf_dir)
+    ev["day"] = ev["ts_us"] // _DAY_US
+    days = sorted(ev["day"].unique())
+    cutoff = days[(80 * len(days) + 99) // 100 - 1]
+    ev["split"] = ev["day"].map(
+        lambda d: "train" if d < cutoff else "test"
+    )
+    per = {
+        s: (len(g), g["user_id"].nunique())
+        for s, g in ev.groupby("split")
+    }
+    both = len(
+        set(ev.loc[ev["split"] == "train", "user_id"])
+        & set(ev.loc[ev["split"] == "test", "user_id"])
+    )
+    rows = all_queries()["sample_time_split_leakage"](
+        spark, sf_dir
+    ).collect()
+    got = {
+        r.split: (r.n_events, r.n_users, r.n_overlap, r.overlap_ppm)
+        for r in rows
+    }
+    for s in ("train", "test"):
+        n_ev, n_u = per[s]
+        assert got[s] == (n_ev, n_u, both, (1_000_000 * both) // n_u)
+    # every event lands in exactly one split
+    assert sum(v[0] for v in got.values()) == len(ev)

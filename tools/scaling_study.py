@@ -219,6 +219,8 @@ BATTERY10 = [
     "events_holt_linear_forecast",    # day-grain struct fold
     "pipeline_dedup_impact",          # content-grain agg + join back
     "lake_bloom_point_lookup",        # bloom-pruned point scan
+    "events_covisitation_matrix",     # session-bounded pair join
+    "sample_time_split_leakage",      # day rank + user-grain audit
 ]
 
 
