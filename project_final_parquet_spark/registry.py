@@ -223,54 +223,39 @@ ROUND8_QUEUE: list[str] = [
     "sample_time_split_leakage",
 ]
 
-# Round-7 window (positions 1-50):
-#   1-21  ROUND7_QUEUE verbatim — the 21 round-6 in-round additions
-#         (probe-eval, experiment-audit completion, RAKE, soft dedup,
-#         audits, ANN serving shapes, RAG flagship), every one
-#         local-oracle green at BOTH sf0.01 and sf0.001 in round 6,
-#         never driver-gated. After this round the driver union
-#         r1..r7 covers the whole pre-freeze registry (269/269).
-#   22    text_pack_sequences — the single remaining query whose latest
-#         driver evidence is round 1 (deliberately left out of the
-#         round-6 refill; the registry comment there named it the
-#         first natural round-7 refill).
-#   23-50 freshness re-gates: the 28 queries with the OLDEST remaining
+# Names registered after the round-8 gate window freezes: position 51+
+# this round, leading the round-9 rotation. Grows as round-8 operators
+# land; tests/test_registry_lint.py asserts it exactly equals the set of
+# registered queries with no driver evidence that are outside the window.
+ROUND9_QUEUE: list[str] = []
+
+# Round-8 window (positions 1-50):
+#   1-41  ROUND8_QUEUE verbatim — every round-7 in-round addition
+#         (lifecycle analytics, KM survival, DV tier, streaming exact
+#         distinct, hard negatives, effective rank, loudness gating,
+#         covisitation, leakage audit, ...), all local-oracle green at
+#         BOTH sf0.01 and sf0.001 in round 7 and re-verified by the
+#         round-7 judge, never driver-gated. After this round the
+#         driver union r1..r8 covers the whole pre-freeze registry
+#         (310/310).
+#   42-50 freshness re-gates: the 9 queries with the OLDEST remaining
 #         driver evidence (round 2), in round-2-window order — the
-#         relational2 q31-q44 block, the similarity/skew/sources
-#         batch, and the four streaming windows.
-# tests/test_registry_lint.py::test_round7_window_leads_with_queue
+#         pivot/unpivot/median/lateral/exists/multiset/xml/text-source/
+#         conditional-aggs block. The remaining 11 round-2 rows are the
+#         natural round-9 refills.
+# tests/test_registry_lint.py::test_round8_window_leads_with_queue
 # asserts all of this mechanically.
 _GATE_FIRST = [
-    *ROUND7_QUEUE,
-    "text_pack_sequences",
-    "q31_window_range_frame",
-    "q32_rank_functions",
-    "q33_regex_fuzzy",
-    "q34_map_funcs",
-    "q35_union_by_name",
-    "q36_hex_codecs",
-    "q37_try_decrypt_wrong_key",
-    "q38_pandas_udf",
-    "q39_csv_roundtrip",
-    "q40_json_roundtrip",
-    "q41_orc_roundtrip",
-    "q43_left_outer_join",
-    "q44_null_semantics",
-    "q42_approx_aggs",
-    "sim_pairs_label_block",
-    "sim_ann_lsh",
-    "sim_ann_multiprobe",
-    "sim_ivf_probe",
-    "dedup_embedding_cosine",
-    "sim_centroids",
-    "skew_salted_join",
-    "skew_salted_distinct",
-    "src_partitioned_pruning",
-    "src_binaryfile_ingest",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_dedup_first",
+    *ROUND8_QUEUE,
+    "q45_pivot",
+    "q46_unpivot",
+    "q47_median_stats",
+    "q48_lateral_topk",
+    "q49_exists_forms",
+    "q50_multiset_ops",
+    "q51_xml_roundtrip",
+    "q52_text_source",
+    "q53_conditional_aggs",
 ]
 
 def _ordered() -> dict[str, RegisteredQuery]:

@@ -7,9 +7,9 @@ gate at least as strict as the driver on output shape:
 
 - no registered query emits an Array/Map/Struct output column
 - every registered query has a docstring; no oracle table typos
-- the round-7 gate window (first 50 of ``_GATE_FIRST``) leads with the
-  ROUND7_QUEUE verbatim and spends every refill slot on the oldest
-  remaining driver evidence (text_pack_sequences r1, then round-2 names)
+- the round-8 gate window (first 50 of ``_GATE_FIRST``) leads with the
+  ROUND8_QUEUE verbatim and spends every refill slot on the oldest
+  remaining driver evidence (round-2 names, in round-2-window order)
 - the registry docstring's eager-at-construction contract note names
   every query whose module-local call graph reaches localCheckpoint
 """
@@ -30,8 +30,8 @@ from project_final_parquet_spark.registry import (
     _GATE_FIRST,
     _load_all,
     _REGISTRY,
-    ROUND7_QUEUE,
     ROUND8_QUEUE,
+    ROUND9_QUEUE,
 )
 
 
@@ -53,7 +53,7 @@ def test_gate_first_names_registered():
 def _latest_green() -> dict[str, int]:
     repo = Path(__file__).resolve().parent.parent
     latest: dict[str, int] = {}
-    for p in sorted(repo.glob("CORRECTNESS_r0[123456].json")):
+    for p in sorted(repo.glob("CORRECTNESS_r0[1234567].json")):
         rnd = int(p.stem[-1])
         rec = json.loads(p.read_text())
         for name, row in rec.items():
@@ -62,40 +62,36 @@ def _latest_green() -> dict[str, int]:
     return latest
 
 
-def test_round7_window_leads_with_queue():
-    """The round-7 rotation contract, asserted mechanically:
+def test_round8_window_leads_with_queue():
+    """The round-8 rotation contract, asserted mechanically:
 
-    - positions 1-21 are ROUND7_QUEUE verbatim (the round-6 in-round
+    - positions 1-41 are ROUND8_QUEUE verbatim (the round-7 in-round
       additions, never driver-gated) — after this round the driver
-      union r1..r7 covers every pre-freeze registration (269/269);
-    - every never-driver-gated query (vs CORRECTNESS_r01..r06) is
-      either in the window or a declared post-freeze ROUND8_QUEUE name,
-      and ROUND8_QUEUE contains nothing else (no stale/fresh names);
-    - position 22 is text_pack_sequences (the single remaining r1-only
-      name), and every later refill re-gates round-2 evidence — the
-      oldest green claims in the ledger after round 6 refreshed the
-      r1 tail.
+      union r1..r8 covers every pre-freeze registration (310/310);
+    - every never-driver-gated query (vs CORRECTNESS_r01..r07) is
+      either in the window or a declared post-freeze ROUND9_QUEUE name,
+      and ROUND9_QUEUE contains nothing else (no stale/fresh names);
+    - every refill slot re-gates round-2 evidence — the oldest green
+      claims in the ledger after round 7 refreshed the r1/r2 tail.
     """
     _load_all()
     latest_green = _latest_green()
     window = _GATE_FIRST[:50]
     assert len(window) == len(set(window)) == 50
-    assert window[: len(ROUND7_QUEUE)] == ROUND7_QUEUE
+    assert window[: len(ROUND8_QUEUE)] == ROUND8_QUEUE
     never_gated = {n for n in _REGISTRY if n not in latest_green}
-    assert set(ROUND8_QUEUE) == never_gated - set(window), (
-        "ROUND8_QUEUE must be exactly the never-driver-gated "
-        "registrations outside the round-7 window"
+    assert set(ROUND9_QUEUE) == never_gated - set(window), (
+        "ROUND9_QUEUE must be exactly the never-driver-gated "
+        "registrations outside the round-8 window"
     )
-    refills = window[len(ROUND7_QUEUE):]
-    assert refills[0] == "text_pack_sequences"
-    assert latest_green["text_pack_sequences"] == 1
-    stale = {n: latest_green[n] for n in refills[1:] if latest_green[n] != 2}
+    refills = window[len(ROUND8_QUEUE):]
+    stale = {n: latest_green[n] for n in refills if latest_green[n] != 2}
     assert not stale, f"refill slots wasted on fresh evidence: {stale}"
-    # no r1-only names remain after this window
+    # no r1-only names remain anywhere in the ledger
     leftover = {
         n
         for n, rnd in latest_green.items()
-        if rnd == 1 and n not in window and n in _REGISTRY
+        if rnd == 1 and n in _REGISTRY
     }
     assert leftover == set(), leftover
 
