@@ -80,6 +80,13 @@ def _ser(v: Any) -> Any:
     return v
 
 
+# Spark-side normalization of ``input_file_name()`` (a ``file:``-scheme
+# URI) back to the plain local path the manifest stores, so per-file
+# grouping can join task rows to FileEntry records without a driver
+# loop. url_decode undoes %-escapes for paths with special characters.
+_FILE_EXPR = "url_decode(regexp_replace(input_file_name(), '^[a-zA-Z]+:/+', '/'))"
+
+
 @dataclass
 class FileEntry:
     path: str
@@ -441,6 +448,15 @@ class LakeTable:
         file — past that the DV is no longer metadata-scale and the
         caller is pointed at the rewrite path.
 
+        Scale contract: the matched keys are computed by ONE
+        stats-pruned scan over every touched file grouped by
+        ``input_file_name()`` — a predicate touching thousands of
+        files costs a constant number of Spark jobs, never a
+        per-file driver loop. A file that already carries a DV gets
+        its old sidecar's keys UNIONED into the replacement (repeat
+        deletes accumulate; the per-file cap applies to the merged
+        set), so no earlier commit's deletions are resurrected.
+
         Returns the new version (parent unchanged if no file overlaps).
         """
         parent = (
@@ -458,28 +474,63 @@ class LakeTable:
         }
         if not touched_paths:
             return parent
+        # one scan over ALL touched files, grouped by source file.
+        # Job 1 validates the per-file cap (cheap count agg) so the
+        # key-collecting job never materializes an over-cap key list
+        # in executor memory before the error fires.
+        hits = (
+            spark.read.parquet(*sorted(touched_paths))
+            .filter(predicate)
+            .select(
+                F.expr(_FILE_EXPR).alias("__file"),
+                F.col(key_col).alias("__k"),
+            )
+        )
+        counts = (
+            hits.groupBy("__file")
+            .agg(F.countDistinct("__k").alias("n"))
+            .collect()
+        )
+        over = [r for r in counts if r["n"] > self.DV_MAX_KEYS]
+        if over:
+            raise ValueError(
+                f"DV for {over[0]['__file']} exceeds "
+                f"{self.DV_MAX_KEYS} keys; use delete_where "
+                "(copy-on-write rewrite) for deletes this wide"
+            )
+        keys_by_file = {
+            r["__file"]: list(r["__keys"])
+            for r in hits.groupBy("__file")
+            .agg(F.sort_array(F.collect_set("__k")).alias("__keys"))
+            .collect()
+        }
         version = parent + 1
         dv_dir = self.root / "_dv" / f"v{version}"
         dv_dir.mkdir(parents=True, exist_ok=True)
         new_entries = []
         for e in entries:
-            if e.path not in touched_paths:
+            keys = keys_by_file.get(e.path, [])
+            if e.path not in touched_paths or (not keys and not e.dv):
                 new_entries.append(e)
                 continue
-            keys = [
-                r[0]
-                for r in spark.read.parquet(e.path)
-                .filter(predicate)
-                .select(key_col)
-                .limit(self.DV_MAX_KEYS + 1)
-                .collect()
-            ]
-            if len(keys) > self.DV_MAX_KEYS:
-                raise ValueError(
-                    f"DV for {e.path} exceeds {self.DV_MAX_KEYS} keys; "
-                    "use delete_where (copy-on-write rewrite) for "
-                    "deletes this wide"
-                )
+            if e.dv:
+                # merge, never replace: a second delete touching an
+                # already-DV-carrying file must keep the first
+                # commit's deletions
+                old = json.loads(Path(e.dv).read_text())
+                if old["key_col"] != key_col:
+                    raise ValueError(
+                        f"DV key column mismatch for {e.path}: "
+                        f"existing sidecar uses {old['key_col']!r}, "
+                        f"delete requested on {key_col!r}"
+                    )
+                keys = sorted(set(keys) | set(old["keys"]))
+                if len(keys) > self.DV_MAX_KEYS:
+                    raise ValueError(
+                        f"merged DV for {e.path} exceeds "
+                        f"{self.DV_MAX_KEYS} keys; use delete_where "
+                        "(copy-on-write rewrite) for deletes this wide"
+                    )
             if not keys:
                 new_entries.append(e)
                 continue
@@ -663,42 +714,83 @@ class LakeTable:
         key — the pruning that min/max stats CANNOT give for a
         high-cardinality key scattered across every file's range.
 
-        The bitset is computed DISTRIBUTED (one pushdown scan per
-        file, aggregated to distinct bit positions — bounded by m, so
-        the driver-side sidecar is metadata-scale regardless of file
-        row count) and stored as sorted set-bit indices in JSON next
-        to the log. Returns the new version."""
+        The bitset is computed DISTRIBUTED — ONE scan over every live
+        file grouped by ``input_file_name()``, aggregated to distinct
+        bit positions (bounded by k·m per file, so the driver-side
+        sidecar is metadata-scale regardless of file row count) — and
+        stored as sorted set-bit indices in JSON next to the log.
+
+        NULL keys never match a point lookup (``col = value`` is never
+        true for NULL), so null rows are filtered before hashing and
+        recorded as a ``has_nulls`` flag for introspection; a file of
+        only NULLs gets an empty bloom and is correctly pruned by every
+        lookup. Non-integral key columns are rejected loudly — a silent
+        ``cast('long')`` of e.g. a string yields NULL hashes and a
+        bloom that prunes files still holding the key.
+
+        Returns the new version."""
         parent = (
             self.current_version
             if expected_parent is None
             else expected_parent
         )
         entries = self.manifest(parent)
+        probe = spark.read.option("mergeSchema", "true").parquet(
+            *[e.path for e in entries]
+        )
+        dtype = probe.schema[col].dataType.simpleString()
+        if dtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"bloom key column {col!r} has type {dtype}; only "
+                "integral key columns are supported (a long cast of "
+                f"{dtype} would silently hash NULL)"
+            )
+        scan = probe.select(
+            F.expr(_FILE_EXPR).alias("__file"),
+            F.col(col).cast("long").alias("k"),
+        )
+        rows = (
+            scan.filter(F.col("k").isNotNull())
+            .select(
+                "__file",
+                F.explode(
+                    F.array(
+                        *[
+                            ((F.col("k") * h) % (1 << 32))
+                            .cast("long")
+                            .bitwiseAND(self.BLOOM_M - 1)
+                            for h in self.BLOOM_HASHES
+                        ]
+                    )
+                ).alias("b"),
+            )
+            .groupBy("__file")
+            .agg(F.sort_array(F.collect_set("b")).alias("bits"))
+            .collect()
+        )
+        bits_by_file = {r["__file"]: [int(b) for b in r["bits"]] for r in rows}
+        null_files = {
+            r["__file"]
+            for r in scan.filter(F.col("k").isNull())
+            .select("__file")
+            .distinct()
+            .collect()
+        }
         version = parent + 1
         bdir = self.root / "_bloom" / f"v{version}"
         bdir.mkdir(parents=True, exist_ok=True)
         new_entries = []
         for e in entries:
-            scan = spark.read.parquet(e.path).select(
-                F.col(col).cast("long").alias("k")
-            )
-            bits = sorted(
-                set(
-                    int(r[0])
-                    for h in self.BLOOM_HASHES
-                    for r in scan.select(
-                        ((F.col("k") * h) % (1 << 32))
-                        .cast("long")
-                        .bitwiseAND(self.BLOOM_M - 1)
-                        .alias("b")
-                    )
-                    .distinct()
-                    .collect()
-                )
-            )
             bpath = bdir / f"{Path(e.path).stem}.json"
             bpath.write_text(
-                json.dumps({"col": col, "m": self.BLOOM_M, "bits": bits})
+                json.dumps(
+                    {
+                        "col": col,
+                        "m": self.BLOOM_M,
+                        "bits": bits_by_file.get(e.path, []),
+                        "has_nulls": e.path in null_files,
+                    }
+                )
             )
             stats = dict(e.stats)
             stats[f"__bloom__{col}"] = [str(bpath), ""]
@@ -744,9 +836,14 @@ class LakeTable:
             if hits:
                 keep.append(e)
         if not keep:
-            # bloom proved absence everywhere: empty frame, same schema
+            # bloom proved absence everywhere: empty frame with the
+            # SAME merged schema every other read path produces (not
+            # entries[0] alone, which after schema evolution would be
+            # missing columns added in later commits)
             return (
-                spark.read.parquet(entries[0].path).limit(0),
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[e.path for e in entries])
+                .limit(0),
                 0,
                 len(entries),
             )
@@ -887,13 +984,17 @@ class LakeTable:
                 *[e.path for e in entries]
             )
         # merge-on-read: files carrying a delete vector pay a broadcast
-        # anti-join on the deleted keys; every other file streams
-        # through untouched (the Iceberg equality-delete read path)
-        key_cols, keys = set(), []
+        # anti-join on (source file, key) — each sidecar drops its keys
+        # from ITS file only (the FileEntry.dv contract, and the same
+        # per-file semantics compact_dv applies, so the MOR view and
+        # the post-compaction view agree even when key_col is not
+        # globally unique); every other file streams through untouched
+        # (the Iceberg equality-delete read path, deletes file-scoped)
+        key_cols, pairs = set(), []
         for e in dv_entries:
             doc = json.loads(Path(e.dv).read_text())
             key_cols.add(doc["key_col"])
-            keys.extend(doc["keys"])
+            pairs.extend((e.path, k) for k in doc["keys"])
         if len(key_cols) != 1:
             raise ValueError(f"mixed DV key columns: {sorted(key_cols)}")
         key_col = key_cols.pop()
@@ -901,10 +1002,15 @@ class LakeTable:
             *[e.path for e in dv_entries]
         )
         key_df = spark.createDataFrame(
-            [(k,) for k in keys],
+            pairs,
+            f"__dv_file string, "
             f"{key_col} {scan_dv.schema[key_col].dataType.simpleString()}",
         )
-        surv = scan_dv.join(F.broadcast(key_df), key_col, "left_anti")
+        surv = (
+            scan_dv.withColumn("__dv_file", F.expr(_FILE_EXPR))
+            .join(F.broadcast(key_df), ["__dv_file", key_col], "left_anti")
+            .drop("__dv_file")
+        )
         if not plain:
             return surv
         scan_plain = spark.read.option("mergeSchema", "true").parquet(

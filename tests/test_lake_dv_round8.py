@@ -1,0 +1,211 @@
+"""Round-8 lake-tier regression tests: the DV write path rework and
+the four advisor findings.
+
+1. `delete_where_dv` is ONE stats-pruned job over all touched files
+   (no per-file driver loop), and a SECOND delete touching an
+   already-DV-carrying file MERGES the old sidecar keys instead of
+   overwriting them (the resurrection bug).
+2. `read()` applies each sidecar to ITS OWN file only, so with a
+   non-unique key column the merge-on-read view and the
+   post-compaction view of the same table agree.
+3. `add_blooms` survives NULL keys (filtered before hashing,
+   `has_nulls` recorded) and rejects non-integral key columns loudly.
+4. `read_bloom_pruned`'s proven-absent empty frame carries the SAME
+   merged schema as every other read path after schema evolution.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_final_parquet_spark.lake import LakeTable
+
+
+def _stage(spark, root, n=60, files=2):
+    table = LakeTable(root)
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 13 % 101).alias("v"),
+    )
+    table.commit_append(
+        df.filter(F.col("k") < n // 2),
+        stats_cols=("k",),
+        num_files=files,
+        range_by="k",
+    )
+    table.commit_append(
+        df.filter(F.col("k") >= n // 2),
+        stats_cols=("k",),
+        num_files=files,
+        range_by="k",
+    )
+    return table
+
+
+def test_repeat_dv_delete_merges_sidecars(spark, tmp_path):
+    """Second DV delete on a file already carrying a DV must UNION the
+    old keys — the first commit's deletions must not resurrect."""
+    table = _stage(spark, tmp_path / "t")
+    v1 = table.delete_where_dv(
+        spark, col="k", lo=0, hi=10, predicate=F.col("k") < 10, key_col="k"
+    )
+    v2 = table.delete_where_dv(
+        spark,
+        col="k",
+        lo=10,
+        hi=20,
+        predicate=(F.col("k") >= 10) & (F.col("k") < 20),
+        key_col="k",
+    )
+    got = sorted(r.k for r in table.read(spark, version=v2).collect())
+    assert got == list(range(20, 60)), "first delete's rows resurrected"
+    # the merged sidecar literally contains both key sets
+    dv_entries = [e for e in table.manifest(v2) if e.dv]
+    all_keys = set()
+    for e in dv_entries:
+        all_keys |= set(json.loads(Path(e.dv).read_text())["keys"])
+    assert all_keys == set(range(20))
+    # v1 snapshot is unchanged (time travel)
+    assert sorted(r.k for r in table.read(spark, version=v1).collect()) == list(
+        range(10, 60)
+    )
+    # compaction converges to the same view
+    vc = table.compact_dv(spark, stats_cols=("k",))
+    assert sorted(r.k for r in table.read(spark, version=vc).collect()) == list(
+        range(20, 60)
+    )
+
+
+def test_dv_key_col_mismatch_is_loud(spark, tmp_path):
+    table = _stage(spark, tmp_path / "t")
+    table.delete_where_dv(
+        spark, col="k", lo=0, hi=5, predicate=F.col("k") < 5, key_col="k"
+    )
+    with pytest.raises(ValueError, match="key column mismatch"):
+        table.delete_where_dv(
+            spark,
+            col="k",
+            lo=0,
+            hi=60,
+            predicate=F.col("grp") == 3,
+            key_col="grp",
+        )
+
+
+def test_dv_cap_error_still_fires(spark, tmp_path):
+    table = _stage(spark, tmp_path / "t")
+    old_cap = LakeTable.DV_MAX_KEYS
+    LakeTable.DV_MAX_KEYS = 5
+    try:
+        with pytest.raises(ValueError, match="delete_where"):
+            table.delete_where_dv(
+                spark,
+                col="k",
+                lo=0,
+                hi=60,
+                predicate=F.col("k") >= 0,
+                key_col="k",
+            )
+    finally:
+        LakeTable.DV_MAX_KEYS = old_cap
+
+
+def test_dv_non_unique_key_is_file_scoped(spark, tmp_path):
+    """With a NON-unique key column, a key deleted from file A must
+    not drop matching rows in file B: read() (merge-on-read) and
+    compact_dv() (rewrite) must present the same table."""
+    table = LakeTable(tmp_path / "t")
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("grp"),  # non-unique across files
+    )
+    table.commit_append(
+        df.filter(F.col("k") < 20), stats_cols=("k",), num_files=1
+    )
+    table.commit_append(
+        df.filter(F.col("k") >= 20), stats_cols=("k",), num_files=1
+    )
+    # delete grp==2 rows ONLY where k<20 → stats prune to file 1; the
+    # sidecar must not leak into file 2's grp==2 rows
+    v = table.delete_where_dv(
+        spark,
+        col="k",
+        lo=0,
+        hi=20,
+        predicate=(F.col("grp") == 2) & (F.col("k") < 20),
+        key_col="grp",
+    )
+    mor = sorted(r.k for r in table.read(spark, version=v).collect())
+    expect = sorted(
+        r.k
+        for r in df.filter(
+            ~((F.col("grp") == 2) & (F.col("k") < 20))
+        ).collect()
+    )
+    assert mor == expect, "read() dropped rows outside the DV's file"
+    vc = table.compact_dv(spark, stats_cols=("k",))
+    cow = sorted(r.k for r in table.read(spark, version=vc).collect())
+    assert cow == mor, "MOR and compacted views diverge"
+
+
+def test_add_blooms_handles_nulls_and_prunes(spark, tmp_path):
+    table = LakeTable(tmp_path / "t")
+    df = spark.range(30).select(
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    table.commit_append(df.filter(F.col("v") < 15), num_files=1)
+    table.commit_append(df.filter(F.col("v") >= 15), num_files=1)
+    v = table.add_blooms(spark, "k")  # must not raise on NULL keys
+    sidecars = [
+        json.loads(Path(e.stats["__bloom__k"][0]).read_text())
+        for e in table.manifest(v)
+    ]
+    assert all(s["has_nulls"] for s in sidecars)
+    # present key: superset guarantee (file containing it is kept)
+    hit, n_read, n_total = table.read_bloom_pruned(spark, "k", 7)
+    assert hit.filter(F.col("k") == 7).count() == 1
+    # absent key beyond the domain: usually prunes everything; always
+    # a correct superset
+    miss, m_read, m_total = table.read_bloom_pruned(spark, "k", 10**6)
+    assert miss.filter(F.col("k") == 10**6).count() == 0
+
+
+def test_add_blooms_rejects_non_integral_key(spark, tmp_path):
+    table = LakeTable(tmp_path / "t")
+    df = spark.range(10).select(
+        F.concat(F.lit("u"), F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    table.commit_append(df, num_files=1)
+    with pytest.raises(ValueError, match="integral"):
+        table.add_blooms(spark, "k")
+
+
+def test_bloom_pruned_empty_frame_has_evolved_schema(spark, tmp_path):
+    """After schema evolution, the proven-absent empty result must
+    carry the merged schema (including columns added later), exactly
+    like the non-pruned read paths."""
+    table = LakeTable(tmp_path / "t")
+    table.commit_append(
+        spark.range(5).select(F.col("id").alias("k")), num_files=1
+    )
+    table.commit_append(
+        spark.range(5, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("extra")
+        ),
+        num_files=1,
+    )
+    table.add_blooms(spark, "k")
+    df, n_read, n_total = table.read_bloom_pruned(spark, "k", 10**9)
+    if n_read == 0:
+        assert set(df.columns) == {"k", "extra"}
+        assert df.count() == 0
+    else:  # hash collision kept a file: still a correct superset
+        assert df.filter(F.col("k") == 10**9).count() == 0
