@@ -227,7 +227,10 @@ ROUND8_QUEUE: list[str] = [
 # this round, leading the round-9 rotation. Grows as round-8 operators
 # land; tests/test_registry_lint.py asserts it exactly equals the set of
 # registered queries with no driver evidence that are outside the window.
-ROUND9_QUEUE: list[str] = []
+ROUND9_QUEUE: list[str] = [
+    "sample_hard_negatives_bucketed",
+    "sim_reciprocal_nn_bucketed",
+]
 
 # Round-8 window (positions 1-50):
 #   1-41  ROUND8_QUEUE verbatim — every round-7 in-round addition
@@ -349,6 +352,7 @@ def _load_all() -> None:
         ml_kmeans,
         multimodal,
         relational,
+        similarity8,
     )
 
     _LOADED = True

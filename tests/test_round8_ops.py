@@ -1,0 +1,133 @@
+"""Round-8 operator tests: the corpus-scale bucketed mining variants
+(similarity8.py) — pure-Python replays with exact equality (the same
+left-fold float order as the Spark expressions, so cosines must be
+BIT-identical) plus plan pins for the scale claims (equi-join on the
+bucket key, never a nested-loop/cartesian candidate step).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from project_final_parquet_spark.operators.similarity import (
+    _PLANES,
+)
+from project_final_parquet_spark.operators.similarity8 import _PROBE_MASKS
+from project_final_parquet_spark.plans import plan_facts
+from project_final_parquet_spark.registry import all_queries
+
+BIG_SF = "/root/testdata/sf0.01"
+
+
+def _fold_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _fold_norm(a):
+    acc = 0.0
+    for x in a:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _buckets(sf):
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    rows = []
+    for r in emb.itertuples():
+        b = 0
+        for p, plane in enumerate(_PLANES):
+            if _fold_dot(r.embedding, plane) > 0:
+                b += 1 << p
+        rows.append(
+            (int(r.vec_id), int(r.label), list(r.embedding), b,
+             _fold_norm(r.embedding))
+        )
+    return rows
+
+
+def _candidates(rows, vid, bucket):
+    probe_buckets = {bucket ^ m for m in _PROBE_MASKS}
+    return [
+        c for c in rows if c[3] in probe_buckets and c[0] != vid
+    ]
+
+
+def test_hard_negatives_bucketed_matches_replay(spark):
+    rows = _buckets(BIG_SF)
+    expect = {}
+    for vid, label, vec, bucket, nrm in rows:
+        best = None
+        for c in _candidates(rows, vid, bucket):
+            if c[1] == label:
+                continue
+            cos = _fold_dot(vec, c[2]) / (nrm * c[4])
+            key = (-cos, c[0])
+            if best is None or key < best[0]:
+                best = (key, c[0], c[1], cos)
+        if best is not None:
+            expect[vid] = (label, best[1], best[2], best[3])
+    got = {
+        r.anchor: (r.anchor_label, r.negative, r.negative_label, r.cosine)
+        for r in all_queries()["sample_hard_negatives_bucketed"](
+            spark, BIG_SF
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_reciprocal_nn_bucketed_matches_replay(spark):
+    rows = _buckets(BIG_SF)
+    nn = {}
+    for vid, _label, vec, bucket, nrm in rows:
+        best = None
+        for c in _candidates(rows, vid, bucket):
+            cos = _fold_dot(vec, c[2]) / (nrm * c[4])
+            key = (-cos, c[0])
+            if best is None or key < best[0]:
+                best = (key, c[0], cos)
+        if best is not None:
+            nn[vid] = (best[1], best[2])
+    expect = {
+        (a, d[0], d[1])
+        for a, d in nn.items()
+        if d[0] in nn and nn[d[0]][0] == a and a < d[0]
+    }
+    got = {
+        (r.a, r.b, r.cosine)
+        for r in all_queries()["sim_reciprocal_nn_bucketed"](
+            spark, BIG_SF
+        ).collect()
+    }
+    assert got == expect
+    # reciprocity sanity on the replay itself: every reported pair is
+    # mutual by construction, and pairs are oriented a < b
+    assert all(a < b for a, b, _ in got)
+
+
+def test_bucketed_mining_plans_never_go_quadratic(spark):
+    """The candidate step must be an EQUI-join on the bucket key —
+    a nested-loop/cartesian plan here is the corpus² shape these
+    variants exist to avoid."""
+    for name in (
+        "sample_hard_negatives_bucketed",
+        "sim_reciprocal_nn_bucketed",
+    ):
+        df = all_queries()[name](spark, BIG_SF)
+        facts = plan_facts(df)
+        assert facts.n_nested_loop_joins == 0, name
+        assert facts.n_joins >= 1, name
+
+
+def test_bucketed_mining_scans_are_pruned(spark):
+    """Reciprocal-NN never reads label; both read only the embedding
+    table's needed columns."""
+    df = all_queries()["sim_reciprocal_nn_bucketed"](spark, BIG_SF)
+    facts = plan_facts(df)
+    assert facts.read_schemas and all(
+        "label" not in s for s in facts.read_schemas
+    )
