@@ -193,6 +193,10 @@ HEADLINE = [
     "lake_bloom_point_lookup",
     "events_covisitation_matrix",
     "sample_time_split_leakage",
+    # round-8 additions (ROUND9_QUEUE): the corpus-scale bucketed
+    # mining variants, tracked from their first round
+    "sample_hard_negatives_bucketed",
+    "sim_reciprocal_nn_bucketed",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for
@@ -354,6 +358,21 @@ def main() -> None:
         f"final bench line {len(line)}B > {_MAX_FINAL_LINE}B — would be "
         "truncated by the driver's tail capture; trim HEADLINE"
     )
+    # self-check (r7 VERDICT item 4): a HEADLINE name absent from BOTH
+    # the previous parsed record and this run's final line is about to
+    # miss two consecutive parsed records — the rotation exists to make
+    # this impossible, so any hit is a loud warning on an earlier line
+    # (and in last_run.json via the deltas block above).
+    gone_twice = sorted(
+        n for n in timings if n not in out["queries"] and n not in prev_detail
+    )
+    if gone_twice:
+        print(
+            json.dumps(
+                {"warn_missing_two_parsed_records": gone_twice},
+                separators=(",", ":"),
+            )
+        )
     print(line)
 
 

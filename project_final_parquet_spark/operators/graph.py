@@ -284,6 +284,63 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def triangle_corners(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
+    """Shared triangle enumeration for the whole triangle family
+    (global count, per-node clustering, bridge detection): each
+    triangle of the co-purchase graph exactly once, as corner columns
+    (x, y, z), via DEGREE-ORDERED orientation (the compact-forward
+    algorithm): every edge points from its lower-(degree, id) endpoint
+    to the higher, wedges pair two out-edges of the same source in
+    (degree, id) order, and the closing edge is probed in its oriented
+    form. Orientation does not change the triangle SET — the oracles
+    (an unoriented 3-way join spec) are unchanged — but it bounds the
+    wedge join's per-vertex fan-out by OUT-degree, which the (degree,
+    id) total order caps at O(√m) amortized (the arboricity bound):
+    a skewed 100× graph pays Σ outdeg² ≈ m^1.5, never the hub's
+    indeg² that raw-id orientation leaves in the plan.
+
+    One derivation, three consumers (the copurchase_edges precedent):
+    the count, the per-corner explode, and the edge-granularity
+    triangle-membership set are all cheap reshapes of this frame."""
+    if edges is None:
+        edges = copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    ab = edges.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ab.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    )
+    t1 = o.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("dd").alias("dv")
+    )
+    t2 = o.select(
+        F.col("src").alias("u2"),
+        F.col("dst").alias("w"),
+        F.col("dd").alias("dw"),
+    )
+    wedge = t1.join(t2, F.col("u2") == F.col("u")).filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    close = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    return wedge.join(close, ["v", "w"]).select(
+        F.col("u").alias("x"), F.col("v").alias("y"), F.col("w").alias("z")
+    )
+
+
 @query(
     "graph_triangle_count",
     oracle="""
@@ -329,15 +386,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the only quadratic-looking step, per-order part pairs, is
     bounded by basket size (|order|² per order, never |parts|²); the
-    oriented edge list keeps each triangle's enumeration unique with
-    no post-dedup. The three edge-list references compile to ONE
-    shuffle each on their join keys, and Spark's exchange reuse serves
-    the repeated groupBy(a,b) exchange from cache rather than
-    recomputing. At production scale the orientation is by (degree,
-    id) instead of raw id — bounding e1's fan-out by arboricity
-    (O(m^1.5) work total) — noted here because id-orientation is
-    already exact for counting; integer division `div` keeps wedges
-    exact at any degree."""
+    enumeration is the family-shared ``triangle_corners`` —
+    DEGREE-ORDERED orientation, so the wedge join's fan-out is bounded
+    by arboricity (O(m^1.5) total work even on a skewed 100× graph),
+    with each triangle found exactly once and no post-dedup; integer
+    division `div` keeps wedges exact at any degree."""
     edges = copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("a").alias("v"))
@@ -350,15 +403,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     nw = deg.agg(
         F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    nt = (
-        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
-        .join(
-            e3,
-            (F.col("e3.a") == F.col("e1.a"))
-            & (F.col("e3.b") == F.col("e2.b")),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    nt = triangle_corners(spark, sf_dir, edges=edges).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
     return (
         nv.crossJoin(ne)
@@ -663,29 +709,43 @@ def graph_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     interesting ones — hubs whose link shares no triangle) plus the
     global bridge/edge counts.
 
-    Scale: common-neighbor detection is the triangle 2-path join
-    (cost Σ d(x)² keyed on the shared middle vertex, the wedge bound —
-    never |V|²) deduped to edge granularity; bridges are one left-anti
-    probe of the edge list against it. The shared edge list is
-    localCheckpointed once (jaccard precedent: 7 plan consumers) and
-    backs the returned frame, so it stays resident — it is the
-    co-bought-twice filtrate, vanishingly small at any corpus scale.
-    Top-20 is TakeOrderedAndProject; integer math throughout."""
+    Scale: an edge has a common neighbor iff it closes at least one
+    triangle, so common-neighbor detection IS the family-shared
+    ``triangle_corners`` enumeration (degree-ordered, arboricity-
+    bounded fan-out — strictly cheaper than the old Σ d(x)² 2-path
+    join this query used to re-derive) exploded to edge granularity;
+    bridges are one left-anti probe of the edge list against it. The
+    shared edge list is localCheckpointed once (jaccard precedent:
+    multiple plan consumers) and backs the returned frame, so it stays
+    resident — it is the co-bought-twice filtrate, vanishingly small
+    at any corpus scale. Top-20 is TakeOrderedAndProject; integer math
+    throughout."""
     edges = checkpoint(copurchase_edges(spark, sf_dir))
     adj = edges.select(
         F.col("a").alias("v"), F.col("b").alias("w")
     ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
     deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    na = adj.select(F.col("v").alias("na_v"), F.col("w").alias("na_w"))
-    nb = adj.select(F.col("v").alias("nb_v"), F.col("w").alias("nb_w"))
+    tri = triangle_corners(spark, sf_dir, edges=edges)
     cn = (
-        edges.join(na, F.col("na_v") == F.col("a"))
-        .join(
-            nb,
-            (F.col("nb_v") == F.col("b"))
-            & (F.col("nb_w") == F.col("na_w")),
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("x", "y").alias("a"),
+                        F.greatest("x", "y").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("x", "z").alias("a"),
+                        F.greatest("x", "z").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("y", "z").alias("a"),
+                        F.greatest("y", "z").alias("b"),
+                    ),
+                )
+            ).alias("e")
         )
-        .select("a", "b")
+        .select("e.a", "e.b")
         .distinct()
     )
     bridges = edges.join(cn, ["a", "b"], "left_anti")
@@ -762,18 +822,16 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     (node id tiebreak), degree ≥ 2 (the coefficient is undefined below).
 
     Determinism: triangle and degree counts are exact integers from the
-    same oriented (a<b<c) enumeration as graph_triangle_count — each
-    triangle found once, then credited to all three corners via an
-    array explode (map-side, no extra join); the coefficient is one
-    double division of exact ints; ordering carries the node tiebreak.
+    family-shared ``triangle_corners`` enumeration — each triangle
+    found once, then credited to all three corners via an array explode
+    (map-side, no extra join); the coefficient is one double division
+    of exact ints; ordering carries the node tiebreak.
 
     Scale: identical join profile to graph_triangle_count (the shared
-    copurchase_edges derivation — one orderkey shuffle, basket-bounded
-    pair explode; Spark reuses the edges exchange across the three
-    aliases), plus one map-side-combinable per-node count; the top-20
-    is TakeOrderedAndProject, never a global sort materialization. At
-    production scale the orientation is by (degree, id), bounding e1's
-    fan-out by arboricity — as noted on the global count."""
+    copurchase_edges derivation + the degree-ordered triangle join,
+    arboricity-bounded fan-out), plus one map-side-combinable per-node
+    count; the top-20 is TakeOrderedAndProject, never a global sort
+    materialization."""
     edges = copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("a").alias("v"))
@@ -781,20 +839,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
-        .join(
-            e3,
-            (F.col("e3.a") == F.col("e1.a"))
-            & (F.col("e3.b") == F.col("e2.b")),
-        )
-        .select(
-            F.col("e1.a").alias("x"),
-            F.col("e1.b").alias("y"),
-            F.col("e2.b").alias("z"),
-        )
-    )
+    tri = triangle_corners(spark, sf_dir, edges=edges)
     tv = (
         tri.select(
             F.explode(F.array("x", "y", "z")).alias("v")

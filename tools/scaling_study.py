@@ -224,6 +224,24 @@ BATTERY10 = [
 ]
 
 
+# --battery11: the round-8 additions (corpus-scale bucketed mining),
+# the degree-ordered triangle-family rework (fresh 10x records under
+# the shared triangle_corners enumeration), and the lake write+read
+# lifecycle tiers the r7 VERDICT asked to battery (merge/CDF/replace
+# staging happens outside the timed window; the timed read is the
+# product path).
+BATTERY11 = [
+    "sample_hard_negatives_bucketed",  # bucket-key join + anchor top-1
+    "sim_reciprocal_nn_bucketed",      # bucket-key NN + mutual join
+    "graph_triangle_count",            # degree-ordered shared corners
+    "graph_local_clustering",          # same + per-corner credit
+    "graph_bridge_edges",              # same + edge-membership anti
+    "lake_merge_upsert",               # manifest-guided upsert read
+    "lake_change_feed",                # manifest file-diff outer join
+    "lake_replace_where",              # stats-guided partition swap
+]
+
+
 def _stride(spark, name: str) -> int:
     if name == "events_user":
         df = spark.read.parquet(f"{SRC_SF}/events.parquet")
@@ -323,6 +341,18 @@ def main() -> None:
 
         for _, d in sfs:
             orders_lake(spark, d)
+    if "--battery11" in sys.argv:
+        battery = BATTERY11
+        from project_final_parquet_spark.operators.lake_queries import (
+            cdf_lake,
+            merge_lake,
+            replace_lake,
+        )
+
+        for _, d in sfs:
+            merge_lake(spark, d)
+            cdf_lake(spark, d)
+            replace_lake(spark, d)
     if "--battery10" in sys.argv:
         battery = BATTERY10
         from project_final_parquet_spark.operators.lake_queries import (
