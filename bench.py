@@ -194,9 +194,16 @@ HEADLINE = [
     "events_covisitation_matrix",
     "sample_time_split_leakage",
     # round-8 additions (ROUND9_QUEUE): the corpus-scale bucketed
-    # mining variants, tracked from their first round
+    # mining variants and the analytics batch, tracked from their
+    # first round
     "sample_hard_negatives_bucketed",
     "sim_reciprocal_nn_bucketed",
+    "ml_retrieval_mrr",
+    "ml_calibration_bins",
+    "graph_resource_allocation_linkpred",
+    "events_audience_overlap",
+    "text_ttr_length_curve",
+    "orders_repeat_purchase_curve",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -1,0 +1,481 @@
+"""Round-8 analytics batch: retrieval/probe evaluation, link
+prediction, audience overlap, lexical-richness curves, and repeat-
+purchase lifecycle — each a one-or-two-shuffle aggregate shape that
+survives 100 TB (bounded pair joins, map-side-combinable rollups,
+broadcast singletons), each oracle-paired under the registry's
+determinism conventions (decimal sums, BIGINT counts, total orderings,
+no transcendentals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..registry import query, dsum, DSUM_SQL
+from ..tables import load
+from .graph import copurchase_edges
+from .similarity import _DIM, _dot, _DOT_SQL, _norm, _NORM_SQL
+from .vector_stats import PROBE_SCORED_CTES, probe_scores
+
+_N_QUERIES = 20  # retrieval-eval query set: vec_id < this
+
+_COS = (
+    f"{_DOT_SQL.format(dim=_DIM, a='q.qv', b='c.embedding')}"
+    f" / ({_NORM_SQL.format(dim=_DIM, a='q.qv')}"
+    f" * {_NORM_SQL.format(dim=_DIM, a='c.embedding')})"
+)
+
+
+@query(
+    "ml_retrieval_mrr",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(label AS INT) AS qlabel, embedding AS qv
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    corpus AS (
+      SELECT vec_id, CAST(label AS INT) AS label, embedding
+      FROM embeddings WHERE vec_id >= {_N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.qid, q.qlabel, c.label,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.qid ORDER BY {_COS} DESC, c.vec_id) AS rn
+      FROM q JOIN corpus c ON TRUE
+    ),
+    hits AS (
+      SELECT qid, CAST(MIN(rn) AS BIGINT) AS first_hit_rank
+      FROM scored WHERE label = qlabel GROUP BY qid
+    )
+    SELECT q.qid AS query_id, q.qlabel AS query_label,
+           h.first_hit_rank,
+           CAST(1.0 AS DOUBLE) / h.first_hit_rank AS rr
+    FROM q LEFT JOIN hits h ON h.qid = q.qid
+    ORDER BY query_id
+    """,
+)
+def ml_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank audit of the embedding space as a
+    retrieval index: each of the first {_N_QUERIES} vectors queries the
+    rest of the corpus, and its reciprocal rank is 1/position of the
+    first SAME-label neighbor in the exact cosine ranking — the
+    retrieval-eval twin of ml_linear_probe_auc (there: global
+    separability; here: per-query first-hit quality). One row per
+    query; queries whose label never appears in the corpus report NULL.
+
+    Determinism: shared left-fold cosine; ranking totally ordered by
+    (cosine DESC, vec_id); rr is one exact double division.
+
+    Scale: the query set broadcasts (it is the eval frame — the corpus
+    side is never replicated); scoring is map-side; the per-query rank
+    is a window keyed by query id over |queries|·|corpus| scored rows,
+    and at production scale the exact ranking swaps for the gated ANN
+    shortlists (sim_ann_lsh et al.) in the same pipeline shape."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").cast("int").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("nq"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        "embedding",
+        _norm(F.col("embedding")).alias("nc"),
+    )
+    cosine = _dot(F.col("qv"), F.col("embedding")) / (
+        F.col("nq") * F.col("nc")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "qid", "qlabel", "label", "vec_id", cosine.alias("cosine")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    )
+    hits = (
+        scored.withColumn("rn", rn)
+        .filter(F.col("label") == F.col("qlabel"))
+        .groupBy("qid")
+        .agg(F.min("rn").cast("long").alias("first_hit_rank"))
+    )
+    return (
+        q.select("qid", "qlabel")
+        .join(hits, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("qlabel").alias("query_label"),
+            "first_hit_rank",
+            (F.lit(1.0) / F.col("first_hit_rank")).alias("rr"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
+    "ml_calibration_bins",
+    oracle=f"""
+    WITH {PROBE_SCORED_CTES},
+    binned AS (
+      SELECT label, score,
+             NTILE(10) OVER (ORDER BY score, vec_id) AS bin
+      FROM scored
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           {DSUM_SQL.format(expr='score')} / COUNT(*) AS mean_score,
+           CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS pos_rate
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the linear probe: scores binned into 10
+    equal-population deciles (NTILE over the total (score, vec_id)
+    order — rank bins, not float bin edges, so the binning is exact
+    cross-engine), reporting per bin the population, the positive
+    (label-0) count, the mean score, and the observed positive rate —
+    the calibration curve a score consumer reads before trusting the
+    probe's magnitudes (AUC alone only orders; ml_linear_probe_auc is
+    the companion).
+
+    Determinism: probe scores are the shared floor-scaled-centroid
+    fold; NTILE follows the SQL-standard ceil-then-floor bucket sizing
+    in both engines; mean_score uses the decimal-sum convention.
+
+    Scale: one global sort of doubles (range-partitioned) + one
+    10-key rollup; the centroid stage is the broadcast singleton from
+    probe_scores."""
+    scored = probe_scores(spark, sf_dir)
+    binned = scored.select(
+        "label",
+        "score",
+        F.ntile(10).over(W.orderBy("score", "vec_id")).alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            (dsum(F.col("score")) / F.count(F.lit(1))).alias("mean_score"),
+            (
+                F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+_EDGES_CTE = """
+    pairs AS (
+      SELECT DISTINCT l1.l_orderkey AS ok, l1.l_partkey AS a,
+             l2.l_partkey AS b
+      FROM lineitem l1
+      JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    edges AS (
+      SELECT a, b FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2
+    )"""
+
+
+@query(
+    "graph_resource_allocation_linkpred",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    adj AS (
+      SELECT a AS v, b AS w FROM edges
+      UNION ALL SELECT b AS v, a AS w FROM edges
+    ),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY v),
+    two_path AS (
+      SELECT n1.w AS a, n2.w AS b, n1.v AS mid
+      FROM adj n1 JOIN adj n2 ON n1.v = n2.v AND n1.w < n2.w
+    ),
+    ra AS (
+      SELECT t.a, t.b,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             {DSUM_SQL.format(expr='1.0 / deg.d')} AS ra_score
+      FROM two_path t JOIN deg ON deg.v = t.mid
+      GROUP BY t.a, t.b
+    )
+    SELECT r.a, r.b, r.n_common, r.ra_score
+    FROM ra r LEFT JOIN edges e ON e.a = r.a AND e.b = r.b
+    WHERE e.a IS NULL
+    ORDER BY ra_score DESC, r.a, r.b
+    LIMIT 20
+    """,
+)
+def graph_resource_allocation_linkpred(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Resource-allocation link prediction on the co-purchase graph
+    (Zhou/Lü/Zhang's RA index): for every NON-edge pair with common
+    neighbors, score Σ 1/deg(w) over the shared neighbors w — hubs
+    contribute less than exclusive mutual friends, which beats raw
+    common-neighbor counts and avoids Adamic-Adar's transcendental
+    1/log(d) (RA is exact rational arithmetic, so the oracle is
+    bit-deterministic under the decimal-sum convention). Top-20
+    predicted edges by (score, a, b).
+
+    Scale: the 2-path join is keyed on the shared MIDDLE vertex
+    (Σ d(w)² wedge bound, never |V|²), degree joins in before the
+    rollup so 1/d is map-side, the non-edge check is one left-anti
+    probe of the tiny co-bought-twice edge list, and the top-20 is
+    TakeOrderedAndProject. At a skewed 100× graph the wedge bound is
+    capped the same way the triangle family is — drop max-degree
+    middles first (they contribute least to RA by construction)."""
+    edges = copurchase_edges(spark, sf_dir)
+    adj = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("w")
+    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    n1 = adj.select(F.col("v").alias("mid"), F.col("w").alias("a"))
+    n2 = adj.select(F.col("v").alias("mid2"), F.col("w").alias("b"))
+    two_path = n1.join(n2, F.col("mid2") == F.col("mid")).filter(
+        F.col("a") < F.col("b")
+    )
+    ra = (
+        two_path.join(deg, deg.v == two_path.mid)
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            dsum(F.lit(1.0) / F.col("d")).alias("ra_score"),
+        )
+    )
+    return (
+        ra.join(edges, ["a", "b"], "left_anti")
+        .select("a", "b", "n_common", "ra_score")
+        .orderBy(F.desc("ra_score"), "a", "b")
+        .limit(20)
+    )
+
+
+@query(
+    "events_audience_overlap",
+    oracle="""
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tu GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT i.type_a, i.type_b, i.n_both,
+           CAST(sa.n + sb.n - i.n_both AS BIGINT) AS n_either,
+           CAST(i.n_both AS DOUBLE) / (sa.n + sb.n - i.n_both) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: for every type pair, the
+    number of users who did both, the union size, and the Jaccard
+    overlap — the segmentation readout behind "do purchasers also
+    search?" product questions and the feature-correlation check a
+    training-data pipeline runs before treating event types as
+    independent signals.
+
+    Determinism: pure integer set sizes; Jaccard is one final double
+    division.
+
+    Scale: one (type, user) dedup shuffle, then a self-join keyed on
+    user_id whose fan-out is bounded by distinct types per user
+    (|types|² per user worst case, with |types| small and fixed);
+    per-type sizes broadcast into the final readout."""
+    tu = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sizes = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            (F.col("na") + F.col("nb") - F.col("n_both"))
+            .cast("long")
+            .alias("n_either"),
+            (
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "text_ttr_length_curve",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types
+      FROM tok WHERE token <> '' GROUP BY doc_id
+    ),
+    curved AS (
+      SELECT CAST(length(bin(n_tokens)) AS INT) AS len_bucket,
+             n_tokens, n_types,
+             CAST(n_types AS DOUBLE) / n_tokens AS ttr
+      FROM per_doc
+    )
+    SELECT len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(CAST(SUM(CAST(ttr AS DECIMAL(38,10))) AS VARCHAR)
+                AS DOUBLE) / COUNT(*) AS mean_ttr
+    FROM curved GROUP BY len_bucket ORDER BY len_bucket
+    """,
+)
+def text_ttr_length_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token-ratio curve by document length: per-doc lexical
+    richness (distinct/total tokens) averaged within power-of-two
+    length buckets — the curve is the classic TTR-decays-with-length
+    diagnostic, and a flat or inverted curve flags templated/spammy
+    strata a corpus filter should inspect. Buckets are the binary
+    magnitude of the token count (length of bin(n) — identical string
+    semantics in Spark and DuckDB; no transcendental log).
+
+    Determinism: integer token/type counts; per-doc TTR is one double
+    division; the bucket mean uses the decimal-sum convention.
+
+    Scale: one (doc, token) explode feeding a per-doc count+distinct
+    (map-side combinable on the doc key), then a ~60-key bucket
+    rollup; nothing global but the final tiny sort."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("token").cast("long").alias("n_types"),
+    )
+    curved = per_doc.select(
+        F.length(F.bin(F.col("n_tokens"))).cast("int").alias("len_bucket"),
+        "n_tokens",
+        (F.col("n_types").cast("double") / F.col("n_tokens")).alias("ttr"),
+    )
+    return (
+        curved.groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (dsum(F.col("ttr")) / F.count(F.lit(1))).alias("mean_ttr"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "orders_repeat_purchase_curve",
+    oracle=f"""
+    WITH seq AS (
+      SELECT o_custkey,
+             epoch_us(o_orderdate) // {_DAY_US} AS day,
+             o_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY epoch_us(o_orderdate) // {_DAY_US}, o_orderkey
+             ) AS purchase_idx,
+             LAG(epoch_us(o_orderdate) // {_DAY_US}) OVER (
+               PARTITION BY o_custkey
+               ORDER BY epoch_us(o_orderdate) // {_DAY_US}, o_orderkey
+             ) AS prev_day
+      FROM orders
+    )
+    SELECT CAST(purchase_idx AS INT) AS purchase_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(day - prev_day) AS BIGINT) AS total_gap_days,
+           CAST(SUM(day - prev_day) AS DOUBLE) / COUNT(*)
+             AS mean_gap_days
+    FROM seq
+    WHERE purchase_idx BETWEEN 2 AND 10
+    GROUP BY purchase_idx ORDER BY purchase_idx
+    """,
+)
+def orders_repeat_purchase_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repeat-purchase cadence: for each customer's 2nd..10th order,
+    the gap in days since their previous order, aggregated per
+    purchase index — the "do repeat buyers accelerate?" lifecycle
+    curve (a shrinking mean gap at higher indices is the retention
+    signal LTV models feed on; orders_cohort_ltv is the revenue-side
+    companion).
+
+    Determinism: order sequence totally ordered by (day, o_orderkey);
+    day is integer epoch-microseconds div day — exact in both engines;
+    gaps and their sums stay BIGINT until the single final division.
+
+    Scale: ONE shuffle on o_custkey serves both windows (row_number
+    and lag share the partition+order), then a 9-key rollup —
+    map-side combinable, no global sort but the final 9-row one."""
+    # NTZ-safe epoch micros (tables.load convention: unix_micros needs
+    # LTZ and an LTZ cast would route through the session timezone)
+    day = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00',"
+        f" o_orderdate) div {_DAY_US}"
+    )
+    w = W.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    seq = (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", day.alias("day"))
+        .select(
+            F.row_number().over(w).alias("purchase_idx"),
+            (F.col("day") - F.lag("day").over(w)).alias("gap_days"),
+        )
+    )
+    return (
+        seq.filter(F.col("purchase_idx").between(2, 10))
+        .groupBy(F.col("purchase_idx").cast("int").alias("purchase_idx"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("gap_days").cast("long").alias("total_gap_days"),
+            (
+                F.sum("gap_days").cast("double") / F.count(F.lit(1))
+            ).alias("mean_gap_days"),
+        )
+        .orderBy("purchase_idx")
+    )

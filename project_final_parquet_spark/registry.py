@@ -230,6 +230,12 @@ ROUND8_QUEUE: list[str] = [
 ROUND9_QUEUE: list[str] = [
     "sample_hard_negatives_bucketed",
     "sim_reciprocal_nn_bucketed",
+    "ml_retrieval_mrr",
+    "ml_calibration_bins",
+    "graph_resource_allocation_linkpred",
+    "events_audience_overlap",
+    "text_ttr_length_curve",
+    "orders_repeat_purchase_curve",
 ]
 
 # Round-8 window (positions 1-50):
@@ -353,6 +359,7 @@ def _load_all() -> None:
         multimodal,
         relational,
         similarity8,
+        pipeline11,
     )
 
     _LOADED = True

