@@ -567,6 +567,13 @@ class LakeTable:
         rewritten rows are NOT new data, so survivors republish with
         ``data_change=False`` and incremental consumers skip them.
 
+        Scale contract: ONE scan over every DV-carrying file with a
+        broadcast anti-join on (source file, key) — the same per-file
+        semantics ``read()`` applies — and ONE write job for all
+        survivors (compaction is free to re-bin rows across source
+        files; that is its job). Thousands of DV files cost a constant
+        number of Spark jobs, never a per-file driver loop.
+
         Returns the new version (parent unchanged if no DVs exist)."""
         parent = (
             self.current_version
@@ -577,26 +584,36 @@ class LakeTable:
         dv_entries = [e for e in entries if e.dv]
         if not dv_entries:
             return parent
+        key_cols, pairs = set(), []
+        for e in dv_entries:
+            doc = json.loads(Path(e.dv).read_text())
+            key_cols.add(doc["key_col"])
+            pairs.extend((e.path, k) for k in doc["keys"])
+        if len(key_cols) != 1:
+            raise ValueError(f"mixed DV key columns: {sorted(key_cols)}")
+        key_col = key_cols.pop()
+        scan = spark.read.option("mergeSchema", "true").parquet(
+            *[e.path for e in dv_entries]
+        )
+        key_df = spark.createDataFrame(
+            pairs,
+            f"__dv_file string, "
+            f"{key_col} {scan.schema[key_col].dataType.simpleString()}",
+        )
+        surv = (
+            scan.withColumn("__dv_file", F.expr(_FILE_EXPR))
+            .join(F.broadcast(key_df), ["__dv_file", key_col], "left_anti")
+            .drop("__dv_file")
+        )
         version = parent + 1
         out = self.data_dir / f"v{version}"
-        out.mkdir(parents=True, exist_ok=True)
+        surv.write.mode("overwrite").parquet(str(out))
         new_entries = [e for e in entries if not e.dv]
-        for i, e in enumerate(dv_entries):
-            doc = json.loads(Path(e.dv).read_text())
-            key_col = doc["key_col"]
-            scan = spark.read.parquet(e.path)
-            key_df = spark.createDataFrame(
-                [(k,) for k in doc["keys"]],
-                f"{key_col} {scan.schema[key_col].dataType.simpleString()}",
-            )
-            surv = scan.join(F.broadcast(key_df), key_col, "left_anti")
-            dst = out / f"part-{i:05d}"
-            surv.coalesce(1).write.mode("overwrite").parquet(str(dst))
-            for p in sorted(dst.glob("*.parquet")):
-                ent = self._file_entry(p, stats_cols, version)
-                ent.data_change = False  # rewrite, not new rows
-                if ent.rows > 0:
-                    new_entries.append(ent)
+        for p in sorted(out.glob("*.parquet")):
+            ent = self._file_entry(p, stats_cols, version)
+            ent.data_change = False  # rewrite, not new rows
+            if ent.rows > 0:
+                new_entries.append(ent)
         self._publish(version, new_entries)
         return version
 

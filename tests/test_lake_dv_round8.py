@@ -188,6 +188,35 @@ def test_add_blooms_rejects_non_integral_key(spark, tmp_path):
         table.add_blooms(spark, "k")
 
 
+def _job_count(spark) -> int:
+    return len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
+
+
+def test_dv_write_path_job_count_is_constant_in_file_count(
+    spark, tmp_path
+):
+    """The r7 VERDICT finding: delete_where_dv used to launch one
+    Spark job PER touched file from a driver loop. The rework is one
+    stats-pruned scan grouped by input_file_name() — the number of
+    jobs must be the SAME whether the predicate touches 2 files or 8
+    (and likewise for compact_dv's single rewrite job)."""
+    deltas = {}
+    compact_deltas = {}
+    for files in (2, 8):
+        table = _stage(spark, tmp_path / f"t{files}", files=files)
+        pred = F.col("k") % 3 == 0  # touches every file
+        before = _job_count(spark)
+        table.delete_where_dv(
+            spark, col="k", lo=0, hi=60, predicate=pred, key_col="k"
+        )
+        deltas[files] = _job_count(spark) - before
+        before = _job_count(spark)
+        table.compact_dv(spark, stats_cols=("k",))
+        compact_deltas[files] = _job_count(spark) - before
+    assert deltas[2] == deltas[8], deltas
+    assert compact_deltas[2] == compact_deltas[8], compact_deltas
+
+
 def test_bloom_pruned_empty_frame_has_evolved_schema(spark, tmp_path):
     """After schema evolution, the proven-absent empty result must
     carry the merged schema (including columns added later), exactly
