@@ -204,6 +204,10 @@ HEADLINE = [
     "events_audience_overlap",
     "text_ttr_length_curve",
     "orders_repeat_purchase_curve",
+    "ml_topk_accuracy",
+    "graph_2hop_reach",
+    "sample_group_holdout_split",
+    "orders_priority_mix_shift",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

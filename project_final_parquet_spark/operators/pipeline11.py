@@ -27,11 +27,10 @@ _COS = (
     f" * {_NORM_SQL.format(dim=_DIM, a='c.embedding')})"
 )
 
-
-@query(
-    "ml_retrieval_mrr",
-    oracle=f"""
-    WITH q AS (
+# shared retrieval-eval CTEs: per-query rank of the first same-label
+# corpus neighbor under the exact cosine ordering (ml_retrieval_mrr and
+# ml_topk_accuracy read the same relation)
+_HITS_CTES = f"""q AS (
       SELECT vec_id AS qid, CAST(label AS INT) AS qlabel, embedding AS qv
       FROM embeddings WHERE vec_id < {_N_QUERIES}
     ),
@@ -48,31 +47,13 @@ _COS = (
     hits AS (
       SELECT qid, CAST(MIN(rn) AS BIGINT) AS first_hit_rank
       FROM scored WHERE label = qlabel GROUP BY qid
-    )
-    SELECT q.qid AS query_id, q.qlabel AS query_label,
-           h.first_hit_rank,
-           CAST(1.0 AS DOUBLE) / h.first_hit_rank AS rr
-    FROM q LEFT JOIN hits h ON h.qid = q.qid
-    ORDER BY query_id
-    """,
-)
-def ml_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean-reciprocal-rank audit of the embedding space as a
-    retrieval index: each of the first {_N_QUERIES} vectors queries the
-    rest of the corpus, and its reciprocal rank is 1/position of the
-    first SAME-label neighbor in the exact cosine ranking — the
-    retrieval-eval twin of ml_linear_probe_auc (there: global
-    separability; here: per-query first-hit quality). One row per
-    query; queries whose label never appears in the corpus report NULL.
+    )"""
 
-    Determinism: shared left-fold cosine; ranking totally ordered by
-    (cosine DESC, vec_id); rr is one exact double division.
 
-    Scale: the query set broadcasts (it is the eval frame — the corpus
-    side is never replicated); scoring is map-side; the per-query rank
-    is a window keyed by query id over |queries|·|corpus| scored rows,
-    and at production scale the exact ranking swaps for the gated ANN
-    shortlists (sim_ann_lsh et al.) in the same pipeline shape."""
+def _first_hit_ranks(spark: SparkSession, sf_dir: str):
+    """Spark twin of _HITS_CTES: (query frame, per-query first-hit
+    rank). The query set broadcasts; scoring is map-side; the rank is
+    a window keyed by query id."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),
@@ -101,6 +82,38 @@ def ml_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid")
         .agg(F.min("rn").cast("long").alias("first_hit_rank"))
     )
+    return q, hits
+
+
+@query(
+    "ml_retrieval_mrr",
+    oracle=f"""
+    WITH {_HITS_CTES}
+    SELECT q.qid AS query_id, q.qlabel AS query_label,
+           h.first_hit_rank,
+           CAST(1.0 AS DOUBLE) / h.first_hit_rank AS rr
+    FROM q LEFT JOIN hits h ON h.qid = q.qid
+    ORDER BY query_id
+    """,
+)
+def ml_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank audit of the embedding space as a
+    retrieval index: each of the first {_N_QUERIES} vectors queries the
+    rest of the corpus, and its reciprocal rank is 1/position of the
+    first SAME-label neighbor in the exact cosine ranking — the
+    retrieval-eval twin of ml_linear_probe_auc (there: global
+    separability; here: per-query first-hit quality). One row per
+    query; queries whose label never appears in the corpus report NULL.
+
+    Determinism: shared left-fold cosine; ranking totally ordered by
+    (cosine DESC, vec_id); rr is one exact double division.
+
+    Scale: the query set broadcasts (it is the eval frame — the corpus
+    side is never replicated); scoring is map-side; the per-query rank
+    is a window keyed by query id over |queries|·|corpus| scored rows,
+    and at production scale the exact ranking swaps for the gated ANN
+    shortlists (sim_ann_lsh et al.) in the same pipeline shape."""
+    q, hits = _first_hit_ranks(spark, sf_dir)
     return (
         q.select("qid", "qlabel")
         .join(hits, "qid", "left")
@@ -479,3 +492,287 @@ def orders_repeat_purchase_curve(
         )
         .orderBy("purchase_idx")
     )
+
+
+@query(
+    "ml_topk_accuracy",
+    oracle=f"""
+    WITH {_HITS_CTES},
+    ks AS (SELECT unnest([1, 5, 10]) AS k)
+    SELECT CAST(ks.k AS INT) AS k,
+           CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN h.first_hit_rank <= ks.k
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN h.first_hit_rank <= ks.k
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+             / (SELECT COUNT(*) FROM q) AS hit_rate
+    FROM ks CROSS JOIN hits h
+    GROUP BY ks.k ORDER BY k
+    """,
+)
+def ml_topk_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hit@k of the embedding space as a retrieval index (k = 1, 5,
+    10): the fraction of eval queries whose first same-label neighbor
+    sits inside the top-k of the exact cosine ranking — the companion
+    readout to ml_retrieval_mrr (MRR weights by depth; hit@k is the
+    serving SLA number: "recall at the shortlist size we actually
+    return"). Shares the _HITS_CTES relation with MRR on both engines,
+    so the two audits can never drift apart.
+
+    Scale: the per-query rank frame is |queries| rows; the k fan-out
+    is a 3-row broadcast. Everything heavy is the shared scoring pass
+    (see _first_hit_ranks)."""
+    q, hits = _first_hit_ranks(spark, sf_dir)
+    n_q = q.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(5), F.lit(10))).alias("k")
+    )
+    return (
+        hits.crossJoin(F.broadcast(ks))
+        .groupBy(F.col("k").cast("int").alias("k"))
+        .agg(
+            F.sum(
+                F.when(F.col("first_hit_rank") <= F.col("k"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hits")
+        )
+        .crossJoin(F.broadcast(n_q))
+        .select(
+            "k",
+            "n_queries",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_queries")).alias(
+                "hit_rate"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "graph_2hop_reach",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    adj AS (
+      SELECT a AS v, b AS w FROM edges
+      UNION ALL SELECT b AS v, a AS w FROM edges
+    ),
+    two_hop AS (
+      SELECT n1.v, n2.w FROM adj n1 JOIN adj n2 ON n1.w = n2.v
+      WHERE n2.w <> n1.v
+    ),
+    reach AS (
+      SELECT v, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_reach
+      FROM (SELECT v, w FROM adj UNION ALL SELECT v, w FROM two_hop)
+      GROUP BY v
+    ),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM adj GROUP BY v)
+    SELECT r.v AS node_id, d.degree, r.n_reach,
+           CAST(r.n_reach - d.degree AS BIGINT) AS n_second_ring
+    FROM reach r JOIN deg d ON d.v = r.v
+    ORDER BY n_reach DESC, node_id
+    LIMIT 20
+    """,
+)
+def graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reach of the co-purchase graph: per node, the number of
+    distinct vertices within distance ≤ 2 (friend-of-friend audience) —
+    the spread estimate behind "if we promote this part, how much of
+    the catalog co-sells within two referrals", and the second ring
+    (reach minus direct degree) separates hub parts from parts whose
+    influence is all first-hop. Top-20 by reach.
+
+    Determinism: pure integer set sizes; top-20 totally ordered by
+    (reach DESC, node id).
+
+    Scale: the 2-hop expansion is the wedge join keyed on the shared
+    middle vertex (Σ d(w)² — never |V|²); the distinct-union collapses
+    it back to O(reach) rows per node before the count, and the top-20
+    is TakeOrderedAndProject. At skewed production scale the same
+    query runs on the degree-capped edge list (drop super-hub middles,
+    the standard reach-estimate concession) — the plan shape is
+    unchanged."""
+    edges = copurchase_edges(spark, sf_dir)
+    adj = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("w")
+    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
+    n1 = adj.select(F.col("v").alias("v"), F.col("w").alias("mid"))
+    n2 = adj.select(F.col("v").alias("mid"), F.col("w").alias("w"))
+    two_hop = n1.join(n2, "mid").filter(F.col("w") != F.col("v")).select(
+        "v", "w"
+    )
+    reach = (
+        adj.select("v", "w")
+        .unionAll(two_hop)
+        .groupBy("v")
+        .agg(F.countDistinct("w").cast("long").alias("n_reach"))
+    )
+    deg = adj.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    return (
+        reach.join(deg, "v")
+        .select(
+            F.col("v").alias("node_id"),
+            "degree",
+            "n_reach",
+            (F.col("n_reach") - F.col("degree")).cast("long").alias(
+                "n_second_ring"
+            ),
+        )
+        .orderBy(F.desc("n_reach"), "node_id")
+        .limit(20)
+    )
+
+
+# group-holdout split: md5 hex-prefix thresholds over the GROUP key
+# (user_id), the split_train_val_test convention lifted from row to
+# group granularity
+_GRP_TRAIN_HI = "e6"  # ~90%
+_GRP_VAL_HI = "f3"    # ~5%
+
+
+@query(
+    "sample_group_holdout_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT user_id, event_id, event_type,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || ':grpsplit'),
+                              1, 2) < '{_GRP_TRAIN_HI}' THEN 'train'
+                  WHEN substr(md5(CAST(user_id AS VARCHAR) || ':grpsplit'),
+                              1, 2) < '{_GRP_VAL_HI}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM events
+    ),
+    leak AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END),
+                           0) AS BIGINT) AS n_leaky_users
+      FROM (SELECT user_id, COUNT(DISTINCT split) AS n_splits
+            FROM assigned GROUP BY user_id)
+    )
+    SELECT split,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           l.n_leaky_users
+    FROM assigned CROSS JOIN leak l
+    GROUP BY split, l.n_leaky_users
+    ORDER BY split
+    """,
+)
+def sample_group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-level holdout split: every USER (not row) is assigned to
+    train/val/test by a salted hash of the group key, so all of a
+    user's events land in exactly one split — the leakage-safe split
+    for behavioral models, where row-level splitting (the
+    split_train_val_test shape, correct for i.i.d. documents) would
+    leak a user's own history across the boundary. The query also
+    COMPUTES the leakage count (users in >1 split) and reports it per
+    row — 0 by construction, but measured, not assumed.
+
+    Determinism: md5 is bytewise-identical cross-engine; assignment is
+    a pure function of the group key (stable under reruns and corpus
+    growth, same as the document split).
+
+    Scale: assignment is map-side; the audit is one user-grain rollup
+    + a 3-key readout; no joins but the broadcast leak singleton."""
+    hp = F.substring(
+        F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":grpsplit"))),
+        1,
+        2,
+    )
+    split = (
+        F.when(hp < _GRP_TRAIN_HI, "train")
+        .when(hp < _GRP_VAL_HI, "val")
+        .otherwise("test")
+    )
+    assigned = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", split.alias("split"))
+    )
+    leak = (
+        assigned.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_leaky_users")
+        )
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("split", "n_users", "n_events", "n_leaky_users")
+        .orderBy("split")
+    )
+
+
+@query(
+    "orders_priority_mix_shift",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+               AS ym,
+             o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT ym, CAST(SUM(n) AS BIGINT) AS n_month FROM monthly GROUP BY ym
+    ),
+    shares AS (
+      SELECT m.ym, m.priority, m.n,
+             CAST(m.n AS DOUBLE) / t.n_month AS share
+      FROM monthly m JOIN tot t ON t.ym = m.ym
+    )
+    SELECT ym, priority, n, share,
+           share - LAG(share) OVER (
+             PARTITION BY priority ORDER BY ym) AS share_delta
+    FROM shares ORDER BY ym, priority
+    """,
+)
+def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority mix by month with month-over-month share drift —
+    the composition-shift monitor (a sudden priority-mix change flags
+    an upstream process change long before totals move; the DQ sibling
+    of dq_distribution_drift, here as a full time series instead of a
+    two-window compare).
+
+    Determinism: year/month field extraction is identical on naive
+    timestamps in both engines; shares are one double division; the
+    drift lag is totally ordered by (priority, ym).
+
+    Scale: one (month, priority) rollup (map-side combinable), month
+    totals joined back on the tiny month key, and a |priorities|-way
+    partitioned lag window — nothing global."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("ym"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = monthly.groupBy("ym").agg(
+        F.sum("n").cast("long").alias("n_month")
+    )
+    shares = monthly.join(tot, "ym").select(
+        "ym",
+        "priority",
+        "n",
+        (F.col("n").cast("double") / F.col("n_month")).alias("share"),
+    )
+    w = W.partitionBy("priority").orderBy("ym")
+    return shares.select(
+        "ym",
+        "priority",
+        "n",
+        "share",
+        (F.col("share") - F.lag("share").over(w)).alias("share_delta"),
+    ).orderBy("ym", "priority")

@@ -236,6 +236,10 @@ ROUND9_QUEUE: list[str] = [
     "events_audience_overlap",
     "text_ttr_length_curve",
     "orders_repeat_purchase_curve",
+    "ml_topk_accuracy",
+    "graph_2hop_reach",
+    "sample_group_holdout_split",
+    "orders_priority_mix_shift",
 ]
 
 # Round-8 window (positions 1-50):

@@ -285,3 +285,86 @@ def test_ttr_curve_scan_reads_only_needed_columns(spark):
     )
     rows = df.collect()
     assert rows and all(0 < r.mean_ttr <= 1.0 for r in rows)
+
+
+# --- pipeline11 batch 3 -------------------------------------------------------
+
+
+def test_topk_accuracy_consistent_with_mrr(spark):
+    """hit@k must be the cumulative count of first_hit_rank <= k from
+    the SAME hits relation MRR reports (shared-CTE contract)."""
+    qs = all_queries()
+    ranks = [
+        r.first_hit_rank
+        for r in qs["ml_retrieval_mrr"](spark, BIG_SF).collect()
+        if r.first_hit_rank is not None
+    ]
+    rows = {r.k: r for r in qs["ml_topk_accuracy"](spark, BIG_SF).collect()}
+    assert set(rows) == {1, 5, 10}
+    for k, r in rows.items():
+        expect_hits = sum(1 for x in ranks if x <= k)
+        assert r.n_hits == expect_hits
+        assert r.n_queries == 20
+        assert r.hit_rate == expect_hits / 20
+    assert rows[1].n_hits <= rows[5].n_hits <= rows[10].n_hits
+
+
+def test_2hop_reach_matches_replay(spark):
+    from collections import defaultdict
+
+    from project_final_parquet_spark.operators.graph import (
+        copurchase_edges,
+    )
+
+    edges = {(r.a, r.b) for r in copurchase_edges(spark, BIG_SF).collect()}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expect = {}
+    for v in adj:
+        ring = set(adj[v])
+        for m in adj[v]:
+            ring |= adj[m]
+        ring.discard(v)
+        expect[v] = (len(adj[v]), len(ring))
+    rows = all_queries()["graph_2hop_reach"](spark, BIG_SF).collect()
+    top = sorted(
+        ((n, v) for v, (_d, n) in expect.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    assert [(r.n_reach, r.node_id) for r in rows] == top
+    for r in rows:
+        d, n = expect[r.node_id]
+        assert (r.degree, r.n_reach, r.n_second_ring) == (d, n, n - d)
+
+
+def test_group_holdout_has_zero_leakage_and_full_coverage(spark):
+    rows = all_queries()["sample_group_holdout_split"](
+        spark, BIG_SF
+    ).collect()
+    ev = pd.read_parquet(f"{BIG_SF}/events.parquet")
+    assert sum(r.n_events for r in rows) == len(ev)
+    assert sum(r.n_users for r in rows) == ev["user_id"].nunique()
+    assert all(r.n_leaky_users == 0 for r in rows)
+
+
+def test_priority_mix_shares_sum_to_one(spark):
+    rows = all_queries()["orders_priority_mix_shift"](
+        spark, BIG_SF
+    ).collect()
+    from collections import defaultdict
+
+    by_month = defaultdict(float)
+    for r in rows:
+        by_month[r.ym] += r.share
+    assert all(abs(s - 1.0) < 1e-9 for s in by_month.values())
+    # drift column: first month per priority is NULL, later months are
+    # exact share differences
+    seen = {}
+    for r in rows:  # rows ordered by (ym, priority)
+        if r.priority in seen:
+            assert abs(r.share_delta - (r.share - seen[r.priority])) < 1e-15
+        else:
+            assert r.share_delta is None
+        seen[r.priority] = r.share
