@@ -208,6 +208,9 @@ HEADLINE = [
     "graph_2hop_reach",
     "sample_group_holdout_split",
     "orders_priority_mix_shift",
+    "dq_uniqueness_audit",
+    "events_dau_wau_stickiness",
+    "events_conversion_window_sensitivity",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -776,3 +776,259 @@ def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share",
         (F.col("share") - F.lag("share").over(w)).alias("share_delta"),
     ).orderBy("ym", "priority")
+
+
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "dq_uniqueness_audit",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders.o_orderkey' AS key,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+               AS n_dup_rows
+      FROM orders
+      UNION ALL
+      SELECT 'customer.c_custkey', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+             CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+      FROM customer
+      UNION ALL
+      SELECT 'events.event_id', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT event_id) AS BIGINT),
+             CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'documents.doc_id', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+             CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'lineitem.(l_orderkey,l_linenumber-proxy)',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT l_orderkey * 100 + l_partkey % 100)
+                  AS BIGINT),
+             CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 100
+                  + l_partkey % 100) AS BIGINT)
+      FROM lineitem
+    ) ORDER BY key
+    """,
+)
+def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across the corpus: per declared
+    key, total rows vs distinct key values and the duplicate-row count
+    — the first DQ gate any ingest pipeline runs (a nonzero dup count
+    on a supposed PK breaks every downstream join's cardinality
+    assumption; dq_referential_integrity is the FK-side companion).
+    The lineitem row is a deliberately composite proxy key, exercising
+    the expression-key path.
+
+    Determinism: pure integer counts.
+
+    Scale: each audit is one map-side-combinable distinct-count pass
+    over its own table; the union is |keys| rows. At 100 TB the exact
+    distincts swap for the gated HLL partials (q63_hll_sketch_union)
+    in the same frame shape."""
+
+    def one(tbl, key_name, expr):
+        return (
+            load(spark, sf_dir, tbl)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.countDistinct(expr).cast("long").alias("n_distinct"),
+            )
+            .select(
+                F.lit(key_name).alias("key"),
+                "n_rows",
+                "n_distinct",
+                (F.col("n_rows") - F.col("n_distinct"))
+                .cast("long")
+                .alias("n_dup_rows"),
+            )
+        )
+
+    audits = [
+        one("orders", "orders.o_orderkey", F.col("o_orderkey")),
+        one("customer", "customer.c_custkey", F.col("c_custkey")),
+        one("events", "events.event_id", F.col("event_id")),
+        one("documents", "documents.doc_id", F.col("doc_id")),
+        one(
+            "lineitem",
+            "lineitem.(l_orderkey,l_linenumber-proxy)",
+            F.col("l_orderkey") * 100 + F.col("l_partkey") % 100,
+        ),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionAll(a)
+    return out.orderBy("key")
+
+
+@query(
+    "events_dau_wau_stickiness",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT epoch_us(ts) // {_DAY_US} AS day, user_id
+      FROM events
+    ),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+    ),
+    contrib AS (
+      SELECT du.day + i.i AS d, du.user_id
+      FROM du CROSS JOIN (SELECT unnest(range(7)) AS i) i
+    ),
+    wau AS (
+      SELECT d AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM contrib GROUP BY d
+    )
+    SELECT CAST(dau.day AS BIGINT) AS day, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+    FROM dau JOIN wau ON wau.day = dau.day
+    ORDER BY day
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day: daily active users over the
+    trailing-7-day active users ending that day — the engagement
+    ratio product analytics tracks (≈1 means the weekly audience shows
+    up every day; low values mean a broad-but-casual audience). Days
+    with zero activity emit no row (their DAU is 0 by definition).
+
+    Determinism: pure integer distinct counts; stickiness is one
+    double division.
+
+    Scale: the trailing window is a BOUNDED map-side explode (each
+    (day, user) row contributes to exactly 7 window-end days — the
+    events_rolling_distinct pattern), so WAU is one distinct-count
+    shuffle, never a range self-join; both counts combine map-side."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        (F.col("ts_us") / F.lit(_DAY_US)).cast("long").alias("day"),
+        "user_id",
+    ).distinct()
+    dau = du.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(6))
+        ).alias("day"),
+        "user_id",
+    )
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "events_conversion_window_sensitivity",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                 THEN epoch_us(ts) END) AS t_view
+      FROM events GROUP BY user_id
+    ),
+    first_click AS (
+      SELECT e.user_id,
+             MIN(epoch_us(e.ts)) AS t_click
+      FROM events e JOIN per_user p ON p.user_id = e.user_id
+      WHERE e.event_type = 'click' AND p.t_view IS NOT NULL
+        AND epoch_us(e.ts) > p.t_view
+      GROUP BY e.user_id
+    ),
+    joined AS (
+      SELECT p.user_id, p.t_view, f.t_click
+      FROM per_user p LEFT JOIN first_click f ON f.user_id = p.user_id
+      WHERE p.t_view IS NOT NULL
+    ),
+    ws AS (SELECT unnest([1, 6, 24]) AS w_hours)
+    SELECT CAST(w.w_hours AS INT) AS w_hours,
+           CAST(COUNT(*) AS BIGINT) AS n_viewers,
+           CAST(SUM(CASE WHEN j.t_click IS NOT NULL
+                    AND j.t_click <= j.t_view + w.w_hours * {_HOUR_US}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST(SUM(CASE WHEN j.t_click IS NOT NULL
+                    AND j.t_click <= j.t_view + w.w_hours * {_HOUR_US}
+                    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS conversion_rate
+    FROM ws w CROSS JOIN joined j
+    GROUP BY w.w_hours ORDER BY w_hours
+    """,
+)
+def events_conversion_window_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Attribution-window sensitivity of the view→click conversion
+    rate: the same funnel measured at 1 h / 6 h / 24 h windows after
+    each user's FIRST view — the robustness check behind every
+    conversion metric (a rate that doubles from 1 h to 24 h is mostly
+    slow organic re-visits, not campaign response; events_funnel and
+    events_funnel_windowed fix one window, this sweeps it).
+
+    Determinism: integer epoch-microsecond comparisons; the rate is
+    one double division; windows are a 3-row broadcast fan-out.
+
+    Scale: two user-grain aggregates (first view, then first
+    qualifying click) on the SAME user_id shuffle key, a 3× broadcast
+    fan-out, and a 3-key rollup — no window functions, no range
+    join."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts_us"))
+        ).alias("t_view")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us"
+    )
+    first_click = (
+        clicks.join(per_user, "user_id")
+        .filter(
+            F.col("t_view").isNotNull() & (F.col("ts_us") > F.col("t_view"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    joined = (
+        per_user.filter(F.col("t_view").isNotNull())
+        .join(first_click, "user_id", "left")
+        .select("t_view", "t_click")
+    )
+    ws = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(6), F.lit(24))).alias("w_hours")
+    )
+    converted = F.col("t_click").isNotNull() & (
+        F.col("t_click") <= F.col("t_view") + F.col("w_hours") * _HOUR_US
+    )
+    return (
+        joined.crossJoin(F.broadcast(ws))
+        .groupBy(F.col("w_hours").cast("int").alias("w_hours"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_viewers"),
+            F.sum(F.when(converted, 1).otherwise(0))
+            .cast("long")
+            .alias("n_converted"),
+            (
+                F.sum(F.when(converted, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("conversion_rate"),
+        )
+        .orderBy("w_hours")
+    )

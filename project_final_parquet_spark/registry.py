@@ -240,6 +240,9 @@ ROUND9_QUEUE: list[str] = [
     "graph_2hop_reach",
     "sample_group_holdout_split",
     "orders_priority_mix_shift",
+    "dq_uniqueness_audit",
+    "events_dau_wau_stickiness",
+    "events_conversion_window_sensitivity",
 ]
 
 # Round-8 window (positions 1-50):

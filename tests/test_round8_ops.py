@@ -368,3 +368,59 @@ def test_priority_mix_shares_sum_to_one(spark):
         else:
             assert r.share_delta is None
         seen[r.priority] = r.share
+
+
+# --- pipeline11 batch 4 -------------------------------------------------------
+
+
+def test_uniqueness_audit_detects_clean_keys(spark):
+    rows = {
+        r.key: r
+        for r in all_queries()["dq_uniqueness_audit"](spark, BIG_SF).collect()
+    }
+    assert len(rows) == 5
+    for name in (
+        "orders.o_orderkey",
+        "customer.c_custkey",
+        "events.event_id",
+        "documents.doc_id",
+    ):
+        assert rows[name].n_dup_rows == 0, name
+        assert rows[name].n_rows == rows[name].n_distinct
+    # the composite proxy key is deliberately collision-prone
+    proxy = rows["lineitem.(l_orderkey,l_linenumber-proxy)"]
+    assert proxy.n_dup_rows == proxy.n_rows - proxy.n_distinct
+
+
+def test_dau_wau_matches_replay(spark):
+    ev = pd.read_parquet(f"{BIG_SF}/events.parquet")
+    ev["day"] = (
+        (ev["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+    ) // 86_400_000_000
+    du = ev[["day", "user_id"]].drop_duplicates()
+    dau = du.groupby("day")["user_id"].nunique()
+    expect = {}
+    for d, n in dau.items():
+        wau = du[(du.day >= d - 6) & (du.day <= d)]["user_id"].nunique()
+        expect[int(d)] = (int(n), int(wau), n / wau)
+    got = {
+        r.day: (r.dau, r.wau, r.stickiness)
+        for r in all_queries()["events_dau_wau_stickiness"](
+            spark, BIG_SF
+        ).collect()
+    }
+    assert got == expect
+    assert all(0 < v[2] <= 1.0 for v in got.values())
+
+
+def test_conversion_sensitivity_is_monotone_in_window(spark):
+    rows = all_queries()["events_conversion_window_sensitivity"](
+        spark, BIG_SF
+    ).collect()
+    assert [r.w_hours for r in rows] == [1, 6, 24]
+    assert rows[0].n_viewers == rows[1].n_viewers == rows[2].n_viewers
+    assert (
+        rows[0].n_converted <= rows[1].n_converted <= rows[2].n_converted
+    )
+    for r in rows:
+        assert r.conversion_rate == r.n_converted / r.n_viewers
