@@ -239,6 +239,20 @@ BATTERY11 = [
     "lake_merge_upsert",               # manifest-guided upsert read
     "lake_change_feed",                # manifest file-diff outer join
     "lake_replace_where",              # stats-guided partition swap
+    # round-8 batches 2-4 (pipeline11)
+    "ml_retrieval_mrr",                # broadcast query set + rank window
+    "ml_topk_accuracy",                # same scoring pass + 3-row fanout
+    "ml_calibration_bins",             # probe scores + one global sort
+    "graph_resource_allocation_linkpred",  # wedge join + deg broadcast
+    "graph_2hop_reach",                # wedge join + distinct count
+    "events_audience_overlap",         # (type,user) dedup + user join
+    "text_ttr_length_curve",           # token explode + doc rollup
+    "orders_repeat_purchase_curve",    # one custkey shuffle, 2 windows
+    "sample_group_holdout_split",      # map-side hash + user rollup
+    "orders_priority_mix_shift",       # month rollup + priority lag
+    "dq_uniqueness_audit",             # 5 distinct-count passes
+    "events_dau_wau_stickiness",       # bounded 7x explode + distinct
+    "events_conversion_window_sensitivity",  # 2 user aggs + 3x fanout
 ]
 
 
