@@ -346,20 +346,29 @@ def main() -> None:
             break
         out["queries"] = {n: round(s, digits) for n, s in timings.items()}
         line = json.dumps(out, separators=(",", ":"))
-    # Rotate which queries lose final-line detail: drop queries whose
-    # timing REACHED the previous round's parsed record first (they have
-    # fresh coverage there), fastest-first within each class — so the
-    # union of two consecutive rounds' parsed records covers every
-    # HEADLINE name even when one line can't hold them all (r6 VERDICT:
-    # "omitted": 30 left a third of per-query timings permanently out
-    # of the driver's parsed history).
-    prev_detail = set(prev.get("queries", {})) if prev is not None else set()
+    # Rotate which queries lose final-line detail. HEADLINE (155) has
+    # outgrown what one 1900-byte line holds (~68 entries), so a
+    # 2-round union can no longer cover every name; the rotation is
+    # now THREE-deep: drop names covered by the newest parsed record
+    # first, then names covered by the one before it, and PROTECT
+    # names absent from both (they would otherwise miss two
+    # consecutive parsed records — the r7 VERDICT item 4 failure
+    # mode). Steady state: every name lands in the parsed history at
+    # least once per ~3 rounds, and the warn line below stays empty
+    # while capacity holds.
+    prev2 = _prev_benches(2)
+    prev_detail = set(prev2[0].get("queries", {})) if prev2 else set()
+    prev2_detail = (
+        set(prev2[1].get("queries", {})) if len(prev2) > 1 else set()
+    )
     omitted = 0
     while len(line) > _MAX_FINAL_LINE and out["queries"]:
         drop = min(
             out["queries"],
             key=lambda n: (
-                0 if n in prev_detail else 1,
+                0
+                if n in prev_detail
+                else (1 if n in prev2_detail else 2),
                 out["queries"][n],
                 n,
             ),
@@ -372,18 +381,22 @@ def main() -> None:
         f"final bench line {len(line)}B > {_MAX_FINAL_LINE}B — would be "
         "truncated by the driver's tail capture; trim HEADLINE"
     )
-    # self-check (r7 VERDICT item 4): a HEADLINE name absent from BOTH
-    # the previous parsed record and this run's final line is about to
-    # miss two consecutive parsed records — the rotation exists to make
-    # this impossible, so any hit is a loud warning on an earlier line
-    # (and in last_run.json via the deltas block above).
-    gone_twice = sorted(
-        n for n in timings if n not in out["queries"] and n not in prev_detail
+    # self-check (r7 VERDICT item 4, retuned for the 3-deep rotation):
+    # a HEADLINE name absent from the last TWO parsed records is in the
+    # protected class and must be in this line; if it still is not,
+    # it's about to miss a third consecutive record — the rotation is
+    # out of capacity, so warn loudly on an earlier line.
+    gone_thrice = sorted(
+        n
+        for n in timings
+        if n not in out["queries"]
+        and n not in prev_detail
+        and n not in prev2_detail
     )
-    if gone_twice:
+    if gone_thrice:
         print(
             json.dumps(
-                {"warn_missing_two_parsed_records": gone_twice},
+                {"warn_missing_three_parsed_records": gone_thrice},
                 separators=(",", ":"),
             )
         )
@@ -391,17 +404,33 @@ def main() -> None:
 
 
 def _latest_prev_bench() -> dict | None:
-    """Newest BENCH_r{N}.json next to this script, if any."""
+    """Newest parseable BENCH_r{N}.json next to this script, if any."""
+    recs = _prev_benches(1)
+    return recs[0] if recs else None
+
+
+def _prev_benches(n: int) -> list[dict]:
+    """The ``n`` newest parseable BENCH_r{N}.json records, newest
+    first (each reduced to a dict with a ``queries`` map)."""
     here = Path(__file__).resolve().parent
-    best: tuple[int, Path] | None = None
+    cands: list[tuple[int, Path]] = []
     for p in here.glob("BENCH_r*.json"):
         digits = "".join(ch for ch in p.stem if ch.isdigit())
-        if digits and (best is None or int(digits) > best[0]):
-            best = (int(digits), p)
-    if best is None:
-        return None
+        if digits:
+            cands.append((int(digits), p))
+    out: list[dict] = []
+    for _, p in sorted(cands, reverse=True):
+        rec = _parse_bench_file(p)
+        if rec is not None:
+            out.append(rec)
+        if len(out) == n:
+            break
+    return out
+
+
+def _parse_bench_file(path: Path) -> dict | None:
     try:
-        rec = json.loads(best[1].read_text())
+        rec = json.loads(path.read_text())
     except (OSError, json.JSONDecodeError):
         return None
     if isinstance(rec, dict) and "queries" in rec:
