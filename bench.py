@@ -211,6 +211,10 @@ HEADLINE = [
     "dq_uniqueness_audit",
     "events_dau_wau_stickiness",
     "events_conversion_window_sensitivity",
+    "events_funnel_by_segment",
+    "dedup_cross_source_overlap",
+    "graph_degree_powerlaw",
+    "events_error_rate_sla",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -1032,3 +1032,239 @@ def events_conversion_window_sensitivity(
         )
         .orderBy("w_hours")
     )
+
+
+@query(
+    "events_funnel_by_segment",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                 THEN epoch_us(ts) END) AS t_view,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN epoch_us(ts) END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    seg AS (
+      SELECT p.user_id, c.c_mktsegment AS segment, p.t_view,
+             p.t_purchase
+      FROM per_user p JOIN customer c ON c.c_custkey = p.user_id
+      WHERE p.t_view IS NOT NULL
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_viewers,
+           CAST(SUM(CASE WHEN t_purchase IS NOT NULL
+                    AND t_purchase > t_view THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchasers,
+           CAST(SUM(CASE WHEN t_purchase IS NOT NULL
+                    AND t_purchase > t_view THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS conversion_rate
+    FROM seg GROUP BY segment ORDER BY segment
+    """,
+)
+def events_funnel_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion by customer market segment: the
+    behavioral funnel joined to the customer dimension (user_id is
+    c_custkey — the skew-join family's join contract), answering "which
+    segment converts" instead of the global rate. The funnel rule is
+    first view, any later purchase.
+
+    Determinism: integer epoch-microsecond comparisons; one double
+    division per segment.
+
+    Scale: one user-grain conditional aggregate (map-side combinable),
+    a BROADCAST dimension join (customer segments are the small side),
+    and a |segments|-key rollup. The dimension join never shuffles the
+    fact side."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts_us"))
+        ).alias("t_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+        ).alias("t_purchase"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    seg = per_user.filter(F.col("t_view").isNotNull()).join(
+        F.broadcast(cust), "user_id"
+    )
+    converted = F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") > F.col("t_view")
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_viewers"),
+            F.sum(F.when(converted, 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchasers"),
+            (
+                F.sum(F.when(converted, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("conversion_rate"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "dedup_cross_source_overlap",
+    oracle="""
+    WITH fp AS (
+      SELECT md5(text) AS fingerprint,
+             CAST(COUNT(*) AS BIGINT) AS n_copies,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT n_sources,
+           CAST(COUNT(*) AS BIGINT) AS n_contents,
+           CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+           CAST(SUM(n_copies - 1) AS BIGINT) AS n_redundant_docs
+    FROM fp GROUP BY n_sources ORDER BY n_sources
+    """,
+)
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication profile: exact-duplicate content
+    grouped by HOW MANY sources carry it — the governance readout that
+    separates within-crawler re-fetches (n_sources = 1) from true
+    syndication (n_sources ≥ 2, the class that silently over-weights a
+    document family however the source mix is tuned). Companion to
+    pipeline_dedup_impact (per-source loss) and text_source_jaccard
+    (vocabulary overlap); this is content-identity overlap.
+
+    Determinism: md5 fingerprints and pure integer counts.
+
+    Scale: ONE content-fingerprint shuffle (the dedup_exact key),
+    map-side combinable, then a ≤|sources|-key rollup. Never pairwise."""
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.groupBy(F.md5("text").alias("fingerprint")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    return (
+        fp.groupBy("n_sources")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_contents"),
+            F.sum("n_copies").cast("long").alias("n_docs"),
+            F.sum(F.col("n_copies") - 1).cast("long").alias(
+                "n_redundant_docs"
+            ),
+        )
+        .orderBy("n_sources")
+    )
+
+
+@query(
+    "graph_degree_powerlaw",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    adj AS (
+      SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+    ),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY v)
+    SELECT CAST(length(bin(d)) AS INT) AS degree_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(SUM(d) AS BIGINT) AS endpoint_mass,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1 ORDER BY degree_bucket
+    """,
+)
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph in power-of-two
+    buckets (binary magnitude of the degree — no transcendental log),
+    with per-bucket vertex counts and endpoint mass — the heavy-tail
+    profile that decides every scale strategy downstream: how much
+    edge mass the top bucket holds is exactly how much a skew-salted
+    join or a degree-capped wedge bound has to absorb. Companion to
+    graph_degree_assortativity (mixing) and the triangle family's
+    arboricity argument.
+
+    Determinism: integer degrees, integer buckets.
+
+    Scale: one edge-endpoint rollup + a ~log(max_degree)-key
+    aggregate; nothing grows with |V| after the degree count."""
+    edges = copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    return (
+        deg.groupBy(
+            F.length(F.bin(F.col("d"))).cast("int").alias("degree_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.sum("d").cast("long").alias("endpoint_mass"),
+            F.min("d").cast("long").alias("min_degree"),
+            F.max("d").cast("long").alias("max_degree"),
+        )
+        .orderBy("degree_bucket")
+    )
+
+
+# hourly error-rate SLA: breach when errors/events > 25% — integer
+# cross-multiplied (4*errors > events), no float threshold
+_SLA_NUM = 4
+
+
+@query(
+    "events_error_rate_sla",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT epoch_us(ts) // {_HOUR_US} AS hour_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(hour_bucket AS BIGINT) AS hour_bucket, n_events, n_errors,
+           CAST(n_errors AS DOUBLE) / n_events AS error_rate,
+           {_SLA_NUM} * n_errors > n_events AS sla_breach
+    FROM hourly
+    ORDER BY n_errors DESC, hour_bucket
+    LIMIT 24
+    """,
+)
+def events_error_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-rate SLA monitor: per hour bucket, event volume,
+    error count, error rate, and a breach flag at the 25% budget — the
+    operational health readout every event pipeline alerts on. Top-24
+    worst hours by error count (hour tiebreak).
+
+    Determinism: the breach flag is an INTEGER cross-multiplication
+    (4·errors > events) — no float-ulp boundary flips; the rate column
+    is display-only division.
+
+    Scale: one (hour) rollup with map-side combine — conditional
+    integer sums only; top-24 is TakeOrderedAndProject."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.col("ts_us") / F.lit(_HOUR_US)).cast("long").alias("hour_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    return (
+        hourly.select(
+            "hour_bucket",
+            "n_events",
+            "n_errors",
+            (F.col("n_errors").cast("double") / F.col("n_events")).alias(
+                "error_rate"
+            ),
+            (F.lit(_SLA_NUM) * F.col("n_errors") > F.col("n_events")).alias(
+                "sla_breach"
+            ),
+        )
+        .orderBy(F.desc("n_errors"), "hour_bucket")
+        .limit(24)
+    )

@@ -243,6 +243,10 @@ ROUND9_QUEUE: list[str] = [
     "dq_uniqueness_audit",
     "events_dau_wau_stickiness",
     "events_conversion_window_sensitivity",
+    "events_funnel_by_segment",
+    "dedup_cross_source_overlap",
+    "graph_degree_powerlaw",
+    "events_error_rate_sla",
 ]
 
 # Round-8 window (positions 1-50):

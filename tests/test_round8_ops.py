@@ -424,3 +424,57 @@ def test_conversion_sensitivity_is_monotone_in_window(spark):
     )
     for r in rows:
         assert r.conversion_rate == r.n_converted / r.n_viewers
+
+
+# --- pipeline11 batch 5 -------------------------------------------------------
+
+
+def test_funnel_by_segment_covers_all_viewers(spark):
+    rows = all_queries()["events_funnel_by_segment"](spark, BIG_SF).collect()
+    ev = pd.read_parquet(f"{BIG_SF}/events.parquet")
+    viewers = set(ev[ev.event_type == "view"]["user_id"])
+    cust = pd.read_parquet(f"{BIG_SF}/customer.parquet")
+    known = viewers & set(cust["c_custkey"])
+    assert sum(r.n_viewers for r in rows) == len(known)
+    for r in rows:
+        assert 0 <= r.n_purchasers <= r.n_viewers
+        assert r.conversion_rate == r.n_purchasers / r.n_viewers
+
+
+def test_cross_source_overlap_accounts_every_document(spark):
+    rows = all_queries()["dedup_cross_source_overlap"](
+        spark, BIG_SF
+    ).collect()
+    docs = pd.read_parquet(f"{BIG_SF}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == len(docs)
+    assert sum(r.n_contents for r in rows) == docs["text"].nunique()
+    for r in rows:
+        assert r.n_redundant_docs == r.n_docs - r.n_contents
+
+
+def test_degree_powerlaw_partitions_vertices(spark):
+    from collections import defaultdict
+
+    from project_final_parquet_spark.operators.graph import (
+        copurchase_edges,
+    )
+
+    deg = defaultdict(int)
+    for r in copurchase_edges(spark, BIG_SF).collect():
+        deg[r.a] += 1
+        deg[r.b] += 1
+    rows = all_queries()["graph_degree_powerlaw"](spark, BIG_SF).collect()
+    assert sum(r.n_vertices for r in rows) == len(deg)
+    assert sum(r.endpoint_mass for r in rows) == sum(deg.values())
+    for r in rows:
+        # bucket b holds degrees in [2^(b-1), 2^b)
+        assert 2 ** (r.degree_bucket - 1) <= r.min_degree
+        assert r.max_degree < 2**r.degree_bucket
+
+
+def test_error_rate_sla_flag_is_exact(spark):
+    rows = all_queries()["events_error_rate_sla"](spark, BIG_SF).collect()
+    assert 0 < len(rows) <= 24
+    for r in rows:
+        assert r.sla_breach == (4 * r.n_errors > r.n_events)
+        assert r.error_rate == r.n_errors / r.n_events
