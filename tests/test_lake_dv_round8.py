@@ -238,3 +238,21 @@ def test_bloom_pruned_empty_frame_has_evolved_schema(spark, tmp_path):
         assert df.count() == 0
     else:  # hash collision kept a file: still a correct superset
         assert df.filter(F.col("k") == 10**9).count() == 0
+
+
+def test_dv_paths_with_spaces_survive_file_grouping(spark, tmp_path):
+    """input_file_name() returns a URI with %20 for spaces; the
+    _FILE_EXPR normalization must map it back to the manifest's plain
+    path or the per-file key grouping silently drops every match."""
+    root = tmp_path / "lake with spaces" / "t"
+    table = _stage(spark, root)
+    v = table.delete_where_dv(
+        spark, col="k", lo=0, hi=10, predicate=F.col("k") < 10, key_col="k"
+    )
+    assert v > 2, "no sidecar written — file grouping lost the paths"
+    got = sorted(r.k for r in table.read(spark, version=v).collect())
+    assert got == list(range(10, 60))
+    vc = table.compact_dv(spark, stats_cols=("k",))
+    assert sorted(r.k for r in table.read(spark, version=vc).collect()) == list(
+        range(10, 60)
+    )
