@@ -215,6 +215,9 @@ HEADLINE = [
     "dedup_cross_source_overlap",
     "graph_degree_powerlaw",
     "events_error_rate_sla",
+    "orders_seasonality_yoy",
+    "events_weekday_weekend_lift",
+    "text_sentence_length_profile",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -1268,3 +1268,197 @@ def events_error_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_errors"), "hour_bucket")
         .limit(24)
     )
+
+
+@query(
+    "orders_seasonality_yoy",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+               AS ym,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             {DSUM_SQL.format(expr='o_totalprice')} AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT ym, n_orders, revenue,
+           LAG(revenue, 12) OVER (ORDER BY ym) AS revenue_prev_year,
+           (revenue - LAG(revenue, 12) OVER (ORDER BY ym))
+             / LAG(revenue, 12) OVER (ORDER BY ym) AS yoy_growth
+    FROM monthly ORDER BY ym
+    """,
+)
+def orders_seasonality_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year growth (lag-12 over the
+    month series) — the seasonality-adjusted growth readout that a
+    raw month-over-month delta can't give (December vs November is
+    seasonality; December vs last December is growth). First-year
+    months report NULL growth. Companion to orders_priority_mix_shift
+    (composition) and events_seasonality_profile (within-week shape).
+
+    Determinism: exact decimal revenue sums cast to double once; the
+    lag is totally ordered by the integer ym key; growth is two double
+    ops.
+
+    Scale: one (month) rollup with map-side combine, then a single
+    |months|-row window — the series frame is bounded by the calendar,
+    not the data."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("ym")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+    w = W.orderBy("ym")
+    prev = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "ym",
+        "n_orders",
+        "revenue",
+        prev.alias("revenue_prev_year"),
+        ((F.col("revenue") - prev) / prev).alias("yoy_growth"),
+    ).orderBy("ym")
+
+
+@query(
+    "events_weekday_weekend_lift",
+    oracle=f"""
+    WITH typed AS (
+      SELECT event_type, value,
+             ((epoch_us(ts) // {_DAY_US}) + 4) % 7 AS dow
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN dow IN (0, 6) THEN 0 ELSE 1 END) AS BIGINT)
+             AS weekday_events,
+           CAST(SUM(CASE WHEN dow IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT)
+             AS weekend_events,
+           {DSUM_SQL.format(expr='CASE WHEN dow IN (0, 6) THEN NULL ELSE value END')}
+             / SUM(CASE WHEN dow IN (0, 6) THEN 0 ELSE 1 END)
+             AS weekday_avg_value,
+           {DSUM_SQL.format(expr='CASE WHEN dow IN (0, 6) THEN value ELSE NULL END')}
+             / SUM(CASE WHEN dow IN (0, 6) THEN 1 ELSE 0 END)
+             AS weekend_avg_value
+    FROM typed GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_weekday_weekend_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekday vs weekend behavior split per event type: event volumes
+    and average event values on business days vs weekends — the
+    day-mix check behind any weekly metric (a KPI that moves because
+    the weekday/weekend MIX moved is not a product change; the
+    companions are events_anova_dow for the significance test and
+    events_seasonality_profile for the full shape).
+
+    Determinism: day-of-week is pure integer arithmetic on epoch days
+    ((day+4) % 7, 0=Sunday — no timezone/calendar library); value
+    averages use the decimal-sum convention.
+
+    Scale: one (event_type) rollup, all conditional sums map-side
+    combinable; |types| rows out."""
+    ev = load(spark, sf_dir, "events")
+    dow = ((F.col("ts_us") / F.lit(_DAY_US)).cast("long") + 4) % 7
+    weekend = dow.isin(0, 6)
+    typed = ev.select("event_type", "value", weekend.alias("is_we"))
+    return (
+        typed.groupBy("event_type")
+        .agg(
+            F.sum(F.when(~F.col("is_we"), 1).otherwise(0))
+            .cast("long")
+            .alias("weekday_events"),
+            F.sum(F.when(F.col("is_we"), 1).otherwise(0))
+            .cast("long")
+            .alias("weekend_events"),
+            (
+                dsum(F.when(~F.col("is_we"), F.col("value")))
+                / F.sum(F.when(~F.col("is_we"), 1).otherwise(0))
+            ).alias("weekday_avg_value"),
+            (
+                dsum(F.when(F.col("is_we"), F.col("value")))
+                / F.sum(F.when(F.col("is_we"), 1).otherwise(0))
+            ).alias("weekend_avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "text_sentence_length_profile",
+    oracle="""
+    WITH sent AS (
+      SELECT doc_id, source,
+             unnest(string_split(text, '. ')) AS sentence
+      FROM documents
+    ),
+    per_sent AS (
+      SELECT doc_id, source,
+             CAST(length(sentence)
+                  - length(replace(sentence, ' ', '')) + 1 AS BIGINT)
+               AS n_tokens
+      FROM sent WHERE sentence <> ''
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*)
+             AS mean_sentence_tokens,
+           CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id)
+             AS sentences_per_doc
+    FROM per_sent GROUP BY source ORDER BY source
+    """,
+)
+def text_sentence_length_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sentence-length profile per source: sentences (split on '. '),
+    tokens per sentence, and sentences per document — the readability/
+    structure fingerprint that separates prose sources from listy or
+    machine-generated ones (abnormally uniform or extreme sentence
+    lengths are a classic low-quality-stratum tell; text_quality_score
+    gates per-doc, this profiles per-source).
+
+    Determinism: the sentence split and the space-count token count
+    are exact string operations with identical semantics in both
+    engines; means are single divisions of exact integers.
+
+    Scale: one explode + a (source)-key rollup with map-side combine
+    (the distinct-doc count is the only two-phase piece); |sources|
+    rows out."""
+    docs = load(spark, sf_dir, "documents")
+    sent = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split("text", "\\. ")).alias("sentence"),
+    ).filter(F.col("sentence") != "")
+    per_sent = sent.select(
+        "doc_id",
+        "source",
+        (
+            F.length("sentence")
+            - F.length(F.replace(F.col("sentence"), F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return (
+        per_sent.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1))
+            ).alias("mean_sentence_tokens"),
+            (
+                F.count(F.lit(1)).cast("double")
+                / F.countDistinct("doc_id")
+            ).alias("sentences_per_doc"),
+        )
+        .orderBy("source")
+    )

@@ -247,6 +247,9 @@ ROUND9_QUEUE: list[str] = [
     "dedup_cross_source_overlap",
     "graph_degree_powerlaw",
     "events_error_rate_sla",
+    "orders_seasonality_yoy",
+    "events_weekday_weekend_lift",
+    "text_sentence_length_profile",
 ]
 
 # Round-8 window (positions 1-50):

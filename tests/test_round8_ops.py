@@ -478,3 +478,68 @@ def test_error_rate_sla_flag_is_exact(spark):
     for r in rows:
         assert r.sla_breach == (4 * r.n_errors > r.n_events)
         assert r.error_rate == r.n_errors / r.n_events
+
+
+# --- pipeline11 batch 6 -------------------------------------------------------
+
+
+def test_seasonality_yoy_matches_replay(spark):
+    o = pd.read_parquet(f"{BIG_SF}/orders.parquet")
+    o["ym"] = o.o_orderdate.dt.year * 100 + o.o_orderdate.dt.month
+    monthly = o.groupby("ym").size().sort_index()
+    rows = all_queries()["orders_seasonality_yoy"](spark, BIG_SF).collect()
+    assert [r.ym for r in rows] == list(monthly.index)
+    assert [r.n_orders for r in rows] == list(monthly.values)
+    # lag-12 alignment: first 12 rows NULL, later rows reference the
+    # revenue 12 positions back
+    revs = [r.revenue for r in rows]
+    for i, r in enumerate(rows):
+        if i < 12:
+            assert r.revenue_prev_year is None and r.yoy_growth is None
+        else:
+            assert r.revenue_prev_year == revs[i - 12]
+            assert r.yoy_growth == (r.revenue - revs[i - 12]) / revs[i - 12]
+
+
+def test_weekday_weekend_split_partitions_events(spark):
+    rows = all_queries()["events_weekday_weekend_lift"](
+        spark, BIG_SF
+    ).collect()
+    ev = pd.read_parquet(f"{BIG_SF}/events.parquet")
+    by_type = ev.groupby("event_type").size()
+    got = {r.event_type: r for r in rows}
+    assert set(got) == set(by_type.index)
+    for t, n in by_type.items():
+        assert got[t].weekday_events + got[t].weekend_events == n
+        assert got[t].weekday_avg_value is not None
+        assert got[t].weekend_avg_value is not None
+
+
+def test_sentence_profile_matches_replay(spark):
+    docs = pd.read_parquet(f"{BIG_SF}/documents.parquet")
+    agg = {}
+    for r in docs.itertuples():
+        sents = [s for s in r.text.split(". ") if s != ""]
+        if not sents:
+            continue
+        d = agg.setdefault(r.source, [set(), 0, 0])
+        d[0].add(r.doc_id)
+        d[1] += len(sents)
+        d[2] += sum(s.count(" ") + 1 for s in sents)
+    rows = all_queries()["text_sentence_length_profile"](
+        spark, BIG_SF
+    ).collect()
+    assert {r.source for r in rows} == set(agg)
+    for r in rows:
+        docs_n, n_sent, n_tok = (
+            len(agg[r.source][0]),
+            agg[r.source][1],
+            agg[r.source][2],
+        )
+        assert (r.n_docs, r.n_sentences, r.n_tokens) == (
+            docs_n,
+            n_sent,
+            n_tok,
+        )
+        assert r.mean_sentence_tokens == n_tok / n_sent
+        assert r.sentences_per_doc == n_sent / docs_n
