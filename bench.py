@@ -218,6 +218,7 @@ HEADLINE = [
     "orders_seasonality_yoy",
     "events_weekday_weekend_lift",
     "text_sentence_length_profile",
+    "stream_error_rate_alert",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -250,6 +250,7 @@ ROUND9_QUEUE: list[str] = [
     "orders_seasonality_yoy",
     "events_weekday_weekend_lift",
     "text_sentence_length_profile",
+    "stream_error_rate_alert",
 ]
 
 # Round-8 window (positions 1-50):

@@ -170,6 +170,61 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows(ev).orderBy("user_id", "session_start_us")
 
 
+def error_rate_windows(events: DataFrame) -> DataFrame:
+    """1-hour tumbling error-rate windows with an INTEGER-exact breach
+    flag (4·errors > events ⇔ error rate > 25%) — the alerting shape a
+    streaming health monitor emits. Works identically on a batch frame
+    and a watermarked stream (same groupBy(window) plan)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_errors"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "n_errors",
+            (F.lit(4) * F.col("n_errors") > F.col("n_events")).alias(
+                "sla_breach"
+            ),
+        )
+    )
+
+
+@query(
+    "stream_error_rate_alert",
+    oracle=f"""
+    SELECT epoch_us(ts) - epoch_us(ts) % {_US_HOUR} AS window_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors,
+           4 * SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             > COUNT(*) AS sla_breach
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def stream_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour error-rate alert windows (batch form of the
+    streaming health monitor; tests/test_streaming.py proves the
+    watermarked stream produces the identical window set). The breach
+    flag is an integer cross-multiplication — no float threshold, so
+    batch, stream, and oracle can never disagree at the boundary.
+    events_error_rate_sla is the worst-hours TOP-K readout; this is
+    the full alert series a sink would subscribe to.
+
+    Scale: streaming state is one (window) count pair per open hour,
+    watermark-evicted; batch is one map-side-combinable rollup."""
+    ev = _with_event_time(load(spark, sf_dir, "events"))
+    return error_rate_windows(ev).orderBy("window_start_us")
+
+
 def earliest_per_key(events: DataFrame) -> DataFrame:
     """First event per (user_id, event_type) in event-time order —
     the deterministic batch form of streaming dedup

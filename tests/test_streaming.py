@@ -13,6 +13,7 @@ from pyspark.sql import types as T
 
 from project_final_parquet_spark.streaming.events import (
     _with_event_time,
+    error_rate_windows,
     session_windows,
     sliding_counts,
     tumbling_counts,
@@ -85,6 +86,18 @@ def test_windowed_agg_batch_equivalence(spark, sf_dir, xform, name):
     _run_to_completion(stream, name)
     got = spark.sql(f"SELECT * FROM {name}")
     exp = xform(_with_event_time(load(spark, sf_dir, "events")))
+    assert _rows(got) == _rows(exp)
+
+
+def test_error_rate_alert_batch_equivalence(spark, sf_dir):
+    """The streaming error-rate alert must emit the identical window
+    set (counts AND integer breach flags) as the batch form."""
+    stream = error_rate_windows(
+        _event_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    )
+    _run_to_completion(stream, "t_err_rate")
+    got = spark.sql("SELECT * FROM t_err_rate")
+    exp = error_rate_windows(_with_event_time(load(spark, sf_dir, "events")))
     assert _rows(got) == _rows(exp)
 
 

@@ -253,6 +253,13 @@ BATTERY11 = [
     "dq_uniqueness_audit",             # 5 distinct-count passes
     "events_dau_wau_stickiness",       # bounded 7x explode + distinct
     "events_conversion_window_sensitivity",  # 2 user aggs + 3x fanout
+    "events_funnel_by_segment",        # user agg + broadcast dim join
+    "dedup_cross_source_overlap",      # one fingerprint shuffle
+    "graph_degree_powerlaw",           # degree rollup + log-key agg
+    "events_error_rate_sla",           # hour rollup + TakeOrdered
+    "orders_seasonality_yoy",          # month rollup + lag-12 window
+    "events_weekday_weekend_lift",     # one type rollup, map-side
+    "text_sentence_length_profile",    # sentence explode + source agg
 ]
 
 
