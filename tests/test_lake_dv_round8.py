@@ -188,8 +188,17 @@ def test_add_blooms_rejects_non_integral_key(spark, tmp_path):
         table.add_blooms(spark, "k")
 
 
-def _job_count(spark) -> int:
-    return len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
+def _grouped_jobs(spark, group: str, fn) -> int:
+    """Run ``fn`` under a dedicated job group and return how many jobs
+    IT launched — immune to stray jobs from other tests/fixtures that
+    polluted the old all-session count under the full suite."""
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        fn()
+    finally:
+        sc.setJobGroup(None, None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
 
 
 def test_dv_write_path_job_count_is_constant_in_file_count(
@@ -205,14 +214,18 @@ def test_dv_write_path_job_count_is_constant_in_file_count(
     for files in (2, 8):
         table = _stage(spark, tmp_path / f"t{files}", files=files)
         pred = F.col("k") % 3 == 0  # touches every file
-        before = _job_count(spark)
-        table.delete_where_dv(
-            spark, col="k", lo=0, hi=60, predicate=pred, key_col="k"
+        deltas[files] = _grouped_jobs(
+            spark,
+            f"dv_del_{files}",
+            lambda: table.delete_where_dv(
+                spark, col="k", lo=0, hi=60, predicate=pred, key_col="k"
+            ),
         )
-        deltas[files] = _job_count(spark) - before
-        before = _job_count(spark)
-        table.compact_dv(spark, stats_cols=("k",))
-        compact_deltas[files] = _job_count(spark) - before
+        compact_deltas[files] = _grouped_jobs(
+            spark,
+            f"dv_cmp_{files}",
+            lambda: table.compact_dv(spark, stats_cols=("k",)),
+        )
     assert deltas[2] == deltas[8], deltas
     assert compact_deltas[2] == compact_deltas[8], compact_deltas
 
