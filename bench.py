@@ -219,6 +219,7 @@ HEADLINE = [
     "events_weekday_weekend_lift",
     "text_sentence_length_profile",
     "stream_error_rate_alert",
+    "lake_vacuum_plan",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -962,6 +962,36 @@ class LakeTable:
         self._publish(version, kept + new_entries)
         return version
 
+    def vacuum_plan(
+        self, retain_last: int = 1
+    ) -> list[tuple[int, int, int]]:
+        """Dry-run of ``vacuum``: per commit version that ADDED files
+        no retained snapshot still references, (added_version,
+        n_files_reclaimable, n_rows_reclaimable). Metadata-only (the
+        manifests carry per-file row counts), so the retention
+        decision is auditable before any file is unlinked — the
+        storage-reclamation dashboard every lakehouse runs ahead of
+        its vacuum job. Each reclaimable file counts exactly once, at
+        the version that added it."""
+        vs = self.versions()
+        keep_vs = set(vs[-retain_last:]) if retain_last > 0 else set()
+        live: set[str] = set()
+        for v in keep_vs:
+            live.update(e.path for e in self.manifest(v))
+        seen: set[str] = set()
+        by_added: dict[int, list[int]] = {}
+        for v in vs:
+            if v in keep_vs:
+                continue
+            for e in self.manifest(v):
+                if e.path not in live and e.path not in seen:
+                    seen.add(e.path)
+                    by_added.setdefault(e.added, []).append(e.rows)
+        return [
+            (added, len(rows), sum(rows))
+            for added, rows in sorted(by_added.items())
+        ]
+
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Expire all snapshots older than the newest ``retain_last``
         and delete data files no retained snapshot references. Returns

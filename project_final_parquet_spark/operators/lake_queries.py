@@ -859,3 +859,69 @@ def lake_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(F.col("o_orderkey") == int(key)).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
+
+
+# --- vacuum retention planning ------------------------------------------------
+
+
+def vacuum_lake(spark: SparkSession, sf_dir: str) -> LakeTable:
+    """Stage (or reuse) the vacuum-audit lake: v1 = full orders in
+    _FILES_PER_COMMIT files, v2 = a FULL-range replace_where
+    restatement (repriced x2) — every v1 file is superseded, so the
+    retain-last-1 vacuum plan is exactly v1's files/rows."""
+    table = LakeTable(_lake_root(sf_dir, "orders_vacuum"))
+    if table.current_version == 2:
+        return table
+    if table.root.exists():
+        shutil.rmtree(table.root)
+    orders = load(spark, sf_dir, "orders")
+    table.commit_append(
+        orders,
+        stats_cols=_STATS_COLS,
+        num_files=_FILES_PER_COMMIT,
+        range_by="o_orderdate",
+    )
+    restated = orders.withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    table.replace_where(
+        spark,
+        "o_orderdate",
+        "1970-01-01",
+        "2100-01-01",
+        restated,
+        stats_cols=_STATS_COLS,
+        expected_parent=1,
+    )
+    return table
+
+
+@query(
+    "lake_vacuum_plan",
+    oracle=f"""
+    SELECT CAST(1 AS BIGINT) AS added_version,
+           CAST({_FILES_PER_COMMIT} AS BIGINT) AS n_files_reclaimable,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_reclaimable
+    FROM orders
+    """,
+)
+def lake_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vacuum retention plan, METADATA-ONLY: per commit version that
+    added files no retained snapshot references, the reclaimable file
+    and row counts (retain_last=1 over a lake whose v2 restated the
+    FULL range, so v1's entire file set is the plan). The oracle
+    hash-matches the SOURCE table's row count — proof the manifest's
+    reclamation accounting is exact without opening a single data
+    file. lake_manifest_audit is the live-side twin; tests pin that
+    the plan equals what vacuum() then actually deletes.
+
+    Scale: manifests are O(files) JSON on the driver; the plan is a
+    set difference over them. The only Spark job is the driver-built
+    |versions|-row frame."""
+    table = vacuum_lake(spark, sf_dir)
+    plan = table.vacuum_plan(retain_last=1)
+    return spark.createDataFrame(
+        plan,
+        "added_version long, n_files_reclaimable long, "
+        "n_rows_reclaimable long",
+    ).orderBy("added_version")

@@ -251,6 +251,7 @@ ROUND9_QUEUE: list[str] = [
     "events_weekday_weekend_lift",
     "text_sentence_length_profile",
     "stream_error_rate_alert",
+    "lake_vacuum_plan",
 ]
 
 # Round-8 window (positions 1-50):

@@ -269,3 +269,30 @@ def test_dv_paths_with_spaces_survive_file_grouping(spark, tmp_path):
     assert sorted(r.k for r in table.read(spark, version=vc).collect()) == list(
         range(10, 60)
     )
+
+
+def test_vacuum_plan_matches_actual_vacuum(spark, tmp_path):
+    """The dry-run plan must predict exactly what vacuum() then
+    deletes (file count per added-version), and the retained snapshot
+    must read identically afterwards."""
+    table = _stage(spark, tmp_path / "t")  # v1, v2 appends
+    # v3: rewrite everything so v1+v2 files become reclaimable
+    table.replace_where(
+        spark,
+        "k",
+        -1,
+        10**9,
+        table.read(spark).withColumn("v", F.col("v") + 1),
+        stats_cols=("k",),
+        expected_parent=2,
+    )
+    before = sorted(
+        (r.k, r.grp, r.v) for r in table.read(spark).collect()
+    )
+    plan = table.vacuum_plan(retain_last=1)
+    assert {p[0] for p in plan} == {1, 2}
+    assert sum(p[1] for p in plan) > 0
+    deleted = table.vacuum(retain_last=1)
+    assert len(deleted) == sum(p[1] for p in plan)
+    after = sorted((r.k, r.grp, r.v) for r in table.read(spark).collect())
+    assert after == before
