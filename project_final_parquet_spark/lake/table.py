@@ -129,7 +129,16 @@ class FileEntry:
 
 class LakeTable:
     def __init__(self, root: str | os.PathLike):
-        self.root = Path(root)
+        # Canonicalize ONCE: every manifest entry stores str(path) under
+        # this root, and delete_where_dv/add_blooms/read()/compact_dv
+        # match those strings against normalized input_file_name()
+        # (_FILE_EXPR). A relative or symlinked root would make Hadoop
+        # qualify the scan paths differently and every lookup would
+        # miss silently (no-op deletes, empty blooms) — resolve() keeps
+        # both sides on the same canonical absolute path, and the
+        # grouped-file guards in those methods raise loudly if a scan
+        # ever yields a file name outside the manifest anyway.
+        self.root = Path(root).resolve()
         self.log_dir = self.root / "_log"
         self.data_dir = self.root / "data"
 
@@ -474,36 +483,54 @@ class LakeTable:
         }
         if not touched_paths:
             return parent
-        # one scan over ALL touched files, grouped by source file.
-        # Job 1 validates the per-file cap (cheap count agg) so the
-        # key-collecting job never materializes an over-cap key list
-        # in executor memory before the error fires.
+        # ONE scan over ALL touched files, grouped by source file, ONE
+        # aggregation job: distinct-key count (the cap check) and the
+        # key list are computed together. The collected list is sliced
+        # to the cap INSIDE the aggregation, so even the over-cap error
+        # path ships at most DV_MAX_KEYS keys per file to the driver;
+        # the count column detects truncation and raises before any
+        # truncated list could be used. mergeSchema matches every other
+        # multi-file read path — after schema evolution a predicate/key
+        # column added in a later commit must still resolve (files
+        # lacking it contribute NULLs, which match no equality key).
         hits = (
-            spark.read.parquet(*sorted(touched_paths))
+            spark.read.option("mergeSchema", "true")
+            .parquet(*sorted(touched_paths))
             .filter(predicate)
             .select(
                 F.expr(_FILE_EXPR).alias("__file"),
                 F.col(key_col).alias("__k"),
             )
         )
-        counts = (
+        grouped = (
             hits.groupBy("__file")
-            .agg(F.countDistinct("__k").alias("n"))
+            .agg(
+                F.countDistinct("__k").alias("n"),
+                F.slice(
+                    F.sort_array(F.collect_set("__k")),
+                    1,
+                    self.DV_MAX_KEYS,
+                ).alias("__keys"),
+            )
             .collect()
         )
-        over = [r for r in counts if r["n"] > self.DV_MAX_KEYS]
+        over = [r for r in grouped if r["n"] > self.DV_MAX_KEYS]
         if over:
             raise ValueError(
                 f"DV for {over[0]['__file']} exceeds "
                 f"{self.DV_MAX_KEYS} keys; use delete_where "
                 "(copy-on-write rewrite) for deletes this wide"
             )
-        keys_by_file = {
-            r["__file"]: list(r["__keys"])
-            for r in hits.groupBy("__file")
-            .agg(F.sort_array(F.collect_set("__k")).alias("__keys"))
-            .collect()
-        }
+        keys_by_file = {r["__file"]: list(r["__keys"]) for r in grouped}
+        # loud guard (ADVICE r8): a grouped file name outside the
+        # stats-pruned touch set means _FILE_EXPR and the manifest
+        # disagree on path form — deletes would otherwise no-op silently
+        unmatched = set(keys_by_file) - touched_paths
+        if unmatched:
+            raise RuntimeError(
+                "delete_where_dv grouped scan returned file paths not "
+                f"in the manifest's touched set: {sorted(unmatched)[:3]}"
+            )
         version = parent + 1
         dv_dir = self.root / "_dv" / f"v{version}"
         dv_dir.mkdir(parents=True, exist_ok=True)
@@ -752,6 +779,11 @@ class LakeTable:
             else expected_parent
         )
         entries = self.manifest(parent)
+        if not entries:
+            # empty table (version 0 / fully vacuumed): nothing to
+            # bloom; a bare spark.read.parquet() would raise a
+            # confusing TypeError. No-op like the pre-scan behavior.
+            return parent
         probe = spark.read.option("mergeSchema", "true").parquet(
             *[e.path for e in entries]
         )
@@ -786,6 +818,17 @@ class LakeTable:
             .collect()
         )
         bits_by_file = {r["__file"]: [int(b) for b in r["bits"]] for r in rows}
+        # loud guard (ADVICE r8): a grouped file name outside the
+        # manifest means _FILE_EXPR and the stored paths disagree —
+        # every bloom would otherwise be written empty and
+        # read_bloom_pruned would prune ALL files silently
+        manifest_paths = {e.path for e in entries}
+        unmatched = set(bits_by_file) - manifest_paths
+        if unmatched:
+            raise RuntimeError(
+                "add_blooms grouped scan returned file paths not in "
+                f"the manifest: {sorted(unmatched)[:3]}"
+            )
         null_files = {
             r["__file"]
             for r in scan.filter(F.col("k").isNull())

@@ -907,7 +907,7 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, never a range self-join; both counts combine map-side."""
     ev = load(spark, sf_dir, "events")
     du = ev.select(
-        (F.col("ts_us") / F.lit(_DAY_US)).cast("long").alias("day"),
+        F.expr(f"ts_us div {_DAY_US}").alias("day"),
         "user_id",
     ).distinct()
     dau = du.groupBy("day").agg(
@@ -1246,7 +1246,7 @@ def events_error_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sums only; top-24 is TakeOrderedAndProject."""
     ev = load(spark, sf_dir, "events")
     hourly = ev.groupBy(
-        (F.col("ts_us") / F.lit(_HOUR_US)).cast("long").alias("hour_bucket")
+        F.expr(f"ts_us div {_HOUR_US}").alias("hour_bucket")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
@@ -1361,7 +1361,7 @@ def events_weekday_weekend_lift(
     Scale: one (event_type) rollup, all conditional sums map-side
     combinable; |types| rows out."""
     ev = load(spark, sf_dir, "events")
-    dow = ((F.col("ts_us") / F.lit(_DAY_US)).cast("long") + 4) % 7
+    dow = (F.expr(f"ts_us div {_DAY_US}") + 4) % 7
     weekend = dow.isin(0, 6)
     typed = ev.select("event_type", "value", weekend.alias("is_we"))
     return (

@@ -1,0 +1,181 @@
+"""Embedding-geometry audits (round 9): corpus isotropy via the
+sum-vector identity, and threshold (range) similarity search through the
+LSH index — the two remaining read-side shapes of the ANN tier: "how
+concentrated is this embedding space?" and "give me EVERY pair above
+cosine τ", next to the existing top-k / recall-curve family.
+
+Not in the reference (no vector surface — SURVEY.md §2.1); extends the
+similarity / vector_stats families.
+
+Determinism: every dot/norm is the shared left-fold (similarity.py
+module note — bit-identical across engines because both fold in list
+order); corpus-wide reductions are DSUM folds; orderings carry vec_id
+tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import DSUM_SQL, dsum, query
+from ..tables import load
+from .similarity import (
+    _bucket_expr,
+    _bucket_sql,
+    _DIM,
+    _dot,
+    _DOT_SQL,
+    _norm,
+    _NORM_SQL,
+)
+
+_RANGE_TAU = "0.35"  # literal shared by both engines
+
+
+@query(
+    "embeddings_isotropy_audit",
+    oracle=f"""
+    WITH nrm AS (
+      SELECT vec_id,
+             list_transform(range({_DIM}),
+               j -> CAST(embedding[j+1] AS DOUBLE)
+                    / {_NORM_SQL.format(dim=_DIM, a='embedding')}) AS u
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT j AS dim, u[j+1] AS uv
+      FROM nrm CROSS JOIN (SELECT unnest(range({_DIM})) AS j)
+    ),
+    dims AS (
+      SELECT dim, {DSUM_SQL.format(expr="uv")} AS s
+      FROM flat GROUP BY dim
+    ),
+    scalars AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             {DSUM_SQL.format(
+                 expr=_DOT_SQL.format(dim=_DIM, a='u', b='u')
+             )} AS sum_sq
+      FROM nrm
+    )
+    SELECT n_vecs, sum_sq,
+           ({DSUM_SQL.format(expr="s * s")} - sum_sq)
+             / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1))
+             AS mean_pairwise_cosine
+    FROM dims CROSS JOIN scalars
+    GROUP BY n_vecs, sum_sq
+    """,
+)
+def embeddings_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus isotropy in ONE aggregation pass: the mean pairwise
+    cosine over ALL n·(n-1) ordered vector pairs, computed WITHOUT any
+    pair join via the sum-vector identity
+    Σ_{i≠k} û_i·û_k = ‖Σ_i û_i‖² − Σ_i ‖û_i‖². A high mean cosine
+    means the space is anisotropic (everything points the same way —
+    the classic "narrow cone" pathology that makes cosine retrieval
+    uninformative); near-zero means isotropic. The diagonal mass
+    (sum_sq ≈ n) is computed explicitly with the SAME folds rather
+    than assumed, so the identity is exact in both engines.
+
+    Scale: O(n·dim) map-side normalization, one 64-key per-dim DSUM,
+    one global DSUM — no shuffle bigger than 64 rows, no pair space.
+    The naive form of this number is an n² cosine join; this is the
+    identity every embedding-QA pipeline should use instead."""
+    emb = load(spark, sf_dir, "embeddings")
+    nrm = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double") / _norm(F.col("embedding")),
+        ).alias("u"),
+    )
+    flat = nrm.select(F.posexplode("u").alias("dim", "uv"))
+    dims = flat.groupBy("dim").agg(dsum(F.col("uv")).alias("s"))
+    scalars = nrm.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        dsum(_dot(F.col("u"), F.col("u"))).alias("sum_sq"),
+    )
+    return (
+        dims.crossJoin(F.broadcast(scalars))
+        .groupBy("n_vecs", "sum_sq")
+        .agg(dsum(F.col("s") * F.col("s")).alias("sum_s2"))
+        .select(
+            "n_vecs",
+            "sum_sq",
+            (
+                (F.col("sum_s2") - F.col("sum_sq"))
+                / (F.col("n_vecs").cast("double") * (F.col("n_vecs") - 1))
+            ).alias("mean_pairwise_cosine"),
+        )
+    )
+
+
+@query(
+    "sim_range_search_lsh",
+    oracle=f"""
+    WITH buck AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket,
+             {_NORM_SQL.format(dim=_DIM, a='embedding')} AS nrm
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_DOT_SQL.format(dim=_DIM, a='a.embedding', b='b.embedding')}
+               / (a.nrm * b.nrm) AS cosine
+      FROM buck a JOIN buck b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, vec_a, vec_b, cosine
+    FROM cand WHERE cosine >= {_RANGE_TAU}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def sim_range_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold (range) similarity search: every pair with cosine ≥ τ
+    found through the LSH index — candidates are same-bucket pairs of
+    the 6-plane hyperplane index (the sim_ann_lsh table), verified by
+    exact cosine. This is the retrieval shape dedup and link-building
+    use ("all matches above τ", not "best k"); recall tunes with plane
+    count exactly like the top-k path, and the band-OR construction of
+    dedup_near_minhash_lsh lifts it to multi-table.
+
+    Scale: bucketing is map-side; the ONLY shuffle is the bucket-key
+    hash self-join, so pair fan-out is Σ|bucket|² — bounded by plane
+    count (≈ n²/2^planes in expectation), never the corpus square.
+    Norms are computed once per row before the join (the
+    sim_pairs_label_block plan note, O(n·dim) not O(pairs·dim))."""
+    emb = load(spark, sf_dir, "embeddings")
+    buck = emb.select(
+        "vec_id",
+        "embedding",
+        _bucket_expr(F.col("embedding")).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    a = buck.select(
+        F.col("bucket").alias("bucket"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = buck.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cosine = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "vec_a",
+            "vec_b",
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.expr(_RANGE_TAU))
+        .orderBy("vec_a", "vec_b")
+    )

@@ -254,33 +254,60 @@ ROUND9_QUEUE: list[str] = [
     "lake_vacuum_plan",
 ]
 
-# Round-8 window (positions 1-50):
-#   1-41  ROUND8_QUEUE verbatim — every round-7 in-round addition
-#         (lifecycle analytics, KM survival, DV tier, streaming exact
-#         distinct, hard negatives, effective rank, loudness gating,
-#         covisitation, leakage audit, ...), all local-oracle green at
-#         BOTH sf0.01 and sf0.001 in round 7 and re-verified by the
-#         round-7 judge, never driver-gated. After this round the
-#         driver union r1..r8 covers the whole pre-freeze registry
-#         (310/310).
-#   42-50 freshness re-gates: the 9 queries with the OLDEST remaining
-#         driver evidence (round 2), in round-2-window order — the
-#         pivot/unpivot/median/lateral/exists/multiset/xml/text-source/
-#         conditional-aggs block. The remaining 11 round-2 rows are the
-#         natural round-9 refills.
-# tests/test_registry_lint.py::test_round8_window_leads_with_queue
+# Names registered after the round-9 gate window freezes: position 51+
+# this round, leading the round-10 rotation. Grows as round-9 operators
+# land; tests/test_registry_lint.py asserts it exactly equals the set of
+# registered queries with no driver evidence that are outside the window.
+ROUND10_QUEUE: list[str] = [
+    "events_growth_accounting",
+    "events_concurrency_peak",
+    "events_power_user_curve",
+    "events_attribution_position",
+    "orders_customer_migration_matrix",
+]
+
+# Round-9 window (positions 1-50):
+#   1-24  ROUND9_QUEUE verbatim — every round-8 in-round addition
+#         (bucketed corpus-scale mining, retrieval/calibration metrics,
+#         lifecycle analytics, streaming error-rate alert, lake vacuum
+#         plan), all local-oracle green at BOTH sf0.01 and sf0.001 in
+#         round 8, never driver-gated. After this round the driver
+#         union r1..r9 covers the whole pre-freeze registry (334/334).
+#   25-50 freshness re-gates, oldest driver evidence first: the 11
+#         remaining round-2 rows (in round-2-window order), then the 15
+#         oldest round-3 rows (in round-3-window order).
+# tests/test_registry_lint.py::test_round9_window_leads_with_queue
 # asserts all of this mechanically.
 _GATE_FIRST = [
-    *ROUND8_QUEUE,
-    "q45_pivot",
-    "q46_unpivot",
-    "q47_median_stats",
-    "q48_lateral_topk",
-    "q49_exists_forms",
-    "q50_multiset_ops",
-    "q51_xml_roundtrip",
-    "q52_text_source",
-    "q53_conditional_aggs",
+    *ROUND9_QUEUE,
+    # round-2 evidence (11)
+    "q54_ignore_nulls_window",
+    "q55_sequence_arrays",
+    "text_decontaminate",
+    "text_pii_redact",
+    "mm_frame_sample",
+    "enc_pme_roundtrip",
+    "text_repetition_filter",
+    "sample_stratified_hash",
+    "sample_uniform_topk",
+    "mix_source_weights",
+    "sim_scalar_quant",
+    # round-3 evidence (15)
+    "q56_decimal_exact",
+    "q57_interval_arith",
+    "q58_string_agg",
+    "split_train_val_test",
+    "text_oov_rate",
+    "upsert_snapshot",
+    "events_rollup_multigrain",
+    "q59_stat_moments",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_transitions",
+    "q60_try_funcs",
+    "q61_struct_explode",
+    "events_gap_fill",
+    "dedup_fuzzy_levenshtein",
 ]
 
 def _ordered() -> dict[str, RegisteredQuery]:
@@ -376,6 +403,7 @@ def _load_all() -> None:
         relational,
         similarity8,
         pipeline11,
+        pipeline12,
     )
 
     _LOADED = True

@@ -7,9 +7,10 @@ gate at least as strict as the driver on output shape:
 
 - no registered query emits an Array/Map/Struct output column
 - every registered query has a docstring; no oracle table typos
-- the round-8 gate window (first 50 of ``_GATE_FIRST``) leads with the
-  ROUND8_QUEUE verbatim and spends every refill slot on the oldest
-  remaining driver evidence (round-2 names, in round-2-window order)
+- the round-9 gate window (first 50 of ``_GATE_FIRST``) leads with the
+  ROUND9_QUEUE verbatim and spends every refill slot on the oldest
+  remaining driver evidence (round-2 then round-3 names, in their
+  original window order)
 - the registry docstring's eager-at-construction contract note names
   every query whose module-local call graph reaches localCheckpoint
 """
@@ -30,8 +31,8 @@ from project_final_parquet_spark.registry import (
     _GATE_FIRST,
     _load_all,
     _REGISTRY,
-    ROUND8_QUEUE,
     ROUND9_QUEUE,
+    ROUND10_QUEUE,
 )
 
 
@@ -53,7 +54,7 @@ def test_gate_first_names_registered():
 def _latest_green() -> dict[str, int]:
     repo = Path(__file__).resolve().parent.parent
     latest: dict[str, int] = {}
-    for p in sorted(repo.glob("CORRECTNESS_r0[1234567].json")):
+    for p in sorted(repo.glob("CORRECTNESS_r0[12345678].json")):
         rnd = int(p.stem[-1])
         rec = json.loads(p.read_text())
         for name, row in rec.items():
@@ -62,31 +63,37 @@ def _latest_green() -> dict[str, int]:
     return latest
 
 
-def test_round8_window_leads_with_queue():
-    """The round-8 rotation contract, asserted mechanically:
+def test_round9_window_leads_with_queue():
+    """The round-9 rotation contract, asserted mechanically:
 
-    - positions 1-41 are ROUND8_QUEUE verbatim (the round-7 in-round
+    - positions 1-24 are ROUND9_QUEUE verbatim (the round-8 in-round
       additions, never driver-gated) — after this round the driver
-      union r1..r8 covers every pre-freeze registration (310/310);
-    - every never-driver-gated query (vs CORRECTNESS_r01..r07) is
-      either in the window or a declared post-freeze ROUND9_QUEUE name,
-      and ROUND9_QUEUE contains nothing else (no stale/fresh names);
-    - every refill slot re-gates round-2 evidence — the oldest green
-      claims in the ledger after round 7 refreshed the r1/r2 tail.
+      union r1..r9 covers every pre-freeze registration (334/334);
+    - every never-driver-gated query (vs CORRECTNESS_r01..r08) is
+      either in the window or a declared post-freeze ROUND10_QUEUE
+      name, and ROUND10_QUEUE contains nothing else;
+    - refill slots re-gate the oldest evidence in the ledger: every
+      remaining round-2 row is in the window, and the rest of the
+      refills carry round-3 evidence (nothing fresher).
     """
     _load_all()
     latest_green = _latest_green()
     window = _GATE_FIRST[:50]
     assert len(window) == len(set(window)) == 50
-    assert window[: len(ROUND8_QUEUE)] == ROUND8_QUEUE
+    assert window[: len(ROUND9_QUEUE)] == ROUND9_QUEUE
     never_gated = {n for n in _REGISTRY if n not in latest_green}
-    assert set(ROUND9_QUEUE) == never_gated - set(window), (
-        "ROUND9_QUEUE must be exactly the never-driver-gated "
-        "registrations outside the round-8 window"
+    assert set(ROUND10_QUEUE) == never_gated - set(window), (
+        "ROUND10_QUEUE must be exactly the never-driver-gated "
+        "registrations outside the round-9 window"
     )
-    refills = window[len(ROUND8_QUEUE):]
-    stale = {n: latest_green[n] for n in refills if latest_green[n] != 2}
-    assert not stale, f"refill slots wasted on fresh evidence: {stale}"
+    refills = window[len(ROUND9_QUEUE):]
+    fresh = {n: latest_green[n] for n in refills if latest_green[n] > 3}
+    assert not fresh, f"refill slots wasted on fresh evidence: {fresh}"
+    # every remaining round-2 row must be re-gated this round
+    r2_left = {
+        n for n, rnd in latest_green.items() if rnd == 2 and n in _REGISTRY
+    }
+    assert r2_left <= set(refills), r2_left - set(refills)
     # no r1-only names remain anywhere in the ledger
     leftover = {
         n
