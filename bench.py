@@ -220,6 +220,29 @@ HEADLINE = [
     "text_sentence_length_profile",
     "stream_error_rate_alert",
     "lake_vacuum_plan",
+    # round 9
+    "events_growth_accounting",
+    "events_concurrency_peak",
+    "events_power_user_curve",
+    "events_attribution_position",
+    "orders_customer_migration_matrix",
+    "embeddings_isotropy_audit",
+    "sim_range_search_lsh",
+    "graph_avg_neighbor_degree",
+    "graph_katz_3step",
+    "ml_cohens_kappa",
+    "dedup_bloom_prefilter",
+    "ivm_delta_join",
+    "text_chunk_dedup_impact",
+    "text_quality_threshold_sweep",
+    "text_vocab_contribution",
+    "mm_audio_chunk_plan",
+    "lake_schema_evolution_audit",
+    "q71_window_distinct_count",
+    "stream_topk_per_window",
+    "sim_pair_margin_stats",
+    "orders_abc_class",
+    "sample_kfold_assignment",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

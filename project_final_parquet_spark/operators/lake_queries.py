@@ -925,3 +925,108 @@ def lake_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "added_version long, n_files_reclaimable long, "
         "n_rows_reclaimable long",
     ).orderBy("added_version")
+
+
+# --- schema evolution ---------------------------------------------------------
+
+# v1 writes orders WITHOUT o_orderpriority (the original producer
+# schema); v2 appends the rest WITH it (a column added mid-stream).
+_EVO_BASE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate",
+)
+
+
+def evo_lake(spark: SparkSession, sf_dir: str) -> LakeTable:
+    """Stage (or reuse) the schema-evolution orders lake: commit 1 is
+    the pre-cutoff orders under the 5-column producer schema, commit 2
+    appends the rest after the producer started emitting
+    o_orderpriority."""
+    table = LakeTable(_lake_root(sf_dir, name="orders_evo"))
+    if table.current_version == 2:
+        return table
+    if table.root.exists():
+        shutil.rmtree(table.root)
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit(_CUTOFF).cast("timestamp_ntz")
+    table.commit_append(
+        orders.filter(F.col("o_orderdate") < cutoff).select(*_EVO_BASE_COLS),
+        stats_cols=_STATS_COLS,
+        num_files=_FILES_PER_COMMIT,
+        range_by="o_orderdate",
+    )
+    table.commit_append(
+        orders.filter(F.col("o_orderdate") >= cutoff),
+        stats_cols=_STATS_COLS,
+        num_files=_FILES_PER_COMMIT,
+        range_by="o_orderdate",
+    )
+    return table
+
+
+@query(
+    "lake_schema_evolution_audit",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{_CUTOFF}'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v1_rows,
+             CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{_CUTOFF}'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v2_rows
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS version,
+             CAST({_FILES_PER_COMMIT} AS BIGINT) AS files_added,
+             v1_rows AS rows_added,
+             CAST({len(_EVO_BASE_COLS)} AS BIGINT) AS n_cols,
+             v1_rows AS rows_missing_priority
+      FROM c
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), CAST({_FILES_PER_COMMIT} AS BIGINT),
+             v2_rows, CAST({len(_EVO_BASE_COLS) + 1} AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM c
+    ) ORDER BY version
+    """,
+)
+def lake_schema_evolution_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema-evolution audit over a lake whose second commit ADDED a
+    column (o_orderpriority): per version, the files/rows the commit
+    added, the physical column count read from the commit's OWN parquet
+    footers (pyarrow, metadata-only — the source of truth for what the
+    producer actually wrote), and — through the merged-schema read path
+    — how many of that commit's rows surface NULL for the evolved
+    column. v1 rows must ALL be missing it, v2 rows none: the exact
+    contract mergeSchema promises, here proven against the source table
+    by the oracle hash rather than assumed.
+
+    Scale: footer reads are O(files) metadata on the driver; the only
+    data scan is the per-version filtered read (file-pruned by the
+    manifest), counting NULLs map-side. This is the audit a platform
+    team runs after every producer schema bump."""
+    import pyarrow.parquet as pq
+
+    table = evo_lake(spark, sf_dir)
+    rows = []
+    for v in table.versions():
+        added = [e for e in table.manifest(v) if e.added == v]
+        n_cols = pq.read_schema(added[0].path).names
+        scan = spark.read.option("mergeSchema", "true").parquet(
+            *[e.path for e in added]
+        )
+        if "o_orderpriority" in scan.columns:
+            missing = scan.filter(F.col("o_orderpriority").isNull()).count()
+        else:
+            # every file of this commit predates the column: the merged
+            # read surfaces it as absent, i.e. all rows miss it
+            missing = scan.count()
+        rows.append(
+            (v, len(added), sum(e.rows for e in added), len(n_cols), missing)
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, files_added long, rows_added long, n_cols long, "
+        "rows_missing_priority long",
+    ).orderBy("version")

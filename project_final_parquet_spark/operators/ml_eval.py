@@ -206,6 +206,101 @@ def ml_confusion_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ml_cohens_kappa",
+    oracle=f"""
+    WITH {PROBE_SCORED_CTES},
+    ranked AS (
+      SELECT label,
+             ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM scored
+    ),
+    pts AS (SELECT unnest([{", ".join(str(p) for p in _PCTS)}]) AS pct),
+    cells AS (
+      SELECT CAST(pct AS BIGINT) AS pct,
+             CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN rn <= (n * pct) // 100
+                            AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN rn <= (n * pct) // 100
+                            AND label <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN rn > (n * pct) // 100
+                            AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN rn > (n * pct) // 100
+                            AND label <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM ranked CROSS JOIN pts
+      GROUP BY 1
+    )
+    SELECT pct, tp, fp, fn, tn,
+           CAST(tp + tn AS DOUBLE) / n AS po,
+           (CAST(tp + fp AS DOUBLE) * (tp + fn)
+            + CAST(fn + tn AS DOUBLE) * (fp + tn))
+             / (CAST(n AS DOUBLE) * n) AS pe,
+           (CAST(tp + tn AS DOUBLE) / n
+            - (CAST(tp + fp AS DOUBLE) * (tp + fn)
+               + CAST(fn + tn AS DOUBLE) * (fp + tn))
+              / (CAST(n AS DOUBLE) * n))
+           / (1 - (CAST(tp + fp AS DOUBLE) * (tp + fn)
+                   + CAST(fn + tn AS DOUBLE) * (fp + tn))
+                  / (CAST(n AS DOUBLE) * n)) AS kappa
+    FROM cells ORDER BY pct
+    """,
+)
+def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the linear probe at the same three top-p%%
+    operating points as ml_confusion_thresholds: chance-corrected
+    agreement between the thresholded prediction and the label,
+    κ = (p_o − p_e)/(1 − p_e). Raw accuracy (p_o) flatters any
+    imbalanced gate (predict-all-negative scores high); κ is the
+    number to compare filter models across corpora with different
+    base rates.
+
+    Determinism: the confusion cells are exact integers off the shared
+    probe rank; p_o, p_e, κ are the SAME sequence of IEEE double ops in
+    both engines (the expressions are written out identically — no
+    engine-side algebraic rewrite is possible on opaque doubles).
+
+    Scale: identical to the confusion table — one shared global score
+    sort, a 3× replicated conditional aggregate, output 3 rows."""
+    scored = probe_scores(spark, sf_dir)
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = scored.select(
+        "label",
+        F.row_number().over(W.orderBy(F.desc("score"), "vec_id")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    pts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _PCTS])).alias("pct")
+    )
+    with_sel = ranked.crossJoin(F.broadcast(pts)).select(
+        F.col("pct").cast("long").alias("pct"),
+        F.expr("(n * pct) div 100").alias("n_sel"),
+        "rn",
+        "label",
+        "n",
+    )
+    sel = F.col("rn") <= F.col("n_sel")
+    pos = F.col("label") == 0
+    cells = with_sel.groupBy("pct").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.when(sel & pos, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(sel & ~pos, 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(~sel & pos, 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~sel & ~pos, 1).otherwise(0)).cast("long").alias("tn"),
+    )
+    po = (F.col("tp") + F.col("tn")).cast("double") / F.col("n")
+    pe = (
+        (F.col("tp") + F.col("fp")).cast("double") * (F.col("tp") + F.col("fn"))
+        + (F.col("fn") + F.col("tn")).cast("double")
+        * (F.col("fp") + F.col("tn"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    kappa = (po - pe) / (F.lit(1) - pe)
+    return cells.select(
+        "pct", "tp", "fp", "fn", "tn",
+        po.alias("po"), pe.alias("pe"), kappa.alias("kappa"),
+    ).orderBy("pct")
+
+
+@query(
     "embeddings_centroid_drift",
     oracle=f"""
     WITH flat AS (

@@ -389,6 +389,222 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- bloom prefilter for incremental dedup ---------------------------------
+# Bloom geometry: M bits (power of two), K Knuth multiplicative hashes.
+# The doc fingerprint is the shared md5-prefix BIGINT (dedup.py:151); it
+# is folded to < 2^31 before multiplying so fp*h stays under int64 in
+# BOTH engines (DuckDB errors on BIGINT overflow; Spark would wrap).
+_BLOOM_M = 4096
+_BLOOM_HASHES = (2654435761, 2246822519, 3266489917)
+_FP_SQL = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, {_FP_SQL} AS fp,
+             ((doc_id % {65_536}) * {2_654_435_761}) % {65_536}
+               < {13_107} AS is_batch
+      FROM documents
+    ),
+    hist AS (SELECT DISTINCT fp FROM fp WHERE NOT is_batch),
+    hbits AS (
+      SELECT DISTINCT ((fp % {1 << 31}) * h) % {1 << 32}
+               % {_BLOOM_M} AS bit
+      FROM hist CROSS JOIN (SELECT unnest([{
+          ", ".join(str(h) for h in _BLOOM_HASHES)
+      }]) AS h)
+    ),
+    probe AS (
+      SELECT doc_id, fp,
+             ((fp % {1 << 31}) * h) % {1 << 32} % {_BLOOM_M} AS bit
+      FROM fp CROSS JOIN (SELECT unnest([{
+          ", ".join(str(h) for h in _BLOOM_HASHES)
+      }]) AS h)
+      WHERE is_batch
+    ),
+    hits AS (
+      SELECT p.doc_id, p.fp,
+             CAST(COUNT(hb.bit) AS BIGINT) AS n_set
+      FROM probe p LEFT JOIN hbits hb ON hb.bit = p.bit
+      GROUP BY p.doc_id, p.fp
+    ),
+    verdict AS (
+      SELECT h.doc_id,
+             h.n_set = {len(_BLOOM_HASHES)} AS bloom_hit,
+             EXISTS (SELECT 1 FROM hist WHERE hist.fp = h.fp) AS is_dup
+      FROM hits h
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS bloom_hits,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS true_dups,
+           CAST(SUM(CASE WHEN bloom_hit AND NOT is_dup THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_positives,
+           CAST(SUM(CASE WHEN bloom_hit AND NOT is_dup THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / SUM(CASE WHEN NOT is_dup THEN 1 ELSE 0 END) AS fp_rate,
+           CAST((SELECT COUNT(*) FROM hbits) AS BIGINT) AS bits_set
+    FROM verdict
+    """,
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter prefilter for incremental exact dedup: the settled
+    history's fingerprints (the shared md5-prefix BIGINT, the
+    dedup_exact key) are folded into an M=4096-bit bloom under 3 Knuth
+    multiplicative hashes; the 20%% ingest batch (the shared Knuth
+    doc_id split of dedup_incremental) probes the bloom BEFORE paying
+    the exact anti-join. Reported: batch size, bloom hits, true dups,
+    false positives, the measured FP rate, and bloom occupancy — the
+    numbers that size M against the history cardinality. No false
+    negatives by construction (every true dup hits), so the exact join
+    only needs to run on the bloom-hit slice — at 100 TB that is the
+    difference between anti-joining the full batch against history and
+    anti-joining a few percent of it.
+
+    Determinism: fingerprints and bit positions are exact integer
+    arithmetic (fp folded < 2^31 so fp·h stays in int64 in both
+    engines); every output is a count or one double division.
+
+    Scale: history bits are a ≤M-row DISTINCT (map-side combinable —
+    the bloom itself is metadata-sized, broadcastable); the probe is a
+    3×-exploded batch joined against that tiny bit set; the truth check
+    is the fingerprint-key join dedup_incremental already pays. Nothing
+    scans history twice."""
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("fp"),
+        (
+            ((F.col("doc_id") % 65_536) * F.lit(2_654_435_761)) % 65_536
+            < 13_107
+        ).alias("is_batch"),
+    )
+    hist = fp.filter(~F.col("is_batch")).select("fp").distinct()
+    hashes = F.array(*[F.lit(h) for h in _BLOOM_HASHES])
+    bit = lambda: (  # noqa: E731
+        ((F.col("fp") % (1 << 31)) * F.col("h")) % (1 << 32) % _BLOOM_M
+    ).alias("bit")
+    hbits = (
+        hist.select("fp", F.explode(hashes).alias("h"))
+        .select(bit())
+        .distinct()
+    )
+    probe = (
+        fp.filter(F.col("is_batch"))
+        .select("doc_id", "fp", F.explode(hashes).alias("h"))
+        .select("doc_id", "fp", bit())
+    )
+    hits = (
+        probe.join(
+            F.broadcast(hbits.withColumn("set1", F.lit(1))), "bit", "left"
+        )
+        .groupBy("doc_id", "fp")
+        .agg(F.count("set1").cast("long").alias("n_set"))
+    )
+    dup = hist.withColumn("dup1", F.lit(1))
+    verdict = hits.join(F.broadcast(dup), "fp", "left").select(
+        "doc_id",
+        (F.col("n_set") == len(_BLOOM_HASHES)).alias("bloom_hit"),
+        F.col("dup1").isNotNull().alias("is_dup"),
+    )
+    n_bits = hbits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    return (
+        verdict.agg(
+            F.count(F.lit(1)).cast("long").alias("n_batch"),
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("bloom_hits"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("true_dups"),
+            F.sum(
+                F.when(F.col("bloom_hit") & ~F.col("is_dup"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("false_positives"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("bloom_hit") & ~F.col("is_dup"), 1
+                    ).otherwise(0)
+                ).cast("double")
+                / F.sum(F.when(~F.col("is_dup"), 1).otherwise(0))
+            ).alias("fp_rate"),
+        )
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_batch", "bloom_hits", "true_dups", "false_positives",
+            "fp_rate", "bits_set",
+        )
+    )
+
+
+@query(
+    "ivm_delta_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))) AS VARCHAR)
+                AS DOUBLE) AS sum_revenue,
+           MAX(o.o_totalprice) AS max_order
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view (the sibling of
+    ivm_merge_agg's pure-aggregate case): the materialized
+    revenue-by-segment rollup over orders ⋈ customer absorbs a delta
+    batch (odd orderkeys) by joining ONLY the delta against the
+    dimension and algebraically merging the two segment-grain partials
+    — count adds, decimal sums add, max takes max. The oracle is the
+    full recompute, so the equality IS the delta-correctness proof
+    (foreign keys are append-only here; dimension updates would go
+    through the SCD2 path instead).
+
+    Scale: the delta join is a broadcast hash join against the
+    dimension (never re-reading base facts); both partials are
+    segment-grain frames, so the merge cost is O(|segments|) no matter
+    how big history is — the property that lets a 100 TB rollup absorb
+    a partition in seconds."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.join(F.broadcast(cust), "o_custkey")
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias(
+                    "s"
+                ),
+                F.max("o_totalprice").alias("mx"),
+            )
+        )
+
+    base = partial(orders.filter(F.col("o_orderkey") % 2 == 0))
+    delta = partial(orders.filter(F.col("o_orderkey") % 2 == 1))
+    return (
+        base.unionByName(delta)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum("s").cast("double").alias("sum_revenue"),
+            F.max("mx").alias("max_order"),
+        )
+        .orderBy("segment")
+    )
+
+
 _MIG_TILES = 3  # spend terciles: 1 = top third, 3 = bottom third
 
 
@@ -480,4 +696,160 @@ def orders_customer_migration_matrix(
         mat.groupBy("seg_h1", "seg_h2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
         .orderBy("seg_h1", "seg_h2")
+    )
+
+
+# ABC inventory classification cut points (cumulative revenue share)
+_ABC_A = "0.80"
+_ABC_B = "0.95"
+
+
+@query(
+    "orders_abc_class",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(38,10))) AS r
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(r) AS t FROM rev),
+    ranked AS (
+      SELECT l_partkey, r,
+             SUM(r) OVER (ORDER BY r DESC, l_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM rev
+    ),
+    classed AS (
+      SELECT CASE
+               WHEN CAST(CAST(cum AS VARCHAR) AS DOUBLE)
+                    / CAST(CAST(t AS VARCHAR) AS DOUBLE) <= {_ABC_A}
+                 THEN 'A'
+               WHEN CAST(CAST(cum AS VARCHAR) AS DOUBLE)
+                    / CAST(CAST(t AS VARCHAR) AS DOUBLE) <= {_ABC_B}
+                 THEN 'B'
+               ELSE 'C'
+             END AS abc_class,
+             r
+      FROM ranked CROSS JOIN tot
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(CAST(SUM(r) AS VARCHAR) AS DOUBLE) AS class_revenue
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification over part revenue: parts
+    ranked by discounted revenue, class A while the running revenue
+    share stays ≤ {_ABC_A}, B to {_ABC_B}, C after — the standard
+    80/15/5 working-capital split (profile_pareto_revenue shows the
+    top-10 concentration; this assigns EVERY part its class and sizes
+    the classes). Per class: part count and exact class revenue.
+
+    Determinism: per-part revenue is an exact DECIMAL(38,10) sum, so
+    the (r DESC, partkey) rank and the RUNNING decimal sum are
+    engine-identical; the share comparison divides two
+    VARCHAR-roundtripped doubles (the DSUM convention) against literal
+    cut points.
+
+    Scale: one partkey aggregate, ONE global sort of |parts| decimal
+    rows for the running share (at production scale the cut points
+    come off a revenue histogram instead — same downstream classing),
+    and a 3-row final rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,10)"
+            )
+        ).alias("r")
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    w_cum = W.orderBy(F.desc("r"), "l_partkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = rev.select("l_partkey", "r", F.sum("r").over(w_cum).alias("cum"))
+    share = F.col("cum").cast("double") / F.col("t").cast("double")
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        F.when(share <= F.expr(_ABC_A), "A")
+        .when(share <= F.expr(_ABC_B), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "r",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("r").cast("double").alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+_KFOLD = 5
+_KF_HASH = 2_654_435_761
+_KF_MOD = 65_536
+
+
+@query(
+    "sample_kfold_assignment",
+    oracle=f"""
+    WITH folds AS (
+      SELECT ((doc_id % {_KF_MOD}) * {_KF_HASH}) % {_KF_MOD} % {_KFOLD}
+               AS fold,
+             lang, len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER () AS share_docs
+    FROM folds GROUP BY fold ORDER BY fold
+    """,
+)
+def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold split audit: every document lands in one of
+    {_KFOLD} folds by the SAME Knuth multiplicative hash family the
+    incremental-batch split uses (no RNG, no shuffle state — the fold
+    is a pure function of doc_id, so any worker, any engine, any rerun
+    agrees). Reported per fold: document and token volume, language
+    coverage, and document share — the balance check run before
+    cross-validating a filter model; a skewed fold invalidates the CV
+    variance estimate.
+
+    Scale: the fold id is map-side arithmetic; one {_KFOLD}-key
+    aggregate with map-side combine; the share window runs on the
+    {_KFOLD}-row frame. sample_group_holdout_split is the
+    leakage-aware sibling (groups, not uniform hash)."""
+    docs = load(spark, sf_dir, "documents")
+    folds = docs.select(
+        (
+            ((F.col("doc_id") % _KF_MOD) * F.lit(_KF_HASH)) % _KF_MOD % _KFOLD
+        ).alias("fold"),
+        "lang",
+        F.size(F.split("text", " ")).alias("n_toks"),
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        folds.groupBy(F.col("fold").cast("long").alias("fold"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .select(
+            "fold",
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            (
+                F.col("n_docs").cast("double") / F.sum("n_docs").over(w_all)
+            ).alias("share_docs"),
+        )
+        .orderBy("fold")
     )

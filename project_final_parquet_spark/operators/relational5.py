@@ -348,3 +348,72 @@ def q70_recursive_org_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY depth ORDER BY depth
         """
     )
+
+
+@query(
+    "q71_window_distinct_count",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_orderpriority,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY o_custkey, o_orderpriority
+                    ORDER BY o_orderdate, o_orderkey) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM orders WHERE o_custkey % 10 = 0
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(is_first) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS distinct_priorities_so_far
+    FROM seq ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q71_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — the aggregate Spark's
+    window functions refuse outright (and many engines only support
+    unordered): per customer, how many DISTINCT order priorities have
+    appeared up to each order. Expressed portably via the first-
+    occurrence trick: mark the first (customer, priority) row in order
+    sequence with ONE row_number window, then a running SUM of the
+    markers — two ordinary window passes over the SAME partition key,
+    no distinct-aggregate support needed in either engine.
+
+    Note the running sum orders by o_orderkey ALONE (unique within a
+    customer): ordering by date would make the running value ambiguous
+    under same-day ties — the determinism rule every windowed query
+    here follows.
+
+    Scale: both windows partition by o_custkey — one shuffle, two
+    in-partition passes; no join, no collect_set memory blow-up (the
+    size(collect_set) OVER alternative materializes the set per ROW).
+    The custkey % 10 = 0 slice keeps the gated output bounded; the
+    operator is the window composition, not the filter."""
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 10 == 0
+    )
+    from pyspark.sql import Window as W
+
+    w_first = W.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "is_first"
+        ),
+    )
+    w_run = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return seq.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("is_first").over(w_run).cast("long").alias(
+            "distinct_priorities_so_far"
+        ),
+    ).orderBy("o_custkey", "o_orderkey")

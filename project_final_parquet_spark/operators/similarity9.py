@@ -179,3 +179,132 @@ def sim_range_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= F.expr(_RANGE_TAU))
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query(
+    "sim_pair_margin_stats",
+    oracle=f"""
+    WITH buck AS (
+      SELECT vec_id, CAST(label AS INT) AS label, embedding,
+             {_bucket_sql('embedding')} AS bucket,
+             {_NORM_SQL.format(dim=_DIM, a='embedding')} AS nrm
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT b.vec_id AS anchor, b.label AS anchor_label,
+             b.embedding AS ea, b.nrm AS na, xor(b.bucket, m.mask) AS pb
+      FROM buck b CROSS JOIN (
+        SELECT CASE WHEN i = 0 THEN 0 ELSE (1 << (i - 1)) END AS mask
+        FROM (SELECT unnest(range(7)) AS i)
+      ) m
+    ),
+    scored AS (
+      SELECT p.anchor,
+             c.label = p.anchor_label AS same,
+             {_DOT_SQL.format(dim=_DIM, a='p.ea', b='c.embedding')}
+               / (p.na * c.nrm) AS cosine
+      FROM probes p JOIN buck c ON c.bucket = p.pb
+      WHERE c.vec_id <> p.anchor
+    ),
+    per_anchor AS (
+      SELECT anchor,
+             MAX(CASE WHEN same THEN cosine END) AS pos,
+             MAX(CASE WHEN NOT same THEN cosine END) AS neg
+      FROM scored GROUP BY anchor
+    ),
+    margins AS (
+      SELECT anchor, pos - neg AS margin
+      FROM per_anchor WHERE pos IS NOT NULL AND neg IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           {DSUM_SQL.format(expr="margin")} / COUNT(*) AS mean_margin,
+           CAST(SUM(CASE WHEN margin < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative_margin,
+           CAST(SUM(CASE WHEN margin < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS frac_negative
+    FROM margins
+    """,
+)
+def sim_pair_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space margin audit at corpus scale: for every anchor,
+    the best SAME-label cosine (nearest positive) minus the best
+    DIFFERENT-label cosine (hardest negative) among its radius-1 LSH
+    bucket-mates — the per-anchor margin a contrastive/metric-learning
+    run is supposed to widen. Reported: anchors with both sides
+    present, mean margin, and the count/fraction with NEGATIVE margin
+    (an impostor outranks every bucketed positive — exactly the rows
+    hard-negative mining surfaces). This is the one-row health score a
+    training pipeline tracks per checkpoint next to
+    sample_hard_negatives_bucketed's per-anchor listing.
+
+    Determinism: the margin uses MAX of identical IEEE cosines (values,
+    not ids — no tiebreak needed); the rollup is one DSUM + counts.
+
+    Scale: the similarity8 shape exactly — map-side bucket assignment,
+    a ×7 bounded probe explode, ONE bucket-key hash join, and a
+    per-anchor conditional aggregate (no window even needed). Candidate
+    fan-in is bucket occupancy, never |corpus|²."""
+    emb = load(spark, sf_dir, "embeddings")
+    buck = emb.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        "embedding",
+        _bucket_expr(F.col("embedding")).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    masks = F.array(*[F.lit(m) for m in [0] + [1 << p for p in range(6)]])
+    probes = (
+        buck.select(
+            F.col("vec_id").alias("anchor"),
+            F.col("label").alias("anchor_label"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+            "bucket",
+        )
+        .select(
+            "anchor",
+            "anchor_label",
+            "ea",
+            "na",
+            F.explode(masks).alias("mask"),
+            "bucket",
+        )
+        .select(
+            "anchor",
+            "anchor_label",
+            "ea",
+            "na",
+            F.col("bucket").bitwiseXOR(F.col("mask")).alias("pb"),
+        )
+    )
+    cand = buck.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("bucket").alias("cb"),
+    )
+    cosine = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    scored = (
+        probes.join(cand, F.col("cb") == F.col("pb"))
+        .filter(F.col("cid") != F.col("anchor"))
+        .select(
+            "anchor",
+            (F.col("clabel") == F.col("anchor_label")).alias("same"),
+            cosine.alias("cosine"),
+        )
+    )
+    per_anchor = scored.groupBy("anchor").agg(
+        F.max(F.when(F.col("same"), F.col("cosine"))).alias("pos"),
+        F.max(F.when(~F.col("same"), F.col("cosine"))).alias("neg"),
+    )
+    margins = per_anchor.filter(
+        F.col("pos").isNotNull() & F.col("neg").isNotNull()
+    ).select((F.col("pos") - F.col("neg")).alias("margin"))
+    neg_cnt = F.sum(F.when(F.col("margin") < 0, 1).otherwise(0))
+    return margins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        (dsum(F.col("margin")) / F.count(F.lit(1))).alias("mean_margin"),
+        neg_cnt.cast("long").alias("n_negative_margin"),
+        (neg_cnt.cast("double") / F.count(F.lit(1))).alias("frac_negative"),
+    )

@@ -264,6 +264,23 @@ ROUND10_QUEUE: list[str] = [
     "events_power_user_curve",
     "events_attribution_position",
     "orders_customer_migration_matrix",
+    "embeddings_isotropy_audit",
+    "sim_range_search_lsh",
+    "graph_avg_neighbor_degree",
+    "graph_katz_3step",
+    "ml_cohens_kappa",
+    "dedup_bloom_prefilter",
+    "ivm_delta_join",
+    "text_chunk_dedup_impact",
+    "text_quality_threshold_sweep",
+    "text_vocab_contribution",
+    "mm_audio_chunk_plan",
+    "lake_schema_evolution_audit",
+    "q71_window_distinct_count",
+    "stream_topk_per_window",
+    "sim_pair_margin_stats",
+    "orders_abc_class",
+    "sample_kfold_assignment",
 ]
 
 # Round-9 window (positions 1-50):
@@ -404,6 +421,10 @@ def _load_all() -> None:
         similarity8,
         pipeline11,
         pipeline12,
+        similarity9,
+        graph2,
+        llm_text4,
+        multimodal2,
     )
 
     _LOADED = True

@@ -468,3 +468,69 @@ def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop fitting state."""
     ev = _with_event_time(load(spark, sf_dir, "events"))
     return windowed_distinct_users(ev).orderBy("window_start_us")
+
+
+_TOPK_PER_WINDOW = 3
+
+
+def topk_per_window(counts: DataFrame) -> DataFrame:
+    """Top-k event types per tumbling window, ranked by count with the
+    event_type tiebreak — a pure READOUT over the tumbling_counts
+    frame (batch or the drained streaming sink alike): the stateful
+    part of windowed top-k is just the windowed count; the rank never
+    needs to live in streaming state."""
+    from pyspark.sql import Window as W
+
+    w_rank = W.partitionBy("window_start_us").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        counts.select(
+            "window_start_us",
+            "event_type",
+            "n_events",
+            F.row_number().over(w_rank).alias("rank"),
+        )
+        .filter(F.col("rank") <= _TOPK_PER_WINDOW)
+        .orderBy("window_start_us", "rank")
+    )
+
+
+@query(
+    "stream_topk_per_window",
+    oracle=f"""
+    WITH counts AS (
+      SELECT epoch_us(ts) - epoch_us(ts) % {_US_HOUR} AS window_start_us,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT window_start_us, event_type, n_events,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY window_start_us
+               ORDER BY n_events DESC, event_type) AS BIGINT) AS rank
+      FROM counts
+    )
+    SELECT window_start_us, event_type, n_events, rank
+    FROM ranked WHERE rank <= {_TOPK_PER_WINDOW}
+    ORDER BY window_start_us, rank
+    """,
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items per hour: the top-{_TOPK_PER_WINDOW} event types
+    of every tumbling 1-hour window (count-ranked, event_type
+    tiebreak). The streaming decomposition is the point: the ONLY
+    stateful stage is the per-(window, type) count tumbling_counts
+    already maintains (watermark-evicted, one row per open pair); the
+    rank is a stateless readout applied to each emitted window —
+    tests/test_streaming.py proves the drained stream + readout equals
+    this batch form row-for-row.
+
+    Scale: the count is map-side combinable into |windows|·|types|
+    state rows; the rank partitions by window over that already-small
+    frame. Nothing ranks raw events."""
+    ev = _with_event_time(load(spark, sf_dir, "events"))
+    counts = tumbling_counts(ev).select(
+        "window_start_us", "event_type", "n_events"
+    )
+    return topk_per_window(counts)

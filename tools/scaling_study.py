@@ -262,6 +262,32 @@ BATTERY11 = [
     "text_sentence_length_profile",    # sentence explode + source agg
 ]
 
+BATTERY12 = [
+    # round-9 additions
+    "events_growth_accounting",        # distinct + ONE user window pass
+    "events_concurrency_peak",         # sweep line, day-partitioned
+    "events_power_user_curve",         # distinct + two rollups
+    "events_attribution_position",     # bounded range join + pid window
+    "orders_customer_migration_matrix",  # 2-partition NTILE + FO join
+    "embeddings_isotropy_audit",       # sum-vector identity, no pairs
+    "sim_range_search_lsh",            # bucket-key self-join + verify
+    "sim_pair_margin_stats",           # x7 probe explode + bucket join
+    "graph_avg_neighbor_degree",       # adjacency x degree hash join
+    "graph_katz_3step",                # two message-passing joins
+    "ml_cohens_kappa",                 # shared probe sort + 3x agg
+    "dedup_bloom_prefilter",           # <=M-row bloom + broadcast probe
+    "ivm_delta_join",                  # broadcast dim + partial merge
+    "text_chunk_dedup_impact",         # chunk-hash agg + hash join back
+    "text_quality_threshold_sweep",    # map-side score + 4x fold
+    "text_vocab_contribution",         # token agg + doc_id owner join
+    "mm_audio_chunk_plan",             # mapInPandas decode + explode
+    "lake_schema_evolution_audit",     # footer metadata + pruned scans
+    "q71_window_distinct_count",       # two windows, one partition key
+    "stream_topk_per_window",          # window count + rank readout
+    "orders_abc_class",                # decimal rank + running share
+    "sample_kfold_assignment",         # map-side hash + 5-key rollup
+]
+
 
 def _stride(spark, name: str) -> int:
     if name == "events_user":
@@ -374,6 +400,14 @@ def main() -> None:
             merge_lake(spark, d)
             cdf_lake(spark, d)
             replace_lake(spark, d)
+    if "--battery12" in sys.argv:
+        battery = BATTERY12
+        from project_final_parquet_spark.operators.lake_queries import (
+            evo_lake,
+        )
+
+        for _, d in sfs:
+            evo_lake(spark, d)
     if "--battery10" in sys.argv:
         battery = BATTERY10
         from project_final_parquet_spark.operators.lake_queries import (
