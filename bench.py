@@ -243,6 +243,11 @@ HEADLINE = [
     "sim_pair_margin_stats",
     "orders_abc_class",
     "sample_kfold_assignment",
+    "embeddings_dim_quantiles",
+    "sample_unigram_neg_sampling",
+    "profile_column_storage",
+    "orders_ship_delay_sla",
+    "dq_monotonic_id_gaps",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

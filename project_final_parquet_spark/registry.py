@@ -281,6 +281,11 @@ ROUND10_QUEUE: list[str] = [
     "sim_pair_margin_stats",
     "orders_abc_class",
     "sample_kfold_assignment",
+    "embeddings_dim_quantiles",
+    "sample_unigram_neg_sampling",
+    "profile_column_storage",
+    "orders_ship_delay_sla",
+    "dq_monotonic_id_gaps",
 ]
 
 # Round-9 window (positions 1-50):
@@ -425,6 +430,7 @@ def _load_all() -> None:
         graph2,
         llm_text4,
         multimodal2,
+        pipeline13,
     )
 
     _LOADED = True

@@ -580,3 +580,115 @@ def test_kfold_assignment_is_balanced_partition(spark):
         ((d % 65536) * 2654435761) % 65536 % 5 for d in docs.doc_id
     )
     assert {r.fold: r.n_docs for r in got} == dict(folds)
+
+
+def test_dim_quantiles_match_replay(spark):
+    emb = pd.read_parquet(f"{SMALL_SF}/embeddings.parquet")
+    cols = defaultdict(list)
+    for r in emb.itertuples():
+        for j, x in enumerate(r.embedding):
+            cols[j].append((float(x), int(r.vec_id)))
+    got = {
+        r.dim: r
+        for r in all_queries()["embeddings_dim_quantiles"](
+            spark, SMALL_SF
+        ).collect()
+    }
+    assert sorted(got) == list(range(64))
+    for j, vals in cols.items():
+        vals.sort()
+        n = len(vals)
+        r = got[j]
+        assert r.lo == vals[0][0] and r.hi == vals[-1][0]
+        for p, attr in ((25, "q25"), (50, "q50"), (75, "q75")):
+            idx = (p * n + 99) // 100
+            assert getattr(r, attr) == vals[idx - 1][0]
+        assert r.lo <= r.q25 <= r.q50 <= r.q75 <= r.hi
+
+
+def test_neg_sampling_matches_replay(spark):
+    docs = pd.read_parquet(f"{SMALL_SF}/documents.parquet")
+    freq = Counter()
+    for t in docs.text:
+        freq.update(t.split(" "))
+    w = {t: math.sqrt(c * math.sqrt(c)) for t, c in freq.items()}
+    top = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = all_queries()["sample_unigram_neg_sampling"](
+        spark, SMALL_SF
+    ).collect()
+    assert [r.tok for r in got] == [t for t, _ in top]
+    tw = sum(w.values())
+    tc = sum(freq.values())
+    for r in got:
+        assert math.isclose(r.p_sample, w[r.tok] / tw, rel_tol=1e-9)
+        assert math.isclose(
+            r.boost, (w[r.tok] / tw) / (freq[r.tok] / tc), rel_tol=1e-9
+        )
+    # the 0.75 exponent damps the head: top token's boost < 1
+    assert got[0].boost < 1
+
+
+def test_column_storage_matches_footer(spark):
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{SMALL_SF}/orders.parquet").metadata
+    exp = defaultdict(lambda: [0, 0])
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            exp[col.path_in_schema][0] += col.total_compressed_size
+            exp[col.path_in_schema][1] += col.total_uncompressed_size
+    got = all_queries()["profile_column_storage"](spark, SMALL_SF).collect()
+    assert {r.column_name: (r.compressed_bytes, r.uncompressed_bytes)
+            for r in got} == {k: tuple(v) for k, v in exp.items()}
+    for r in got:
+        assert r.compression_ratio >= 1.0 or r.compressed_bytes >= r.uncompressed_bytes
+
+
+def test_ship_delay_sla_matches_replay(spark):
+    li = pd.read_parquet(f"{SMALL_SF}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SMALL_SF}/orders.parquet")
+    od = {
+        r.o_orderkey: (r.o_orderdate, r.o_orderpriority)
+        for r in orders.itertuples()
+    }
+    per = defaultdict(list)
+    day = 86_400_000_000
+    for r in li.itertuples():
+        odate, prio = od[r.l_orderkey]
+        s_us = pd.Timestamp(r.l_shipdate).value // 1000
+        o_us = pd.Timestamp(odate).value // 1000
+        per[prio].append(
+            ((s_us - o_us) // day, r.l_orderkey, r.l_linenumber)
+        )
+    got = {
+        r.priority: r
+        for r in all_queries()["orders_ship_delay_sla"](
+            spark, SMALL_SF
+        ).collect()
+    }
+    assert set(got) == set(per)
+    for prio, rows in per.items():
+        rows.sort()
+        n = len(rows)
+        r = got[prio]
+        assert r.n_lines == n
+        assert r.p50_days == rows[(50 * n + 99) // 100 - 1][0]
+        assert r.p95_days == rows[(95 * n + 99) // 100 - 1][0]
+        breaches = sum(1 for d, *_ in rows if d > 100)
+        assert r.n_breaches == breaches
+        assert math.isclose(r.breach_rate, breaches / n, rel_tol=1e-12)
+
+
+def test_id_gap_audit_matches_replay(spark):
+    ev = pd.read_parquet(f"{SMALL_SF}/events.parquet")
+    ids = sorted(set(ev.event_id))
+    row = all_queries()["dq_monotonic_id_gaps"](spark, SMALL_SF).collect()[0]
+    assert row.n_rows == len(ev)
+    assert row.n_distinct == len(ids)
+    assert (row.min_id, row.max_id) == (ids[0], ids[-1])
+    assert row.n_missing == ids[-1] - ids[0] + 1 - len(ids)
+    assert row.n_dups == len(ev) - len(ids)
+    assert row.max_gap == max(
+        b - a for a, b in zip(ids, ids[1:])
+    )

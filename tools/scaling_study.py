@@ -286,6 +286,11 @@ BATTERY12 = [
     "stream_topk_per_window",          # window count + rank readout
     "orders_abc_class",                # decimal rank + running share
     "sample_kfold_assignment",         # map-side hash + 5-key rollup
+    "embeddings_dim_quantiles",        # 64 independent rank sorts
+    "sample_unigram_neg_sampling",     # token agg + sqrt-sqrt weights
+    "profile_column_storage",          # footer metadata only
+    "orders_ship_delay_sla",           # orderkey join + 5-way rank
+    "dq_monotonic_id_gaps",            # distinct + one ordered pass
 ]
 
 
