@@ -248,6 +248,12 @@ HEADLINE = [
     "profile_column_storage",
     "orders_ship_delay_sla",
     "dq_monotonic_id_gaps",
+    "lake_clone_shallow",
+    "q72_grouping_id",
+    "text_bpe_fertility_by_lang",
+    "mm_image_tile_grid",
+    "ml_knn_label_purity_bucketed",
+    "stream_session_abandonment",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -1056,6 +1056,41 @@ class LakeTable:
                 (self.log_dir / f"v{v}.json").unlink()
         return deleted
 
+    def clone_shallow(self, target_root: str | os.PathLike) -> "LakeTable":
+        """ZERO-COPY shallow clone (the public Delta ``SHALLOW CLONE``
+        shape): publish a fresh table at ``target_root`` whose v1
+        manifest references THIS table's current data files by absolute
+        path — no bytes are copied, no files rewritten. The clone reads
+        identically to the source snapshot it was taken from, and its
+        own future commits never touch the source's files (new data
+        lands under the clone's root; the shared files are
+        copy-on-reference). The caveat every lakehouse documents applies
+        here too: vacuuming the SOURCE can delete files the clone still
+        references — clone lifecycle must outlive source retention.
+
+        Scale: O(files) manifest JSON on the driver, zero data I/O —
+        cloning a 100 TB table costs the same as cloning a 100 MB one.
+        """
+        clone = LakeTable(target_root)
+        if clone.versions():
+            raise ValueError(
+                f"clone target {clone.root} already has a snapshot log"
+            )
+        entries = [
+            FileEntry(
+                e.path,
+                e.rows,
+                dict(e.stats),
+                1,  # everything is "added" at the clone's v1
+                e.bytes,
+                data_change=False,  # a clone changes no data
+                dv=e.dv,
+            )
+            for e in self.manifest()
+        ]
+        clone._publish(1, entries, dict(self.txns()))
+        return clone
+
     # --- read --------------------------------------------------------------
 
     def read(

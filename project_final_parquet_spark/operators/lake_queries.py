@@ -1030,3 +1030,59 @@ def lake_schema_evolution_audit(
         "version long, files_added long, rows_added long, n_cols long, "
         "rows_missing_priority long",
     ).orderBy("version")
+
+
+@query(
+    "lake_clone_shallow",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {DSUM_SQL.format(expr="o_totalprice")} AS sum_price,
+           CAST({2 * _FILES_PER_COMMIT} AS BIGINT) AS n_files_shared,
+           CAST(0 AS BIGINT) AS bytes_copied
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY shallow clone (Delta's SHALLOW CLONE): the clone's v1
+    manifest references the source's data files by path — no bytes
+    move. Reading the CLONE must hash-match the source table exactly
+    (the oracle is the source aggregate), and the emitted metadata
+    columns pin the zero-copy claim: every source file is shared,
+    zero bytes copied. The clone is re-staged fresh each run (clone
+    cost is O(files) manifest JSON — the point being demonstrated).
+
+    Scale: cloning a 100 TB table is a driver-side manifest write; the
+    read path is the ordinary manifest-driven scan. Source vacuum
+    outliving clone retention is the documented hazard (docstring on
+    ``LakeTable.clone_shallow``)."""
+    table = orders_lake(spark, sf_dir)
+    clone_root = _lake_root(sf_dir, name="orders_clone")
+    if os.path.exists(clone_root):
+        shutil.rmtree(clone_root)
+    clone = table.clone_shallow(clone_root)
+    src_files = {e.path for e in table.manifest()}
+    clone_files = {e.path for e in clone.manifest()}
+    n_shared = len(src_files & clone_files)
+    bytes_copied = sum(
+        e.bytes for e in clone.manifest() if e.path not in src_files
+    )
+    consts = spark.createDataFrame(
+        [(n_shared, bytes_copied)],
+        "n_files_shared long, bytes_copied long",
+    )
+    return (
+        clone.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "o_orderstatus", "n_orders", "sum_price",
+            "n_files_shared", "bytes_copied",
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -274,3 +274,61 @@ def text_vocab_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_bpe_fertility_by_lang",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS ws,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+               AS bpe,
+             n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(bpe) AS DOUBLE) / SUM(ws) AS fertility,
+           CAST(SUM(n_chars) AS DOUBLE) / SUM(bpe) AS chars_per_token
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def text_bpe_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word and characters per token (the text_bpe_token_count regex
+    tokenizer, rolled up by lang). Fertility is THE cross-lingual
+    tokenizer-fairness metric — a language at 2× fertility pays 2× the
+    sequence length (and 2× the compute bill) for the same content, so
+    this table drives vocabulary re-balancing before a multilingual
+    training run.
+
+    Scale: per-doc token counting is map-side regex work; one
+    |langs|-key rollup with map-side combine; ratios divide exact
+    BIGINTs."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("ws"),
+        F.size(
+            F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+        ).alias("bpe"),
+        "n_chars",
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.sum("bpe").cast("long").alias("bpe_tokens"),
+            (F.sum("bpe").cast("double") / F.sum("ws")).alias("fertility"),
+            (F.sum("n_chars").cast("double") / F.sum("bpe")).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )

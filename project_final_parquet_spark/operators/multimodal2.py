@@ -128,3 +128,120 @@ def mm_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pad_samples"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+_TILE = 2  # featurizer patch size (pixels per side)
+
+
+def make_ppm_dims_stage():
+    """mapInPandas stage: doc_id → real PPM blob → REAL parse →
+    (doc_id, width, height). Nested for by-value pickling."""
+    from .multimodal import _make_encoders, _make_parsers
+
+    encode_ppm, _ = _make_encoders()
+    parse_ppm, _ = _make_parsers()
+
+    def ppm_dims(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": []}
+            for doc_id in pdf["doc_id"]:
+                w, h, _sum = parse_ppm(encode_ppm(int(doc_id)))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+            yield _pd.DataFrame(out)
+
+    return ppm_dims
+
+
+@query(
+    "mm_image_tile_grid",
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id,
+             4 + CAST(doc_id % 5 AS INT) AS w,
+             3 + CAST(doc_id % 3 AS INT) AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    grid AS (
+      SELECT doc_id, w, h, tx, ty,
+             (w + {_TILE - 1}) // {_TILE} AS nx,
+             (h + {_TILE - 1}) // {_TILE} AS ny
+      FROM params
+      CROSS JOIN (SELECT unnest(range(4)) AS tx)
+      CROSS JOIN (SELECT unnest(range(3)) AS ty)
+      WHERE tx < (w + {_TILE - 1}) // {_TILE}
+        AND ty < (h + {_TILE - 1}) // {_TILE}
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(tx AS BIGINT) AS tile_x, CAST(ty AS BIGINT) AS tile_y,
+           CAST(tx * {_TILE} AS BIGINT) AS x0,
+           CAST(ty * {_TILE} AS BIGINT) AS y0,
+           CAST(least(w, (tx + 1) * {_TILE}) AS BIGINT) AS x1,
+           CAST(least(h, (ty + 1) * {_TILE}) AS BIGINT) AS y1,
+           CAST(nx * {_TILE} - w AS BIGINT) * CAST(tx = nx - 1 AS BIGINT)
+             + CAST(ny * {_TILE} - h AS BIGINT) * CAST(ty = ny - 1 AS BIGINT)
+             AS pad_px_axes
+    FROM grid ORDER BY doc_id, tile_y, tile_x
+    """,
+)
+def mm_image_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image patching plan (the ViT-style tile grid): every image clip
+    (even doc_ids, the corpus's PPM modality) is decoded FOR REAL
+    (ASCII header walk on the generated P6 bytes) and split into
+    {_TILE}×{_TILE} patches; each tile row carries its pixel bounds and
+    the edge tiles' pad amount (right/bottom overhang, summed per
+    axis). The audio sibling is mm_audio_chunk_plan; together they are
+    the fan-out work lists a multimodal featurizer consumes.
+
+    Determinism: the oracle recomputes dimensions in closed form from
+    doc_id; any header/offset decode bug is a hash mismatch; all
+    arithmetic is integer.
+
+    Scale: blobs stay on executors (mapInPandas, zero shuffle); the
+    grid explode is a bounded map-side sequence product — output is
+    Σ ceil(w/t)·ceil(h/t) rows, no aggregation."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 2 == 0)
+    )
+    dims = docs.mapInPandas(
+        make_ppm_dims_stage(), schema="doc_id long, width long, height long"
+    )
+    nx = F.expr(f"(width + {_TILE - 1}) div {_TILE}")
+    ny = F.expr(f"(height + {_TILE - 1}) div {_TILE}")
+    grid = dims.select(
+        "doc_id",
+        "width",
+        "height",
+        nx.alias("nx"),
+        ny.alias("ny"),
+        F.explode(F.sequence(F.lit(0), nx - 1)).alias("tile_x"),
+    ).select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("ny") - 1)).alias("tile_y")
+    )
+    pad = (
+        (F.col("nx") * _TILE - F.col("width"))
+        * (F.col("tile_x") == F.col("nx") - 1).cast("long")
+        + (F.col("ny") * _TILE - F.col("height"))
+        * (F.col("tile_y") == F.col("ny") - 1).cast("long")
+    )
+    return grid.select(
+        "doc_id",
+        "width",
+        "height",
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        (F.col("tile_x") * _TILE).cast("long").alias("x0"),
+        (F.col("tile_y") * _TILE).cast("long").alias("y0"),
+        F.least(F.col("width"), (F.col("tile_x") + 1) * _TILE)
+        .cast("long")
+        .alias("x1"),
+        F.least(F.col("height"), (F.col("tile_y") + 1) * _TILE)
+        .cast("long")
+        .alias("y1"),
+        pad.cast("long").alias("pad_px_axes"),
+    ).orderBy("doc_id", "tile_y", "tile_x")

@@ -417,3 +417,48 @@ def q71_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_priorities_so_far"
         ),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "q72_grouping_id",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, '<all>') AS priority,
+           COALESCE(o_orderstatus, '<all>') AS status,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT)
+             AS grouping_level,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    ORDER BY grouping_level, priority, status
+    """,
+)
+def q72_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING_ID level labels — the function that makes
+    multi-grain rollups machine-consumable: level 0 = leaf cells,
+    1 = per-priority subtotal, 3 = grand total, distinguished from
+    REAL NULL group keys (which COALESCE alone would conflate). Both
+    engines emit the identical bitmask (Spark grouping_id() ==
+    DuckDB GROUPING(...)), so downstream cube readers can filter on
+    the level instead of guessing from NULLs.
+
+    Scale: one ROLLUP aggregate — Spark expands to a 3-grouping-set
+    Expand + one shuffle, map-side combinable."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("long").alias("grouping_level"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias(
+                "priority"
+            ),
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias(
+                "status"
+            ),
+            "grouping_level",
+            "n_orders",
+        )
+        .orderBy("grouping_level", "priority", "status")
+    )

@@ -308,3 +308,119 @@ def sim_pair_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         neg_cnt.cast("long").alias("n_negative_margin"),
         (neg_cnt.cast("double") / F.count(F.lit(1))).alias("frac_negative"),
     )
+
+
+@query(
+    "ml_knn_label_purity_bucketed",
+    oracle=f"""
+    WITH buck AS (
+      SELECT vec_id, CAST(label AS INT) AS label, embedding,
+             {_bucket_sql('embedding')} AS bucket,
+             {_NORM_SQL.format(dim=_DIM, a='embedding')} AS nrm
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT b.vec_id AS anchor, b.label AS anchor_label,
+             b.embedding AS ea, b.nrm AS na, xor(b.bucket, m.mask) AS pb
+      FROM buck b CROSS JOIN (
+        SELECT CASE WHEN i = 0 THEN 0 ELSE (1 << (i - 1)) END AS mask
+        FROM (SELECT unnest(range(7)) AS i)
+      ) m
+    ),
+    scored AS (
+      SELECT p.anchor, p.anchor_label, c.vec_id AS nn, c.label AS nn_label,
+             {_DOT_SQL.format(dim=_DIM, a='p.ea', b='c.embedding')}
+               / (p.na * c.nrm) AS cosine
+      FROM probes p JOIN buck c ON c.bucket = p.pb
+      WHERE c.vec_id <> p.anchor
+    ),
+    nn1 AS (
+      SELECT anchor_label, nn_label FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY anchor ORDER BY cosine DESC, nn) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT CAST(anchor_label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           CAST(SUM(CASE WHEN nn_label = anchor_label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+           CAST(SUM(CASE WHEN nn_label = anchor_label
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS purity
+    FROM nn1 GROUP BY anchor_label ORDER BY label
+    """,
+)
+def ml_knn_label_purity_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leave-one-out 1-NN label consistency at corpus scale: every
+    vector's nearest neighbor (radius-1 LSH probe candidates, cosine,
+    id tiebreak) votes on its label; per class, the fraction where the
+    vote agrees — the classic intrinsic embedding-quality score (a
+    space where 1-NN purity is near the base rate carries no label
+    signal, whatever the loss curve said). Complements
+    embeddings_class_separation (centroid view) with the local view.
+
+    Scale: identical to the similarity8 bucketed-mining shape —
+    map-side bucket assignment, ×7 probe explode, ONE bucket-key hash
+    join, one per-anchor top-1 window; output is |labels| rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    buck = emb.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        "embedding",
+        _bucket_expr(F.col("embedding")).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    masks = F.array(*[F.lit(m) for m in [0] + [1 << p for p in range(6)]])
+    probes = (
+        buck.select(
+            F.col("vec_id").alias("anchor"),
+            F.col("label").alias("anchor_label"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+            "bucket",
+        )
+        .select(
+            "anchor", "anchor_label", "ea", "na",
+            F.explode(masks).alias("mask"), "bucket",
+        )
+        .select(
+            "anchor", "anchor_label", "ea", "na",
+            F.col("bucket").bitwiseXOR(F.col("mask")).alias("pb"),
+        )
+    )
+    cand = buck.select(
+        F.col("vec_id").alias("nn"),
+        F.col("label").alias("nn_label"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("bucket").alias("cb"),
+    )
+    from pyspark.sql.window import Window as W
+
+    cosine = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    scored = (
+        probes.join(cand, F.col("cb") == F.col("pb"))
+        .filter(F.col("nn") != F.col("anchor"))
+        .select("anchor", "anchor_label", "nn", "nn_label", cosine.alias("cosine"))
+    )
+    w1 = W.partitionBy("anchor").orderBy(F.desc("cosine"), "nn")
+    nn1 = (
+        scored.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("anchor_label", "nn_label")
+    )
+    same = F.sum(
+        F.when(F.col("nn_label") == F.col("anchor_label"), 1).otherwise(0)
+    )
+    return (
+        nn1.groupBy(F.col("anchor_label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_anchors"),
+            same.cast("long").alias("n_same"),
+            (same.cast("double") / F.count(F.lit(1))).alias("purity"),
+        )
+        .orderBy("label")
+    )

@@ -286,6 +286,12 @@ ROUND10_QUEUE: list[str] = [
     "profile_column_storage",
     "orders_ship_delay_sla",
     "dq_monotonic_id_gaps",
+    "lake_clone_shallow",
+    "q72_grouping_id",
+    "text_bpe_fertility_by_lang",
+    "mm_image_tile_grid",
+    "ml_knn_label_purity_bucketed",
+    "stream_session_abandonment",
 ]
 
 # Round-9 window (positions 1-50):

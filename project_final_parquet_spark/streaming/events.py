@@ -534,3 +534,99 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start_us", "event_type", "n_events"
     )
     return topk_per_window(counts)
+
+
+def session_abandonment(events: DataFrame) -> DataFrame:
+    """Per-user gap sessions with a purchase flag — the stateful stage
+    (one session_window aggregate; batch ≡ stream). The hourly
+    abandonment readout below is stateless over this frame."""
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_purchases"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "n_purchases",
+        )
+    )
+
+
+def abandonment_by_hour(sessions: DataFrame) -> DataFrame:
+    """Stateless hourly readout over the session frame."""
+    aband = F.sum(F.when(F.col("n_purchases") == 0, 1).otherwise(0))
+    return (
+        sessions.groupBy(
+            (
+                F.col("session_start_us")
+                - F.col("session_start_us") % _US_HOUR
+            ).alias("hour_start_us")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            aband.cast("long").alias("n_abandoned"),
+            (aband.cast("double") / F.count(F.lit(1))).alias(
+                "abandonment_rate"
+            ),
+        )
+        .orderBy("hour_start_us")
+    )
+
+
+@query(
+    "stream_session_abandonment",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pur,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_US_30MIN}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    numbered AS (
+      SELECT user_id, t, pur,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, MIN(t) AS s, CAST(SUM(pur) AS BIGINT) AS n_pur
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT s - s % {_US_HOUR} AS hour_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_pur = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_abandoned,
+           CAST(SUM(CASE WHEN n_pur = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS abandonment_rate
+    FROM sessions
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_session_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session abandonment by hour: gap sessions (the session_window
+    stage stream_session_windows already proves batch ≡ stream) carry a
+    purchase count; sessions with zero purchases are abandoned, rolled
+    up by session-start hour — the funnel-health series a commerce team
+    alerts on. Streaming decomposition: the ONLY stateful stage is the
+    per-(user, session) aggregate (watermark-evicted); the hourly
+    abandonment rollup is a stateless readout over emitted sessions
+    (tests prove the drained stream + readout equals this batch form).
+
+    Scale: one session_window aggregate keyed by user (state = open
+    sessions only), then an |hours|-key map-side rollup."""
+    ev = _with_event_time(load(spark, sf_dir, "events"))
+    return abandonment_by_hour(session_abandonment(ev))

@@ -692,3 +692,152 @@ def test_id_gap_audit_matches_replay(spark):
     assert row.max_gap == max(
         b - a for a, b in zip(ids, ids[1:])
     )
+
+
+# --- wave 3 -------------------------------------------------------------------
+
+
+def test_clone_shallow_is_zero_copy_and_isolated(spark, tmp_path):
+    from project_final_parquet_spark.operators.lake_queries import (
+        orders_lake,
+    )
+
+    src = orders_lake(spark, SMALL_SF)
+    clone = src.clone_shallow(tmp_path / "clone")
+    src_paths = {e.path for e in src.manifest()}
+    assert {e.path for e in clone.manifest()} == src_paths  # zero copy
+    # reads identical
+    assert clone.read(spark).count() == src.read(spark).count()
+    # a new commit on the clone never touches source files
+    import pyspark.sql.functions as F
+
+    extra = clone.read(spark).limit(5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    clone.commit_append(extra, num_files=1)
+    assert {e.path for e in src.manifest()} == src_paths
+    new_files = {e.path for e in clone.manifest()} - src_paths
+    assert new_files and all(
+        str(clone.root) in p for p in new_files
+    )
+    # cloning onto an existing log refuses loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        src.clone_shallow(tmp_path / "clone")
+
+
+def test_grouping_id_levels_partition_counts(spark):
+    rows = all_queries()["q72_grouping_id"](spark, SMALL_SF).collect()
+    total = [r for r in rows if r.grouping_level == 3]
+    leaves = [r for r in rows if r.grouping_level == 0]
+    subs = [r for r in rows if r.grouping_level == 1]
+    assert len(total) == 1
+    assert sum(r.n_orders for r in leaves) == total[0].n_orders
+    assert sum(r.n_orders for r in subs) == total[0].n_orders
+    assert {r.priority for r in total} == {"<all>"}
+
+
+def test_fertility_matches_replay(spark):
+    import re
+
+    docs = pd.read_parquet(f"{SMALL_SF}/documents.parquet")
+    pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 ]")
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in docs.itertuples():
+        a = agg[r.lang]
+        a[0] += 1
+        a[1] += len(r.text.split(" "))
+        a[2] += len(pat.findall(r.text))
+        a[3] += r.n_chars
+    got = all_queries()["text_bpe_fertility_by_lang"](
+        spark, SMALL_SF
+    ).collect()
+    for r in got:
+        n, ws, bpe, ch = agg[r.lang]
+        assert (r.n_docs, r.ws_tokens, r.bpe_tokens) == (n, ws, bpe)
+        assert math.isclose(r.fertility, bpe / ws, rel_tol=1e-12)
+        assert math.isclose(r.chars_per_token, ch / bpe, rel_tol=1e-12)
+
+
+def test_image_tile_grid_tiles_every_image(spark):
+    got = all_queries()["mm_image_tile_grid"](spark, SMALL_SF).collect()
+    by_doc = defaultdict(list)
+    for r in got:
+        by_doc[r.doc_id].append(r)
+    for doc_id, tiles in by_doc.items():
+        assert doc_id % 2 == 0
+        w, h = 4 + doc_id % 5, 3 + doc_id % 3
+        nx, ny = (w + 1) // 2, (h + 1) // 2
+        assert len(tiles) == nx * ny
+        # tiles cover every pixel exactly once
+        covered = set()
+        for t in tiles:
+            assert t.width == w and t.height == h
+            for x in range(t.x0, t.x1):
+                for y in range(t.y0, t.y1):
+                    assert (x, y) not in covered
+                    covered.add((x, y))
+        assert len(covered) == w * h
+
+
+def test_knn_purity_matches_replay(spark):
+    emb = pd.read_parquet(f"{SMALL_SF}/embeddings.parquet")
+    rows = []
+    for r in emb.itertuples():
+        v = [float(x) for x in r.embedding]
+        b = 0
+        for p, plane in enumerate(_PLANES):
+            acc = 0.0
+            for x, y in zip(v, plane):
+                acc += x * y
+            if acc > 0:
+                b += 1 << p
+        rows.append(
+            (int(r.vec_id), int(r.label), v, b,
+             math.sqrt(sum(x * x for x in v)))
+        )
+    masks = [0] + [1 << p for p in range(6)]
+    per_label = defaultdict(lambda: [0, 0])
+    for vid, label, vec, bucket, nrm in rows:
+        probe = {bucket ^ m for m in masks}
+        best = None
+        for cid, clabel, cvec, cb, cn in rows:
+            if cid == vid or cb not in probe:
+                continue
+            acc = 0.0
+            for x, y in zip(vec, cvec):
+                acc += x * y
+            key = (-(acc / (nrm * cn)), cid)
+            if best is None or key < best[0]:
+                best = (key, clabel)
+        if best is not None:
+            per_label[label][0] += 1
+            per_label[label][1] += best[1] == label
+    got = all_queries()["ml_knn_label_purity_bucketed"](
+        spark, SMALL_SF
+    ).collect()
+    assert {r.label: (r.n_anchors, r.n_same) for r in got} == {
+        k: tuple(v) for k, v in per_label.items()
+    }
+
+
+def test_session_abandonment_batch_equals_stream(spark, sf_dir):
+    from test_streaming import _event_stream, _run_to_completion, _rows
+
+    from project_final_parquet_spark.streaming.events import (
+        abandonment_by_hour,
+        session_abandonment,
+    )
+
+    stream = session_abandonment(
+        _event_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    )
+    _run_to_completion(stream, "t_aband_sessions")
+    sessions = spark.sql(
+        "SELECT user_id, session_start_us, n_events, n_purchases "
+        "FROM t_aband_sessions"
+    )
+    got = _rows(abandonment_by_hour(sessions))
+    exp = _rows(all_queries()["stream_session_abandonment"](spark, sf_dir))
+    assert got == exp

@@ -289,8 +289,14 @@ BATTERY12 = [
     "embeddings_dim_quantiles",        # 64 independent rank sorts
     "sample_unigram_neg_sampling",     # token agg + sqrt-sqrt weights
     "profile_column_storage",          # footer metadata only
-    "orders_ship_delay_sla",           # orderkey join + 5-way rank
+    "orders_ship_delay_sla",           # orderkey join + delay histogram
     "dq_monotonic_id_gaps",            # distinct + one ordered pass
+    "lake_clone_shallow",              # manifest-only clone + read
+    "q72_grouping_id",                 # one ROLLUP expand
+    "text_bpe_fertility_by_lang",      # map-side regex + lang rollup
+    "mm_image_tile_grid",              # mapInPandas decode + grid explode
+    "ml_knn_label_purity_bucketed",    # x7 probe + bucket join + top-1
+    "stream_session_abandonment",      # session agg + hourly readout
 ]
 
 
