@@ -389,20 +389,23 @@ def main() -> None:
             break
         out["queries"] = {n: round(s, digits) for n, s in timings.items()}
         line = json.dumps(out, separators=(",", ":"))
-    # Rotate which queries lose final-line detail. HEADLINE (155) has
-    # outgrown what one 1900-byte line holds (~68 entries), so a
-    # 2-round union can no longer cover every name; the rotation is
-    # now THREE-deep: drop names covered by the newest parsed record
-    # first, then names covered by the one before it, and PROTECT
-    # names absent from both (they would otherwise miss two
-    # consecutive parsed records — the r7 VERDICT item 4 failure
-    # mode). Steady state: every name lands in the parsed history at
-    # least once per ~3 rounds, and the warn line below stays empty
-    # while capacity holds.
-    prev2 = _prev_benches(2)
-    prev_detail = set(prev2[0].get("queries", {})) if prev2 else set()
+    # Rotate which queries lose final-line detail. HEADLINE (197 after
+    # round 9) has outgrown what one 1900-byte line holds (~66-70
+    # entries), so even a 3-round union sits at the knife edge
+    # (3 x 66 = 198 — measured overflowing by 2 the round HEADLINE hit
+    # 197); the rotation is now FOUR-deep: drop names covered by the
+    # newest parsed record first, then the one before, then the one
+    # before that, and PROTECT names absent from all three. Steady
+    # state: every name lands in the parsed history at least once per
+    # ~4 rounds (capacity ~4 x 66 = 264 names), and the warn line below
+    # stays empty while capacity holds.
+    prevs = _prev_benches(3)
+    prev_detail = set(prevs[0].get("queries", {})) if prevs else set()
     prev2_detail = (
-        set(prev2[1].get("queries", {})) if len(prev2) > 1 else set()
+        set(prevs[1].get("queries", {})) if len(prevs) > 1 else set()
+    )
+    prev3_detail = (
+        set(prevs[2].get("queries", {})) if len(prevs) > 2 else set()
     )
     omitted = 0
     while len(line) > _MAX_FINAL_LINE and out["queries"]:
@@ -411,7 +414,11 @@ def main() -> None:
             key=lambda n: (
                 0
                 if n in prev_detail
-                else (1 if n in prev2_detail else 2),
+                else (
+                    1
+                    if n in prev2_detail
+                    else (2 if n in prev3_detail else 3)
+                ),
                 out["queries"][n],
                 n,
             ),
@@ -424,22 +431,23 @@ def main() -> None:
         f"final bench line {len(line)}B > {_MAX_FINAL_LINE}B — would be "
         "truncated by the driver's tail capture; trim HEADLINE"
     )
-    # self-check (r7 VERDICT item 4, retuned for the 3-deep rotation):
-    # a HEADLINE name absent from the last TWO parsed records is in the
-    # protected class and must be in this line; if it still is not,
-    # it's about to miss a third consecutive record — the rotation is
-    # out of capacity, so warn loudly on an earlier line.
-    gone_thrice = sorted(
+    # self-check (r7 VERDICT item 4, retuned for the 4-deep rotation):
+    # a HEADLINE name absent from the last THREE parsed records is in
+    # the protected class and must be in this line; if it still is
+    # not, it's about to miss a fourth consecutive record — the
+    # rotation is out of capacity, so warn loudly on an earlier line.
+    gone_four = sorted(
         n
         for n in timings
         if n not in out["queries"]
         and n not in prev_detail
         and n not in prev2_detail
+        and n not in prev3_detail
     )
-    if gone_thrice:
+    if gone_four:
         print(
             json.dumps(
-                {"warn_missing_three_parsed_records": gone_thrice},
+                {"warn_missing_four_parsed_records": gone_four},
                 separators=(",", ":"),
             )
         )
