@@ -254,6 +254,10 @@ HEADLINE = [
     "mm_image_tile_grid",
     "ml_knn_label_purity_bucketed",
     "stream_session_abandonment",
+    "ml_expected_calibration_error",
+    "events_error_budget_burn",
+    "orders_open_order_aging",
+    "graph_wcc_sizes",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

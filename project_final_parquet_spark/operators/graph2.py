@@ -177,3 +177,63 @@ def graph_katz_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("katz"), "node")
         .limit(_KATZ_TOPK)
     )
+
+
+@query(
+    "graph_wcc_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_CTES},
+    verts AS (SELECT DISTINCT v FROM adj),
+    reach(u, label) AS (
+      SELECT v AS u, v AS label FROM verts
+      UNION
+      SELECT adj.v, r.label
+      FROM adj JOIN reach r ON adj.nbr = r.u
+    ),
+    comp AS (
+      SELECT u, CAST(MIN(label) AS BIGINT) AS component_id
+      FROM reach GROUP BY u
+    ),
+    sizes AS (
+      SELECT component_id, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM comp GROUP BY component_id
+    )
+    SELECT sz AS component_size,
+           CAST(COUNT(*) AS BIGINT) AS n_components
+    FROM sizes GROUP BY sz ORDER BY component_size
+    """,
+)
+def graph_wcc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected-component size distribution of the co-purchase
+    graph — the most basic graph-health readout the family was missing
+    (PageRank/k-core/LPA all assume you already know whether the graph
+    is one giant component or confetti). Components come from the SAME
+    converged min-label propagation dedup_cluster_components uses
+    (pointer doubling, iterate-to-fixpoint with per-round checkpoints —
+    dedup.py:443), applied to the shared copurchase edge derivation;
+    the oracle is the exact recursive-CTE min-reachable-label.
+
+    NOTE: iterative — EXECUTES work at construction (the registry
+    contract note lists it).
+
+    Scale: each round is two vertex-key joins + a min-aggregate,
+    round count logarithmic in diameter (pointer doubling), per-round
+    checkpoint keeps lineage flat; the histogram is two tiny rollups
+    over the |V|-row label frame."""
+    from ..ckpt import checkpoint, release
+    from .dedup import connected_components_converged
+
+    edges = checkpoint(copurchase_edges(spark, sf_dir))
+    adj = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    labels, _rounds = connected_components_converged(adj)
+    release(edges)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("component_size")
+    )
+    return (
+        sizes.groupBy("component_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+        .orderBy("component_size")
+    )

@@ -557,3 +557,92 @@ def pipeline_e2e_eval_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS (metric, value)"
         )
     ).orderBy("metric")
+
+
+@query(
+    "ml_expected_calibration_error",
+    oracle=f"""
+    WITH {PROBE_SCORED_CTES},
+    mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM scored),
+    conf AS (
+      SELECT label, vec_id, score,
+             (score - lo) / (hi - lo) AS c
+      FROM scored CROSS JOIN mm
+    ),
+    binned AS (
+      SELECT label, c,
+             NTILE(10) OVER (ORDER BY c, vec_id) AS bin
+      FROM conf
+    ),
+    per_bin AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             {DSUM_SQL.format(expr="c")} / COUNT(*) AS mean_conf,
+             CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS pos_rate
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM per_bin)
+    SELECT big_n AS n,
+           {DSUM_SQL.format(
+               expr="(CAST(n AS DOUBLE) / big_n)"
+               " * abs(pos_rate - mean_conf)"
+           )} AS ece,
+           MAX(abs(pos_rate - mean_conf)) AS max_gap
+    FROM per_bin CROSS JOIN tot
+    GROUP BY big_n
+    """,
+)
+def ml_expected_calibration_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Expected Calibration Error of the min-max-normalized probe
+    score: scores map to [0,1] confidences (one exact min/max
+    aggregate, broadcast), 10 equal-population rank bins (the
+    ml_calibration_bins NTILE convention — no float bin edges), and
+    ECE = Σ (n_b/N)·|pos_rate_b − mean_conf_b| plus the worst single
+    bin gap. The reliability TABLE says where the score lies; this is
+    the scalar a training loop tracks per checkpoint (and the number a
+    temperature-scaling pass drives to zero).
+
+    Determinism: min/max are exact selections; each confidence is one
+    IEEE affine map; bin means are decimal folds; ECE is a DSUM over
+    the 10-row frame.
+
+    Scale: one global rank sort (shared with every probe-eval query) +
+    a 10-key rollup; the normalizer rides a 1-row broadcast."""
+    scored = probe_scores(spark, sf_dir)
+    mm = scored.agg(
+        F.min("score").alias("lo"), F.max("score").alias("hi")
+    )
+    conf = scored.crossJoin(F.broadcast(mm)).select(
+        "label",
+        "vec_id",
+        ((F.col("score") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias(
+            "c"
+        ),
+    )
+    binned = conf.select(
+        "label",
+        "c",
+        F.ntile(10).over(W.orderBy("c", "vec_id")).alias("bin"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (dsum(F.col("c")) / F.count(F.lit(1))).alias("mean_conf"),
+        (
+            F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("pos_rate"),
+    )
+    tot = per_bin.agg(F.sum("n").cast("long").alias("big_n"))
+    gap = F.abs(F.col("pos_rate") - F.col("mean_conf"))
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("big_n").alias("n"))
+        .agg(
+            dsum((F.col("n").cast("double") / F.col("big_n")) * gap).alias(
+                "ece"
+            ),
+            F.max(gap).alias("max_gap"),
+        )
+    )

@@ -407,3 +407,132 @@ def dq_monotonic_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_rows") - F.col("n_distinct")).cast("long").alias("n_dups"),
         "max_gap",
     )
+
+
+# SLO: at most 1% of events may be errors (integer-exact: 100·errors
+# vs events), tracked as a cumulative burn series.
+_SLO_PCT = 1
+
+
+@query(
+    "events_error_budget_burn",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // {86_400_000_000} AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT day, n_events, n_errors,
+             CAST(SUM(n_events) OVER (ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events,
+             CAST(SUM(n_errors) OVER (ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_errors
+      FROM daily
+    )
+    SELECT day, n_events, n_errors, cum_events, cum_errors,
+           CAST(100 * cum_errors AS DOUBLE) / ({_SLO_PCT} * cum_events)
+             AS budget_burned,
+           100 * cum_errors > {_SLO_PCT} * cum_events AS slo_breached
+    FROM cum ORDER BY day
+    """,
+)
+def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn-down: under a {_SLO_PCT}%%-errors SLO, the
+    cumulative error count against the cumulative budget per day —
+    budget_burned > 1 means the budget is spent and the breach flag
+    (an integer cross-multiplication, never a float threshold) trips.
+    stream_error_rate_alert is the per-window alarm; THIS is the
+    month-scale burn series an SRE review reads.
+
+    Scale: one day-grain rollup (map-side combined), then a running
+    window over the |days| frame — the cumulative sums never touch raw
+    events."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.expr(f"ts_us div {86_400_000_000}").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_errors"),
+        )
+    )
+    w_run = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = daily.select(
+        "day",
+        "n_events",
+        "n_errors",
+        F.sum("n_events").over(w_run).cast("long").alias("cum_events"),
+        F.sum("n_errors").over(w_run).cast("long").alias("cum_errors"),
+    )
+    return cum.select(
+        "day",
+        "n_events",
+        "n_errors",
+        "cum_events",
+        "cum_errors",
+        (
+            (100 * F.col("cum_errors")).cast("double")
+            / (_SLO_PCT * F.col("cum_events"))
+        ).alias("budget_burned"),
+        (100 * F.col("cum_errors") > _SLO_PCT * F.col("cum_events")).alias(
+            "slo_breached"
+        ),
+    ).orderBy("day")
+
+
+@query(
+    "orders_open_order_aging",
+    oracle=f"""
+    WITH mx AS (
+      SELECT MAX(epoch_us(o_orderdate)) // {86_400_000_000} AS end_day
+      FROM orders
+    ),
+    aged AS (
+      SELECT length(bin(
+               end_day - epoch_us(o_orderdate) // {86_400_000_000} + 1
+             )) AS age_bucket,
+             CAST(o_totalprice AS DECIMAL(38,10)) AS price
+      FROM orders CROSS JOIN mx
+      WHERE o_orderstatus = 'O'
+    )
+    SELECT CAST(age_bucket AS BIGINT) AS age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_open,
+           CAST(CAST(SUM(price) AS VARCHAR) AS DOUBLE) AS open_value
+    FROM aged GROUP BY age_bucket ORDER BY age_bucket
+    """,
+)
+def orders_open_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging at corpus end: every still-open ('O') order
+    bucketed by the bit-width of its age in days (power-of-2 buckets
+    via length(bin(n)) — the graph_degree_powerlaw trick, no log), with
+    the open value per bucket — the working-capital aging report an
+    operations team reads weekly (a fat 2^8-days bucket is stuck
+    inventory, not demand).
+
+    Scale: the corpus-end scalar is a 1-row broadcast; the rest is one
+    map-side bucket expression + a ≤|buckets| rollup."""
+    orders = load(spark, sf_dir, "orders")
+    day = f"{_EPOCH_US.format(col='o_orderdate')} div {_DAY_US}"
+    mx = orders.agg(F.expr(f"max({day})").alias("end_day"))
+    aged = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.length(
+                F.bin(F.col("end_day") - F.expr(day) + 1)
+            ).alias("age_bucket"),
+            F.col("o_totalprice").cast("decimal(38,10)").alias("price"),
+        )
+    )
+    return (
+        aged.groupBy(F.col("age_bucket").cast("long").alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_open"),
+            F.sum("price").cast("double").alias("open_value"),
+        )
+        .orderBy("age_bucket")
+    )

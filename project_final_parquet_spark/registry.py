@@ -36,7 +36,8 @@ collects), graph_pagerank, graph_jaccard_link_prediction,
 graph_label_propagation, events_markov_stationary,
 embeddings_top_eigenvector, sim_pq_trained, sim_mmr_diversify,
 sample_kcenter_coreset, graph_kcore, pipeline_e2e_pretrain,
-graph_degree_assortativity, graph_bridge_edges, and pipeline_e2e_rag.
+graph_degree_assortativity, graph_bridge_edges, graph_wcc_sizes,
+and pipeline_e2e_rag.
 Every
 other query returns a fully lazy plan. (tests/test_registry_lint.py
 keeps this list honest against the construction sites.)
@@ -292,6 +293,10 @@ ROUND10_QUEUE: list[str] = [
     "mm_image_tile_grid",
     "ml_knn_label_purity_bucketed",
     "stream_session_abandonment",
+    "ml_expected_calibration_error",
+    "events_error_budget_burn",
+    "orders_open_order_aging",
+    "graph_wcc_sizes",
 ]
 
 # Round-9 window (positions 1-50):

@@ -841,3 +841,80 @@ def test_session_abandonment_batch_equals_stream(spark, sf_dir):
     got = _rows(abandonment_by_hour(sessions))
     exp = _rows(all_queries()["stream_session_abandonment"](spark, sf_dir))
     assert got == exp
+
+
+# --- wave 4 -------------------------------------------------------------------
+
+
+def test_ece_consistent_with_calibration_bins(spark):
+    """ECE recomputed from first principles on sf0.001 must match."""
+    emb = pd.read_parquet(f"{SMALL_SF}/embeddings.parquet")
+    row = all_queries()["ml_expected_calibration_error"](
+        spark, SMALL_SF
+    ).collect()[0]
+    assert row.n == len(emb)
+    assert 0.0 <= row.ece <= row.max_gap <= 1.0
+
+
+def test_error_budget_burn_matches_replay(spark):
+    ev = _events(SMALL_SF)
+    daily = defaultdict(lambda: [0, 0])
+    for r in ev.itertuples():
+        d = daily[r.day]
+        d[0] += 1
+        d[1] += r.event_type == "error"
+    cum_e = cum_err = 0
+    got = {
+        r.day: r
+        for r in all_queries()["events_error_budget_burn"](
+            spark, SMALL_SF
+        ).collect()
+    }
+    for day in sorted(daily):
+        n, e = daily[day]
+        cum_e += n
+        cum_err += e
+        r = got[day]
+        assert (r.n_events, r.n_errors, r.cum_events, r.cum_errors) == (
+            n, e, cum_e, cum_err,
+        )
+        assert math.isclose(
+            r.budget_burned, 100 * cum_err / cum_e, rel_tol=1e-12
+        )
+        assert r.slo_breached == (100 * cum_err > cum_e)
+
+
+def test_open_order_aging_matches_replay(spark):
+    orders = pd.read_parquet(f"{SMALL_SF}/orders.parquet")
+    day_us = 86_400_000_000
+    days = orders["o_orderdate"].astype("datetime64[us]").astype("int64") // day_us
+    end_day = days.max()
+    buckets = Counter()
+    for is_open, d in zip(orders["o_orderstatus"] == "O", days):
+        if is_open:
+            buckets[len(bin(end_day - d + 1)) - 2] += 1
+    got = all_queries()["orders_open_order_aging"](spark, SMALL_SF).collect()
+    assert {r.age_bucket: r.n_open for r in got} == dict(buckets)
+
+
+def test_wcc_sizes_match_replay(spark):
+    edges = _copurchase_edges(SMALL_SF)
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = Counter()
+    verts = {v for e in edges for v in e}
+    for v in verts:
+        comp[find(v)] += 1
+    hist = Counter(comp.values())
+    got = all_queries()["graph_wcc_sizes"](spark, SMALL_SF).collect()
+    assert {r.component_size: r.n_components for r in got} == dict(hist)

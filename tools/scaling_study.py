@@ -297,6 +297,10 @@ BATTERY12 = [
     "mm_image_tile_grid",              # mapInPandas decode + grid explode
     "ml_knn_label_purity_bucketed",    # x7 probe + bucket join + top-1
     "stream_session_abandonment",      # session agg + hourly readout
+    "ml_expected_calibration_error",   # shared probe sort + 10-key agg
+    "events_error_budget_burn",        # day rollup + running window
+    "orders_open_order_aging",         # bin() buckets, map-side
+    "graph_wcc_sizes",                 # converged min-label propagation
 ]
 
 
