@@ -457,11 +457,12 @@ class LakeTable:
         file — past that the DV is no longer metadata-scale and the
         caller is pointed at the rewrite path.
 
-        Scale contract: the matched keys are computed by ONE
-        stats-pruned scan over every touched file grouped by
-        ``input_file_name()`` — a predicate touching thousands of
-        files costs a constant number of Spark jobs, never a
-        per-file driver loop. A file that already carries a DV gets
+        Scale contract: the matched keys are computed by TWO
+        stats-pruned scans over every touched file grouped by
+        ``input_file_name()`` (a constant-memory count-only
+        validation job, then the bounded collecting job) — a
+        predicate touching thousands of files costs a CONSTANT
+        number of Spark jobs, never a per-file driver loop. A file that already carries a DV gets
         its old sidecar's keys UNIONED into the replacement (repeat
         deletes accumulate; the per-file cap applies to the merged
         set), so no earlier commit's deletions are resurrected.
@@ -483,16 +484,23 @@ class LakeTable:
         }
         if not touched_paths:
             return parent
-        # ONE scan over ALL touched files, grouped by source file, ONE
-        # aggregation job: distinct-key count (the cap check) and the
-        # key list are computed together. The collected list is sliced
-        # to the cap INSIDE the aggregation, so even the over-cap error
-        # path ships at most DV_MAX_KEYS keys per file to the driver;
-        # the count column detects truncation and raises before any
-        # truncated list could be used. mergeSchema matches every other
-        # multi-file read path — after schema evolution a predicate/key
-        # column added in a later commit must still resolve (files
-        # lacking it contribute NULLs, which match no equality key).
+        # TWO constant-count jobs over ALL touched files, both grouped
+        # by source file (ADVICE r9: the r8 single-job merge let
+        # collect_set materialize an UNBOUNDED per-file key set in
+        # executor aggregation buffers before the cap error fired —
+        # an unbounded delete predicate could pressure executor memory
+        # at scale). Job 1 is the cheap count-only validation pass:
+        # countDistinct aggregates in constant memory per group, so an
+        # over-cap predicate fails loudly WITHOUT ever buffering a key
+        # list. Job 2 (reached only when every file is under the cap)
+        # collects the key lists, now provably bounded at DV_MAX_KEYS
+        # keys per file in both executor buffers and driver transfer.
+        # The job count stays CONSTANT in touched-file count — never a
+        # per-file driver loop (pinned by tests/test_lake_dv_round8).
+        # mergeSchema matches every other multi-file read path — after
+        # schema evolution a predicate/key column added in a later
+        # commit must still resolve (files lacking it contribute NULLs,
+        # which match no equality key).
         hits = (
             spark.read.option("mergeSchema", "true")
             .parquet(*sorted(touched_paths))
@@ -502,25 +510,23 @@ class LakeTable:
                 F.col(key_col).alias("__k"),
             )
         )
-        grouped = (
+        counts = (
             hits.groupBy("__file")
-            .agg(
-                F.countDistinct("__k").alias("n"),
-                F.slice(
-                    F.sort_array(F.collect_set("__k")),
-                    1,
-                    self.DV_MAX_KEYS,
-                ).alias("__keys"),
-            )
+            .agg(F.countDistinct("__k").alias("n"))
             .collect()
         )
-        over = [r for r in grouped if r["n"] > self.DV_MAX_KEYS]
+        over = [r for r in counts if r["n"] > self.DV_MAX_KEYS]
         if over:
             raise ValueError(
                 f"DV for {over[0]['__file']} exceeds "
                 f"{self.DV_MAX_KEYS} keys; use delete_where "
                 "(copy-on-write rewrite) for deletes this wide"
             )
+        grouped = (
+            hits.groupBy("__file")
+            .agg(F.sort_array(F.collect_set("__k")).alias("__keys"))
+            .collect()
+        )
         keys_by_file = {r["__file"]: list(r["__keys"]) for r in grouped}
         # loud guard (ADVICE r8): a grouped file name outside the
         # stats-pruned touch set means _FILE_EXPR and the manifest

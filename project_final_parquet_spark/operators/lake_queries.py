@@ -1063,6 +1063,17 @@ def lake_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(clone_root)
     clone = table.clone_shallow(clone_root)
     src_files = {e.path for e in table.manifest()}
+    # ADVICE r9: the oracle pins n_files_shared to the staging literal
+    # 2*_FILES_PER_COMMIT; assert the staging invariant HERE so a
+    # future change to orders_lake (file count, compaction) fails as a
+    # targeted error at the source, not a confusing hash mismatch.
+    if len(src_files) != 2 * _FILES_PER_COMMIT:
+        raise AssertionError(
+            "orders_lake staging drifted: expected "
+            f"{2 * _FILES_PER_COMMIT} source files "
+            f"(2*_FILES_PER_COMMIT), found {len(src_files)} — update "
+            "the lake_clone_shallow oracle literal alongside"
+        )
     clone_files = {e.path for e in clone.manifest()}
     n_shared = len(src_files & clone_files)
     bytes_copied = sum(

@@ -182,7 +182,17 @@ def sample_unigram_neg_sampling(
       ) GROUP BY file_name
     ),
     target AS (
-      SELECT file_name FROM rc
+      -- ADVICE r9: the row-count disambiguation must be UNIQUE; fail
+      -- loudly on 0 or >1 matching files instead of silently emitting
+      -- zero rows (corpus staged elsewhere) or joining the wrong file
+      -- (two scale factors sharing an orders row count).
+      SELECT CASE
+               WHEN COUNT(*) = 1 THEN MIN(file_name)
+               ELSE error('profile_column_storage oracle: expected '
+                          || 'exactly 1 file matching the orders row '
+                          || 'count, found ' || COUNT(*)::VARCHAR)
+             END AS file_name
+      FROM rc
       WHERE n_rows = (SELECT COUNT(*) FROM orders)
     )
     SELECT path_in_schema AS column_name,
@@ -206,37 +216,72 @@ def profile_column_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle with DuckDB's parquet_metadata() — byte-identical
     numbers prove both engines see the same physical layout.
 
-    Scale: O(row-groups) footer metadata on the driver — zero data
-    pages read at any table size; on a multi-file table the footer
-    reads distribute as a binaryFile scan of footers (the manifest
-    already holds per-file byte sizes — lake/table.py:_file_entry)."""
+    Scale: the footer parse is DISTRIBUTED (round-10 rework of the r9
+    driver loop): the driver holds only the file-path list (the same
+    O(files) listing Spark's own scan planner does), and each task
+    opens its files' FOOTERS with pyarrow inside ``mapInPandas`` —
+    a seek-to-tail metadata read, zero data pages — emitting per-file
+    per-column partial sums that one ordinary groupBy combines. A
+    100 TB table with 10⁵ files costs |files|/parallelism footer reads
+    per task and a |columns|-row shuffle; the driver never loops
+    files. Integer byte sums are exact, so the parallel combine is
+    order-independent."""
     from pathlib import Path
-
-    import pyarrow.parquet as pq
 
     root = Path(f"{sf_dir.rstrip('/')}/orders.parquet")
     # the driver corpus is one file per table; synthetic/staged corpora
     # (scaling study, lake layouts) write a directory of part files —
     # footer aggregation is identical either way
-    files = sorted(root.glob("*.parquet")) if root.is_dir() else [root]
-    agg: dict[str, list[int]] = {}
-    for f in files:
-        md = pq.ParquetFile(f).metadata
-        for rg in range(md.num_row_groups):
-            for ci in range(md.num_columns):
-                col = md.row_group(rg).column(ci)
-                name = col.path_in_schema
-                cur = agg.setdefault(name, [0, 0])
-                cur[0] += col.total_compressed_size
-                cur[1] += col.total_uncompressed_size
-    rows = [
-        (name, c, u, u / c) for name, (c, u) in sorted(agg.items())
+    files = [
+        str(f)
+        for f in (
+            sorted(root.glob("*.parquet")) if root.is_dir() else [root]
+        )
     ]
-    return spark.createDataFrame(
-        rows,
-        "column_name string, compressed_bytes long, "
-        "uncompressed_bytes long, compression_ratio double",
-    ).orderBy("column_name")
+
+    def _footer_sums(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out: dict[str, list[int]] = {}
+            for path in pdf["path"]:
+                md = pq.ParquetFile(path).metadata
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        col = md.row_group(rg).column(ci)
+                        cur = out.setdefault(col.path_in_schema, [0, 0])
+                        cur[0] += col.total_compressed_size
+                        cur[1] += col.total_uncompressed_size
+            if out:
+                yield pd.DataFrame(
+                    [(n, c, u) for n, (c, u) in out.items()],
+                    columns=["column_name", "comp", "uncomp"],
+                )
+
+    paths = spark.createDataFrame(
+        [(p,) for p in files], "path string"
+    ).repartition(min(len(files), 32))
+    partial = paths.mapInPandas(
+        _footer_sums, "column_name string, comp long, uncomp long"
+    )
+    return (
+        partial.groupBy("column_name")
+        .agg(
+            F.sum("comp").cast("long").alias("compressed_bytes"),
+            F.sum("uncomp").cast("long").alias("uncompressed_bytes"),
+        )
+        .select(
+            "column_name",
+            "compressed_bytes",
+            "uncompressed_bytes",
+            (
+                F.col("uncompressed_bytes").cast("double")
+                / F.col("compressed_bytes")
+            ).alias("compression_ratio"),
+        )
+        .orderBy("column_name")
+    )
 
 
 _SLA_DAYS = 100  # ship within 100 days of order date

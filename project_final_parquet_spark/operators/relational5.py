@@ -357,7 +357,7 @@ def q70_recursive_org_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey, o_orderkey, o_orderpriority,
              CASE WHEN ROW_NUMBER() OVER (
                     PARTITION BY o_custkey, o_orderpriority
-                    ORDER BY o_orderdate, o_orderkey) = 1
+                    ORDER BY o_orderkey) = 1
                   THEN 1 ELSE 0 END AS is_first
       FROM orders WHERE o_custkey % 10 = 0
     )
@@ -380,10 +380,13 @@ def q71_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     markers — two ordinary window passes over the SAME partition key,
     no distinct-aggregate support needed in either engine.
 
-    Note the running sum orders by o_orderkey ALONE (unique within a
-    customer): ordering by date would make the running value ambiguous
-    under same-day ties — the determinism rule every windowed query
-    here follows.
+    BOTH windows order by o_orderkey ALONE (unique within a customer,
+    so deterministic): the marker window and the running sum must walk
+    the SAME sequence, or the prefix sum undercounts priorities seen
+    in the orderkey prefix whenever date order disagrees with key
+    order (ADVICE r9 — the earlier (o_orderdate, o_orderkey) marker
+    order had exactly that defect, invisible to the gate because the
+    oracle mirrored the construction).
 
     Scale: both windows partition by o_custkey — one shuffle, two
     in-partition passes; no join, no collect_set memory blow-up (the
@@ -396,7 +399,7 @@ def q71_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     w_first = W.partitionBy("o_custkey", "o_orderpriority").orderBy(
-        "o_orderdate", "o_orderkey"
+        "o_orderkey"
     )
     seq = orders.select(
         "o_custkey",

@@ -299,7 +299,43 @@ ROUND10_QUEUE: list[str] = [
     "graph_wcc_sizes",
 ]
 
-# Round-9 window (positions 1-50):
+# Names registered after the round-10 gate window freezes: position 51+
+# this round, leading the round-11 rotation. Grows as round-10 operators
+# land; tests/test_registry_lint.py asserts it exactly equals the set of
+# registered queries with no driver evidence that are outside the window.
+ROUND11_QUEUE: list[str] = []
+
+# Round-10 window (positions 1-50):
+#   1-37  ROUND10_QUEUE verbatim — every round-9 in-round addition
+#         (growth analytics, embedding geometry, bucketed range search,
+#         lake clone/evolution, calibration metrics), all local-oracle
+#         green at BOTH sf0.01 and sf0.001 in round 9, never
+#         driver-gated. After this round the driver union r1..r10
+#         covers the whole pre-freeze registry (371/371).
+#   38-50 freshness re-gates, oldest driver evidence first: the 13
+#         oldest remaining round-3 rows (in round-3-window order; all
+#         round-2 evidence was refreshed in round 9).
+# tests/test_registry_lint.py::test_round10_window_leads_with_queue
+# asserts all of this mechanically.
+_GATE_FIRST = [
+    *ROUND10_QUEUE,
+    # round-3 evidence (13 oldest remaining, round-3 window order)
+    "sim_random_projection",
+    "text_rare_token_score",
+    "events_anomaly_zscore",
+    "udaf_grouped_pandas",
+    "sim_pq_adc",
+    "text_bm25_rank",
+    "stream_static_enrich",
+    "dedup_canonicalize",
+    "layout_zorder_stats",
+    "graph_pagerank",
+    "profile_table",
+    "sample_rebalance_classes",
+    "dedup_eval_recall",
+]
+
+# Round-9 window (positions 1-50), kept for the ledger:
 #   1-24  ROUND9_QUEUE verbatim — every round-8 in-round addition
 #         (bucketed corpus-scale mining, retrieval/calibration metrics,
 #         lifecycle analytics, streaming error-rate alert, lake vacuum
@@ -309,9 +345,7 @@ ROUND10_QUEUE: list[str] = [
 #   25-50 freshness re-gates, oldest driver evidence first: the 11
 #         remaining round-2 rows (in round-2-window order), then the 15
 #         oldest round-3 rows (in round-3-window order).
-# tests/test_registry_lint.py::test_round9_window_leads_with_queue
-# asserts all of this mechanically.
-_GATE_FIRST = [
+_R9_GATE_FIRST = [
     *ROUND9_QUEUE,
     # round-2 evidence (11)
     "q54_ignore_nulls_window",

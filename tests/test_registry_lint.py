@@ -7,10 +7,10 @@ gate at least as strict as the driver on output shape:
 
 - no registered query emits an Array/Map/Struct output column
 - every registered query has a docstring; no oracle table typos
-- the round-9 gate window (first 50 of ``_GATE_FIRST``) leads with the
-  ROUND9_QUEUE verbatim and spends every refill slot on the oldest
-  remaining driver evidence (round-2 then round-3 names, in their
-  original window order)
+- the round-10 gate window (first 50 of ``_GATE_FIRST``) leads with the
+  ROUND10_QUEUE verbatim and spends every refill slot on the oldest
+  remaining driver evidence (round-3 names, in their original window
+  order)
 - the registry docstring's eager-at-construction contract note names
   every query whose module-local call graph reaches localCheckpoint
 """
@@ -31,8 +31,8 @@ from project_final_parquet_spark.registry import (
     _GATE_FIRST,
     _load_all,
     _REGISTRY,
-    ROUND9_QUEUE,
     ROUND10_QUEUE,
+    ROUND11_QUEUE,
 )
 
 
@@ -51,11 +51,21 @@ def test_gate_first_names_registered():
     assert not unknown
 
 
-def _latest_green() -> dict[str, int]:
+def _latest_green(max_round: int | None = None) -> dict[str, int]:
+    # ADVICE r9: glob every round and parse ALL trailing digits — the
+    # old CORRECTNESS_r0[12345678] single-char class broke at round 10
+    # (r10 would have parsed as round 0 under stem[-1]).
+    import re
+
     repo = Path(__file__).resolve().parent.parent
     latest: dict[str, int] = {}
-    for p in sorted(repo.glob("CORRECTNESS_r0[12345678].json")):
-        rnd = int(p.stem[-1])
+    for p in repo.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)", p.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         rec = json.loads(p.read_text())
         for name, row in rec.items():
             if row.get("hash_match") or row.get("rows_match"):
@@ -63,42 +73,37 @@ def _latest_green() -> dict[str, int]:
     return latest
 
 
-def test_round9_window_leads_with_queue():
-    """The round-9 rotation contract, asserted mechanically:
+def test_round10_window_leads_with_queue():
+    """The round-10 rotation contract, asserted mechanically:
 
-    - positions 1-24 are ROUND9_QUEUE verbatim (the round-8 in-round
+    - positions 1-37 are ROUND10_QUEUE verbatim (the round-9 in-round
       additions, never driver-gated) — after this round the driver
-      union r1..r9 covers every pre-freeze registration (334/334);
-    - every never-driver-gated query (vs CORRECTNESS_r01..r08) is
-      either in the window or a declared post-freeze ROUND10_QUEUE
-      name, and ROUND10_QUEUE contains nothing else;
-    - refill slots re-gate the oldest evidence in the ledger: every
-      remaining round-2 row is in the window, and the rest of the
-      refills carry round-3 evidence (nothing fresher).
+      union r1..r10 covers every pre-freeze registration (371/371);
+    - every never-driver-gated query (vs CORRECTNESS_r01..r09) is
+      either in the window or a declared post-freeze ROUND11_QUEUE
+      name, and ROUND11_QUEUE contains nothing else;
+    - refill slots re-gate the oldest evidence in the ledger: all 13
+      carry round-3 evidence (nothing fresher), and no round-1/round-2
+      evidence remains anywhere (rounds 7/9 refreshed it all).
     """
     _load_all()
-    latest_green = _latest_green()
+    latest_green = _latest_green(max_round=9)
     window = _GATE_FIRST[:50]
     assert len(window) == len(set(window)) == 50
-    assert window[: len(ROUND9_QUEUE)] == ROUND9_QUEUE
+    assert window[: len(ROUND10_QUEUE)] == ROUND10_QUEUE
     never_gated = {n for n in _REGISTRY if n not in latest_green}
-    assert set(ROUND10_QUEUE) == never_gated - set(window), (
-        "ROUND10_QUEUE must be exactly the never-driver-gated "
-        "registrations outside the round-9 window"
+    assert set(ROUND11_QUEUE) == never_gated - set(window), (
+        "ROUND11_QUEUE must be exactly the never-driver-gated "
+        "registrations outside the round-10 window"
     )
-    refills = window[len(ROUND9_QUEUE):]
+    refills = window[len(ROUND10_QUEUE):]
     fresh = {n: latest_green[n] for n in refills if latest_green[n] > 3}
     assert not fresh, f"refill slots wasted on fresh evidence: {fresh}"
-    # every remaining round-2 row must be re-gated this round
-    r2_left = {
-        n for n, rnd in latest_green.items() if rnd == 2 and n in _REGISTRY
-    }
-    assert r2_left <= set(refills), r2_left - set(refills)
-    # no r1-only names remain anywhere in the ledger
+    # no r1/r2-only names remain anywhere in the ledger
     leftover = {
         n
         for n, rnd in latest_green.items()
-        if rnd == 1 and n in _REGISTRY
+        if rnd <= 2 and n in _REGISTRY
     }
     assert leftover == set(), leftover
 
