@@ -258,6 +258,10 @@ HEADLINE = [
     "events_error_budget_burn",
     "orders_open_order_aging",
     "graph_wcc_sizes",
+    # round 10: the corpus-adaptive LSH index
+    "sim_range_search_adaptive",
+    "sim_pair_margin_adaptive",
+    "ml_knn_purity_adaptive",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

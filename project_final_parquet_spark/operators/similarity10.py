@@ -1,0 +1,407 @@
+"""Corpus-adaptive LSH index (round 10): plane count derived from the
+corpus size, so bucket occupancy — and with it the candidate fan-out of
+every bucketed-mining operator — stays CONSTANT as the corpus grows.
+
+The r9 VERDICT's top scale finding: the fixed ``_N_PLANES = 6`` index
+(similarity.py:142) holds bucket COUNT at 64 forever, so the same-bucket
+self-join produces Σ|bucket|² ≈ n²/64 candidate pairs — linear-looking
+at sf0.1, quadratic at 100× (battery12 measured 6.4×/7.7×/11.8× at 10×
+data for the three bucketed-mining queries). The production knob was
+documented but not implemented; this module implements it:
+
+    planes(n) = max(6, bit_length((n - 1) // TARGET_OCCUPANCY))
+
+i.e. the smallest plane count with expected occupancy ≤ TARGET_OCCUPANCY
+(=32), floored at the fixed index's 6 so small corpora are bit-identical
+to the existing index. Doubling the corpus adds one plane: occupancy
+stays in [TARGET/2, TARGET], candidate fan-out stays n·O(TARGET), and
+the radius-1 probe family grows only the logarithmic mask count. The
+formula is INTEGER-only (bit_length == LENGTH(BIN(x)) in DuckDB) so both
+engines derive the identical plane set from the identical corpus count —
+verified over a 28k-point n sweep in tests.
+
+Plane coefficients reuse ``_plane_coeff`` (similarity.py) — the same
+md5-derived literal seed at every count, so planes 0..5 ARE the fixed
+index and the adaptive index is a strict extension of it.
+
+Spark side: one cheap ``count()`` at construction (footer-statistics
+metadata read) picks the plane count; the plan itself stays the
+bucketed-mining shape (map-side bucket assignment, bounded probe
+explode, ONE bucket-key hash join). Oracle side: the SAME count via
+``COUNT(*)`` in a CTE, with all MAX_PLANES=24 plane bits written as
+literals and bit p masked out when p ≥ k. 24 planes caps the corpus at
+2^24·32 ≈ 537M vectors per LSH table; past that, shard the corpus or
+raise MAX_PLANES (a literal-width change, not a design change).
+
+Not in the reference (no vector surface — SURVEY.md §2.1); extends the
+similarity family. Fixed-plane variants (sim_range_search_lsh,
+sim_pair_margin_stats, ml_knn_label_purity_bucketed) are kept: the
+radius-1 semantics are plane-count-dependent, so these are gated as
+``_adaptive`` twins per the r9 VERDICT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import DSUM_SQL, dsum, query
+from ..tables import load
+from .similarity import (
+    _DIM,
+    _DOT_SQL,
+    _dot,
+    _NORM_SQL,
+    _norm,
+    _plane_coeff,
+)
+
+_TARGET_OCC = 32  # expected vectors per bucket the index aims for
+_MAX_PLANES = 24  # oracle literal width; 2^24 buckets ≈ 537M vectors
+_RANGE_TAU = "0.35"  # shared literal with sim_range_search_lsh
+
+_PLANES24 = [
+    [_plane_coeff(p, j) for j in range(_DIM)] for p in range(_MAX_PLANES)
+]
+
+
+def adaptive_planes(n: int) -> int:
+    """Smallest plane count with expected bucket occupancy ≤ 32,
+    floored at the fixed index's 6 and capped at the oracle literal
+    width (24 — past 2^24·32 ≈ 537M vectors, shard the corpus or
+    widen the literals). Integer-only: agrees with the oracle's
+    LEAST(24, GREATEST(6, LENGTH(BIN((n-1)//32)))) at every n ≥ 1."""
+    return min(_MAX_PLANES, max(6, ((n - 1) // _TARGET_OCC).bit_length()))
+
+
+# SQL fragment: the adaptive plane count from the corpus count. Used as
+# a 1-row CTE named ``np`` (column ``k``) in every oracle below.
+_NP_SQL = (
+    f"SELECT LEAST({_MAX_PLANES}, GREATEST(6, "
+    f"LENGTH(BIN((COUNT(*) - 1) // {_TARGET_OCC})))) AS k "
+    "FROM embeddings"
+)
+
+
+def _abucket_sql(vec: str) -> str:
+    """Adaptive bucket id in SQL: all 24 plane bits as literals, bit p
+    contributing only when p < np.k (the CASE masks the rest out)."""
+    terms = []
+    for p in range(_MAX_PLANES):
+        lit = "[" + ",".join(repr(c) for c in _PLANES24[p]) + "]"
+        dot = _DOT_SQL.format(dim=_DIM, a=vec, b=lit)
+        terms.append(
+            f"(CASE WHEN {p} < np.k AND {dot} > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _abucket_expr(vec, k: int):
+    """Adaptive bucket id in Spark: exactly k plane bits (k is a plain
+    Python int from the corpus count, so only the needed dots are in
+    the plan). Identical value to the SQL form: bit p is independent
+    of every other plane."""
+    out = F.lit(0)
+    for p in range(k):
+        plane = F.array(*[F.lit(c) for c in _PLANES24[p]])
+        out = out + F.when(_dot(vec, plane) > 0, F.lit(1 << p)).otherwise(0)
+    return out
+
+
+# radius-1 probe masks in SQL: 0 (own bucket) + one single-bit flip per
+# plane — mask count k+1 follows the plane count.
+_MASKS_SQL = """(
+        SELECT CASE WHEN i = 0 THEN 0 ELSE (1 << (i - 1)) END AS mask
+        FROM (SELECT unnest(range((SELECT k FROM np) + 1)) AS i)
+      )"""
+
+
+def _bucketed(spark: SparkSession, sf_dir: str):
+    """Shared staging: corpus count -> plane count -> bucketed frame.
+    The count() is the one driver-side step (tiny aggregate, footer
+    statistics); everything downstream is the lazy bucketed plan."""
+    emb = load(spark, sf_dir, "embeddings")
+    k = adaptive_planes(emb.count())
+    buck = emb.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        "embedding",
+        _abucket_expr(F.col("embedding"), k).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    return k, buck
+
+
+@query(
+    "sim_range_search_adaptive",
+    oracle=f"""
+    WITH np AS ({_NP_SQL}),
+    buck AS (
+      SELECT vec_id, embedding, {_abucket_sql('embedding')} AS bucket,
+             {_NORM_SQL.format(dim=_DIM, a='embedding')} AS nrm
+      FROM embeddings CROSS JOIN np
+    ),
+    cand AS (
+      SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_DOT_SQL.format(dim=_DIM, a='a.embedding', b='b.embedding')}
+               / (a.nrm * b.nrm) AS cosine
+      FROM buck a JOIN buck b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT (SELECT CAST(k AS BIGINT) FROM np) AS n_planes,
+           CAST(bucket AS BIGINT) AS bucket, vec_a, vec_b, cosine
+    FROM cand WHERE cosine >= {_RANGE_TAU}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def sim_range_search_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold (range) similarity search through the CORPUS-ADAPTIVE
+    LSH index: sim_range_search_lsh's semantics with the plane count
+    derived from the corpus size (module note), emitted as n_planes so
+    the gated output pins which index was used. At the driver SFs
+    (n ≤ 2048) n_planes floors at 6 and the candidate set is
+    bit-identical to the fixed index; at 10× data the index grows to
+    10 planes and per-anchor candidate cost stays ~flat where the
+    fixed index measured 6.4× (battery13 vs battery12).
+
+    Scale: map-side bucketing (k dots/row, k ≈ log2(n/32)); the ONLY
+    shuffle is the bucket-key hash self-join with Σ|bucket|² ≈ n·32
+    expected candidate pairs — corpus-proportional, never n²."""
+    k, buck = _bucketed(spark, sf_dir)
+    a = buck.select(
+        "bucket",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = buck.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cosine = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            F.lit(k).cast("long").alias("n_planes"),
+            F.col("bucket").cast("long").alias("bucket"),
+            "vec_a",
+            "vec_b",
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.expr(_RANGE_TAU))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _probes(buck, k: int):
+    """Radius-1 probe targets: own bucket + one single-bit flip per
+    plane (k+1 masks — the explode is bounded by the LOG-sized plane
+    count, not the corpus)."""
+    masks = F.array(*[F.lit(m) for m in [0] + [1 << p for p in range(k)]])
+    return (
+        buck.select(
+            F.col("vec_id").alias("anchor"),
+            F.col("label").alias("anchor_label"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+            "bucket",
+        )
+        .select(
+            "anchor", "anchor_label", "ea", "na",
+            F.explode(masks).alias("mask"), "bucket",
+        )
+        .select(
+            "anchor", "anchor_label", "ea", "na",
+            F.col("bucket").bitwiseXOR(F.col("mask")).alias("pb"),
+        )
+    )
+
+
+@query(
+    "sim_pair_margin_adaptive",
+    oracle=f"""
+    WITH np AS ({_NP_SQL}),
+    buck AS (
+      SELECT vec_id, CAST(label AS INT) AS label, embedding,
+             {_abucket_sql('embedding')} AS bucket,
+             {_NORM_SQL.format(dim=_DIM, a='embedding')} AS nrm
+      FROM embeddings CROSS JOIN np
+    ),
+    probes AS (
+      SELECT b.vec_id AS anchor, b.label AS anchor_label,
+             b.embedding AS ea, b.nrm AS na, xor(b.bucket, m.mask) AS pb
+      FROM buck b CROSS JOIN {_MASKS_SQL} m
+    ),
+    scored AS (
+      SELECT p.anchor,
+             c.label = p.anchor_label AS same,
+             {_DOT_SQL.format(dim=_DIM, a='p.ea', b='c.embedding')}
+               / (p.na * c.nrm) AS cosine
+      FROM probes p JOIN buck c ON c.bucket = p.pb
+      WHERE c.vec_id <> p.anchor
+    ),
+    per_anchor AS (
+      SELECT anchor,
+             MAX(CASE WHEN same THEN cosine END) AS pos,
+             MAX(CASE WHEN NOT same THEN cosine END) AS neg
+      FROM scored GROUP BY anchor
+    ),
+    margins AS (
+      SELECT anchor, pos - neg AS margin
+      FROM per_anchor WHERE pos IS NOT NULL AND neg IS NOT NULL
+    )
+    SELECT (SELECT CAST(k AS BIGINT) FROM np) AS n_planes,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           {DSUM_SQL.format(expr="margin")} / COUNT(*) AS mean_margin,
+           CAST(SUM(CASE WHEN margin < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative_margin,
+           CAST(SUM(CASE WHEN margin < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS frac_negative
+    FROM margins
+    """,
+)
+def sim_pair_margin_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_pair_margin_stats (nearest-positive minus hardest-negative
+    margin per anchor, radius-1 LSH candidates) on the CORPUS-ADAPTIVE
+    index — the fixed-plane form's 7.7× battery ratio was the second-
+    worst ever recorded; with occupancy held at ~32 the probe join's
+    fan-in is corpus-proportional. n_planes is emitted so the gated
+    row pins the index size.
+
+    Scale: map-side bucket assignment, ×(k+1) bounded probe explode
+    (k ≈ log2(n/32)), ONE bucket-key hash join, one conditional
+    aggregate — candidate fan-in per anchor is ~32·(k+1), flat in n."""
+    k, buck = _bucketed(spark, sf_dir)
+    cand = buck.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("bucket").alias("cb"),
+    )
+    cosine = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    scored = (
+        _probes(buck, k)
+        .join(cand, F.col("cb") == F.col("pb"))
+        .filter(F.col("cid") != F.col("anchor"))
+        .select(
+            "anchor",
+            (F.col("clabel") == F.col("anchor_label")).alias("same"),
+            cosine.alias("cosine"),
+        )
+    )
+    per_anchor = scored.groupBy("anchor").agg(
+        F.max(F.when(F.col("same"), F.col("cosine"))).alias("pos"),
+        F.max(F.when(~F.col("same"), F.col("cosine"))).alias("neg"),
+    )
+    margins = per_anchor.filter(
+        F.col("pos").isNotNull() & F.col("neg").isNotNull()
+    ).select((F.col("pos") - F.col("neg")).alias("margin"))
+    neg_cnt = F.sum(F.when(F.col("margin") < 0, 1).otherwise(0))
+    return margins.agg(
+        F.lit(k).cast("long").alias("n_planes"),
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        (dsum(F.col("margin")) / F.count(F.lit(1))).alias("mean_margin"),
+        neg_cnt.cast("long").alias("n_negative_margin"),
+        (neg_cnt.cast("double") / F.count(F.lit(1))).alias("frac_negative"),
+    )
+
+
+@query(
+    "ml_knn_purity_adaptive",
+    oracle=f"""
+    WITH np AS ({_NP_SQL}),
+    buck AS (
+      SELECT vec_id, CAST(label AS INT) AS label, embedding,
+             {_abucket_sql('embedding')} AS bucket,
+             {_NORM_SQL.format(dim=_DIM, a='embedding')} AS nrm
+      FROM embeddings CROSS JOIN np
+    ),
+    probes AS (
+      SELECT b.vec_id AS anchor, b.label AS anchor_label,
+             b.embedding AS ea, b.nrm AS na, xor(b.bucket, m.mask) AS pb
+      FROM buck b CROSS JOIN {_MASKS_SQL} m
+    ),
+    scored AS (
+      SELECT p.anchor, p.anchor_label, c.vec_id AS nn, c.label AS nn_label,
+             {_DOT_SQL.format(dim=_DIM, a='p.ea', b='c.embedding')}
+               / (p.na * c.nrm) AS cosine
+      FROM probes p JOIN buck c ON c.bucket = p.pb
+      WHERE c.vec_id <> p.anchor
+    ),
+    nn1 AS (
+      SELECT anchor_label, nn_label FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY anchor ORDER BY cosine DESC, nn) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT (SELECT CAST(k AS BIGINT) FROM np) AS n_planes,
+           CAST(anchor_label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           CAST(SUM(CASE WHEN nn_label = anchor_label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+           CAST(SUM(CASE WHEN nn_label = anchor_label
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS purity
+    FROM nn1 GROUP BY anchor_label ORDER BY label
+    """,
+)
+def ml_knn_purity_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml_knn_label_purity_bucketed (leave-one-out 1-NN label
+    consistency per class, radius-1 LSH candidates) on the CORPUS-
+    ADAPTIVE index — the fixed-plane form's 11.8× battery ratio was
+    the worst ever recorded; occupancy held at ~32 makes the top-1
+    window's input corpus-proportional. n_planes pins the index size
+    in every gated row.
+
+    Scale: the bucketed-mining shape — map-side bucket assignment,
+    ×(k+1) probe explode, ONE bucket-key hash join, per-anchor top-1
+    window over ~32·(k+1) candidates; output is |labels| rows."""
+    from pyspark.sql.window import Window as W
+
+    k, buck = _bucketed(spark, sf_dir)
+    cand = buck.select(
+        F.col("vec_id").alias("nn"),
+        F.col("label").alias("nn_label"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("bucket").alias("cb"),
+    )
+    cosine = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    scored = (
+        _probes(buck, k)
+        .join(cand, F.col("cb") == F.col("pb"))
+        .filter(F.col("nn") != F.col("anchor"))
+        .select(
+            "anchor", "anchor_label", "nn", "nn_label",
+            cosine.alias("cosine"),
+        )
+    )
+    w1 = W.partitionBy("anchor").orderBy(F.desc("cosine"), "nn")
+    nn1 = (
+        scored.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("anchor_label", "nn_label")
+    )
+    same = F.sum(
+        F.when(F.col("nn_label") == F.col("anchor_label"), 1).otherwise(0)
+    )
+    return (
+        nn1.groupBy(F.col("anchor_label").cast("long").alias("label"))
+        .agg(
+            F.lit(k).cast("long").alias("n_planes"),
+            F.count(F.lit(1)).cast("long").alias("n_anchors"),
+            same.cast("long").alias("n_same"),
+            (same.cast("double") / F.count(F.lit(1))).alias("purity"),
+        )
+        .select("n_planes", "label", "n_anchors", "n_same", "purity")
+        .orderBy("label")
+    )

@@ -37,7 +37,9 @@ graph_label_propagation, events_markov_stationary,
 embeddings_top_eigenvector, sim_pq_trained, sim_mmr_diversify,
 sample_kcenter_coreset, graph_kcore, pipeline_e2e_pretrain,
 graph_degree_assortativity, graph_bridge_edges, graph_wcc_sizes,
-and pipeline_e2e_rag.
+pipeline_e2e_rag, and the corpus-adaptive LSH family
+(sim_range_search_adaptive, sim_pair_margin_adaptive,
+ml_knn_purity_adaptive — one corpus count() picks the plane count).
 Every
 other query returns a fully lazy plan. (tests/test_registry_lint.py
 keeps this list honest against the construction sites.)
@@ -303,7 +305,11 @@ ROUND10_QUEUE: list[str] = [
 # this round, leading the round-11 rotation. Grows as round-10 operators
 # land; tests/test_registry_lint.py asserts it exactly equals the set of
 # registered queries with no driver evidence that are outside the window.
-ROUND11_QUEUE: list[str] = []
+ROUND11_QUEUE: list[str] = [
+    "sim_range_search_adaptive",
+    "sim_pair_margin_adaptive",
+    "ml_knn_purity_adaptive",
+]
 
 # Round-10 window (positions 1-50):
 #   1-37  ROUND10_QUEUE verbatim — every round-9 in-round addition
@@ -476,6 +482,7 @@ def _load_all() -> None:
         llm_text4,
         multimodal2,
         pipeline13,
+        similarity10,
     )
 
     _LOADED = True

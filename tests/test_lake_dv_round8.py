@@ -228,6 +228,13 @@ def test_dv_write_path_job_count_is_constant_in_file_count(
         )
     assert deltas[2] == deltas[8], deltas
     assert compact_deltas[2] == compact_deltas[8], compact_deltas
+    # r10: pin the absolute ceiling too — the delete path is exactly
+    # the count-only validation scan plus the bounded collecting scan
+    # (two collects; AQE splits each into up to 3 jobs: shuffle map,
+    # re-optimized reduce, result). Measured 6 at both file counts; a
+    # regression to a per-file loop would scale with `files` and blow
+    # well past this at 8.
+    assert deltas[8] <= 6, deltas
 
 
 def test_bloom_pruned_empty_frame_has_evolved_schema(spark, tmp_path):

@@ -1,0 +1,293 @@
+"""Round-10 additions: the corpus-adaptive LSH index, the distributed
+footer scan, and the q71 prefix-distinct regression from ADVICE r9.
+
+Test strategy per SURVEY.md §5: exact replays (numpy/pandas or pure
+Python) against the Spark plans, property pins for the invariants the
+oracle gate can't see (it mirrors the construction), and plan-shape
+assertions for the scale contracts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from project_final_parquet_spark.operators.similarity10 import (
+    _MAX_PLANES,
+    _PLANES24,
+    _TARGET_OCC,
+    adaptive_planes,
+    ml_knn_purity_adaptive,
+    sim_pair_margin_adaptive,
+    sim_range_search_adaptive,
+)
+from project_final_parquet_spark.operators.similarity import _N_PLANES
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- plane-count formula ----------------------------------------------------
+
+
+def test_adaptive_planes_formula_matches_duckdb():
+    """The Spark side derives the plane count in Python, the oracle in
+    SQL — the two integer formulas must agree at EVERY corpus size or
+    the gate would compare different indexes. Swept densely through
+    every plane boundary up to ~1M vectors."""
+    import duckdb
+
+    ns = list(range(1, 5000)) + [2**p * _TARGET_OCC + d
+                                 for p in range(6, 28) for d in (-1, 0, 1)]
+    rows = duckdb.sql(
+        f"SELECT n, LEAST({_MAX_PLANES}, GREATEST(6, LENGTH(BIN((n - 1)"
+        f" // {_TARGET_OCC})))) FROM (SELECT unnest($ns) AS n)",
+        params={"ns": ns},
+    ).fetchall()
+    bad = [(n, k) for n, k in rows if k != adaptive_planes(n)]
+    assert bad == [], bad[:5]
+
+
+def test_adaptive_planes_occupancy_contract():
+    """planes(n) is the SMALLEST count with expected occupancy ≤ 32
+    (floored at 6): n/2^k ≤ 32 < n/2^(k-1) whenever k > 6."""
+    for n in [1, 100, 2048, 2049, 5000, 10**5, 10**6, 2**24 * 32]:
+        k = adaptive_planes(n)
+        assert n <= (1 << k) * _TARGET_OCC
+        if k > 6:
+            assert n > (1 << (k - 1)) * _TARGET_OCC
+        assert k <= _MAX_PLANES  # oracle literal width covers it
+    # past the cap the count clamps (shard-the-corpus territory)
+    assert adaptive_planes(2**24 * 32 + 1) == _MAX_PLANES
+
+
+def test_adaptive_planes_extend_fixed_index():
+    """Planes 0..5 of the adaptive index ARE the fixed index — same
+    md5-derived seed, so small corpora are bit-identical."""
+    from project_final_parquet_spark.operators.similarity import _PLANES
+
+    assert _PLANES == _PLANES24[:_N_PLANES]
+
+
+# --- small-corpus equivalence ----------------------------------------------
+
+
+def test_range_search_adaptive_equals_fixed_at_small_corpus(spark):
+    """At the driver SFs (n ≤ 2048) the adaptive index floors at the
+    fixed index's 6 planes, so the two range searches must return the
+    IDENTICAL pair set."""
+    from project_final_parquet_spark.operators.similarity9 import (
+        sim_range_search_lsh,
+    )
+
+    adapt = sim_range_search_adaptive(spark, SF)
+    fixed = sim_range_search_lsh(spark, SF)
+    a = [tuple(r) for r in adapt.collect()]
+    f = [tuple(r) for r in fixed.collect()]
+    assert all(r[0] == 6 for r in a)  # n_planes column
+    assert [r[1:] for r in a] == f
+
+
+# --- growth + brute-force replay on a staged corpus -------------------------
+
+
+@pytest.fixture(scope="module")
+def big_corpus(spark, tmp_path_factory):
+    """3000 deterministic vectors (> 2048 ⇒ 7 planes) staged as an
+    embeddings table — crosses the first plane boundary the driver
+    corpora never reach."""
+    rng = np.random.RandomState(7)
+    n, dim = 3000, 64
+    vecs = rng.randn(n, dim).astype(np.float32)
+    rows = [
+        (int(i), int(i % 10), [float(x) for x in vecs[i]])
+        for i in range(n)
+    ]
+    d = tmp_path_factory.mktemp("adaptive") / "corpus"
+    spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<float>"
+    ).repartition(4).write.parquet(f"{d}/embeddings.parquet")
+    return str(d), vecs
+
+
+def _np_buckets(vecs: np.ndarray, k: int) -> np.ndarray:
+    planes = np.array(_PLANES24[:k], dtype=np.float64)  # k x dim
+    bits = (vecs.astype(np.float64) @ planes.T) > 0  # n x k
+    return (bits * (1 << np.arange(k))).sum(axis=1).astype(np.int64)
+
+
+def test_range_search_adaptive_grows_and_matches_bruteforce(
+    spark, big_corpus
+):
+    """On the 3000-vector corpus the index must grow to 7 planes and
+    the result must equal an independent numpy replay: bucket by the
+    same 7 plane literals, enumerate same-bucket pairs, keep exact
+    cosine ≥ 0.35."""
+    d, vecs = big_corpus
+    k = adaptive_planes(len(vecs))
+    assert k == 7
+    got = sim_range_search_adaptive(spark, d).collect()
+    assert got and all(r["n_planes"] == 7 for r in got)
+
+    buckets = _np_buckets(vecs, k)
+    v64 = vecs.astype(np.float64)
+    nrm = np.sqrt((v64 * v64).sum(axis=1))
+    expect = []
+    order = np.argsort(buckets, kind="stable")
+    import itertools
+
+    for _, grp in itertools.groupby(order, key=lambda i: buckets[i]):
+        ids = sorted(grp)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                i, j = ids[x], ids[y]
+                cos = float(v64[i] @ v64[j] / (nrm[i] * nrm[j]))
+                if cos >= 0.35:
+                    expect.append((i, j))
+    got_pairs = sorted((r["vec_a"], r["vec_b"]) for r in got)
+    assert got_pairs == sorted(expect)
+    # spot-check the cosines to fold precision (engines fold in list
+    # order; numpy dot reorders — tolerance, not equality)
+    by_pair = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in got}
+    for i, j in got_pairs[:50]:
+        cos = float(v64[i] @ v64[j] / (nrm[i] * nrm[j]))
+        assert abs(by_pair[(i, j)] - cos) < 1e-9
+
+
+def test_knn_purity_adaptive_matches_bruteforce(spark, big_corpus):
+    """Per-class 1-NN purity on the 7-plane corpus vs a numpy replay of
+    the radius-1 probe semantics (own bucket + single-bit flips)."""
+    d, vecs = big_corpus
+    k = adaptive_planes(len(vecs))
+    buckets = _np_buckets(vecs, k)
+    v64 = vecs.astype(np.float64)
+    nrm = np.sqrt((v64 * v64).sum(axis=1))
+    labels = np.arange(len(vecs)) % 10
+
+    from collections import defaultdict
+
+    by_bucket = defaultdict(list)
+    for i, b in enumerate(buckets):
+        by_bucket[int(b)].append(i)
+    same = defaultdict(int)
+    total = defaultdict(int)
+    for i in range(len(vecs)):
+        cands = []
+        for m in [0] + [1 << p for p in range(k)]:
+            cands.extend(by_bucket.get(int(buckets[i]) ^ m, ()))
+        cands = [c for c in cands if c != i]
+        if not cands:
+            continue
+        cos = v64[cands] @ v64[i] / (nrm[cands] * nrm[i])
+        # top-1 by (cosine DESC, id ASC) — the plan's tiebreak
+        best = min(zip(-cos, cands))[1]
+        total[int(labels[i])] += 1
+        same[int(labels[i])] += int(labels[best] == labels[i])
+
+    got = {
+        r["label"]: (r["n_anchors"], r["n_same"])
+        for r in ml_knn_purity_adaptive(spark, d).collect()
+    }
+    expect = {lbl: (total[lbl], same[lbl]) for lbl in total}
+    assert got == expect
+
+
+def test_pair_margin_adaptive_reports_plane_count(spark, big_corpus):
+    """The margin audit's gated row pins the adaptive plane count and
+    stays internally consistent (n_negative_margin ≤ n_anchors,
+    frac == ratio)."""
+    d, _ = big_corpus
+    row = sim_pair_margin_adaptive(spark, d).collect()[0]
+    assert row["n_planes"] == 7
+    assert 0 < row["n_anchors"] <= 3000
+    assert 0 <= row["n_negative_margin"] <= row["n_anchors"]
+    assert (
+        abs(
+            row["frac_negative"]
+            - row["n_negative_margin"] / row["n_anchors"]
+        )
+        < 1e-12
+    )
+
+
+# --- q71 ADVICE regression ---------------------------------------------------
+
+
+def test_q71_prefix_distinct_is_exact(spark):
+    """ADVICE r9: the marker window must walk the SAME o_orderkey
+    sequence as the running sum. Replay: at every output row the
+    value must equal the TRUE number of distinct priorities among the
+    customer's orders with o_orderkey ≤ this one (the oracle mirrors
+    the construction, so only an independent replay can catch this)."""
+    from project_final_parquet_spark.operators.relational5 import (
+        q71_window_distinct_count,
+    )
+
+    out = q71_window_distinct_count(spark, SF).collect()
+    orders = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_custkey") % 10 == 0)
+        .select("o_custkey", "o_orderkey", "o_orderpriority")
+        .collect()
+    )
+    prio = {
+        (r["o_custkey"], r["o_orderkey"]): r["o_orderpriority"]
+        for r in orders
+    }
+    from collections import defaultdict
+
+    by_cust = defaultdict(list)
+    for c, k in prio:
+        by_cust[c].append(k)
+    truth = {}
+    for c, keys in by_cust.items():
+        seen = set()
+        for k in sorted(keys):
+            seen.add(prio[(c, k)])
+            truth[(c, k)] = len(seen)
+    assert out  # non-degenerate
+    for r in out:
+        key = (r["o_custkey"], r["o_orderkey"])
+        assert r["distinct_priorities_so_far"] == truth[key], key
+
+
+# --- distributed footer scan -------------------------------------------------
+
+
+def test_profile_column_storage_multifile_and_distributed(
+    spark, tmp_path
+):
+    """The round-10 rework: footers parse inside mapInPandas (plan
+    shape asserted), and a MULTI-file staged table aggregates to the
+    same numbers a driver-side pyarrow loop computes — proving the
+    driver no longer loops files while keeping footer parity."""
+    import pyarrow.parquet as pq
+
+    from project_final_parquet_spark.operators.pipeline13 import (
+        profile_column_storage,
+    )
+
+    d = tmp_path / "corpus"
+    (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .repartition(5)
+        .write.parquet(f"{d}/orders.parquet")
+    )
+    df = profile_column_storage(spark, str(d))
+    assert "MapInPandas" in df._jdf.queryExecution().toString()
+    got = {
+        r["column_name"]: (r["compressed_bytes"], r["uncompressed_bytes"])
+        for r in df.collect()
+    }
+    expect: dict[str, list[int]] = {}
+    from pathlib import Path
+
+    for f in sorted(Path(f"{d}/orders.parquet").glob("*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                cur = expect.setdefault(col.path_in_schema, [0, 0])
+                cur[0] += col.total_compressed_size
+                cur[1] += col.total_uncompressed_size
+    assert got == {n: tuple(v) for n, v in expect.items()}

@@ -303,6 +303,22 @@ BATTERY12 = [
     "graph_wcc_sizes",                 # converged min-label propagation
 ]
 
+# --battery13: the round-10 corpus-adaptive LSH index next to its
+# fixed-plane twins — the POINT of this battery is the ratio column:
+# the fixed index's occupancy grows with the corpus (battery12 measured
+# 6.4x/7.7x/11.8x at 10x data), the adaptive index holds occupancy at
+# ~32 so the same semantics should scale ~linearly. The reworked
+# distributed footer scan rides along as the metadata-only control.
+BATTERY13 = [
+    "sim_range_search_lsh",            # fixed 6 planes (r9 baseline)
+    "sim_range_search_adaptive",       # planes from corpus count
+    "sim_pair_margin_stats",           # fixed (battery12: 7.7x)
+    "sim_pair_margin_adaptive",        # adaptive twin
+    "ml_knn_label_purity_bucketed",    # fixed (battery12: 11.8x)
+    "ml_knn_purity_adaptive",          # adaptive twin
+    "profile_column_storage",          # mapInPandas footer scan
+]
+
 
 def _stride(spark, name: str) -> int:
     if name == "events_user":
@@ -423,6 +439,8 @@ def main() -> None:
 
         for _, d in sfs:
             evo_lake(spark, d)
+    if "--battery13" in sys.argv:
+        battery = BATTERY13
     if "--battery10" in sys.argv:
         battery = BATTERY10
         from project_final_parquet_spark.operators.lake_queries import (
