@@ -262,6 +262,16 @@ HEADLINE = [
     "sim_range_search_adaptive",
     "sim_pair_margin_adaptive",
     "ml_knn_purity_adaptive",
+    "sample_hard_negatives_adaptive",
+    "sim_reciprocal_nn_adaptive",
+    "sim_ann_recall_adaptive",
+    "q73_mode_per_group",
+    "q74_percent_rank_cume_dist",
+    "graph_modularity_brands",
+    "text_zipf_constancy",
+    "orders_pareto_frontier",
+    "sample_coverage_curve",
+    "dq_functional_dependency",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

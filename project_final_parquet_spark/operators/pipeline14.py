@@ -1,0 +1,553 @@
+"""Round-10 widening: deterministic mode, distribution-position window
+functions, exact-integer graph modularity, the Zipf rank×frequency
+constancy table, and a day-grain Pareto frontier.
+
+Not in the reference (its only query capability is selective column
+decryption — SURVEY.md §2.1); these extend the relational / graph /
+text-analysis families. Every construction is transcendental-free (the
+module convention: no ln/exp/pow in gated values — integer counts,
+exact decimal sums, and IEEE divisions of exactly-representable
+integers only), so the DuckDB oracles are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "q73_mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    t AS (SELECT o_orderstatus, SUM(n) AS total FROM c
+          GROUP BY o_orderstatus),
+    r AS (
+      SELECT c.*, t.total, ROW_NUMBER() OVER (
+               PARTITION BY c.o_orderstatus
+               ORDER BY c.n DESC, c.o_orderpriority) AS rn
+      FROM c JOIN t USING (o_orderstatus)
+    )
+    SELECT o_orderstatus, o_orderpriority AS modal_priority, n AS n_orders,
+           CAST(n AS DOUBLE) / CAST(total AS BIGINT) AS share
+    FROM r WHERE rn = 1 ORDER BY o_orderstatus
+    """,
+)
+def q73_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE with a pinned tiebreak: the most frequent order
+    priority per order status, plus its share of the group. Neither
+    engine's built-in mode() documents tie resolution, so the mode is
+    constructed explicitly — count per value, rank by (count DESC,
+    value ASC) — making the answer deterministic under ties in BOTH
+    engines (the same reason the repo's medians use rank-select).
+
+    Scale: one (status, priority) rollup — tiny key space — then a
+    window over ≤ |statuses|·|priorities| rows. Map-side combinable;
+    no per-row window ever touches the fact table."""
+    c = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    t = c.groupBy("o_orderstatus").agg(F.sum("n").cast("long").alias("total"))
+    r = c.join(t, "o_orderstatus").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("o_orderstatus").orderBy(
+                F.desc("n"), "o_orderpriority"
+            )
+        ),
+    )
+    return (
+        r.filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").alias("n_orders"),
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q74_percent_rank_cume_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM orders WHERE o_custkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    ORDER BY o_orderpriority, o_totalprice, o_orderkey
+    """,
+)
+def q74_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position window functions: PERCENT_RANK (relative
+    rank in [0,1]) and CUME_DIST (fraction of peers ≤ this row) of
+    each order's price within its priority class — the two rank-family
+    members the registry had not yet exercised. Both are exact
+    rationals of integer ranks/counts, so ties produce the identical
+    value in both engines and no tiebreak is needed inside the frame
+    (the OUTPUT ordering still carries the o_orderkey tiebreak).
+
+    Scale: one shuffle on the partition key, one in-partition sort —
+    the standard window discipline; the custkey slice bounds the gated
+    output, not the plan shape."""
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            "o_totalprice",
+        )
+        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+        .drop("o_totalprice")
+    )
+
+
+@query(
+    "graph_modularity_brands",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_orderkey AS ok, l1.l_partkey AS a,
+             l2.l_partkey AS b
+      FROM lineitem l1
+      JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    edges AS (
+      SELECT a, b FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2
+    ),
+    adj AS (
+      SELECT a AS v, b AS nbr FROM edges
+      UNION ALL
+      SELECT b AS v, a AS nbr FROM edges
+    ),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY v),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+    dc AS (
+      SELECT p.p_brand AS brand, CAST(SUM(deg.d) AS BIGINT) AS degree_sum
+      FROM deg JOIN part p ON p.p_partkey = deg.v
+      GROUP BY p.p_brand
+    ),
+    mc AS (
+      SELECT pa.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS m_within
+      FROM edges e
+      JOIN part pa ON pa.p_partkey = e.a
+      JOIN part pb ON pb.p_partkey = e.b
+      WHERE pa.p_brand = pb.p_brand
+      GROUP BY pa.p_brand
+    )
+    SELECT dc.brand, COALESCE(mc.m_within, 0) AS m_within,
+           dc.degree_sum,
+           CAST(COALESCE(mc.m_within, 0) AS DOUBLE) / m.m
+             - (CAST(dc.degree_sum AS DOUBLE) / (2 * m.m))
+               * (CAST(dc.degree_sum AS DOUBLE) / (2 * m.m))
+             AS contribution
+    FROM dc LEFT JOIN mc ON mc.brand = dc.brand CROSS JOIN m
+    ORDER BY dc.brand
+    """,
+)
+def graph_modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the BRAND partition on the co-purchase
+    graph, reported per community: Q = Σ_c [m_c/m − (d_c/2m)²] where
+    m_c = within-community edges, d_c = community degree sum, m = total
+    edges. A near-zero (or negative) sum says brands do NOT form
+    purchase communities; a large positive sum would justify
+    partitioning downstream mining by brand. Every term is a ratio of
+    exact integers (the counts), converted to double once and combined
+    with the identical IEEE expression in both engines — no pow(), the
+    square is written as x·x.
+
+    NOTE: eager — the shared edge list is localCheckpointed ONCE and
+    the ≤|brands|-row result checkpointed behind it (the registry
+    contract note lists this query): three consumers (degrees,
+    within-edges, total) would otherwise each replay the basket-pair
+    generation — battery14 first measured exactly that (13.5× at 10×
+    data from the 3× replay); with the shared checkpoint the edge
+    derivation runs once and the ratio drops to the edge build's own
+    ~linear curve.
+
+    Scale: the checkpointed copurchase_edges frame (basket-bounded
+    pair generation, ONE pair shuffle, built once); brands join via
+    broadcast of the part dim; the community frame is ≤ |brands| rows
+    and m is a broadcast 1-row aggregate. Adding the contributions
+    gives Q with zero extra passes."""
+    from ..ckpt import checkpoint, release
+    from .graph import copurchase_edges
+
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    edges = checkpoint(copurchase_edges(spark, sf_dir))
+    adj = edges.select(F.col("a").alias("v")).unionAll(
+        edges.select(F.col("b").alias("v"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    dc = (
+        deg.join(
+            F.broadcast(part.select(F.col("p_partkey").alias("v"), "p_brand")),
+            "v",
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum("d").cast("long").alias("degree_sum"))
+    )
+    pa = part.select(F.col("p_partkey").alias("a"), F.col("p_brand").alias("ba"))
+    pb = part.select(F.col("p_partkey").alias("b"), F.col("p_brand").alias("bb"))
+    mc = (
+        edges.join(F.broadcast(pa), "a")
+        .join(F.broadcast(pb), "b")
+        .filter(F.col("ba") == F.col("bb"))
+        .groupBy(F.col("ba").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("long").alias("m_within"))
+    )
+    m = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    dd = F.col("degree_sum").cast("double") / (2 * F.col("m"))
+    out = checkpoint(
+        dc.join(mc, "brand", "left")
+        .na.fill({"m_within": 0})
+        .crossJoin(F.broadcast(m))
+        .select(
+            "brand",
+            "m_within",
+            "degree_sum",
+            (F.col("m_within").cast("double") / F.col("m") - dd * dd).alias(
+                "contribution"
+            ),
+        )
+    )
+    release(edges)
+    return out.orderBy("brand")
+
+
+_ZIPF_TOPK = 20
+
+
+@query(
+    "text_zipf_constancy",
+    oracle=f"""
+    WITH tf AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, freq FROM tf
+      ORDER BY freq DESC, tok LIMIT {_ZIPF_TOPK}
+    ),
+    ranked AS (
+      SELECT tok, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+      FROM top
+    ),
+    f1 AS (SELECT MAX(freq) AS f1 FROM top)
+    SELECT rank, tok, freq, rank * freq AS rank_x_freq,
+           CAST(rank * freq AS DOUBLE) / f1.f1 AS constancy
+    FROM ranked CROSS JOIN f1
+    ORDER BY rank
+    """,
+)
+def text_zipf_constancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law constancy table, log-free: for the top-20 corpus
+    terms, rank·frequency and its ratio to the top term's frequency —
+    under Zipf (freq ∝ 1/rank) the constancy column sits near 1.0; a
+    fast decay flags a head-heavy vocabulary (boilerplate, templated
+    text), a slow one a flat unnatural distribution. The usual log-log
+    OLS slope needs ln() (cross-engine transcendental drift — the
+    module convention avoids it); rank·freq is the same diagnostic in
+    exact integers.
+
+    Scale: one token-frequency rollup (map-side combinable explode),
+    then TakeOrderedAndProject to 20 rows — the rank window and the
+    f1 broadcast touch only those 20 rows, no global window over the
+    vocabulary."""
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    top = tf.orderBy(F.desc("freq"), "tok").limit(_ZIPF_TOPK)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy().orderBy(F.desc("freq"), "tok")
+        ).cast("long"),
+    )
+    f1 = top.agg(F.max("freq").alias("f1"))
+    return (
+        ranked.crossJoin(F.broadcast(f1))
+        .select(
+            "rank",
+            "tok",
+            "freq",
+            (F.col("rank") * F.col("freq")).alias("rank_x_freq"),
+            (
+                (F.col("rank") * F.col("freq")).cast("double") / F.col("f1")
+            ).alias("constancy"),
+        )
+        .orderBy("rank")
+    )
+
+
+@query(
+    "orders_pareto_frontier",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day, MAX(o_totalprice) AS best_price,
+             CAST(MIN(CASE WHEN o_totalprice = m THEN o_orderkey END)
+                  AS BIGINT) AS best_orderkey
+      FROM (
+        SELECT o_orderdate, o_totalprice, o_orderkey,
+               MAX(o_totalprice) OVER (PARTITION BY o_orderdate) AS m
+        FROM orders
+      ) GROUP BY o_orderdate
+    ),
+    run AS (
+      SELECT day, best_price, best_orderkey,
+             MAX(best_price) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_best
+      FROM daily
+    )
+    SELECT day, best_orderkey, best_price
+    FROM run WHERE prev_best IS NULL OR best_price > prev_best
+    ORDER BY day
+    """,
+)
+def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) of (earliest order date, highest
+    price): the orders not strictly dominated on both axes — each
+    frontier row is a day whose best price beats EVERY earlier day's.
+    Skylines are the classic "operator relational engines lack";
+    reduced to day grain the frontier is one running-max window: a day
+    survives iff its best price exceeds the prefix max. Per-day argmax
+    carries the (max price, min orderkey) tiebreak so ties are pinned.
+
+    Scale: one day-grain rollup (map-side combinable) collapses the
+    fact table to |days| rows; the running max is a single ordered
+    pass over that day frame — the frontier never sorts raw orders
+    globally."""
+    orders = load(spark, sf_dir, "orders")
+    wd = W.partitionBy("o_orderdate")
+    daily = (
+        orders.select(
+            F.col("o_orderdate").alias("day"),
+            "o_totalprice",
+            "o_orderkey",
+            F.max("o_totalprice").over(wd).alias("m"),
+        )
+        .groupBy("day")
+        .agg(
+            F.max("o_totalprice").alias("best_price"),
+            F.min(
+                F.when(F.col("o_totalprice") == F.col("m"), F.col("o_orderkey"))
+            ).cast("long").alias("best_orderkey"),
+        )
+    )
+    run = daily.withColumn(
+        "prev_best",
+        F.max("best_price").over(
+            W.partitionBy().orderBy("day")
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+    )
+    return (
+        run.filter(
+            F.col("prev_best").isNull()
+            | (F.col("best_price") > F.col("prev_best"))
+        )
+        .select("day", "best_orderkey", "best_price")
+        .orderBy("day")
+    )
+
+
+_COV_BUCKETS = 16  # hash-range buckets: map-side, no global NTILE sort
+
+
+@query(
+    "sample_coverage_curve",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS fp,
+             md5(CAST(doc_id AS VARCHAR) || ':cov') AS h
+      FROM documents
+    ),
+    marked AS (
+      SELECT *,
+             CAST(concat('0x', substr(h, 1, 1)) AS INT) AS bucket,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY fp ORDER BY h, doc_id) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM d
+    ),
+    per_b AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(is_first) AS BIGINT) AS new_fingerprints
+      FROM marked GROUP BY bucket
+    )
+    SELECT bucket, n_docs, new_fingerprints,
+           CAST(SUM(new_fingerprints) OVER (
+                  ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_fingerprints,
+           CAST((1000000 * SUM(new_fingerprints) OVER (
+                   ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                // (SELECT COUNT(DISTINCT fp) FROM d) AS BIGINT)
+             AS coverage_ppm
+    FROM per_b ORDER BY bucket
+    """,
+)
+def sample_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling coverage curve: take documents in a deterministic
+    salted-hash order (a fixed 'random' shuffle both engines agree
+    on), split that order into 16 HASH-RANGE buckets, and report how
+    many NEW distinct content fingerprints each tranche contributes
+    and the cumulative coverage in exact ppm — the curve that says how
+    much of the corpus's unique content a p% sample captures (dedup's
+    dual: steep early coverage means heavy duplication in the tail).
+
+    The bucket is the hash's first hex nibble — a MAP-SIDE range split
+    of the same order the curve walks, where the textbook NTILE(n)
+    would force a single-partition global sort of the corpus.
+    First-occurrence marking partitions by fingerprint (the dedup
+    shuffle); the rollup and running sum touch 16 rows.
+
+    Scale: one fingerprint-partition window (the exact-dedup shuffle
+    shape) + one 16-key rollup; integers throughout."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cov"))).alias(
+            "h"
+        ),
+    )
+    marked = d.select(
+        "doc_id",
+        "fp",
+        "h",
+        F.conv(F.substring("h", 1, 1), 16, 10).cast("int").alias("bucket"),
+        F.when(
+            F.row_number().over(
+                W.partitionBy("fp").orderBy("h", "doc_id")
+            )
+            == 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_first"),
+    )
+    per_b = marked.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_first").cast("long").alias("new_fingerprints"),
+    )
+    total = d.agg(F.countDistinct("fp").alias("tot"))
+    w_run = W.partitionBy().orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        per_b.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_docs",
+            "new_fingerprints",
+            F.sum("new_fingerprints").over(w_run).cast("long").alias(
+                "cum_fingerprints"
+            ),
+            F.expr(
+                "1000000 * sum(new_fingerprints) over ("
+                "order by bucket rows between unbounded preceding "
+                "and current row) div tot"
+            )
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "dq_functional_dependency",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'source->lang' AS fd, source AS x, lang AS y,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+      UNION ALL
+      SELECT 'lang->source' AS fd, lang AS x, source AS y,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source
+    ),
+    per_x AS (
+      SELECT fd, x, CAST(COUNT(*) AS BIGINT) AS n_y,
+             CAST(SUM(n) AS BIGINT) AS rows_total,
+             CAST(MAX(n) AS BIGINT) AS rows_majority
+      FROM pairs GROUP BY fd, x
+    )
+    SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_keys,
+           CAST(SUM(rows_total) AS BIGINT) AS n_rows,
+           CAST(SUM(rows_total - rows_majority) AS BIGINT)
+             AS min_repair_rows
+    FROM per_x GROUP BY fd ORDER BY fd
+    """,
+)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate FD X→Y
+    (source→lang and lang→source on the document corpus), the number
+    of X keys that map to MORE than one Y (violations) and the minimum
+    rows that must be repaired for the FD to hold (rows outside each
+    key's majority Y — the exact deletion-repair cost from the FD
+    literature). A clean source→lang says routing/labeling is
+    consistent; a dirty one quantifies exactly how much. Complements
+    dq_uniqueness_audit (key cardinality) with CROSS-field structure.
+
+    Scale: one (x, y) rollup per FD direction (map-side combinable,
+    both directions in the same shuffle stage), then a |keys|-row
+    rollup; integers only."""
+    docs = load(spark, sf_dir, "documents")
+
+    def side(fd: str, x: str, y: str) -> DataFrame:
+        return (
+            docs.groupBy(
+                F.lit(fd).alias("fd"),
+                F.col(x).alias("x"),
+                F.col(y).alias("y"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    pairs = side("source->lang", "source", "lang").unionByName(
+        side("lang->source", "lang", "source")
+    )
+    per_x = pairs.groupBy("fd", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("n_y"),
+        F.sum("n").cast("long").alias("rows_total"),
+        F.max("n").cast("long").alias("rows_majority"),
+    )
+    return (
+        per_x.groupBy("fd")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.when(F.col("n_y") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_keys"),
+            F.sum("rows_total").cast("long").alias("n_rows"),
+            F.sum(F.col("rows_total") - F.col("rows_majority"))
+            .cast("long")
+            .alias("min_repair_rows"),
+        )
+        .orderBy("fd")
+    )

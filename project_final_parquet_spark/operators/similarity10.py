@@ -405,3 +405,285 @@ def ml_knn_purity_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_planes", "label", "n_anchors", "n_same", "purity")
         .orderBy("label")
     )
+
+
+@query(
+    "sample_hard_negatives_adaptive",
+    oracle=f"""
+    WITH np AS ({_NP_SQL}),
+    buck AS (
+      SELECT vec_id, CAST(label AS INT) AS label, embedding,
+             {_abucket_sql('embedding')} AS bucket,
+             {_NORM_SQL.format(dim=_DIM, a='embedding')} AS nrm
+      FROM embeddings CROSS JOIN np
+    ),
+    probes AS (
+      SELECT b.vec_id AS anchor, b.label AS anchor_label,
+             b.embedding AS ea, b.nrm AS na, xor(b.bucket, m.mask) AS pb
+      FROM buck b CROSS JOIN {_MASKS_SQL} m
+    ),
+    scored AS (
+      SELECT p.anchor, p.anchor_label,
+             c.vec_id AS negative, c.label AS negative_label,
+             {_DOT_SQL.format(dim=_DIM, a='p.ea', b='c.embedding')}
+               / (p.na * c.nrm) AS cosine
+      FROM probes p JOIN buck c ON c.bucket = p.pb
+      WHERE c.label <> p.anchor_label AND c.vec_id <> p.anchor
+    )
+    SELECT (SELECT CAST(k AS BIGINT) FROM np) AS n_planes,
+           anchor, anchor_label, negative, negative_label, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY anchor ORDER BY cosine DESC, negative) AS rn
+      FROM scored
+    ) t WHERE rn = 1
+    ORDER BY anchor
+    """,
+)
+def sample_hard_negatives_adaptive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """sample_hard_negatives_bucketed (every vector's hardest cross-
+    label negative among its radius-1 LSH probe candidates) on the
+    CORPUS-ADAPTIVE index — completes the bucketed-mining tier's
+    conversion: with occupancy pinned at ~32, the per-anchor candidate
+    pool (and with it the top-1 window's input) stays flat as the
+    corpus grows. n_planes pins the index size in every row.
+
+    Scale: map-side bucket assignment, ×(k+1) bounded probe explode,
+    ONE bucket-key hash join, per-anchor top-1 window — candidate
+    fan-in ~32·(k+1) per anchor, corpus-proportional overall."""
+    from pyspark.sql.window import Window as W
+
+    k, buck = _bucketed(spark, sf_dir)
+    cand = buck.select(
+        F.col("vec_id").alias("negative"),
+        F.col("label").alias("negative_label"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("bucket").alias("cb"),
+    )
+    cosine = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    scored = (
+        _probes(buck, k)
+        .join(cand, F.col("cb") == F.col("pb"))
+        .filter(
+            (F.col("negative_label") != F.col("anchor_label"))
+            & (F.col("negative") != F.col("anchor"))
+        )
+        .select(
+            "anchor", "anchor_label", "negative", "negative_label",
+            cosine.alias("cosine"),
+        )
+    )
+    w = W.partitionBy("anchor").orderBy(F.desc("cosine"), "negative")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.lit(k).cast("long").alias("n_planes"),
+            "anchor", "anchor_label", "negative", "negative_label",
+            "cosine",
+        )
+        .orderBy("anchor")
+    )
+
+
+@query(
+    "sim_reciprocal_nn_adaptive",
+    oracle=f"""
+    WITH np AS ({_NP_SQL}),
+    buck AS (
+      SELECT vec_id, embedding, {_abucket_sql('embedding')} AS bucket,
+             {_NORM_SQL.format(dim=_DIM, a='embedding')} AS nrm
+      FROM embeddings CROSS JOIN np
+    ),
+    probes AS (
+      SELECT b.vec_id AS src, b.embedding AS ea, b.nrm AS na,
+             xor(b.bucket, m.mask) AS pb
+      FROM buck b CROSS JOIN {_MASKS_SQL} m
+    ),
+    scored AS (
+      SELECT p.src, c.vec_id AS dst,
+             {_DOT_SQL.format(dim=_DIM, a='p.ea', b='c.embedding')}
+               / (p.na * c.nrm) AS cosine
+      FROM probes p JOIN buck c ON c.bucket = p.pb
+      WHERE c.vec_id <> p.src
+    ),
+    nn AS (
+      SELECT src, dst, cosine FROM (
+        SELECT src, dst, cosine,
+               ROW_NUMBER() OVER (
+                 PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+        FROM scored
+      ) t WHERE rn = 1
+    )
+    SELECT (SELECT CAST(k AS BIGINT) FROM np) AS n_planes,
+           n1.src AS a, n1.dst AS b, n1.cosine
+    FROM nn n1 JOIN nn n2 ON n2.src = n1.dst AND n2.dst = n1.src
+    WHERE n1.src < n1.dst
+    ORDER BY a
+    """,
+)
+def sim_reciprocal_nn_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_reciprocal_nn_bucketed (mutual bucketed NN pairs, the
+    high-precision pairing rule) on the CORPUS-ADAPTIVE index — the
+    NN pass's candidate pool stays ~32·(k+1) per vector at any corpus
+    size; the reciprocity self-join stays |V| NN edges either way.
+    n_planes pins the index size.
+
+    Scale: one bucket-key hash join (bounded fan-in), one per-src
+    window, one co-partitioned (src,dst) self-join of |V| edges."""
+    from pyspark.sql.window import Window as W
+
+    k, buck = _bucketed(spark, sf_dir)
+    probes = _probes(buck, k).select(
+        F.col("anchor").alias("src"), "ea", "na", "pb"
+    )
+    cand = buck.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("bucket").alias("cb"),
+    )
+    scored = (
+        probes.join(cand, F.col("cb") == F.col("pb"))
+        .filter(F.col("dst") != F.col("src"))
+        .select(
+            "src",
+            "dst",
+            (
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    nn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("src", "dst", "cosine")
+    )
+    n2 = nn.select(F.col("src").alias("r_src"), F.col("dst").alias("r_dst"))
+    return (
+        nn.join(
+            n2,
+            (F.col("r_src") == F.col("dst"))
+            & (F.col("r_dst") == F.col("src")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.lit(k).cast("long").alias("n_planes"),
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            "cosine",
+        )
+        .orderBy("a")
+    )
+
+
+_RECALL_K = 10
+_N_ANCHORS = 8  # constant anchor set => the audit stays linear in n
+
+
+@query(
+    "sim_ann_recall_adaptive",
+    oracle=f"""
+    WITH np AS ({_NP_SQL}),
+    buck AS (
+      SELECT vec_id, embedding, {_abucket_sql('embedding')} AS bucket,
+             {_NORM_SQL.format(dim=_DIM, a='embedding')} AS nrm
+      FROM embeddings CROSS JOIN np
+    ),
+    anchors AS (SELECT * FROM buck WHERE vec_id < {_N_ANCHORS}),
+    scored AS (
+      SELECT a.vec_id AS anchor, c.vec_id AS cand,
+             bit_count(xor(a.bucket, c.bucket)) AS hamming,
+             {_DOT_SQL.format(dim=_DIM, a='a.embedding', b='c.embedding')}
+               / (a.nrm * c.nrm) AS cosine
+      FROM anchors a JOIN buck c ON c.vec_id <> a.vec_id
+    ),
+    ranked AS (
+      SELECT anchor, cand, hamming, ROW_NUMBER() OVER (
+               PARTITION BY anchor ORDER BY cosine DESC, cand) AS rn
+      FROM scored
+    )
+    SELECT (SELECT CAST(k AS BIGINT) FROM np) AS n_planes,
+           anchor,
+           CAST(SUM(CASE WHEN hamming <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_candidates,
+           CAST(SUM(CASE WHEN hamming <= 1 AND rn <= {_RECALL_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST((1000000 * SUM(CASE WHEN hamming <= 1 AND rn <= {_RECALL_K}
+                                    THEN 1 ELSE 0 END)) // {_RECALL_K}
+                AS BIGINT) AS recall_ppm
+    FROM ranked GROUP BY anchor ORDER BY anchor
+    """,
+)
+def sim_ann_recall_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the CORPUS-ADAPTIVE index: for a CONSTANT set of
+    8 anchor vectors, exact top-10 cosine truth vs the radius-1 probe
+    candidate set (the same own-bucket + single-bit-flip neighborhood
+    every bucketed-mining operator consumes) — per anchor, the
+    candidate-set size and recall@10 in exact ppm. This closes the
+    speed/recall loop battery13 opened: the adaptive index holds
+    candidate COST flat; this query measures what that costs in
+    RECALL at the gated corpus sizes. Complements the fixed index's
+    single-query radius sweep (sim_ann_recall_curve).
+
+    Scale: the anchor set is CONSTANT (8), so the exact-truth pass is
+    8·n map-side scoring against broadcast anchors — linear in the
+    corpus, the price any recall audit pays for ground truth. One
+    8-partition rank window, |anchors| output rows. Hamming distance
+    and hit counts are exact integers."""
+    from pyspark.sql.window import Window as W
+
+    k, buck = _bucketed(spark, sf_dir)
+    anchors = buck.filter(F.col("vec_id") < _N_ANCHORS).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        F.col("bucket").alias("ba"),
+    )
+    cand = buck.select(
+        F.col("vec_id").alias("cand"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("bucket").alias("bc"),
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(anchors))
+        .filter(F.col("cand") != F.col("anchor"))
+        .select(
+            "anchor",
+            "cand",
+            F.bit_count(
+                F.col("ba").bitwiseXOR(F.col("bc"))
+            ).alias("hamming"),
+            (
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("anchor").orderBy(F.desc("cosine"), "cand")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    in_cand = F.when(F.col("hamming") <= 1, 1).otherwise(0)
+    is_hit = F.when(
+        (F.col("hamming") <= 1) & (F.col("rn") <= _RECALL_K), 1
+    ).otherwise(0)
+    return (
+        ranked.groupBy("anchor")
+        .agg(
+            F.lit(k).cast("long").alias("n_planes"),
+            F.sum(in_cand).cast("long").alias("n_candidates"),
+            F.sum(is_hit).cast("long").alias("n_hits"),
+        )
+        .select(
+            "n_planes",
+            "anchor",
+            "n_candidates",
+            "n_hits",
+            F.expr(f"1000000 * n_hits div {_RECALL_K}")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("anchor")
+    )

@@ -37,9 +37,12 @@ graph_label_propagation, events_markov_stationary,
 embeddings_top_eigenvector, sim_pq_trained, sim_mmr_diversify,
 sample_kcenter_coreset, graph_kcore, pipeline_e2e_pretrain,
 graph_degree_assortativity, graph_bridge_edges, graph_wcc_sizes,
-pipeline_e2e_rag, and the corpus-adaptive LSH family
+graph_modularity_brands, pipeline_e2e_rag,
+and the corpus-adaptive LSH family
 (sim_range_search_adaptive, sim_pair_margin_adaptive,
-ml_knn_purity_adaptive — one corpus count() picks the plane count).
+ml_knn_purity_adaptive, sample_hard_negatives_adaptive,
+sim_reciprocal_nn_adaptive, sim_ann_recall_adaptive — one corpus
+count() picks the plane count).
 Every
 other query returns a fully lazy plan. (tests/test_registry_lint.py
 keeps this list honest against the construction sites.)
@@ -309,6 +312,16 @@ ROUND11_QUEUE: list[str] = [
     "sim_range_search_adaptive",
     "sim_pair_margin_adaptive",
     "ml_knn_purity_adaptive",
+    "sample_hard_negatives_adaptive",
+    "sim_reciprocal_nn_adaptive",
+    "q73_mode_per_group",
+    "q74_percent_rank_cume_dist",
+    "graph_modularity_brands",
+    "text_zipf_constancy",
+    "orders_pareto_frontier",
+    "sim_ann_recall_adaptive",
+    "sample_coverage_curve",
+    "dq_functional_dependency",
 ]
 
 # Round-10 window (positions 1-50):
@@ -483,6 +496,7 @@ def _load_all() -> None:
         multimodal2,
         pipeline13,
         similarity10,
+        pipeline14,
     )
 
     _LOADED = True

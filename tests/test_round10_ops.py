@@ -291,3 +291,281 @@ def test_profile_column_storage_multifile_and_distributed(
                 cur[0] += col.total_compressed_size
                 cur[1] += col.total_uncompressed_size
     assert got == {n: tuple(v) for n, v in expect.items()}
+
+
+def test_hard_negatives_adaptive_equals_fixed_at_small_corpus(spark):
+    """Same small-corpus bit-identity contract for the mining twins:
+    at n ≤ 2048 the adaptive index IS the 6-plane index, so hardest
+    negatives and reciprocal-NN pairs must match the r8 fixed forms."""
+    from project_final_parquet_spark.operators.similarity8 import (
+        sample_hard_negatives_bucketed,
+        sim_reciprocal_nn_bucketed,
+    )
+    from project_final_parquet_spark.operators.similarity10 import (
+        sample_hard_negatives_adaptive,
+        sim_reciprocal_nn_adaptive,
+    )
+
+    hn_a = [tuple(r) for r in
+            sample_hard_negatives_adaptive(spark, SF).collect()]
+    hn_f = [tuple(r) for r in
+            sample_hard_negatives_bucketed(spark, SF).collect()]
+    assert all(r[0] == 6 for r in hn_a)
+    assert [r[1:] for r in hn_a] == hn_f
+    rn_a = [tuple(r) for r in
+            sim_reciprocal_nn_adaptive(spark, SF).collect()]
+    rn_f = [tuple(r) for r in
+            sim_reciprocal_nn_bucketed(spark, SF).collect()]
+    assert all(r[0] == 6 for r in rn_a)
+    assert [r[1:] for r in rn_a] == rn_f
+
+
+# --- pipeline14 replays ------------------------------------------------------
+
+
+def test_mode_per_group_replay(spark):
+    from collections import Counter
+
+    from project_final_parquet_spark.operators.pipeline14 import (
+        q73_mode_per_group,
+    )
+
+    rows = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderstatus", "o_orderpriority"
+    ).collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["o_orderstatus"], Counter())[
+            r["o_orderpriority"]
+        ] += 1
+    got = {r["o_orderstatus"]: r for r in q73_mode_per_group(spark, SF).collect()}
+    assert set(got) == set(by_status)
+    for status, cnt in by_status.items():
+        # (count DESC, value ASC) tiebreak
+        modal = min(cnt, key=lambda v: (-cnt[v], v))
+        r = got[status]
+        assert r["modal_priority"] == modal
+        assert r["n_orders"] == cnt[modal]
+        assert abs(r["share"] - cnt[modal] / sum(cnt.values())) < 1e-15
+
+
+def test_percent_rank_cume_dist_replay(spark):
+    from project_final_parquet_spark.operators.pipeline14 import (
+        q74_percent_rank_cume_dist,
+    )
+
+    src = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_custkey") % 50 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    price = {}
+    for r in src:
+        groups[r["o_orderpriority"]].append(r["o_orderkey"])
+        price[r["o_orderkey"]] = r["o_totalprice"]
+    got = q74_percent_rank_cume_dist(spark, SF).collect()
+    assert len(got) == len(src)
+    for r in got:
+        peers = [price[k] for k in groups[r["o_orderpriority"]]]
+        n = len(peers)
+        x = price[r["o_orderkey"]]
+        rank = 1 + sum(1 for p in peers if p < x)
+        assert r["pct_rank"] == ((rank - 1) / (n - 1) if n > 1 else 0.0)
+        assert r["cume"] == sum(1 for p in peers if p <= x) / n
+
+
+def test_modularity_brands_replay(spark, sf_dir):
+    """Exact-integer replay of Q's terms on the collected edge list,
+    plus the partition-theory invariant Σ_c d_c == 2m when every
+    vertex is branded (parts always are)."""
+    from project_final_parquet_spark.operators.graph import (
+        copurchase_edges,
+    )
+    from project_final_parquet_spark.operators.pipeline14 import (
+        graph_modularity_brands,
+    )
+
+    edges = [(r["a"], r["b"]) for r in copurchase_edges(spark, SF).collect()]
+    brand = {
+        r["p_partkey"]: r["p_brand"]
+        for r in spark.read.parquet(f"{SF}/part.parquet").collect()
+    }
+    m = len(edges)
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    d_c = defaultdict(int)
+    for v, d in deg.items():
+        d_c[brand[v]] += d
+    m_c = defaultdict(int)
+    for a, b in edges:
+        if brand[a] == brand[b]:
+            m_c[brand[a]] += 1
+    got = graph_modularity_brands(spark, SF).collect()
+    assert {r["brand"] for r in got} == set(d_c)
+    assert sum(r["degree_sum"] for r in got) == 2 * m
+    for r in got:
+        assert r["m_within"] == m_c[r["brand"]]
+        assert r["degree_sum"] == d_c[r["brand"]]
+        dd = r["degree_sum"] / (2 * m)
+        assert r["contribution"] == r["m_within"] / m - dd * dd
+
+
+def test_zipf_constancy_replay(spark):
+    from collections import Counter
+
+    from project_final_parquet_spark.operators.pipeline14 import (
+        text_zipf_constancy,
+    )
+
+    cnt = Counter()
+    for r in spark.read.parquet(f"{SF}/documents.parquet").select(
+        "text"
+    ).collect():
+        cnt.update(r["text"].split(" "))
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    f1 = max(f for _, f in top)
+    got = text_zipf_constancy(spark, SF).collect()
+    assert [(r["rank"], r["tok"], r["freq"]) for r in got] == [
+        (i + 1, t, f) for i, (t, f) in enumerate(top)
+    ]
+    for r in got:
+        assert r["rank_x_freq"] == r["rank"] * r["freq"]
+        assert r["constancy"] == r["rank"] * r["freq"] / f1
+
+
+def test_pareto_frontier_replay(spark):
+    from project_final_parquet_spark.operators.pipeline14 import (
+        orders_pareto_frontier,
+    )
+
+    rows = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderdate", "o_totalprice", "o_orderkey"
+    ).collect()
+    daily = {}
+    for r in rows:
+        cur = daily.get(r["o_orderdate"])
+        cand = (r["o_totalprice"], -r["o_orderkey"])
+        if cur is None or cand > cur:
+            daily[r["o_orderdate"]] = cand
+    frontier = []
+    best = None
+    for day in sorted(daily):
+        price, negkey = daily[day]
+        if best is None or price > best:
+            frontier.append((day, -negkey, price))
+            best = price
+    got = [
+        (r["day"], r["best_orderkey"], r["best_price"])
+        for r in orders_pareto_frontier(spark, SF).collect()
+    ]
+    assert got == frontier
+    # the frontier's defining property: strictly increasing price
+    prices = [p for _, _, p in got]
+    assert prices == sorted(set(prices))
+
+
+def test_ann_recall_adaptive_replay(spark, big_corpus):
+    """Recall@10 audit replay on the 7-plane corpus: exact top-10 truth
+    and radius-1 candidate sets recomputed in numpy."""
+    from project_final_parquet_spark.operators.similarity10 import (
+        sim_ann_recall_adaptive,
+    )
+
+    d, vecs = big_corpus
+    k = adaptive_planes(len(vecs))
+    buckets = _np_buckets(vecs, k)
+    v64 = vecs.astype(np.float64)
+    nrm = np.sqrt((v64 * v64).sum(axis=1))
+    got = {r["anchor"]: r for r in sim_ann_recall_adaptive(spark, d).collect()}
+    assert set(got) == set(range(8))
+    for a in range(8):
+        cos = v64 @ v64[a] / (nrm * nrm[a])
+        order = sorted(
+            (i for i in range(len(vecs)) if i != a),
+            key=lambda i: (-cos[i], i),
+        )
+        truth = set(order[:10])
+        ham = np.array(
+            [bin(int(buckets[i]) ^ int(buckets[a])).count("1")
+             for i in range(len(vecs))]
+        )
+        cands = {i for i in range(len(vecs)) if i != a and ham[i] <= 1}
+        r = got[a]
+        assert r["n_planes"] == k
+        assert r["n_candidates"] == len(cands)
+        assert r["n_hits"] == len(cands & truth)
+        assert r["recall_ppm"] == 1000000 * len(cands & truth) // 10
+
+
+def test_coverage_curve_replay(spark):
+    """Coverage-curve invariants + exact replay: bucket rollup matches
+    a pure-python walk of the same salted-hash order, the cumulative
+    column is its own running sum, and the final ppm is 1e6 (every
+    fingerprint covered once all 16 tranches are taken)."""
+    import hashlib
+
+    from project_final_parquet_spark.operators.pipeline14 import (
+        sample_coverage_curve,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    rows = sorted(
+        (md5(f"{r['doc_id']}:cov"), r["doc_id"], md5(r["text"]))
+        for r in docs
+    )
+    seen, per_b = set(), {}
+    for h, _, fp in rows:
+        b = int(h[0], 16)
+        nd, nf = per_b.get(b, (0, 0))
+        new = fp not in seen
+        seen.add(fp)
+        per_b[b] = (nd + 1, nf + int(new))
+    got = sample_coverage_curve(spark, SF).collect()
+    assert [(r["bucket"], r["n_docs"], r["new_fingerprints"]) for r in got] \
+        == [(b, *per_b[b]) for b in sorted(per_b)]
+    cum = 0
+    for r in got:
+        cum += r["new_fingerprints"]
+        assert r["cum_fingerprints"] == cum
+        assert r["coverage_ppm"] == 1000000 * cum // len(seen)
+    assert got[-1]["coverage_ppm"] == 1000000
+
+
+def test_functional_dependency_replay(spark):
+    from collections import defaultdict
+
+    from project_final_parquet_spark.operators.pipeline14 import (
+        dq_functional_dependency,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "source", "lang"
+    ).collect()
+    got = {r["fd"]: r for r in dq_functional_dependency(spark, SF).collect()}
+    for fd, xcol, ycol in [
+        ("source->lang", "source", "lang"),
+        ("lang->source", "lang", "source"),
+    ]:
+        per_x = defaultdict(lambda: defaultdict(int))
+        for r in docs:
+            per_x[r[xcol]][r[ycol]] += 1
+        r = got[fd]
+        assert r["n_keys"] == len(per_x)
+        assert r["n_violating_keys"] == sum(
+            1 for ys in per_x.values() if len(ys) > 1
+        )
+        assert r["n_rows"] == len(docs)
+        assert r["min_repair_rows"] == sum(
+            sum(ys.values()) - max(ys.values()) for ys in per_x.values()
+        )

@@ -316,7 +316,27 @@ BATTERY13 = [
     "sim_pair_margin_adaptive",        # adaptive twin
     "ml_knn_label_purity_bucketed",    # fixed (battery12: 11.8x)
     "ml_knn_purity_adaptive",          # adaptive twin
+    "sample_hard_negatives_bucketed",  # fixed (battery11: 4.7x)
+    "sample_hard_negatives_adaptive",  # adaptive twin
+    "sim_reciprocal_nn_bucketed",      # fixed (battery11: 4.4x)
+    "sim_reciprocal_nn_adaptive",      # adaptive twin
     "profile_column_storage",          # mapInPandas footer scan
+]
+
+# --battery14: the round-10 widening batch (pipeline14 + the adaptive
+# recall audit). Expected shapes: tiny-key rollups and bounded windows
+# (~linear); the recall audit is 8·n map-side scoring (linear by
+# construction); the coverage curve rides the exact-dedup fingerprint
+# shuffle.
+BATTERY14 = [
+    "q73_mode_per_group",              # (status,priority) rollup
+    "q74_percent_rank_cume_dist",      # one partition window
+    "graph_modularity_brands",         # shared edges + broadcast dims
+    "text_zipf_constancy",             # tf rollup + TakeOrdered(20)
+    "orders_pareto_frontier",          # day rollup + running max
+    "sim_ann_recall_adaptive",         # 8 broadcast anchors x corpus
+    "sample_coverage_curve",           # fp window + 16-key rollup
+    "dq_functional_dependency",        # two (x,y) rollups
 ]
 
 
@@ -441,6 +461,8 @@ def main() -> None:
             evo_lake(spark, d)
     if "--battery13" in sys.argv:
         battery = BATTERY13
+    if "--battery14" in sys.argv:
+        battery = BATTERY14
     if "--battery10" in sys.argv:
         battery = BATTERY10
         from project_final_parquet_spark.operators.lake_queries import (
