@@ -272,6 +272,9 @@ HEADLINE = [
     "orders_pareto_frontier",
     "sample_coverage_curve",
     "dq_functional_dependency",
+    "events_gaps_and_islands",
+    "events_local_peaks",
+    "sample_proportional_allocation",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

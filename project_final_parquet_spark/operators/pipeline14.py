@@ -551,3 +551,208 @@ def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fd")
     )
+
+
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "events_gaps_and_islands",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             epoch_us(ts) // {_DAY_US} AS day
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, day,
+             day - ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS island
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS island_len
+      FROM grp GROUP BY user_id, island
+    )
+    SELECT island_len, CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM islands GROUP BY island_len ORDER BY island_len
+    """,
+)
+def events_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic gaps-and-islands pattern: per user, maximal runs of
+    CONSECUTIVE active days (an island), found with the row-number
+    difference trick — day − row_number() is constant exactly within a
+    consecutive run, so one window turns run detection into a groupBy.
+    Reported as the island-length histogram with the user count per
+    length: the streak table behind "7-day streak" engagement
+    features, and a different lens than gap-threshold sessionization
+    (events_sessionize_gap cuts on idle TIME; islands cut on missed
+    DAYS).
+
+    Scale: one distinct (user, day) rollup (map-side combinable), one
+    user-partitioned window over day-grain rows (≤ |days| per user),
+    two tiny rollups. Integer day buckets (ts_us div) throughout —
+    the pipeline11 convention the oracles share."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr(f"ts_us div {_DAY_US}").alias("day")
+    ).distinct()
+    grp = days.select(
+        "user_id",
+        "day",
+        (
+            F.col("day")
+            - F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+        ).alias("island"),
+    )
+    islands = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("island_len")
+    )
+    return (
+        islands.groupBy("island_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("island_len")
+    )
+
+
+@query(
+    "events_local_peaks",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // {_DAY_US} AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY day
+    ),
+    ctx AS (
+      SELECT day, n_events,
+             LAG(n_events) OVER (ORDER BY day) AS prev_n,
+             LEAD(n_events) OVER (ORDER BY day) AS next_n
+      FROM daily
+    )
+    SELECT day, n_events, prev_n, next_n
+    FROM ctx
+    WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+      AND n_events > prev_n AND n_events > next_n
+    ORDER BY day
+    """,
+)
+def events_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection on the daily event-count series: days
+    strictly above BOTH calendar neighbors (series edges excluded —
+    a boundary day has no two-sided evidence). The simplest shape of
+    peak detection every monitoring stack runs before alerting on
+    'unusual traffic'; strict inequalities make plateaus non-peaks, so
+    ties can't flip membership between engines. Counts are exact
+    integers; no thresholds to calibrate.
+
+    Scale: the fact table collapses to a |days|-row day-grain rollup
+    (map-side combinable) before the single ordered lag/lead pass —
+    the same day-frame discipline as events_changepoint_cusum."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.expr(f"ts_us div {_DAY_US}").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = W.partitionBy().orderBy("day")
+    ctx = daily.select(
+        "day",
+        "n_events",
+        F.lag("n_events").over(w).alias("prev_n"),
+        F.lead("n_events").over(w).alias("next_n"),
+    )
+    return (
+        ctx.filter(
+            F.col("prev_n").isNotNull()
+            & F.col("next_n").isNotNull()
+            & (F.col("n_events") > F.col("prev_n"))
+            & (F.col("n_events") > F.col("next_n"))
+        )
+        .orderBy("day")
+    )
+
+
+_ALLOC_BUDGET = 200  # total sample rows to allocate across sources
+
+
+@query(
+    "sample_proportional_allocation",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM s),
+    q AS (
+      SELECT source, n_docs,
+             CAST(({_ALLOC_BUDGET} * n_docs) // t.total AS BIGINT) AS base,
+             ({_ALLOC_BUDGET} * n_docs) % t.total AS rem
+      FROM s CROSS JOIN t
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr,
+             CAST({_ALLOC_BUDGET} AS BIGINT) - SUM(base) OVER () AS leftover
+      FROM q
+    )
+    SELECT source, n_docs, base,
+           CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS allocated
+    FROM r ORDER BY source
+    """,
+)
+def sample_proportional_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Proportional sample allocation with EXACT largest-remainder
+    rounding (the Hamilton method): split a fixed budget of 200 sample
+    rows across document sources in proportion to size, with the
+    fractional remainders resolved deterministically (remainder DESC,
+    source ASC) so the allocations sum to the budget EXACTLY — the
+    off-by-rounding drift of naive round(budget·share) is the classic
+    bug in stratified sampling plans. Pure integer arithmetic: floor
+    quotas via div, remainders via mod, no floats anywhere.
+
+    Scale: one |sources|-key rollup over the corpus (map-side
+    combinable); everything after runs on the ≤|sources|-row plan
+    frame. The plan feeds sample_stratified_exact's per-stratum
+    rank-select take."""
+    s = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    t = s.agg(F.sum("n_docs").cast("long").alias("total"))
+    q = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.expr(f"({_ALLOC_BUDGET} * n_docs) div total").cast("long").alias(
+            "base"
+        ),
+        F.expr(f"({_ALLOC_BUDGET} * n_docs) % total").alias("rem"),
+    )
+    w_all = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    r = q.select(
+        "source",
+        "n_docs",
+        "base",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.desc("rem"), "source"))
+        .alias("rr"),
+        (F.lit(_ALLOC_BUDGET) - F.sum("base").over(w_all)).alias("leftover"),
+    )
+    return r.select(
+        "source",
+        "n_docs",
+        "base",
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("allocated"),
+    ).orderBy("source")

@@ -322,6 +322,9 @@ ROUND11_QUEUE: list[str] = [
     "sim_ann_recall_adaptive",
     "sample_coverage_curve",
     "dq_functional_dependency",
+    "events_gaps_and_islands",
+    "events_local_peaks",
+    "sample_proportional_allocation",
 ]
 
 # Round-10 window (positions 1-50):

@@ -569,3 +569,99 @@ def test_functional_dependency_replay(spark):
         assert r["min_repair_rows"] == sum(
             sum(ys.values()) - max(ys.values()) for ys in per_x.values()
         )
+
+
+def test_gaps_and_islands_replay(spark):
+    from collections import defaultdict
+
+    from project_final_parquet_spark.operators.pipeline14 import (
+        _DAY_US,
+        events_gaps_and_islands,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "ts"
+    ).collect()
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+    days = defaultdict(set)
+    for r in ev:
+        us = int((r["ts"] - epoch).total_seconds() * 1_000_000)
+        days[r["user_id"]].add(us // _DAY_US)
+    hist = defaultdict(lambda: [0, set()])
+    for u, ds in days.items():
+        run = 1
+        prev = None
+        for d in sorted(ds):
+            if prev is not None and d == prev + 1:
+                run += 1
+            elif prev is not None:
+                hist[run][0] += 1
+                hist[run][1].add(u)
+                run = 1
+            prev = d
+        hist[run][0] += 1
+        hist[run][1].add(u)
+    got = [
+        (r["island_len"], r["n_islands"], r["n_users"])
+        for r in events_gaps_and_islands(spark, SF).collect()
+    ]
+    assert got == [
+        (ln, hist[ln][0], len(hist[ln][1])) for ln in sorted(hist)
+    ]
+
+
+def test_local_peaks_replay(spark):
+    from collections import Counter
+
+    from project_final_parquet_spark.operators.pipeline14 import (
+        _DAY_US,
+        events_local_peaks,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("ts").collect()
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+    daily = Counter(
+        int((r["ts"] - epoch).total_seconds() * 1_000_000) // _DAY_US
+        for r in ev
+    )
+    days = sorted(daily)
+    expect = [
+        (d, daily[d], daily[days[i - 1]], daily[days[i + 1]])
+        for i, d in enumerate(days)
+        if 0 < i < len(days) - 1
+        and daily[d] > daily[days[i - 1]]
+        and daily[d] > daily[days[i + 1]]
+    ]
+    got = [
+        (r["day"], r["n_events"], r["prev_n"], r["next_n"])
+        for r in events_local_peaks(spark, SF).collect()
+    ]
+    assert got == expect
+    assert got  # at least one interior peak in the driver corpus
+
+
+def test_proportional_allocation_exact(spark):
+    """Hamilton-method invariants: allocations sum EXACTLY to the
+    budget, every allocation is base or base+1, and the +1s go to the
+    largest remainders (remainder DESC, source ASC)."""
+    from project_final_parquet_spark.operators.pipeline14 import (
+        _ALLOC_BUDGET,
+        sample_proportional_allocation,
+    )
+
+    rows = sample_proportional_allocation(spark, SF).collect()
+    assert sum(r["allocated"] for r in rows) == _ALLOC_BUDGET
+    total = sum(r["n_docs"] for r in rows)
+    rem = {}
+    for r in rows:
+        base = _ALLOC_BUDGET * r["n_docs"] // total
+        assert r["base"] == base
+        assert r["allocated"] in (base, base + 1)
+        rem[r["source"]] = _ALLOC_BUDGET * r["n_docs"] % total
+    bumped = {r["source"] for r in rows if r["allocated"] == r["base"] + 1}
+    order = sorted(rows, key=lambda r: (-rem[r["source"]], r["source"]))
+    assert bumped == {r["source"] for r in order[: len(bumped)]}

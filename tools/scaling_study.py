@@ -337,6 +337,9 @@ BATTERY14 = [
     "sim_ann_recall_adaptive",         # 8 broadcast anchors x corpus
     "sample_coverage_curve",           # fp window + 16-key rollup
     "dq_functional_dependency",        # two (x,y) rollups
+    "events_gaps_and_islands",         # (user,day) distinct + user window
+    "events_local_peaks",              # day rollup + lag/lead
+    "sample_proportional_allocation",  # |sources| rollup + tiny plan
 ]
 
 
