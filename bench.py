@@ -275,6 +275,9 @@ HEADLINE = [
     "events_gaps_and_islands",
     "events_local_peaks",
     "sample_proportional_allocation",
+    "ivm_delta_agg",
+    "text_length_gini",
+    "ml_brier_decomposition",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -646,3 +646,109 @@ def ml_expected_calibration_error(
             F.max(gap).alias("max_gap"),
         )
     )
+
+
+@query(
+    "ml_brier_decomposition",
+    oracle=f"""
+    WITH {PROBE_SCORED_CTES},
+    mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM scored),
+    conf AS (
+      SELECT vec_id,
+             CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y,
+             (score - lo) / (hi - lo) AS c
+      FROM scored CROSS JOIN mm
+    ),
+    binned AS (
+      SELECT y, c, NTILE(10) OVER (ORDER BY c, vec_id) AS bin
+      FROM conf
+    ),
+    per_bin AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             {DSUM_SQL.format(expr="c")} / COUNT(*) AS mean_conf,
+             {DSUM_SQL.format(expr="y")} / COUNT(*) AS pos_rate
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS big_n,
+             {DSUM_SQL.format(expr="(c - y) * (c - y)")} / COUNT(*)
+               AS brier,
+             {DSUM_SQL.format(expr="y")} / COUNT(*) AS base_rate
+      FROM conf
+    )
+    SELECT big_n AS n, brier,
+           {DSUM_SQL.format(
+               expr="(CAST(per_bin.n AS DOUBLE) / big_n)"
+               " * (mean_conf - pos_rate) * (mean_conf - pos_rate)"
+           )} AS reliability,
+           {DSUM_SQL.format(
+               expr="(CAST(per_bin.n AS DOUBLE) / big_n)"
+               " * (pos_rate - base_rate) * (pos_rate - base_rate)"
+           )} AS resolution,
+           MAX(base_rate * (1 - base_rate)) AS uncertainty
+    FROM per_bin CROSS JOIN tot
+    GROUP BY big_n, brier
+    """,
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the min-max-normalized probe confidence plus its
+    Murphy decomposition terms over the shared 10 rank bins:
+    reliability (bin confidence vs observed rate, the miscalibration
+    mass), resolution (how far bin outcomes spread from the base
+    rate — the score's discriminative value), and uncertainty
+    (base_rate·(1−base_rate), the irreducible floor). Complements
+    ml_expected_calibration_error: ECE is the L1 reliability view,
+    Brier the proper-scoring-rule view a forecasting consumer
+    optimizes. (With rank bins the three terms approximate the exact
+    Murphy identity — forecasts vary within a bin — so all three are
+    reported next to the direct Brier mean rather than summed.)
+
+    Determinism: the ECE normalization exactly (min/max broadcast,
+    one IEEE affine map per row), squares written x·x, all means
+    decimal folds; bins are the shared NTILE rank convention.
+
+    Scale: one global rank sort (shared with every probe-eval query),
+    one 10-key rollup, one 1-row corpus fold."""
+    scored = probe_scores(spark, sf_dir)
+    mm = scored.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    conf = scored.crossJoin(F.broadcast(mm)).select(
+        "vec_id",
+        F.when(F.col("label") == 0, 1.0).otherwise(0.0).alias("y"),
+        ((F.col("score") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias(
+            "c"
+        ),
+    )
+    binned = conf.select(
+        "y", "c", F.ntile(10).over(W.orderBy("c", "vec_id")).alias("bin")
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        (dsum(F.col("c")) / F.count(F.lit(1))).alias("mean_conf"),
+        (dsum(F.col("y")) / F.count(F.lit(1))).alias("pos_rate"),
+    )
+    tot = conf.agg(
+        F.count(F.lit(1)).cast("long").alias("big_n"),
+        (
+            dsum((F.col("c") - F.col("y")) * (F.col("c") - F.col("y")))
+            / F.count(F.lit(1))
+        ).alias("brier"),
+        (dsum(F.col("y")) / F.count(F.lit(1))).alias("base_rate"),
+    )
+    w = F.col("nb").cast("double") / F.col("big_n")
+    rel = (F.col("mean_conf") - F.col("pos_rate")) * (
+        F.col("mean_conf") - F.col("pos_rate")
+    )
+    res = (F.col("pos_rate") - F.col("base_rate")) * (
+        F.col("pos_rate") - F.col("base_rate")
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("big_n").alias("n"), "brier")
+        .agg(
+            dsum(w * rel).alias("reliability"),
+            dsum(w * res).alias("resolution"),
+            F.max(F.col("base_rate") * (1 - F.col("base_rate"))).alias(
+                "uncertainty"
+            ),
+        )
+    )

@@ -756,3 +756,109 @@ def sample_proportional_allocation(
         .cast("long")
         .alias("allocated"),
     ).orderBy("source")
+
+
+@query(
+    "ivm_delta_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def ivm_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for an AGGREGATE view — the other
+    canonical IVM shape next to ivm_delta_join: the per-status
+    (count, exact decimal sum) view is maintained as BASE partials
+    (pre-1995-06 orders) merged with DELTA partials (the rest) by
+    adding counts and decimal sums — never rescanning the base. The
+    oracle is the FULL recompute over all orders, so the gate itself
+    proves merge(base, delta) == recompute: the property that makes
+    streaming upserts into 100 TB aggregate tables correct. Decimal
+    partials make the merge order-independent (the DSUM convention),
+    which float partials would not.
+
+    Scale: two filtered aggregations (each map-side combinable,
+    stats-pruned by the date predicate) + a |statuses|-key merge.
+    In production the base partials are a stored table and only the
+    delta scan runs per batch."""
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1995-06-01 00:00:00").cast("timestamp_ntz")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("s"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    return merged.select(
+        "o_orderstatus",
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("s").cast("string").cast("double").alias("sum_price"),
+    ).orderBy("o_orderstatus")
+
+
+@query(
+    "text_length_gini",
+    oracle="""
+    WITH x AS (
+      SELECT n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS i
+      FROM documents
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS tot,
+             CAST(SUM(i * n_chars) AS BIGINT) AS weighted
+      FROM x
+    )
+    SELECT n, tot,
+           CAST(2 * weighted AS DOUBLE) / (CAST(n AS DOUBLE) * tot)
+             - (CAST(n AS DOUBLE) + 1) / n AS gini
+    FROM s
+    """,
+)
+def text_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document lengths — the corpus-inequality
+    scalar (0 = all docs equal, →1 = a few giants hold all the chars)
+    that decides whether length-bucketed packing and per-doc cost
+    attribution are worth the complexity. Computed EXACTLY from the
+    rank identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over the ascending
+    (n_chars, doc_id) order: integer rank-weighted sums, two IEEE
+    divisions at the end, no sorting of floats and no approximation.
+    Ties in n_chars cannot change the value (equal x under adjacent
+    ranks contribute the same Σi·x in any tie order).
+
+    Scale: one global rank over (n_chars, doc_id) — the distributed
+    range-partitioned sort every exact-percentile query here pays —
+    then a 1-row integer rollup."""
+    docs = load(spark, sf_dir, "documents")
+    x = docs.select(
+        "n_chars",
+        F.row_number()
+        .over(W.partitionBy().orderBy("n_chars", "doc_id"))
+        .alias("i"),
+    )
+    s = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("tot"),
+        F.sum(F.col("i") * F.col("n_chars")).cast("long").alias("weighted"),
+    )
+    return s.select(
+        "n",
+        "tot",
+        (
+            (2 * F.col("weighted")).cast("double")
+            / (F.col("n").cast("double") * F.col("tot"))
+            - (F.col("n").cast("double") + 1) / F.col("n")
+        ).alias("gini"),
+    )

@@ -325,6 +325,9 @@ ROUND11_QUEUE: list[str] = [
     "events_gaps_and_islands",
     "events_local_peaks",
     "sample_proportional_allocation",
+    "ivm_delta_agg",
+    "text_length_gini",
+    "ml_brier_decomposition",
 ]
 
 # Round-10 window (positions 1-50):

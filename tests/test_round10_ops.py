@@ -665,3 +665,75 @@ def test_proportional_allocation_exact(spark):
     bumped = {r["source"] for r in rows if r["allocated"] == r["base"] + 1}
     order = sorted(rows, key=lambda r: (-rem[r["source"]], r["source"]))
     assert bumped == {r["source"] for r in order[: len(bumped)]}
+
+
+def test_ivm_delta_agg_equals_recompute(spark):
+    """The IVM contract directly: merge(base partials, delta partials)
+    equals the monolithic recompute, bit-for-bit (decimal partials)."""
+    from project_final_parquet_spark.operators.pipeline14 import (
+        ivm_delta_agg,
+    )
+
+    full = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+            .cast("string")
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+        .collect()
+    )
+    got = ivm_delta_agg(spark, SF).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in full]
+
+
+def test_length_gini_replay(spark):
+    from project_final_parquet_spark.operators.pipeline14 import (
+        text_length_gini,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).collect()
+    xs = [r["n_chars"] for r in
+          sorted(docs, key=lambda r: (r["n_chars"], r["doc_id"]))]
+    n, tot = len(xs), sum(xs)
+    weighted = sum((i + 1) * x for i, x in enumerate(xs))
+    row = text_length_gini(spark, SF).collect()[0]
+    assert (row["n"], row["tot"]) == (n, tot)
+    assert row["gini"] == 2 * weighted / (float(n) * tot) - (n + 1.0) / n
+    assert 0 <= row["gini"] < 1
+
+
+def test_brier_decomposition_consistency(spark):
+    """Internal consistency of the Brier terms: the direct mean equals
+    a replay over the collected confidences, all terms nonnegative,
+    uncertainty == p(1-p), and reliability/resolution bounded by their
+    algebraic maxima."""
+    from project_final_parquet_spark.operators.ml_eval import (
+        ml_brier_decomposition,
+    )
+    from project_final_parquet_spark.operators.vector_stats import (
+        probe_scores,
+    )
+
+    scored = probe_scores(spark, SF).collect()
+    lo = min(r["score"] for r in scored)
+    hi = max(r["score"] for r in scored)
+    pairs = [
+        ((r["score"] - lo) / (hi - lo), 1.0 if r["label"] == 0 else 0.0)
+        for r in scored
+    ]
+    n = len(pairs)
+    brier = sum((c - y) ** 2 for c, y in pairs) / n
+    base = sum(y for _, y in pairs) / n
+    row = ml_brier_decomposition(spark, SF).collect()[0]
+    assert row["n"] == n
+    assert abs(row["brier"] - brier) < 1e-9
+    assert abs(row["uncertainty"] - base * (1 - base)) < 1e-12
+    assert 0 <= row["reliability"] <= 1
+    assert 0 <= row["resolution"] <= row["uncertainty"] + 1e-12

@@ -340,6 +340,9 @@ BATTERY14 = [
     "events_gaps_and_islands",         # (user,day) distinct + user window
     "events_local_peaks",              # day rollup + lag/lead
     "sample_proportional_allocation",  # |sources| rollup + tiny plan
+    "ivm_delta_agg",                   # two pruned partial aggs + merge
+    "text_length_gini",                # one global rank + 1-row rollup
+    "ml_brier_decomposition",          # shared probe sort + 10-key rollup
 ]
 
 
