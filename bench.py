@@ -278,6 +278,8 @@ HEADLINE = [
     "ivm_delta_agg",
     "text_length_gini",
     "ml_brier_decomposition",
+    "text_ngram_train_test_coverage",
+    "dq_repeated_event_runs",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -862,3 +862,182 @@ def text_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n").cast("double") + 1) / F.col("n")
         ).alias("gini"),
     )
+
+
+@query(
+    "text_ngram_train_test_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts,
+             substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) AS hp
+      FROM documents
+    ),
+    bi AS (
+      SELECT hp, unnest(list_transform(range(len(ts) - 1),
+               j -> ts[j+1] || ' ' || ts[j+2])) AS bg
+      FROM toks
+    ),
+    train AS (SELECT DISTINCT bg FROM bi WHERE hp < 'e6'),
+    test AS (
+      SELECT bg, CAST(COUNT(*) AS BIGINT) AS occ
+      FROM bi WHERE hp >= 'f3' GROUP BY bg
+    ),
+    j AS (
+      SELECT t.bg, t.occ,
+             CASE WHEN tr.bg IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM test t LEFT JOIN train tr ON tr.bg = t.bg
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test_bigrams,
+           CAST(SUM(hit) AS BIGINT) AS n_covered,
+           CAST(1000000 * SUM(hit) // COUNT(*) AS BIGINT)
+             AS type_coverage_ppm,
+           CAST(SUM(occ) AS BIGINT) AS n_test_occurrences,
+           CAST(SUM(CASE WHEN hit = 1 THEN occ ELSE 0 END) AS BIGINT)
+             AS occ_covered,
+           CAST(1000000 * SUM(CASE WHEN hit = 1 THEN occ ELSE 0 END)
+                // SUM(occ) AS BIGINT) AS occ_coverage_ppm
+    FROM j
+    """,
+)
+def text_ngram_train_test_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train→test bigram coverage: what fraction of the TEST split's
+    distinct bigrams (and of its bigram OCCURRENCES) also appear in
+    the TRAIN split — the n-gram generalization-gap audit that says
+    whether a held-out set actually exercises unseen constructions
+    (coverage near 1e6 ppm = the test set is lexically inside the
+    train distribution; low coverage = genuinely novel text). Splits
+    are the corpus's standard salted-hash assignment
+    (split_train_val_test), so the audit is stable under re-runs and
+    corpus growth.
+
+    Scale: bigram generation is a map-side transform+explode; the only
+    shuffles are the two distinct/count rollups on the bigram key and
+    ONE bigram-key left join — the exact-dedup shape, never a doc×doc
+    comparison. Integer ppm output."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split("text", " ").alias("ts"),
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+            1,
+            2,
+        ).alias("hp"),
+    )
+    bi = toks.select(
+        "hp",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1),"
+                " j -> concat(ts[j-1], ' ', ts[j]))"
+            )
+        ).alias("bg"),
+    )
+    train = bi.filter(F.col("hp") < "e6").select("bg").distinct()
+    test = (
+        bi.filter(F.col("hp") >= "f3")
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("occ"))
+    )
+    j = test.join(
+        train.withColumn("hit", F.lit(1)), "bg", "left"
+    ).na.fill({"hit": 0})
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_bigrams"),
+        F.sum("hit").cast("long").alias("n_covered"),
+        F.expr("1000000 * sum(hit) div count(*)")
+        .cast("long")
+        .alias("type_coverage_ppm"),
+        F.sum("occ").cast("long").alias("n_test_occurrences"),
+        F.sum(F.when(F.col("hit") == 1, F.col("occ")).otherwise(0))
+        .cast("long")
+        .alias("occ_covered"),
+        F.expr(
+            "1000000 * sum(CASE WHEN hit = 1 THEN occ ELSE 0 END)"
+            " div sum(occ)"
+        )
+        .cast("long")
+        .alias("occ_coverage_ppm"),
+    )
+
+
+@query(
+    "dq_repeated_event_runs",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER w AS rn,
+             CASE WHEN event_type = LAG(event_type) OVER w
+                  THEN 0 ELSE 1 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS run_id
+      FROM seq
+    ),
+    sized AS (
+      SELECT user_id, event_type, run_id,
+             CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM runs GROUP BY user_id, event_type, run_id
+    )
+    SELECT event_type, run_len, CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM sized WHERE run_len >= 2
+    GROUP BY event_type, run_len
+    ORDER BY event_type, run_len
+    """,
+)
+def dq_repeated_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-event run detector: maximal runs of the SAME event
+    type emitted back-to-back by one user (event-time order, event_id
+    tiebreak), reported as a (type, run-length) histogram for runs of
+    length ≥ 2 — the telemetry-quality signal behind double-fire bugs
+    (a client retrying its logger) and bot loops, and a different
+    defect class than exact dedup (the rows differ in id/ts; only the
+    TYPE repeats). Run ids come from the standard change-flag running
+    sum, both windows walking the identical (ts, event_id) sequence
+    (the q71 lesson, applied from the start).
+
+    Scale: one user_id shuffle, two in-partition window passes over
+    the same sort, then a (user, run) rollup and a tiny histogram —
+    no joins, no global window."""
+    ev = load(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wu).alias("rn"),
+        F.when(
+            F.col("event_type") == F.lag("event_type").over(wu), 0
+        )
+        .otherwise(1)
+        .alias("is_new"),
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    runs = seq.select(
+        "user_id",
+        "event_type",
+        F.sum("is_new").over(w_run).alias("run_id"),
+    )
+    sized = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return (
+        sized.filter(F.col("run_len") >= 2)
+        .groupBy("event_type", "run_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("event_type", "run_len")
+    )

@@ -328,6 +328,8 @@ ROUND11_QUEUE: list[str] = [
     "ivm_delta_agg",
     "text_length_gini",
     "ml_brier_decomposition",
+    "text_ngram_train_test_coverage",
+    "dq_repeated_event_runs",
 ]
 
 # Round-10 window (positions 1-50):

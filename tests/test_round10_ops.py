@@ -737,3 +737,82 @@ def test_brier_decomposition_consistency(spark):
     assert abs(row["uncertainty"] - base * (1 - base)) < 1e-12
     assert 0 <= row["reliability"] <= 1
     assert 0 <= row["resolution"] <= row["uncertainty"] + 1e-12
+
+
+def test_ngram_coverage_replay(spark):
+    import hashlib
+
+    from project_final_parquet_spark.operators.pipeline14 import (
+        text_ngram_train_test_coverage,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    train, test_occ = set(), {}
+    for r in docs:
+        hp = hashlib.md5(f"{r['doc_id']}:split".encode()).hexdigest()[:2]
+        toks = r["text"].split(" ")
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if hp < "e6":
+            train.update(bgs)
+        elif hp >= "f3":
+            for bg in bgs:
+                test_occ[bg] = test_occ.get(bg, 0) + 1
+    n_test = len(test_occ)
+    n_cov = sum(1 for bg in test_occ if bg in train)
+    occ_tot = sum(test_occ.values())
+    occ_cov = sum(c for bg, c in test_occ.items() if bg in train)
+    row = text_ngram_train_test_coverage(spark, SF).collect()[0]
+    assert (
+        row["n_test_bigrams"],
+        row["n_covered"],
+        row["type_coverage_ppm"],
+        row["n_test_occurrences"],
+        row["occ_covered"],
+        row["occ_coverage_ppm"],
+    ) == (
+        n_test,
+        n_cov,
+        1000000 * n_cov // n_test,
+        occ_tot,
+        occ_cov,
+        1000000 * occ_cov // occ_tot,
+    )
+    assert 0 < n_cov < n_test  # non-degenerate at the driver corpus
+
+
+def test_repeated_event_runs_replay(spark):
+    from collections import defaultdict
+
+    from project_final_parquet_spark.operators.pipeline14 import (
+        dq_repeated_event_runs,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "event_id", "ts", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    hist = defaultdict(lambda: [0, set()])
+    for u, rows in by_user.items():
+        rows.sort()
+        run_type, run_len = None, 0
+        for _, _, t in rows + [(None, None, object())]:
+            if t == run_type:
+                run_len += 1
+            else:
+                if run_len >= 2:
+                    hist[(run_type, run_len)][0] += 1
+                    hist[(run_type, run_len)][1].add(u)
+                run_type, run_len = t, 1
+    got = [
+        (r["event_type"], r["run_len"], r["n_runs"], r["n_users"])
+        for r in dq_repeated_event_runs(spark, SF).collect()
+    ]
+    assert got == [
+        (t, ln, hist[(t, ln)][0], len(hist[(t, ln)][1]))
+        for t, ln in sorted(hist)
+    ]
+    assert got  # the driver corpus has double-fires

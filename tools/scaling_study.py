@@ -343,6 +343,8 @@ BATTERY14 = [
     "ivm_delta_agg",                   # two pruned partial aggs + merge
     "text_length_gini",                # one global rank + 1-row rollup
     "ml_brier_decomposition",          # shared probe sort + 10-key rollup
+    "text_ngram_train_test_coverage",  # bigram explode + key join
+    "dq_repeated_event_runs",          # user shuffle, two windows
 ]
 
 
