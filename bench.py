@@ -280,6 +280,8 @@ HEADLINE = [
     "ml_brier_decomposition",
     "text_ngram_train_test_coverage",
     "dq_repeated_event_runs",
+    "dedup_embedding_adaptive",
+    "sim_topk_adaptive",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -687,3 +687,143 @@ def sim_ann_recall_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor")
     )
+
+
+_DEDUP_TAU = "0.38"  # near-dup threshold (synthetic corpus: random-ish
+# vectors top out near cosine 0.43, so 0.38 exercises a non-degenerate
+# drop set; a real near-dup corpus would sit at 0.9+)
+
+
+@query(
+    "dedup_embedding_adaptive",
+    oracle=f"""
+    WITH np AS ({_NP_SQL}),
+    buck AS (
+      SELECT vec_id, embedding, {_abucket_sql('embedding')} AS bucket,
+             {_NORM_SQL.format(dim=_DIM, a='embedding')} AS nrm
+      FROM embeddings CROSS JOIN np
+    ),
+    pairs AS (
+      SELECT a.vec_id AS keeper, b.vec_id AS dropped
+      FROM buck a JOIN buck b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_DOT_SQL.format(dim=_DIM, a='a.embedding', b='b.embedding')}
+              / (a.nrm * b.nrm) >= {_DEDUP_TAU}
+    )
+    SELECT (SELECT CAST(k AS BIGINT) FROM np) AS n_planes,
+           dropped AS vec_id,
+           CAST(MIN(keeper) AS BIGINT) AS kept_for
+    FROM pairs GROUP BY dropped ORDER BY vec_id
+    """,
+)
+def dedup_embedding_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup dedup through the CORPUS-ADAPTIVE index with
+    the SENIORITY rule: a vector is dropped when a lower-id vector in
+    its bucket sits within cosine ≥ τ (0.38 here — the synthetic
+    corpus has no true duplicates, so τ sits just under its top pair
+    cosines to exercise the drop set; production uses 0.9+), keeping the most senior
+    member of every near-dup pair in ONE pass (no iterative
+    component-finding — the rule the canonicalize family applies when
+    cluster identity isn't needed, only a stable keep/drop decision).
+    Emits each dropped id with its most senior keeper; n_planes pins
+    the index. Complements dedup_embedding_cosine (label-blocked
+    exact pairs) with the index-pruned corpus-scale form.
+
+    Scale: the sim_range_search_adaptive plan exactly (map-side
+    bucketing, ONE bucket-key self-join with occupancy pinned at ~32)
+    plus a drop-key rollup. At 100× the fixed-plane form of this
+    dedup would be quadratic; this stays corpus-proportional."""
+    k, buck = _bucketed(spark, sf_dir)
+    a = buck.select(
+        "bucket",
+        F.col("vec_id").alias("keeper"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = buck.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("dropped"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cosine = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("keeper") < F.col("dropped")),
+        )
+        .filter(cosine >= F.expr(_DEDUP_TAU))
+        .select("keeper", "dropped")
+    )
+    return (
+        pairs.groupBy(F.col("dropped").alias("vec_id"))
+        .agg(F.min("keeper").cast("long").alias("kept_for"))
+        .select(
+            F.lit(k).cast("long").alias("n_planes"), "vec_id", "kept_for"
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "sim_topk_adaptive",
+    oracle=f"""
+    WITH np AS ({_NP_SQL}),
+    buck AS (
+      SELECT vec_id, label, embedding,
+             {_abucket_sql('embedding')} AS bucket,
+             {_NORM_SQL.format(dim=_DIM, a='embedding')} AS nrm
+      FROM embeddings CROSS JOIN np
+    ),
+    q AS (SELECT embedding AS qv, nrm AS nq, bucket AS qb
+          FROM buck WHERE vec_id = 0)
+    SELECT (SELECT CAST(k AS BIGINT) FROM np) AS n_planes,
+           b.vec_id, b.label,
+           {_DOT_SQL.format(dim=_DIM, a='b.embedding', b='q.qv')}
+             / (b.nrm * q.nq) AS cosine
+    FROM buck b CROSS JOIN q
+    WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, q.qb)) <= 1
+    ORDER BY cosine DESC, b.vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 ANN serving through the CORPUS-ADAPTIVE index: the
+    sim_ann_lsh query shape (query vector broadcast, bucket-mates
+    scored exactly, TakeOrdered) with the candidate set the radius-1
+    probe neighborhood of the adaptive index — per-query candidate
+    count stays ~32·(k+1) at ANY corpus size where the fixed index's
+    own bucket grows linearly. sim_ann_recall_adaptive measures what
+    this candidate set costs in recall; this is the serving path
+    itself. n_planes pins the index.
+
+    Scale: map-side bucketing + one broadcast 1-row query frame; the
+    Hamming filter is a per-row integer op; TakeOrderedAndProject
+    keeps 10 rows per partition."""
+    k, buck = _bucketed(spark, sf_dir)
+    q = buck.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("nq"),
+        F.col("bucket").alias("qb"),
+    )
+    cosine = _dot(F.col("embedding"), F.col("qv")) / (
+        F.col("nrm") * F.col("nq")
+    )
+    return (
+        buck.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != 0)
+            & (
+                F.bit_count(F.col("bucket").bitwiseXOR(F.col("qb"))) <= 1
+            )
+        )
+        .select(
+            F.lit(k).cast("long").alias("n_planes"),
+            "vec_id",
+            "label",
+            cosine.alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )

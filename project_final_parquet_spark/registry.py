@@ -41,8 +41,9 @@ graph_modularity_brands, pipeline_e2e_rag,
 and the corpus-adaptive LSH family
 (sim_range_search_adaptive, sim_pair_margin_adaptive,
 ml_knn_purity_adaptive, sample_hard_negatives_adaptive,
-sim_reciprocal_nn_adaptive, sim_ann_recall_adaptive — one corpus
-count() picks the plane count).
+sim_reciprocal_nn_adaptive, sim_ann_recall_adaptive,
+dedup_embedding_adaptive, sim_topk_adaptive — one corpus count()
+picks the plane count).
 Every
 other query returns a fully lazy plan. (tests/test_registry_lint.py
 keeps this list honest against the construction sites.)
@@ -330,6 +331,8 @@ ROUND11_QUEUE: list[str] = [
     "ml_brier_decomposition",
     "text_ngram_train_test_coverage",
     "dq_repeated_event_runs",
+    "dedup_embedding_adaptive",
+    "sim_topk_adaptive",
 ]
 
 # Round-10 window (positions 1-50):

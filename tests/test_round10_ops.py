@@ -816,3 +816,76 @@ def test_repeated_event_runs_replay(spark):
         for t, ln in sorted(hist)
     ]
     assert got  # the driver corpus has double-fires
+
+
+def test_dedup_embedding_adaptive_replay(spark, big_corpus):
+    """Seniority-rule dedup replay on the 7-plane corpus: dropped ==
+    any vector with a lower-id same-bucket neighbor at cosine ≥ τ,
+    keeper == the minimum such id."""
+    from project_final_parquet_spark.operators.similarity10 import (
+        dedup_embedding_adaptive,
+    )
+
+    d, vecs = big_corpus
+    k = adaptive_planes(len(vecs))
+    buckets = _np_buckets(vecs, k)
+    v64 = vecs.astype(np.float64)
+    nrm = np.sqrt((v64 * v64).sum(axis=1))
+    from collections import defaultdict
+
+    by_bucket = defaultdict(list)
+    for i, b in enumerate(buckets):
+        by_bucket[int(b)].append(i)
+    expect = {}
+    for ids in by_bucket.values():
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                i, j = ids[x], ids[y]
+                cos = float(v64[i] @ v64[j] / (nrm[i] * nrm[j]))
+                if cos >= 0.38:
+                    expect[j] = min(expect.get(j, i), i)
+    got = {
+        r["vec_id"]: r["kept_for"]
+        for r in dedup_embedding_adaptive(spark, d).collect()
+    }
+    assert got == expect
+
+
+def test_topk_adaptive_subset_of_exact(spark):
+    """The adaptive top-10 must equal the exact top-10 RESTRICTED to
+    the radius-1 candidate set (numpy replay), and every returned
+    cosine must be a true cosine of the query pair."""
+    from project_final_parquet_spark.operators.similarity10 import (
+        adaptive_planes,
+        sim_topk_adaptive,
+    )
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    k = adaptive_planes(len(emb))
+    ids = sorted(emb)
+    mat = np.stack([emb[i] for i in ids])
+    buckets = _np_buckets(mat.astype(np.float32), k)
+    bid = {i: int(buckets[pos]) for pos, i in enumerate(ids)}
+    q = emb[0]
+    nq = np.sqrt(q @ q)
+    cand = [
+        i for i in ids
+        if i != 0 and bin(bid[i] ^ bid[0]).count("1") <= 1
+    ]
+    scored = sorted(
+        (
+            (-(emb[i] @ q / (np.sqrt(emb[i] @ emb[i]) * nq)), i)
+            for i in cand
+        )
+    )[:10]
+    expect = [i for _, i in scored]
+    got = sim_topk_adaptive(spark, SF).collect()
+    assert [r["vec_id"] for r in got] == expect
+    for r in got:
+        v = emb[r["vec_id"]]
+        cos = v @ q / (np.sqrt(v @ v) * nq)
+        assert abs(r["cosine"] - cos) < 1e-9

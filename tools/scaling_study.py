@@ -345,6 +345,8 @@ BATTERY14 = [
     "ml_brier_decomposition",          # shared probe sort + 10-key rollup
     "text_ngram_train_test_coverage",  # bigram explode + key join
     "dq_repeated_event_runs",          # user shuffle, two windows
+    "dedup_embedding_adaptive",        # adaptive bucket self-join
+    "sim_topk_adaptive",               # broadcast query + hamming filter
 ]
 
 
