@@ -282,6 +282,7 @@ HEADLINE = [
     "dq_repeated_event_runs",
     "dedup_embedding_adaptive",
     "sim_topk_adaptive",
+    "events_type_cooccurrence_sessions",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -1041,3 +1041,128 @@ def dq_repeated_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "run_len")
     )
+
+
+_GAP_US = 30 * 60 * 1_000_000  # the corpus's standard 30-min session gap
+
+
+@query(
+    "events_type_cooccurrence_sessions",
+    oracle=f"""
+    WITH lagd AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             LAG(epoch_us(ts)) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type,
+             SUM(CASE WHEN prev IS NULL OR ts_us - prev > {_GAP_US}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM lagd
+    ),
+    st AS (SELECT DISTINCT user_id, sid, event_type FROM sess),
+    n AS (SELECT CAST(COUNT(DISTINCT (user_id, sid)) AS BIGINT)
+            AS n_sessions FROM st),
+    ta AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+           FROM st GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM st a JOIN st b
+        ON a.user_id = b.user_id AND a.sid = b.sid
+       AND a.event_type < b.event_type
+      GROUP BY type_a, type_b
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           (CAST(p.n_both AS DOUBLE) * n.n_sessions)
+             / (CAST(na.n_t AS DOUBLE) * nb.n_t) AS lift
+    FROM pairs p
+    JOIN ta na ON na.event_type = p.type_a
+    JOIN ta nb ON nb.event_type = p.type_b
+    CROSS JOIN n
+    WHERE p.n_both >= 2
+    ORDER BY p.type_a, p.type_b
+    """,
+)
+def events_type_cooccurrence_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-level event-type co-occurrence lift: which event types
+    happen together WITHIN one gap-sessionized visit more (lift > 1)
+    or less (< 1) than independent frequencies predict — the basket
+    analysis of behavior (text_cooccurrence_lift's shape, with the
+    session as the basket and the standard 30-min gap sessionization
+    as the basket builder). Lift = n_both·N / (n_a·n_b) over session
+    counts; all inputs exact integers, one IEEE expression written
+    identically in both engines.
+
+    Scale: the sessionize two-window chain (user-keyed shuffles), a
+    distinct (user, session, type) rollup, then a session-key
+    self-join whose fan-out is bounded by types-per-session (≤
+    |event types|, a constant) — the basket-bounded pair argument,
+    never sessions²."""
+    ev = load(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lagd = ev.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.lag("ts_us").over(wo).alias("prev"),
+    )
+    new_s = F.when(
+        F.col("prev").isNull() | (F.col("ts_us") - F.col("prev") > _GAP_US),
+        1,
+    ).otherwise(0)
+    sess = lagd.select(
+        "user_id",
+        "event_type",
+        F.sum(new_s)
+        .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("sid"),
+    )
+    st = sess.select("user_id", "sid", "event_type").distinct()
+    n = st.select("user_id", "sid").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    ta = st.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    a = st.select("user_id", "sid", F.col("event_type").alias("type_a"))
+    b = st.select(
+        F.col("user_id").alias("ub"),
+        F.col("sid").alias("sb"),
+        F.col("event_type").alias("type_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("ub"))
+            & (F.col("sid") == F.col("sb"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    na = ta.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("na"))
+    nb = ta.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("nb"))
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("n_both") >= 2)
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            (
+                (F.col("n_both").cast("double") * F.col("n_sessions"))
+                / (F.col("na").cast("double") * F.col("nb"))
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -333,6 +333,7 @@ ROUND11_QUEUE: list[str] = [
     "dq_repeated_event_runs",
     "dedup_embedding_adaptive",
     "sim_topk_adaptive",
+    "events_type_cooccurrence_sessions",
 ]
 
 # Round-10 window (positions 1-50):

@@ -889,3 +889,57 @@ def test_topk_adaptive_subset_of_exact(spark):
         v = emb[r["vec_id"]]
         cos = v @ q / (np.sqrt(v @ v) * nq)
         assert abs(r["cosine"] - cos) < 1e-9
+
+
+def test_type_cooccurrence_sessions_replay(spark):
+    from collections import defaultdict
+    import datetime
+
+    from project_final_parquet_spark.operators.pipeline14 import (
+        _GAP_US,
+        events_type_cooccurrence_sessions,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "event_id", "ts", "event_type"
+    ).collect()
+    epoch = datetime.datetime(1970, 1, 1)
+    by_user = defaultdict(list)
+    for r in ev:
+        us = int((r["ts"] - epoch).total_seconds() * 1_000_000)
+        by_user[r["user_id"]].append((us, r["event_id"], r["event_type"]))
+    sessions = []
+    for u, rows in by_user.items():
+        rows.sort()
+        cur, prev = set(), None
+        for us, _, t in rows:
+            if prev is not None and us - prev > _GAP_US:
+                sessions.append(cur)
+                cur = set()
+            cur.add(t)
+            prev = us
+        sessions.append(cur)
+    n = len(sessions)
+    n_t = defaultdict(int)
+    n_both = defaultdict(int)
+    for s in sessions:
+        for t in s:
+            n_t[t] += 1
+        ts = sorted(s)
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                n_both[(ts[i], ts[j])] += 1
+    expect = [
+        (a, b, c, c * n / (float(n_t[a]) * n_t[b]))
+        for (a, b), c in sorted(n_both.items())
+        if c >= 2
+    ]
+    got = [
+        (r["type_a"], r["type_b"], r["n_both"], r["lift"])
+        for r in events_type_cooccurrence_sessions(spark, SF).collect()
+    ]
+    assert [(a, b, c) for a, b, c, _ in expect] == [
+        (a, b, c) for a, b, c, _ in got
+    ]
+    for (_, _, _, el), (_, _, _, gl) in zip(expect, got):
+        assert abs(el - gl) < 1e-12

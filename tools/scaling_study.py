@@ -347,6 +347,7 @@ BATTERY14 = [
     "dq_repeated_event_runs",          # user shuffle, two windows
     "dedup_embedding_adaptive",        # adaptive bucket self-join
     "sim_topk_adaptive",               # broadcast query + hamming filter
+    "events_type_cooccurrence_sessions",  # session baskets + pair join
 ]
 
 
