@@ -283,6 +283,8 @@ HEADLINE = [
     "dedup_embedding_adaptive",
     "sim_topk_adaptive",
     "events_type_cooccurrence_sessions",
+    "graph_rich_club",
+    "events_type_hhi",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

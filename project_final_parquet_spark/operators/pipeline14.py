@@ -1166,3 +1166,168 @@ def events_type_cooccurrence_sessions(
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "graph_rich_club",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_orderkey AS ok, l1.l_partkey AS a,
+             l2.l_partkey AS b
+      FROM lineitem l1
+      JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    edges AS (
+      SELECT a, b FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2
+    ),
+    adj AS (
+      SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+    ),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY v),
+    ks AS (SELECT unnest([2, 4, 8]) AS k),
+    nodes AS (
+      SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_rich
+      FROM ks LEFT JOIN deg ON deg.d > ks.k GROUP BY ks.k
+    ),
+    rich_edges AS (
+      SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e_rich
+      FROM ks LEFT JOIN (
+        SELECT e.a, e.b, da.d AS da, db.d AS db
+        FROM edges e
+        JOIN deg da ON da.v = e.a
+        JOIN deg db ON db.v = e.b
+      ) x ON x.da > ks.k AND x.db > ks.k
+      GROUP BY ks.k
+    )
+    SELECT n.k, n.n_rich, r.e_rich,
+           CASE WHEN n.n_rich >= 2
+                THEN (2.0 * r.e_rich)
+                     / (CAST(n.n_rich AS DOUBLE) * (n.n_rich - 1))
+                ELSE 0.0 END AS phi
+    FROM nodes n JOIN rich_edges r ON r.k = n.k
+    ORDER BY n.k
+    """,
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) of the co-purchase graph at k ∈
+    {2,4,8}: among vertices of degree > k, the realized fraction of
+    possible edges — φ rising with k means the hubs preferentially
+    interconnect (a rich club), the topology that concentrates both
+    influence AND shuffle load (the same hubs dominate every
+    bucket-keyed join downstream — the skew-salting trigger).
+    Complements assortativity (correlation view) and knn(k) (curve
+    view) with the subgraph-density view. Exact integer counts; one
+    IEEE ratio.
+
+    NOTE: eager — shares the edge-list localCheckpoint pattern with
+    graph_modularity_brands (three consumers of the derived edges; the
+    registry contract note lists it).
+
+    Scale: the checkpointed copurchase_edges frame, one degree rollup,
+    ONE edges×degree double hash join, then three conditional
+    aggregates over the joined frame — k values share the single
+    pass."""
+    from ..ckpt import checkpoint, release
+    from .graph import copurchase_edges
+
+    edges = checkpoint(copurchase_edges(spark, sf_dir))
+    adj = edges.select(F.col("a").alias("v")).unionAll(
+        edges.select(F.col("b").alias("v"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    joined = edges.join(da, "a").join(db, "b")
+    ks = (2, 4, 8)
+    n_row = deg.agg(
+        *[
+            F.sum(F.when(F.col("d") > k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{k}")
+            for k in ks
+        ]
+    ).collect()[0]
+    e_row = joined.agg(
+        *[
+            F.sum(
+                F.when((F.col("da") > k) & (F.col("db") > k), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"e{k}")
+            for k in ks
+        ]
+    ).collect()[0]
+    release(edges)
+    rows = []
+    for k in ks:
+        n_rich, e_rich = n_row[f"n{k}"], e_row[f"e{k}"]
+        phi = (
+            (2.0 * e_rich) / (float(n_rich) * (n_rich - 1))
+            if n_rich >= 2
+            else 0.0
+        )
+        rows.append((k, n_rich, e_rich, phi))
+    return spark.createDataFrame(
+        rows, "k int, n_rich long, e_rich long, phi double"
+    ).orderBy("k")
+
+
+@query(
+    "events_type_hhi",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_types FROM c)
+    SELECT t.n_types, t.total,
+           CAST(CAST(SUM(CAST(n AS DECIMAL(38,0)) * n) AS VARCHAR)
+                AS DOUBLE)
+             / (CAST(t.total AS DOUBLE) * t.total) AS hhi,
+           (CAST(t.total AS DOUBLE) * t.total)
+             / CAST(CAST(SUM(CAST(n AS DECIMAL(38,0)) * n) AS VARCHAR)
+                    AS DOUBLE) AS effective_types
+    FROM c CROSS JOIN t GROUP BY t.n_types, t.total
+    """,
+)
+def events_type_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of the event-type mix:
+    HHI = Σ shareᵢ² and its inverse (the "effective number of types",
+    inverse Simpson index) — the LOG-FREE diversity scalar (Shannon
+    entropy needs ln(), which the module convention bans for
+    cross-engine exactness; inverse Simpson answers the same "how
+    many types really carry the traffic" question in pure
+    arithmetic). HHI near 1/n_types = balanced mix; near 1 = one
+    type dominates. Computed as Σnᵢ²/N² with the numerator in exact
+    DECIMAL (order-independent) and ONE double division.
+
+    Scale: one |types|-key map-side rollup + a broadcast 1-row total;
+    nothing downstream exceeds |types| rows."""
+    c = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    t = c.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    num = (
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n"))
+        .cast("string")
+        .cast("double")
+    )
+    den = F.col("total").cast("double") * F.col("total")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("n_types", "total")
+        .agg(num.alias("__num"))
+        .select(
+            "n_types",
+            "total",
+            (F.col("__num") / den).alias("hhi"),
+            (den / F.col("__num")).alias("effective_types"),
+        )
+    )

@@ -943,3 +943,51 @@ def test_type_cooccurrence_sessions_replay(spark):
     ]
     for (_, _, _, el), (_, _, _, gl) in zip(expect, got):
         assert abs(el - gl) < 1e-12
+
+
+def test_rich_club_replay(spark):
+    from collections import defaultdict
+
+    from project_final_parquet_spark.operators.graph import (
+        copurchase_edges,
+    )
+    from project_final_parquet_spark.operators.pipeline14 import (
+        graph_rich_club,
+    )
+
+    edges = [(r["a"], r["b"]) for r in copurchase_edges(spark, SF).collect()]
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    got = {r["k"]: r for r in graph_rich_club(spark, SF).collect()}
+    for k in (2, 4, 8):
+        rich = {v for v, d in deg.items() if d > k}
+        e_rich = sum(1 for a, b in edges if a in rich and b in rich)
+        r = got[k]
+        assert r["n_rich"] == len(rich)
+        assert r["e_rich"] == e_rich
+        if len(rich) >= 2:
+            assert r["phi"] == 2.0 * e_rich / (float(len(rich)) * (len(rich) - 1))
+
+
+def test_type_hhi_replay(spark):
+    from collections import Counter
+
+    from project_final_parquet_spark.operators.pipeline14 import (
+        events_type_hhi,
+    )
+
+    cnt = Counter(
+        r["event_type"]
+        for r in spark.read.parquet(f"{SF}/events.parquet").select(
+            "event_type"
+        ).collect()
+    )
+    total = sum(cnt.values())
+    num = sum(n * n for n in cnt.values())
+    row = events_type_hhi(spark, SF).collect()[0]
+    assert (row["n_types"], row["total"]) == (len(cnt), total)
+    assert row["hhi"] == num / (float(total) * total)
+    assert abs(row["effective_types"] - (float(total) * total) / num) < 1e-12
+    assert 1 / len(cnt) <= row["hhi"] <= 1

@@ -348,6 +348,8 @@ BATTERY14 = [
     "dedup_embedding_adaptive",        # adaptive bucket self-join
     "sim_topk_adaptive",               # broadcast query + hamming filter
     "events_type_cooccurrence_sessions",  # session baskets + pair join
+    "graph_rich_club",                 # shared edges + 2 one-pass aggs
+    "events_type_hhi",                 # |types| rollup + 1-row fold
 ]
 
 
