@@ -285,6 +285,7 @@ HEADLINE = [
     "events_type_cooccurrence_sessions",
     "graph_rich_club",
     "events_type_hhi",
+    "dedup_minhash_estimate_error",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ckpt import checkpoint, release
-from ..registry import query
+from ..registry import DSUM_SQL, dsum, query
 from ..tables import load
 
 # --- shared shingling helpers ---------------------------------------------
@@ -691,4 +691,112 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", dist.cast("int").alias("prefix_dist"))
         .filter(F.col("prefix_dist") <= 10)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+_EST_MATCH_SQL = " + ".join(
+    f"(CASE WHEN x.sig[{s+1}] = y.sig[{s+1}] THEN 1 ELSE 0 END)"
+    for s in range(_MINHASH_K)
+)
+
+
+@query(
+    "dedup_minhash_estimate_error",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SH3_SQL} AS sh FROM tok),
+    base AS (
+      SELECT doc_id, sh,
+             list_transform(sh,
+               x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS bh
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, sh, {_MH_SIG_SQL} AS sig FROM base),
+    bands AS (
+      SELECT doc_id, b, sig[2*b + 1] AS v1, sig[2*b + 2] AS v2
+      FROM sig CROSS JOIN (SELECT unnest(range({_LSH_BANDS})) AS b) t
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST({_EST_MATCH_SQL} AS DOUBLE) / {_MINHASH_K} AS est,
+             CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(x.sh || y.sh)) AS exact
+      FROM cand c
+      JOIN sig x ON x.doc_id = c.doc_a
+      JOIN sig y ON y.doc_id = c.doc_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {DSUM_SQL.format(expr="est")} / COUNT(*) AS mean_est,
+           {DSUM_SQL.format(expr="exact")} / COUNT(*) AS mean_exact,
+           {DSUM_SQL.format(expr="abs(est - exact)")} / COUNT(*)
+             AS mean_abs_err,
+           MAX(abs(est - exact)) AS max_abs_err,
+           CAST(SUM(CASE WHEN abs(est - exact) > 0.25 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_err_over_quarter
+    FROM scored
+    """,
+)
+def dedup_minhash_estimate_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash ESTIMATOR-error audit: over the LSH candidate pairs, the
+    signature-agreement estimate (matching components / K) next to the
+    exact shingle Jaccard — mean/max absolute error and the count of
+    pairs off by more than 0.25. With K=8 the estimator's per-pair
+    std is ~sqrt(j(1-j)/8) ≈ 0.17 at j=0.5, so a healthy audit shows
+    mean_abs_err near that and few quarter-misses; a broken hash
+    family (correlated permutations) shows up here long before recall
+    curves move. Complements dedup_eval_recall (candidate RECALL vs
+    truth) with estimate ACCURACY on the pairs the index actually
+    surfaces — the two failure axes of sketch-based dedup.
+
+    Determinism: est is an exact rational (match count / 8); exact
+    Jaccard uses the same set ops as the gated pair query; rollups are
+    DSUM folds.
+
+    Scale: rides the minhash pipeline exactly (one md5 per shingle,
+    K universal hashes, band-bucket self-join); the audit adds one
+    8-term integer comparison per candidate pair and a 1-row fold."""
+    docs = load(spark, sf_dir, "documents")
+    sig, cand = _minhash_candidates(docs)
+    x = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    y = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    match = sum(
+        F.when(
+            F.col("sig_a").getItem(s) == F.col("sig_b").getItem(s), 1
+        ).otherwise(0)
+        for s in range(_MINHASH_K)
+    )
+    est = match.cast("double") / _MINHASH_K
+    exact = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    scored = (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(est.alias("est"), exact.alias("exact"))
+    )
+    err = F.abs(F.col("est") - F.col("exact"))
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (dsum(F.col("est")) / F.count(F.lit(1))).alias("mean_est"),
+        (dsum(F.col("exact")) / F.count(F.lit(1))).alias("mean_exact"),
+        (dsum(err) / F.count(F.lit(1))).alias("mean_abs_err"),
+        F.max(err).alias("max_abs_err"),
+        F.sum(F.when(err > 0.25, 1).otherwise(0))
+        .cast("long")
+        .alias("n_err_over_quarter"),
     )

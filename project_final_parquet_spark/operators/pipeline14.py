@@ -1331,3 +1331,4 @@ def events_type_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (den / F.col("__num")).alias("effective_types"),
         )
     )
+

@@ -336,6 +336,7 @@ ROUND11_QUEUE: list[str] = [
     "events_type_cooccurrence_sessions",
     "graph_rich_club",
     "events_type_hhi",
+    "dedup_minhash_estimate_error",
 ]
 
 # Round-10 window (positions 1-50):

@@ -991,3 +991,39 @@ def test_type_hhi_replay(spark):
     assert row["hhi"] == num / (float(total) * total)
     assert abs(row["effective_types"] - (float(total) * total) / num) < 1e-12
     assert 1 / len(cnt) <= row["hhi"] <= 1
+
+
+def test_minhash_estimate_error_replay(spark):
+    """Estimator-audit replay: recompute est (matching signature
+    components / K) and exact Jaccard per candidate pair in pure
+    Python from the staged signature frame."""
+    from project_final_parquet_spark.operators.dedup import (
+        _MINHASH_K,
+        _minhash_candidates,
+        dedup_minhash_estimate_error,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sig, cand = _minhash_candidates(docs)
+    srows = {r["doc_id"]: (set(r["sh"]), list(r["sig"]))
+             for r in sig.collect()}
+    pairs = [(r["doc_a"], r["doc_b"]) for r in cand.collect()]
+    ests, exacts = [], []
+    for a, b in pairs:
+        sa, ga = srows[a]
+        sb, gb = srows[b]
+        ests.append(
+            sum(1 for s in range(_MINHASH_K) if ga[s] == gb[s])
+            / _MINHASH_K
+        )
+        exacts.append(len(sa & sb) / len(sa | sb))
+    errs = [abs(e - x) for e, x in zip(ests, exacts)]
+    row = dedup_minhash_estimate_error(spark, SF).collect()[0]
+    assert row["n_pairs"] == len(pairs) > 0
+    assert abs(row["mean_est"] - sum(ests) / len(ests)) < 1e-9
+    assert abs(row["mean_exact"] - sum(exacts) / len(exacts)) < 1e-9
+    assert abs(row["mean_abs_err"] - sum(errs) / len(errs)) < 1e-9
+    assert row["max_abs_err"] == max(errs)
+    assert row["n_err_over_quarter"] == sum(1 for e in errs if e > 0.25)

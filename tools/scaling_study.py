@@ -350,6 +350,7 @@ BATTERY14 = [
     "events_type_cooccurrence_sessions",  # session baskets + pair join
     "graph_rich_club",                 # shared edges + 2 one-pass aggs
     "events_type_hhi",                 # |types| rollup + 1-row fold
+    "dedup_minhash_estimate_error",    # minhash pipeline + 1-row fold
 ]
 
 
