@@ -117,12 +117,30 @@ _MASKS_SQL = """(
       )"""
 
 
+def _corpus_count(spark: SparkSession, sf_dir: str) -> int:
+    """Exact corpus count from parquet FOOTER metadata (num_rows is
+    part of the footer — zero data pages, zero Spark jobs), equal by
+    definition to the oracle's COUNT(*) over the same file(s). Falls
+    back to one count() job for corpora the driver can't reach as
+    parquet files (a future non-file source)."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    root = Path(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    try:
+        files = sorted(root.glob("*.parquet")) if root.is_dir() else [root]
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return load(spark, sf_dir, "embeddings").count()
+
+
 def _bucketed(spark: SparkSession, sf_dir: str):
     """Shared staging: corpus count -> plane count -> bucketed frame.
-    The count() is the one driver-side step (tiny aggregate, footer
-    statistics); everything downstream is the lazy bucketed plan."""
+    The footer-metadata count is the one driver-side step (no Spark
+    job); everything downstream is the lazy bucketed plan."""
     emb = load(spark, sf_dir, "embeddings")
-    k = adaptive_planes(emb.count())
+    k = adaptive_planes(_corpus_count(spark, sf_dir))
     buck = emb.select(
         "vec_id",
         F.col("label").cast("int").alias("label"),

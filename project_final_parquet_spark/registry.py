@@ -42,8 +42,9 @@ and the corpus-adaptive LSH family
 (sim_range_search_adaptive, sim_pair_margin_adaptive,
 ml_knn_purity_adaptive, sample_hard_negatives_adaptive,
 sim_reciprocal_nn_adaptive, sim_ann_recall_adaptive,
-dedup_embedding_adaptive, sim_topk_adaptive — one corpus count()
-picks the plane count).
+dedup_embedding_adaptive, sim_topk_adaptive — a driver-side parquet
+FOOTER-metadata row count picks the plane count; no Spark job, with a
+count() fallback for non-file sources).
 Every
 other query returns a fully lazy plan. (tests/test_registry_lint.py
 keeps this list honest against the construction sites.)
