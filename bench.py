@@ -286,6 +286,8 @@ HEADLINE = [
     "graph_rich_club",
     "events_type_hhi",
     "dedup_minhash_estimate_error",
+    "orders_revenue_gini",
+    "sim_adaptive_occupancy_profile",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -1332,3 +1332,80 @@ def events_type_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@query(
+    "orders_revenue_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                  AS VARCHAR) AS DOUBLE) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    x AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS i
+      FROM rev
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(r AS DECIMAL(38,10))) AS VARCHAR)
+                  AS DOUBLE) AS tot,
+             CAST(CAST(SUM(CAST(i * r AS DECIMAL(38,10))) AS VARCHAR)
+                  AS DOUBLE) AS weighted
+      FROM x
+    )
+    SELECT n, tot,
+           2 * weighted / (CAST(n AS DOUBLE) * tot)
+             - (CAST(n AS DOUBLE) + 1) / n AS gini
+    FROM s
+    """,
+)
+def orders_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the inequality
+    scalar behind profile_pareto_revenue's decile table (there: which
+    deciles hold the money; here: ONE number a dashboard tracks).
+    Same exact rank identity as text_length_gini, applied to decimal
+    revenue sums: per-customer revenue is an exact DECIMAL fold cast
+    to double once, ranks follow the total (revenue, custkey) order
+    (ties contribute identically in any tie order), and the two
+    rank-weighted sums are DECIMAL folds — order-independent in both
+    engines.
+
+    Scale: one custkey rollup, one global rank (the exact-percentile
+    family's range-partitioned sort), one 1-row fold."""
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+            .cast("string")
+            .cast("double")
+            .alias("r")
+        )
+    )
+    x = rev.select(
+        "r",
+        F.row_number()
+        .over(W.partitionBy().orderBy("r", "o_custkey"))
+        .alias("i"),
+    )
+    s = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("r").cast("decimal(38,10)"))
+        .cast("string")
+        .cast("double")
+        .alias("tot"),
+        F.sum((F.col("i") * F.col("r")).cast("decimal(38,10)"))
+        .cast("string")
+        .cast("double")
+        .alias("weighted"),
+    )
+    return s.select(
+        "n",
+        "tot",
+        (
+            2 * F.col("weighted") / (F.col("n").cast("double") * F.col("tot"))
+            - (F.col("n").cast("double") + 1) / F.col("n")
+        ).alias("gini"),
+    )

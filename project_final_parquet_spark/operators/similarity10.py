@@ -24,8 +24,9 @@ Plane coefficients reuse ``_plane_coeff`` (similarity.py) — the same
 md5-derived literal seed at every count, so planes 0..5 ARE the fixed
 index and the adaptive index is a strict extension of it.
 
-Spark side: one cheap ``count()`` at construction (footer-statistics
-metadata read) picks the plane count; the plan itself stays the
+Spark side: a driver-side parquet FOOTER-metadata row count at
+construction (num_rows — zero data pages, zero Spark jobs; count()
+fallback for non-file sources) picks the plane count; the plan stays the
 bucketed-mining shape (map-side bucket assignment, bounded probe
 explode, ONE bucket-key hash join). Oracle side: the SAME count via
 ``COUNT(*)`` in a CTE, with all MAX_PLANES=24 plane bits written as
@@ -844,4 +845,59 @@ def sim_topk_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
+    )
+
+
+@query(
+    "sim_adaptive_occupancy_profile",
+    oracle=f"""
+    WITH np AS ({_NP_SQL}),
+    buck AS (
+      SELECT {_abucket_sql('embedding')} AS bucket
+      FROM embeddings CROSS JOIN np
+    ),
+    occ AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM buck
+      GROUP BY bucket
+    )
+    SELECT (SELECT CAST(k AS BIGINT) FROM np) AS n_planes,
+           CAST(LENGTH(BIN(n)) AS BIGINT) AS occ_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(n) AS BIGINT) AS n_vectors,
+           CAST(MAX(n) AS BIGINT) AS max_occ
+    FROM occ GROUP BY occ_bits ORDER BY occ_bits
+    """,
+)
+def sim_adaptive_occupancy_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Observability for the adaptive index itself: the bucket-
+    occupancy histogram in power-of-2 bins (occ_bits = bit length of
+    the bucket size — the orders_open_order_aging binning trick), with
+    per-bin bucket/vector counts and the max occupancy. This is the
+    table an index operator reads to confirm the TARGET_OCCUPANCY
+    contract holds on real data (mass concentrated in the 2^5-ish
+    bins; a fat top bin = skewed vector distribution the plane family
+    can't split — the signal to add probes or rotate the seed).
+    Every downstream mining cost is Σ occupancy², so this table IS
+    the cost model.
+
+    Scale: map-side bucketing, one bucket-key count, one ≤~log(max)
+    row rollup."""
+    k, buck = _bucketed(spark, sf_dir)
+    occ = buck.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        occ.groupBy(
+            F.length(F.bin(F.col("n"))).cast("long").alias("occ_bits")
+        )
+        .agg(
+            F.lit(k).cast("long").alias("n_planes"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("n").cast("long").alias("n_vectors"),
+            F.max("n").cast("long").alias("max_occ"),
+        )
+        .select("n_planes", "occ_bits", "n_buckets", "n_vectors", "max_occ")
+        .orderBy("occ_bits")
     )

@@ -338,6 +338,8 @@ ROUND11_QUEUE: list[str] = [
     "graph_rich_club",
     "events_type_hhi",
     "dedup_minhash_estimate_error",
+    "orders_revenue_gini",
+    "sim_adaptive_occupancy_profile",
 ]
 
 # Round-10 window (positions 1-50):

@@ -1027,3 +1027,59 @@ def test_minhash_estimate_error_replay(spark):
     assert abs(row["mean_abs_err"] - sum(errs) / len(errs)) < 1e-9
     assert row["max_abs_err"] == max(errs)
     assert row["n_err_over_quarter"] == sum(1 for e in errs if e > 0.25)
+
+
+def test_revenue_gini_replay(spark):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from project_final_parquet_spark.operators.pipeline14 import (
+        orders_revenue_gini,
+    )
+
+    rows = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    rev = defaultdict(Decimal)
+    for r in rows:
+        rev[r["o_custkey"]] += Decimal(repr(r["o_totalprice"]))
+    xs = [float(v) for _, v in
+          sorted(rev.items(), key=lambda kv: (float(kv[1]), kv[0]))]
+    n = len(xs)
+    tot = sum(xs)
+    weighted = sum((i + 1) * x for i, x in enumerate(xs))
+    row = orders_revenue_gini(spark, SF).collect()[0]
+    assert row["n"] == n
+    assert abs(row["tot"] - tot) < 1e-6
+    assert abs(
+        row["gini"] - (2 * weighted / (float(n) * tot) - (n + 1.0) / n)
+    ) < 1e-9
+    assert 0 <= row["gini"] < 1
+
+
+def test_adaptive_occupancy_profile_replay(spark, big_corpus):
+    """Occupancy histogram replay on the 7-plane corpus, plus the
+    conservation invariants (Σ n_vectors == corpus, Σ occupancy² is
+    what the mining tier pays)."""
+    from collections import Counter, defaultdict
+
+    from project_final_parquet_spark.operators.similarity10 import (
+        sim_adaptive_occupancy_profile,
+    )
+
+    d, vecs = big_corpus
+    k = adaptive_planes(len(vecs))
+    occ = Counter(_np_buckets(vecs, k).tolist())
+    bins = defaultdict(lambda: [0, 0, 0])
+    for n in occ.values():
+        bits = n.bit_length()
+        bins[bits][0] += 1
+        bins[bits][1] += n
+        bins[bits][2] = max(bins[bits][2], n)
+    got = sim_adaptive_occupancy_profile(spark, d).collect()
+    assert all(r["n_planes"] == k for r in got)
+    assert [
+        (r["occ_bits"], r["n_buckets"], r["n_vectors"], r["max_occ"])
+        for r in got
+    ] == [(b, *bins[b]) for b in sorted(bins)]
+    assert sum(r["n_vectors"] for r in got) == len(vecs)

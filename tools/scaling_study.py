@@ -351,6 +351,8 @@ BATTERY14 = [
     "graph_rich_club",                 # shared edges + 2 one-pass aggs
     "events_type_hhi",                 # |types| rollup + 1-row fold
     "dedup_minhash_estimate_error",    # minhash pipeline + 1-row fold
+    "orders_revenue_gini",             # custkey rollup + global rank
+    "sim_adaptive_occupancy_profile",  # bucket count + log-bin rollup
 ]
 
 
