@@ -103,7 +103,9 @@ def sample_hard_negatives_bucketed(
     the only shuffle is the hash join on the bucket key (fan-in
     bounded by bucket occupancy, tunable with plane count) plus the
     per-anchor top-1 window keyed by anchor. Never corpus², never a
-    driver-side pool."""
+    driver-side pool. At the fixed plane count occupancy grows with
+    the corpus (battery13: 19.2x at 10x data); the corpus-scale form
+    is sample_hard_negatives_adaptive (similarity10.py)."""
     emb = load(spark, sf_dir, "embeddings")
     buck = emb.select(
         "vec_id",
@@ -204,7 +206,10 @@ def sim_reciprocal_nn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one bucket-key hash join bounded by bucket fan-in, one
     per-src window, then a co-partitioned self-join of |V| NN edges on
-    (src, dst). The quadratic step never materializes."""
+    (src, dst). The quadratic step never materializes — but bucket
+    fan-in grows with the corpus at the fixed plane count (battery13:
+    8.9x at 10x data); the corpus-scale form is
+    sim_reciprocal_nn_adaptive (similarity10.py)."""
     emb = load(spark, sf_dir, "embeddings")
     buck = emb.select(
         "vec_id",

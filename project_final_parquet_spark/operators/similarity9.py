@@ -137,7 +137,12 @@ def sim_range_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine. This is the retrieval shape dedup and link-building
     use ("all matches above τ", not "best k"); recall tunes with plane
     count exactly like the top-k path, and the band-OR construction of
-    dedup_near_minhash_lsh lifts it to multi-table.
+    dedup_near_minhash_lsh lifts it to multi-table. Kept as the FIXED
+    6-plane reference form; the corpus-scale path is
+    sim_range_search_adaptive (similarity10.py — occupancy pinned at
+    ~32 by deriving the plane count from the corpus count; battery13
+    measures the fixed form superlinear at 10x and the adaptive twin
+    ~flat).
 
     Scale: bucketing is map-side; the ONLY shuffle is the bucket-key
     hash self-join, so pair fan-out is Σ|bucket|² — bounded by plane
@@ -243,7 +248,10 @@ def sim_pair_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the similarity8 shape exactly — map-side bucket assignment,
     a ×7 bounded probe explode, ONE bucket-key hash join, and a
     per-anchor conditional aggregate (no window even needed). Candidate
-    fan-in is bucket occupancy, never |corpus|²."""
+    fan-in is bucket occupancy, never |corpus|² — but occupancy GROWS
+    with the corpus at the fixed plane count (battery12/13: 7.7-10.1x
+    at 10x data); the corpus-scale form is sim_pair_margin_adaptive
+    (similarity10.py)."""
     emb = load(spark, sf_dir, "embeddings")
     buck = emb.select(
         "vec_id",
@@ -364,7 +372,10 @@ def ml_knn_label_purity_bucketed(
 
     Scale: identical to the similarity8 bucketed-mining shape —
     map-side bucket assignment, ×7 probe explode, ONE bucket-key hash
-    join, one per-anchor top-1 window; output is |labels| rows."""
+    join, one per-anchor top-1 window; output is |labels| rows. At the
+    fixed plane count occupancy grows with the corpus (battery12/13:
+    11.8-16.3x at 10x data); the corpus-scale form is
+    ml_knn_purity_adaptive (similarity10.py)."""
     emb = load(spark, sf_dir, "embeddings")
     buck = emb.select(
         "vec_id",
