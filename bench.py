@@ -288,6 +288,8 @@ HEADLINE = [
     "dedup_minhash_estimate_error",
     "orders_revenue_gini",
     "sim_adaptive_occupancy_profile",
+    "events_dormancy_reactivation_lag",
+    "events_first_session_profile",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -1409,3 +1409,159 @@ def orders_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n").cast("double") + 1) / F.col("n")
         ).alias("gini"),
     )
+
+
+@query(
+    "events_dormancy_reactivation_lag",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id,
+             day - LAG(day) OVER (PARTITION BY user_id ORDER BY day)
+               AS gap_days
+      FROM days
+    )
+    SELECT CAST(LENGTH(BIN(gap_days - 1)) AS BIGINT) AS dormancy_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_reactivations,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(gap_days) - 1 AS BIGINT) AS min_dormant_days,
+           CAST(MAX(gap_days) - 1 AS BIGINT) AS max_dormant_days
+    FROM gaps WHERE gap_days >= 2
+    GROUP BY dormancy_bits ORDER BY dormancy_bits
+    """,
+)
+def events_dormancy_reactivation_lag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dormancy-length distribution at reactivation: whenever a user
+    returns after ≥1 fully inactive day, how long were they dormant —
+    histogrammed in power-of-2 day bins (the length(bin()) trick).
+    The dual of events_gaps_and_islands (there: streak LENGTHS; here:
+    the GAPS between streaks) and the input a win-back campaign uses
+    to time its sends (mass at 2-3 dormant days = short-cycle product;
+    a fat 16+ bin = churn, not dormancy). Exact integer day buckets
+    and gaps.
+
+    Scale: one distinct (user, day) rollup, one per-user LAG window
+    over day-grain rows, one ≤~log(max-gap)-key rollup."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr(f"ts_us div {_DAY_US}").alias("day")
+    ).distinct()
+    gaps = days.select(
+        "user_id",
+        (
+            F.col("day")
+            - F.lag("day").over(W.partitionBy("user_id").orderBy("day"))
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days") >= 2)
+    return (
+        gaps.groupBy(
+            F.length(F.bin(F.col("gap_days") - 1))
+            .cast("long")
+            .alias("dormancy_bits")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reactivations"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            (F.min("gap_days") - 1).cast("long").alias("min_dormant_days"),
+            (F.max("gap_days") - 1).cast("long").alias("max_dormant_days"),
+        )
+        .orderBy("dormancy_bits")
+    )
+
+
+@query(
+    "events_first_session_profile",
+    oracle=f"""
+    WITH lagd AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             LAG(epoch_us(ts)) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts_us,
+             SUM(CASE WHEN prev IS NULL OR ts_us - prev > {_GAP_US}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM lagd
+    ),
+    first_s AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+             MAX(ts_us) - MIN(ts_us) AS span_us
+      FROM sess WHERE sid = 1 GROUP BY user_id
+    )
+    SELECT CASE WHEN n_ev = 1 THEN '1'
+                WHEN n_ev = 2 THEN '2'
+                WHEN n_ev <= 5 THEN '3-5'
+                ELSE '6+' END AS size_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           CAST(SUM(span_us) // COUNT(*) AS BIGINT) AS avg_span_us
+    FROM first_s GROUP BY 1 ORDER BY size_bucket
+    """,
+)
+def events_first_session_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Onboarding profile: each user's FIRST gap session (the standard
+    30-min sessionization, sid = 1), histogrammed by size with exact
+    average span — the activation table a growth team reads next to
+    events_cohort_retention (a fat '1' bucket = users bounce before a
+    second event; '6+' mass = the onboarding flow engages). Same
+    session construction as events_sessionize_gap, restricted to the
+    first session so every user contributes exactly once.
+
+    Scale: the sessionize two-window chain (user-keyed shuffles), one
+    (user) rollup on the sid=1 slice, a 4-row histogram. Integer
+    epoch-µs spans, integer-division averages."""
+    ev = load(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lagd = ev.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.lag("ts_us").over(wo).alias("prev"),
+    )
+    new_s = F.when(
+        F.col("prev").isNull() | (F.col("ts_us") - F.col("prev") > _GAP_US),
+        1,
+    ).otherwise(0)
+    sess = lagd.select(
+        "user_id",
+        "ts_us",
+        F.sum(new_s)
+        .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("sid"),
+    )
+    first_s = (
+        sess.filter(F.col("sid") == 1)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ev"),
+            (F.max("ts_us") - F.min("ts_us")).alias("span_us"),
+        )
+    )
+    bucket = (
+        F.when(F.col("n_ev") == 1, "1")
+        .when(F.col("n_ev") == 2, "2")
+        .when(F.col("n_ev") <= 5, "3-5")
+        .otherwise("6+")
+    )
+    return (
+        first_s.groupBy(bucket.alias("size_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_ev").cast("long").alias("n_events"),
+            F.expr("sum(span_us) div count(*)")
+            .cast("long")
+            .alias("avg_span_us"),
+        )
+        .orderBy("size_bucket")
+    )

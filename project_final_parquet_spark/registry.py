@@ -340,6 +340,8 @@ ROUND11_QUEUE: list[str] = [
     "dedup_minhash_estimate_error",
     "orders_revenue_gini",
     "sim_adaptive_occupancy_profile",
+    "events_dormancy_reactivation_lag",
+    "events_first_session_profile",
 ]
 
 # Round-10 window (positions 1-50):

@@ -1083,3 +1083,84 @@ def test_adaptive_occupancy_profile_replay(spark, big_corpus):
         for r in got
     ] == [(b, *bins[b]) for b in sorted(bins)]
     assert sum(r["n_vectors"] for r in got) == len(vecs)
+
+
+def test_dormancy_lag_replay(spark):
+    import datetime
+    from collections import defaultdict
+
+    from project_final_parquet_spark.operators.pipeline14 import (
+        _DAY_US,
+        events_dormancy_reactivation_lag,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "ts"
+    ).collect()
+    epoch = datetime.datetime(1970, 1, 1)
+    days = defaultdict(set)
+    for r in ev:
+        us = int((r["ts"] - epoch).total_seconds() * 1_000_000)
+        days[r["user_id"]].add(us // _DAY_US)
+    bins = defaultdict(lambda: [0, set(), 10**9, -1])
+    for u, ds in days.items():
+        sd = sorted(ds)
+        for a, b in zip(sd, sd[1:]):
+            gap = b - a
+            if gap >= 2:
+                dorm = gap - 1
+                bit = dorm.bit_length()
+                bins[bit][0] += 1
+                bins[bit][1].add(u)
+                bins[bit][2] = min(bins[bit][2], dorm)
+                bins[bit][3] = max(bins[bit][3], dorm)
+    got = [
+        (r["dormancy_bits"], r["n_reactivations"], r["n_users"],
+         r["min_dormant_days"], r["max_dormant_days"])
+        for r in events_dormancy_reactivation_lag(spark, SF).collect()
+    ]
+    assert got == [
+        (b, bins[b][0], len(bins[b][1]), bins[b][2], bins[b][3])
+        for b in sorted(bins)
+    ]
+
+
+def test_first_session_profile_replay(spark):
+    import datetime
+    from collections import defaultdict
+
+    from project_final_parquet_spark.operators.pipeline14 import (
+        _GAP_US,
+        events_first_session_profile,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "event_id", "ts"
+    ).collect()
+    epoch = datetime.datetime(1970, 1, 1)
+    by_user = defaultdict(list)
+    for r in ev:
+        us = int((r["ts"] - epoch).total_seconds() * 1_000_000)
+        by_user[r["user_id"]].append((us, r["event_id"]))
+    hist = defaultdict(lambda: [0, 0, 0])
+    for u, rows in by_user.items():
+        rows.sort()
+        first = [rows[0][0]]
+        for (a, _), (b, _) in zip(rows, rows[1:]):
+            if b - a > _GAP_US:
+                break
+            first.append(b)
+        n = len(first)
+        span = first[-1] - first[0]
+        bucket = "1" if n == 1 else "2" if n == 2 else "3-5" if n <= 5 else "6+"
+        hist[bucket][0] += 1
+        hist[bucket][1] += n
+        hist[bucket][2] += span
+    got = [
+        (r["size_bucket"], r["n_users"], r["n_events"], r["avg_span_us"])
+        for r in events_first_session_profile(spark, SF).collect()
+    ]
+    assert got == [
+        (b, hist[b][0], hist[b][1], hist[b][2] // hist[b][0])
+        for b in sorted(hist)
+    ]

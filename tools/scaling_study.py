@@ -353,6 +353,8 @@ BATTERY14 = [
     "dedup_minhash_estimate_error",    # minhash pipeline + 1-row fold
     "orders_revenue_gini",             # custkey rollup + global rank
     "sim_adaptive_occupancy_profile",  # bucket count + log-bin rollup
+    "events_dormancy_reactivation_lag",  # (user,day) lag + log-bin rollup
+    "events_first_session_profile",    # sessionize chain + 4-row hist
 ]
 
 
