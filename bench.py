@@ -290,6 +290,8 @@ HEADLINE = [
     "sim_adaptive_occupancy_profile",
     "events_dormancy_reactivation_lag",
     "events_first_session_profile",
+    "orders_pareto_8020_point",
+    "events_value_drawdown",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

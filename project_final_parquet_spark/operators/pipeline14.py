@@ -1565,3 +1565,157 @@ def events_first_session_profile(
         )
         .orderBy("size_bucket")
     )
+
+
+@query(
+    "orders_pareto_8020_point",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                  AS VARCHAR) AS DOUBLE) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r DESC, o_custkey) AS i,
+             CAST(CAST(SUM(CAST(r AS DECIMAL(38,10))) OVER (
+                    ORDER BY r DESC, o_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS VARCHAR) AS DOUBLE) AS cum
+      FROM rev
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(CAST(SUM(CAST(r AS DECIMAL(38,10))) AS VARCHAR)
+                      AS DOUBLE) AS tot
+          FROM rev),
+    hit AS (
+      SELECT CAST(MIN(i) AS BIGINT) AS k
+      FROM ranked CROSS JOIN t WHERE cum >= 0.8 * tot
+    )
+    SELECT t.n AS n_customers, hit.k AS top_k_for_80pct,
+           CAST(1000000 * hit.k // t.n AS BIGINT) AS top_share_ppm
+    FROM t CROSS JOIN hit
+    """,
+)
+def orders_pareto_8020_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact 80/20 crossing point: the smallest k such that the
+    top-k customers (by exact decimal revenue, custkey tiebreak) hold
+    ≥ 80% of total revenue, plus that k as a ppm share of the customer
+    base — the single number behind profile_pareto_revenue's decile
+    table ("the top X% hold 80%"). Cumulative sums are decimal folds
+    cast once; the 0.8·total comparison is one IEEE multiply applied
+    identically in both engines.
+
+    Scale: one custkey rollup, one global rank + running decimal sum
+    (the exact-percentile sort), a 1-row argmin."""
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+            .cast("string")
+            .cast("double")
+            .alias("r")
+        )
+    )
+    w = W.partitionBy().orderBy(F.desc("r"), "o_custkey")
+    ranked = rev.select(
+        "r",
+        F.row_number().over(w).alias("i"),
+        F.sum(F.col("r").cast("decimal(38,10)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("string")
+        .cast("double")
+        .alias("cum"),
+    )
+    t = rev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("r").cast("decimal(38,10)"))
+        .cast("string")
+        .cast("double")
+        .alias("tot"),
+    )
+    hit = (
+        ranked.crossJoin(F.broadcast(t))
+        .filter(F.col("cum") >= 0.8 * F.col("tot"))
+        .agg(F.min("i").cast("long").alias("k"))
+    )
+    return (
+        t.crossJoin(F.broadcast(hit))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.col("k").alias("top_k_for_80pct"),
+            F.expr("1000000 * k div n").cast("long").alias("top_share_ppm"),
+        )
+    )
+
+
+@query(
+    "events_value_drawdown",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // {_DAY_US} AS day,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR)
+                  AS DOUBLE) AS v
+      FROM events GROUP BY day
+    ),
+    run AS (
+      SELECT day, v,
+             MAX(v) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak
+      FROM daily
+    ),
+    dd AS (SELECT day, v, peak, peak - v AS drawdown FROM run)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           MAX(drawdown) AS max_drawdown,
+           CAST(MIN(CASE WHEN drawdown = (SELECT MAX(drawdown) FROM dd)
+                         THEN day END) AS BIGINT) AS trough_day,
+           MAX(peak) AS series_peak
+    FROM dd
+    """,
+)
+def events_value_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily event-value series: the deepest
+    fall from a running peak (peak − value at the trough), with the
+    earliest trough day pinned — the risk-curve scalar (finance's
+    max-drawdown, equally the 'worst regression from best' readout for
+    any monitored daily metric). Daily values are exact decimal folds
+    cast once; the running peak is one ordered MAX window; ties on the
+    deepest drawdown resolve to the earliest day.
+
+    Scale: the fact table collapses to the |days|-row day grain
+    (map-side combinable) before the single ordered pass — the
+    events_local_peaks discipline; output is one row."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.expr(f"ts_us div {_DAY_US}").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .cast("string")
+            .cast("double")
+            .alias("v")
+        )
+    )
+    w = W.partitionBy().orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    dd = daily.select(
+        "day",
+        "v",
+        F.max("v").over(w).alias("peak"),
+    ).withColumn("drawdown", F.col("peak") - F.col("v"))
+    mx = dd.agg(F.max("drawdown").alias("mdd"))
+    return (
+        dd.crossJoin(F.broadcast(mx))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.max("drawdown").alias("max_drawdown"),
+            F.min(
+                F.when(F.col("drawdown") == F.col("mdd"), F.col("day"))
+            )
+            .cast("long")
+            .alias("trough_day"),
+            F.max("peak").alias("series_peak"),
+        )
+    )

@@ -342,6 +342,8 @@ ROUND11_QUEUE: list[str] = [
     "sim_adaptive_occupancy_profile",
     "events_dormancy_reactivation_lag",
     "events_first_session_profile",
+    "orders_pareto_8020_point",
+    "events_value_drawdown",
 ]
 
 # Round-10 window (positions 1-50):

@@ -1164,3 +1164,66 @@ def test_first_session_profile_replay(spark):
         (b, hist[b][0], hist[b][1], hist[b][2] // hist[b][0])
         for b in sorted(hist)
     ]
+
+
+def test_pareto_8020_point_replay(spark):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from project_final_parquet_spark.operators.pipeline14 import (
+        orders_pareto_8020_point,
+    )
+
+    rows = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    rev = defaultdict(Decimal)
+    for r in rows:
+        rev[r["o_custkey"]] += Decimal(repr(r["o_totalprice"]))
+    ordered = sorted(rev.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+    tot = float(sum(rev.values()))
+    cum, k = Decimal(0), None
+    for i, (_, v) in enumerate(ordered, 1):
+        cum += v
+        if float(cum) >= 0.8 * tot:
+            k = i
+            break
+    row = orders_pareto_8020_point(spark, SF).collect()[0]
+    assert row["n_customers"] == len(rev)
+    assert row["top_k_for_80pct"] == k
+    assert row["top_share_ppm"] == 1000000 * k // len(rev)
+    assert 0 < k < len(rev)  # non-degenerate
+
+
+def test_value_drawdown_replay(spark):
+    import datetime
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from project_final_parquet_spark.operators.pipeline14 import (
+        _DAY_US,
+        events_value_drawdown,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "ts", "value"
+    ).collect()
+    epoch = datetime.datetime(1970, 1, 1)
+    daily = defaultdict(Decimal)
+    for r in ev:
+        us = int((r["ts"] - epoch).total_seconds() * 1_000_000)
+        daily[us // _DAY_US] += Decimal(repr(r["value"]))
+    peak, mdd, trough = float("-inf"), float("-inf"), None
+    n = 0
+    for day in sorted(daily):
+        v = float(daily[day])
+        n += 1
+        peak = max(peak, v)
+        dd = peak - v
+        if dd > mdd:
+            mdd, trough = dd, day
+    row = events_value_drawdown(spark, SF).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["max_drawdown"] - mdd) < 1e-6
+    assert row["trough_day"] == trough
+    assert abs(row["series_peak"] - peak) < 1e-6

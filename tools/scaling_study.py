@@ -355,6 +355,8 @@ BATTERY14 = [
     "sim_adaptive_occupancy_profile",  # bucket count + log-bin rollup
     "events_dormancy_reactivation_lag",  # (user,day) lag + log-bin rollup
     "events_first_session_profile",    # sessionize chain + 4-row hist
+    "orders_pareto_8020_point",        # custkey rollup + running decimal
+    "events_value_drawdown",           # day rollup + running max
 ]
 
 
