@@ -256,7 +256,13 @@ def test_reffile_stream_restart_resumes_offset(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # awaitTermination(timeout) returns False WITHOUT raising when
+        # the clock runs out — under full-suite CPU contention the 120 s
+        # budget was once missed and the test then read a PARTIAL sink
+        # (flaked once at the 404-query suite state). Assert the query
+        # actually finished, with headroom for a loaded box.
+        finished = q.awaitTermination(300)
+        assert finished, "availableNow stream did not finish in 300s"
 
     spark.dataSource.register(RefFileDataSource)
     land(0, 6)
