@@ -343,6 +343,20 @@ def main() -> None:
     zorder_lake(spark, sf_dir)
     cdf_lake(spark, sf_dir)
 
+    # page-cache state at measurement start (VERDICT r10: three same-day
+    # solo runs drifted 1.31→1.62 s/q purely with buff/cache drain —
+    # e.g. graph_wcc_sizes 6.8→14.5 s; recording the state makes that
+    # drift class diagnosable from the JSON alone).
+    cache_state: dict[str, int] = {}
+    try:
+        with open("/proc/meminfo") as fh:
+            for ln in fh:
+                key = ln.split(":")[0]
+                if key in ("Cached", "MemAvailable", "MemFree", "Buffers"):
+                    cache_state[key.lower() + "_kb"] = int(ln.split()[1])
+    except OSError:
+        pass
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         # isolate queries from each other's leftover state: iterative
@@ -379,7 +393,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
-    deltas: dict = {}
+    deltas: dict = {"cache_state": cache_state}
     prev = _latest_prev_bench()
     if prev is not None:
         prev_q = prev.get("queries", {})

@@ -522,12 +522,38 @@ class LakeTable:
                 f"{self.DV_MAX_KEYS} keys; use delete_where "
                 "(copy-on-write rewrite) for deletes this wide"
             )
+        # Defense-in-depth bound (ADVICE r10): the two jobs re-execute
+        # the scan independently, so anything that changes the matched
+        # set between them (a concurrent writer, a non-deterministic
+        # predicate) could otherwise ship an unbounded key list to the
+        # driver despite the count job's validation. The slice caps the
+        # per-file transfer at DV_MAX_KEYS+1 (free when the count job
+        # already validated), and the +1 sentinel makes a between-job
+        # drift loud below instead of silently dropping deletions.
         grouped = (
             hits.groupBy("__file")
-            .agg(F.sort_array(F.collect_set("__k")).alias("__keys"))
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_set("__k")),
+                    1,
+                    self.DV_MAX_KEYS + 1,
+                ).alias("__keys")
+            )
             .collect()
         )
         keys_by_file = {r["__file"]: list(r["__keys"]) for r in grouped}
+        drifted = [
+            f
+            for f, ks in keys_by_file.items()
+            if len(ks) > self.DV_MAX_KEYS
+        ]
+        if drifted:
+            raise RuntimeError(
+                "delete_where_dv matched-key set changed between the "
+                "count-validation job and the collecting job for "
+                f"{sorted(drifted)[:3]} (concurrent writer or "
+                "non-deterministic predicate?); aborting commit"
+            )
         # loud guard (ADVICE r8): a grouped file name outside the
         # stats-pruned touch set means _FILE_EXPR and the manifest
         # disagree on path form — deletes would otherwise no-op silently

@@ -925,7 +925,11 @@ def text_ngram_train_test_coverage(
             2,
         ).alias("hp"),
     )
-    bi = toks.select(
+    # size(ts) >= 2 guard: for a 1-token doc sequence(1, 0) descends to
+    # [1, 0] and indexes past the array (ANSI INVALID_ARRAY_INDEX under
+    # Spark 4) while the DuckDB oracle's empty range emits no bigrams —
+    # both engines must agree on "no bigrams" for single-token docs.
+    bi = toks.filter(F.size("ts") >= 2).select(
         "hp",
         F.explode(
             F.expr(
@@ -1187,11 +1191,13 @@ def events_type_cooccurrence_sessions(
     deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY v),
     ks AS (SELECT unnest([2, 4, 8]) AS k),
     nodes AS (
-      SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_rich
+      -- COUNT(deg.v), not COUNT(*): when no vertex passes the cutoff
+      -- the unmatched LEFT-JOIN row must count as 0, matching Spark.
+      SELECT ks.k, CAST(COUNT(deg.v) AS BIGINT) AS n_rich
       FROM ks LEFT JOIN deg ON deg.d > ks.k GROUP BY ks.k
     ),
     rich_edges AS (
-      SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e_rich
+      SELECT ks.k, CAST(COUNT(x.a) AS BIGINT) AS e_rich
       FROM ks LEFT JOIN (
         SELECT e.a, e.b, da.d AS da, db.d AS db
         FROM edges e

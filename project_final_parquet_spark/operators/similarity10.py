@@ -136,10 +136,20 @@ def _corpus_count(spark: SparkSession, sf_dir: str) -> int:
         return load(spark, sf_dir, "embeddings").count()
 
 
-def _bucketed(spark: SparkSession, sf_dir: str):
+def _bucketed(spark: SparkSession, sf_dir: str, ckpt: bool = False):
     """Shared staging: corpus count -> plane count -> bucketed frame.
     The footer-metadata count is the one driver-side step (no Spark
-    job); everything downstream is the lazy bucketed plan."""
+    job); everything downstream is the lazy bucketed plan.
+
+    ``ckpt=True`` (r10 VERDICT perf item): queries that consume the
+    bucketed frame on BOTH sides of the probe/self join would otherwise
+    evaluate the k plane dot-products (and the norm) over the full
+    corpus TWICE — once per join side. Checkpointing materializes the
+    bucket bits once; both sides then read the cached blocks. Single-
+    consumer plans (occupancy profile) and plans whose second side is
+    pruned to O(1) rows by filter pushdown (topk's 1-row query frame,
+    the recall audit's 8 anchors) stay fully lazy — a checkpoint there
+    would only add a materialization pass."""
     emb = load(spark, sf_dir, "embeddings")
     k = adaptive_planes(_corpus_count(spark, sf_dir))
     buck = emb.select(
@@ -149,6 +159,13 @@ def _bucketed(spark: SparkSession, sf_dir: str):
         _abucket_expr(F.col("embedding"), k).alias("bucket"),
         _norm(F.col("embedding")).alias("nrm"),
     )
+    if ckpt:
+        from ..ckpt import checkpoint
+
+        # Blocks stay resident for the returned plan's lifetime (both
+        # join sides read them); freed by GC + ContextCleaner once the
+        # caller drops the frame — the graph_rich_club pattern.
+        buck = checkpoint(buck)
     return k, buck
 
 
@@ -187,7 +204,7 @@ def sim_range_search_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: map-side bucketing (k dots/row, k ≈ log2(n/32)); the ONLY
     shuffle is the bucket-key hash self-join with Σ|bucket|² ≈ n·32
     expected candidate pairs — corpus-proportional, never n²."""
-    k, buck = _bucketed(spark, sf_dir)
+    k, buck = _bucketed(spark, sf_dir, ckpt=True)
     a = buck.select(
         "bucket",
         F.col("vec_id").alias("vec_a"),
@@ -297,7 +314,7 @@ def sim_pair_margin_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: map-side bucket assignment, ×(k+1) bounded probe explode
     (k ≈ log2(n/32)), ONE bucket-key hash join, one conditional
     aggregate — candidate fan-in per anchor is ~32·(k+1), flat in n."""
-    k, buck = _bucketed(spark, sf_dir)
+    k, buck = _bucketed(spark, sf_dir, ckpt=True)
     cand = buck.select(
         F.col("vec_id").alias("cid"),
         F.col("label").alias("clabel"),
@@ -386,7 +403,7 @@ def ml_knn_purity_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over ~32·(k+1) candidates; output is |labels| rows."""
     from pyspark.sql.window import Window as W
 
-    k, buck = _bucketed(spark, sf_dir)
+    k, buck = _bucketed(spark, sf_dir, ckpt=True)
     cand = buck.select(
         F.col("vec_id").alias("nn"),
         F.col("label").alias("nn_label"),
@@ -473,7 +490,7 @@ def sample_hard_negatives_adaptive(
     fan-in ~32·(k+1) per anchor, corpus-proportional overall."""
     from pyspark.sql.window import Window as W
 
-    k, buck = _bucketed(spark, sf_dir)
+    k, buck = _bucketed(spark, sf_dir, ckpt=True)
     cand = buck.select(
         F.col("vec_id").alias("negative"),
         F.col("label").alias("negative_label"),
@@ -554,7 +571,7 @@ def sim_reciprocal_nn_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, one co-partitioned (src,dst) self-join of |V| edges."""
     from pyspark.sql.window import Window as W
 
-    k, buck = _bucketed(spark, sf_dir)
+    k, buck = _bucketed(spark, sf_dir, ckpt=True)
     probes = _probes(buck, k).select(
         F.col("anchor").alias("src"), "ea", "na", "pb"
     )
@@ -752,7 +769,7 @@ def dedup_embedding_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing, ONE bucket-key self-join with occupancy pinned at ~32)
     plus a drop-key rollup. At 100× the fixed-plane form of this
     dedup would be quadratic; this stays corpus-proportional."""
-    k, buck = _bucketed(spark, sf_dir)
+    k, buck = _bucketed(spark, sf_dir, ckpt=True)
     a = buck.select(
         "bucket",
         F.col("vec_id").alias("keeper"),

@@ -42,7 +42,8 @@ and the corpus-adaptive LSH family
 (sim_range_search_adaptive, sim_pair_margin_adaptive,
 ml_knn_purity_adaptive, sample_hard_negatives_adaptive,
 sim_reciprocal_nn_adaptive, sim_ann_recall_adaptive,
-dedup_embedding_adaptive, sim_topk_adaptive — a driver-side parquet
+dedup_embedding_adaptive, sim_topk_adaptive,
+sim_adaptive_occupancy_profile — a driver-side parquet
 FOOTER-metadata row count picks the plane count; no Spark job, with a
 count() fallback for non-file sources).
 Every
@@ -346,21 +347,59 @@ ROUND11_QUEUE: list[str] = [
     "events_value_drawdown",
 ]
 
-# Round-10 window (positions 1-50):
-#   1-37  ROUND10_QUEUE verbatim — every round-9 in-round addition
-#         (growth analytics, embedding geometry, bucketed range search,
-#         lake clone/evolution, calibration metrics), all local-oracle
-#         green at BOTH sf0.01 and sf0.001 in round 9, never
-#         driver-gated. After this round the driver union r1..r10
-#         covers the whole pre-freeze registry (371/371).
-#   38-50 freshness re-gates, oldest driver evidence first: the 13
-#         oldest remaining round-3 rows (in round-3-window order; all
-#         round-2 evidence was refreshed in round 9).
-# tests/test_registry_lint.py::test_round10_window_leads_with_queue
+# Names registered after the round-11 gate window freezes: position 51+
+# this round, leading the round-12 rotation. Grows as round-11 operators
+# land; tests/test_registry_lint.py asserts it exactly equals the set of
+# registered queries with no driver evidence that are outside the window.
+ROUND12_QUEUE: list[str] = [
+    "sim_ivf_adaptive",
+    "sim_ivf_adaptive_occupancy",
+    "sim_ivf_adaptive_recall",
+]
+
+# Round-11 window (positions 1-50):
+#   1-33  ROUND11_QUEUE verbatim — every round-10 in-round addition
+#         (the corpus-adaptive LSH tier, mode/percent_rank SQL surface,
+#         rich-club/modularity graph audits, Pareto/Gini economics,
+#         gaps-and-islands), all local-oracle green at BOTH sf0.01 and
+#         sf0.001 in round 10, never driver-gated. After this round the
+#         driver union r1..r11 covers the whole pre-freeze registry
+#         (404/404).
+#   34-50 freshness re-gates, oldest driver evidence first: the 17
+#         oldest remaining round-3 rows (in round-3-window order; the
+#         4 youngest round-3 rows remain for round 12's refill slots).
+# tests/test_registry_lint.py::test_round11_window_leads_with_queue
 # asserts all of this mechanically.
 _GATE_FIRST = [
+    *ROUND11_QUEUE,
+    # round-3 evidence (17 oldest remaining, round-3 window order)
+    "events_percentiles_exact",
+    "events_rolling_1h",
+    "scd2_build",
+    "text_source_divergence",
+    "text_vocab_coverage",
+    "events_value_histogram",
+    "enc_key_rotation",
+    "mm_arrow_features",
+    "events_attribution_last_touch",
+    "events_value_deciles",
+    "sim_binary_quant",
+    "udtf_token_positions",
+    "cdc_tombstone_merge",
+    "sim_ivf_multiprobe",
+    "src_json_corrupt_records",
+    "q62_nested_order_lines",
+    "q63_hll_sketch_union",
+]
+
+# Round-10 window (positions 1-50), kept for the ledger:
+#   1-37  ROUND10_QUEUE verbatim — every round-9 in-round addition,
+#         never driver-gated before round 10 (driver union r1..r10
+#         covered the whole pre-freeze registry, 371/371).
+#   38-50 freshness re-gates: the 13 oldest round-3 rows.
+_R10_GATE_FIRST = [
     *ROUND10_QUEUE,
-    # round-3 evidence (13 oldest remaining, round-3 window order)
+    # round-3 evidence (13 oldest remaining at the time, round-3 order)
     "sim_random_projection",
     "text_rare_token_score",
     "events_anomaly_zscore",
@@ -519,6 +558,7 @@ def _load_all() -> None:
         pipeline13,
         similarity10,
         pipeline14,
+        similarity11,
     )
 
     _LOADED = True

@@ -259,10 +259,30 @@ def test_reffile_stream_restart_resumes_offset(spark, tmp_path):
         # awaitTermination(timeout) returns False WITHOUT raising when
         # the clock runs out — under full-suite CPU contention the 120 s
         # budget was once missed and the test then read a PARTIAL sink
-        # (flaked once at the 404-query suite state). Assert the query
-        # actually finished, with headroom for a loaded box.
-        finished = q.awaitTermination(300)
-        assert finished, "availableNow stream did not finish in 300s"
+        # (flaked once at the 404-query suite state). Poll in short
+        # slices so a query that DIES raises immediately, while a loaded
+        # box gets a long total budget as long as the stream is still
+        # making progress (micro-batch id advancing between slices).
+        import time
+
+        deadline = time.monotonic() + 600
+        last_batch = -1
+        stalled_since = time.monotonic()
+        while q.isActive and time.monotonic() < deadline:
+            q.awaitTermination(10)  # raises if the query failed
+            p = q.lastProgress
+            batch = p["batchId"] if p else -1
+            if batch != last_batch:
+                last_batch = batch
+                stalled_since = time.monotonic()
+            elif time.monotonic() - stalled_since > 180:
+                break  # no batch progress for 3 min — genuinely stuck
+        if q.isActive:
+            p = q.lastProgress
+            q.stop()
+            raise AssertionError(
+                f"availableNow stream did not finish (lastProgress={p})"
+            )
 
     spark.dataSource.register(RefFileDataSource)
     land(0, 6)

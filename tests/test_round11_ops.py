@@ -1,0 +1,186 @@
+"""Round-11 additions: the corpus-adaptive IVF index (similarity11).
+
+Test strategy per SURVEY.md §5: exact replays (numpy) against the Spark
+plans, property pins for the sizing formula the oracle gate can't see
+(it mirrors the construction), and plan-shape assertions for the scale
+contracts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from project_final_parquet_spark.operators.similarity10 import _PLANES24
+from project_final_parquet_spark.operators.similarity11 import (
+    _CELL_CAP,
+    _CENT_SCALE,
+    _DIST_SCALE,
+    _NPROBE,
+    adaptive_cell_bits,
+    sim_ivf_adaptive,
+    sim_ivf_adaptive_occupancy,
+    sim_ivf_adaptive_recall,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- cell-count formula -----------------------------------------------------
+
+
+def test_adaptive_cell_bits_formula_matches_duckdb():
+    """The Spark side derives the cell-bit count in Python, the oracle
+    in SQL — the two integer formulas must agree at EVERY corpus size.
+    Swept densely plus every power-of-two boundary up to ~270M."""
+    import duckdb
+
+    ns = list(range(1, 5000)) + [
+        2**p + d for p in range(12, 28) for d in (-1, 0, 1)
+    ]
+    rows = duckdb.sql(
+        f"SELECT n, LEAST({_CELL_CAP}, GREATEST(2, "
+        "LENGTH(BIN(n - 1)) // 2)) FROM (SELECT unnest($ns) AS n)",
+        params={"ns": ns},
+    ).fetchall()
+    bad = [(n, m) for n, m in rows if m != adaptive_cell_bits(n)]
+    assert bad == [], bad[:5]
+
+
+def test_adaptive_cell_bits_balance_contract():
+    """2^m is the power of two ≈ √n: C²/n stays within [1/4, 4] for
+    every corpus size between the floor and the cap — the IVF balance
+    point where probe cost (C) and scan cost (n/C) grow together."""
+    for n in [20, 100, 500, 2000, 2048, 2049, 10**5, 10**6, 2**24]:
+        m = adaptive_cell_bits(n)
+        c = 1 << m
+        if m not in (2, _CELL_CAP):  # inside the clamp range
+            assert 0.25 <= (c * c) / n <= 4.0, (n, m)
+        assert m <= _CELL_CAP
+    assert adaptive_cell_bits(2**24 + 1) == _CELL_CAP  # shard territory
+    assert adaptive_cell_bits(1) == 2  # floor
+
+
+# --- staged corpus + numpy replay -------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivf_corpus(spark, tmp_path_factory):
+    """3000 deterministic vectors (bit_length(2999)=12 ⇒ m=6, 64 cells)
+    staged as an embeddings table — a cell count the driver corpora
+    (500/2000 rows ⇒ m=4/5) never reach."""
+    rng = np.random.RandomState(11)
+    n, dim = 3000, 64
+    vecs = rng.randn(n, dim).astype(np.float32)
+    rows = [
+        (int(i), int(i % 10), [float(x) for x in vecs[i]])
+        for i in range(n)
+    ]
+    d = tmp_path_factory.mktemp("ivf") / "corpus"
+    spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<float>"
+    ).repartition(4).write.parquet(f"{d}/embeddings.parquet")
+    return str(d), vecs
+
+
+def _np_cells(vecs: np.ndarray, m: int) -> np.ndarray:
+    planes = np.array(_PLANES24[:m], dtype=np.float64)  # m x dim
+    bits = (vecs.astype(np.float64) @ planes.T) > 0  # n x m
+    return (bits * (1 << np.arange(m))).sum(axis=1).astype(np.int64)
+
+
+def _np_best_cells(vecs: np.ndarray, cells: np.ndarray, q: np.ndarray):
+    """Replay the scaled-integer centroid + distance pipeline exactly:
+    centroid = (Σ floor(val·1e9))/1e9/count per (cell, dim);
+    d2 = Σ floor((c-q_j)²·1e12); top-NPROBE under (d2, cell) order."""
+    v = vecs.astype(np.float64)
+    out = {}
+    for cell in np.unique(cells):
+        sub = v[cells == cell]
+        cent = np.floor(sub * _CENT_SCALE).sum(axis=0) / _CENT_SCALE / len(sub)
+        d2 = int(np.floor((cent - q) ** 2 * _DIST_SCALE).sum())
+        out[int(cell)] = d2
+    return sorted(out, key=lambda c: (out[c], c))[:_NPROBE]
+
+
+def test_ivf_adaptive_topk_replay(spark, ivf_corpus):
+    """End-to-end numpy replay on the 3000-vector corpus: same cells,
+    same scaled-int centroids, same probed cells, same exact-cosine
+    top-10 (ties broken by vec_id)."""
+    d, vecs = ivf_corpus
+    m = adaptive_cell_bits(len(vecs))
+    assert m == 6
+    got = sim_ivf_adaptive(spark, d).collect()
+    assert len(got) == 10 and all(r["cell_bits"] == m for r in got)
+
+    v = vecs.astype(np.float64)
+    cells = _np_cells(vecs, m)
+    best = _np_best_cells(vecs, cells, v[0])
+    in_probe = np.isin(cells, best)
+    cos = (v @ v[0]) / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    cand = [
+        (i, float(cos[i])) for i in np.nonzero(in_probe)[0] if i != 0
+    ]
+    cand.sort(key=lambda t: (-t[1], t[0]))
+    want_ids = [i for i, _ in cand[:10]]
+    assert [r["vec_id"] for r in got] == want_ids
+    for r, (_, c) in zip(got, cand[:10]):
+        assert abs(r["cosine"] - c) < 1e-9
+
+
+def test_ivf_adaptive_occupancy_accounts_for_corpus(spark, ivf_corpus):
+    """The occupancy histogram must partition the corpus exactly: cell
+    and vector totals equal the numpy replay's."""
+    d, vecs = ivf_corpus
+    m = adaptive_cell_bits(len(vecs))
+    rows = sim_ivf_adaptive_occupancy(spark, d).collect()
+    assert all(r["cell_bits"] == m for r in rows)
+    cells = _np_cells(vecs, m)
+    _, counts = np.unique(cells, return_counts=True)
+    assert sum(r["n_vectors"] for r in rows) == len(vecs)
+    assert sum(r["n_cells"] for r in rows) == len(counts)
+    assert max(r["max_occ"] for r in rows) == counts.max()
+
+
+def test_ivf_adaptive_recall_replay(spark, ivf_corpus):
+    """Per-anchor recall audit vs the numpy replay: candidate counts
+    are the probed cells' populations (minus self), hits are the exact
+    top-10 members inside them, recall_ppm is the exact integer ppm."""
+    d, vecs = ivf_corpus
+    m = adaptive_cell_bits(len(vecs))
+    got = {r["anchor"]: r for r in sim_ivf_adaptive_recall(spark, d).collect()}
+    assert len(got) == 8
+    v = vecs.astype(np.float64)
+    cells = _np_cells(vecs, m)
+    norms = np.linalg.norm(v, axis=1)
+    for a in range(8):
+        best = _np_best_cells(vecs, cells, v[a])
+        in_probe = np.isin(cells, best)
+        cos = (v @ v[a]) / (norms * norms[a])
+        order = sorted(
+            (i for i in range(len(vecs)) if i != a),
+            key=lambda i: (-cos[i], i),
+        )
+        top10 = set(order[:10])
+        n_cand = int(in_probe.sum()) - (1 if in_probe[a] else 0)
+        n_hits = sum(1 for i in top10 if in_probe[i])
+        r = got[a]
+        assert r["cell_bits"] == m
+        assert r["n_candidates"] == n_cand
+        assert r["n_hits"] == n_hits
+        assert r["recall_ppm"] == 1000000 * n_hits // 10
+
+
+# --- plan shape -------------------------------------------------------------
+
+
+def test_ivf_adaptive_plan_shape(spark):
+    """The serving plan must be the IVF shape: broadcast joins for the
+    probed-cell and query frames (never a shuffle join against the tiny
+    sides) and TakeOrderedAndProject for the top-10 (never a global
+    sort of the scored cells)."""
+    plan = sim_ivf_adaptive(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -109,10 +109,19 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # Loud on a typo'd filter (VERDICT r10): a name that matches zero
+    # registered queries must NOT fall through to "all queries match".
+    if only:
+        unknown = sorted(only - set(qs))
+        if unknown:
+            print(f"ERROR: unknown query name(s): {unknown}")
+            return 2
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
@@ -151,9 +160,13 @@ def main() -> int:
         else:
             print(f"OK    {name}: {len(s_rows)} rows, hash {value_hash(s_rows)}")
     print()
+    print(f"checked {checked} queries at {sf_dir}")
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
         return 1
+    if checked == 0:
+        print("ERROR: no queries checked")
+        return 2
     print("all queries match their oracles")
     return 0
 

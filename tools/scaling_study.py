@@ -359,6 +359,21 @@ BATTERY14 = [
     "events_value_drawdown",           # day rollup + running max
 ]
 
+# --battery15: the round-11 corpus-adaptive IVF index next to its
+# fixed-cell twins. The fixed IVF quantizes on the 10 label partitions
+# forever, so per-query scan cost is n/10 — linear in the corpus; the
+# adaptive index sizes cells to 2^m ≈ √n, so probe (C) and scan (n/C)
+# both grow as √n: expect sf1/sf0.1 ratios near √10 ≈ 3.2 for the
+# serving query where the fixed form trends toward 10.
+BATTERY15 = [
+    "sim_ivf_probe",               # fixed label cells, nprobe=1
+    "sim_ivf_multiprobe",          # fixed label cells, nprobe=2
+    "sim_ivf_pq",                  # fixed cells + PQ re-rank
+    "sim_ivf_adaptive",            # cells = 2^m ≈ sqrt(n), nprobe=2
+    "sim_ivf_adaptive_occupancy",  # index cost-model audit
+    "sim_ivf_adaptive_recall",     # 8-anchor exact-truth recall audit
+]
+
 
 def _stride(spark, name: str) -> int:
     if name == "events_user":
@@ -483,6 +498,8 @@ def main() -> None:
         battery = BATTERY13
     if "--battery14" in sys.argv:
         battery = BATTERY14
+    if "--battery15" in sys.argv:
+        battery = BATTERY15
     if "--battery10" in sys.argv:
         battery = BATTERY10
         from project_final_parquet_spark.operators.lake_queries import (
