@@ -355,6 +355,11 @@ ROUND12_QUEUE: list[str] = [
     "sim_ivf_adaptive",
     "sim_ivf_adaptive_occupancy",
     "sim_ivf_adaptive_recall",
+    "ml_ndcg_at_k",
+    "ml_mcc_at_thresholds",
+    "text_dup_ngram_coverage",
+    "sample_priority_pps",
+    "graph_hits_authorities",
 ]
 
 # Round-11 window (positions 1-50):
@@ -559,6 +564,7 @@ def _load_all() -> None:
         similarity10,
         pipeline14,
         similarity11,
+        pipeline15,
     )
 
     _LOADED = True

@@ -184,3 +184,194 @@ def test_ivf_adaptive_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- pipeline15 widening batch ----------------------------------------------
+
+
+def _docs_pdf(sf=SF):
+    import pandas as pd
+
+    return pd.read_parquet(f"{sf}/documents.parquet")
+
+
+def test_ndcg_at_k_replay(spark):
+    """numpy replay of NDCG@10 at sf0.001: exact cosine ranking,
+    binary same-label gain, the embedded integer discounts."""
+    import pandas as pd
+
+    from project_final_parquet_spark.operators.pipeline15 import (
+        _DISC,
+        _IDCG_CUM,
+        _N_QUERIES,
+        ml_ndcg_at_k,
+    )
+
+    got = {r["query_id"]: r for r in ml_ndcg_at_k(spark, SF).collect()}
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    labels = pdf["label"].to_numpy()
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(v, axis=1)
+    corpus = ids >= _N_QUERIES
+    assert len(got) == _N_QUERIES
+    for qi in range(_N_QUERIES):
+        q = v[ids == qi][0]
+        qn = np.linalg.norm(q)
+        cos = (v @ q) / (norms * qn)
+        order = sorted(
+            np.nonzero(corpus)[0], key=lambda i: (-cos[i], ids[i])
+        )
+        rel = [labels[i] == labels[ids == qi][0] for i in order]
+        n_rel = int(sum(rel))
+        dcg = sum(_DISC[r] for r in range(10) if r < len(rel) and rel[r])
+        idcg = _IDCG_CUM[min(n_rel, 10) - 1] if n_rel else 0
+        r = got[qi]
+        assert r["n_rel"] == n_rel
+        assert r["dcg_x1e9"] == dcg
+        assert r["idcg_x1e9"] == idcg
+        want = dcg / idcg if n_rel else 0.0
+        assert abs(r["ndcg"] - want) < 1e-12
+
+
+def test_mcc_consistent_with_confusion_thresholds(spark):
+    """MCC's confusion cells must be byte-identical to the established
+    ml_confusion_thresholds cells at the shared operating points, and
+    the MCC value must equal the textbook formula on those cells."""
+    import math as m
+
+    from project_final_parquet_spark.operators.ml_eval import (
+        ml_confusion_thresholds,
+    )
+    from project_final_parquet_spark.operators.pipeline15 import (
+        ml_mcc_at_thresholds,
+    )
+
+    mcc = {r["pct"]: r for r in ml_mcc_at_thresholds(spark, SF).collect()}
+    conf = {r["pct"]: r for r in ml_confusion_thresholds(spark, SF).collect()}
+    assert set(mcc) == set(conf) == {10, 25, 50}
+    for pct, r in mcc.items():
+        c = conf[pct]
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (
+            c["tp"], c["fp"], c["fn"], c["tn"]
+        )
+        tp, fp, fn, tn = r["tp"], r["fp"], r["fn"], r["tn"]
+        denom = m.sqrt(
+            ((float(tp + fp) * (tp + fn)) * (tn + fp)) * (tn + fn)
+        )
+        want = (float(tp) * tn - float(fp) * fn) / denom if denom else 0.0
+        assert abs(r["mcc"] - want) < 1e-12
+        assert -1.0 <= r["mcc"] <= 1.0
+
+
+def test_dup_ngram_coverage_replay(spark):
+    """Pure-Python replay of the duplicated-5-gram coverage at
+    sf0.001."""
+    from collections import Counter, defaultdict
+
+    from project_final_parquet_spark.operators.pipeline15 import (
+        text_dup_ngram_coverage,
+    )
+
+    pdf = _docs_pdf()
+    gram_docs = defaultdict(set)
+    per_doc = {}
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        t = text.split(" ")
+        grams = [" ".join(t[i:i + 5]) for i in range(len(t) - 4)]
+        if grams:
+            per_doc[doc_id] = grams
+            for g in set(grams):
+                gram_docs[g].add(doc_id)
+    got = {r["doc_id"]: r for r in text_dup_ngram_coverage(spark, SF).collect()}
+    assert set(got) == set(per_doc)
+    for doc_id, grams in per_doc.items():
+        n_dup = sum(1 for g in grams if len(gram_docs[g]) >= 2)
+        r = got[doc_id]
+        assert r["n_grams"] == len(grams)
+        assert r["n_dup"] == n_dup
+        assert r["dup_ppm"] == 1000000 * n_dup // len(grams)
+
+
+def test_priority_pps_replay_and_plan(spark):
+    """Exact Python replay of the DLT priority sample (same md5 keys,
+    same IEEE arithmetic), plus the scale-shape pin: the top-(k+1)
+    selection must compile to TakeOrderedAndProject, not a global
+    sort."""
+    import hashlib
+
+    import pandas as pd
+
+    from project_final_parquet_spark.operators.pipeline15 import (
+        _HEX15,
+        _PPS_K,
+        _PPS_SEED,
+        sample_priority_pps,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/orders.parquet")
+    rows = []
+    for ok, w in zip(pdf["o_orderkey"], pdf["o_totalprice"]):
+        h = int(
+            hashlib.md5(f"{ok}:{_PPS_SEED}".encode()).hexdigest()[:15], 16
+        )
+        rows.append((int(ok), float(w), (float(w) * _HEX15) / float(h + 1)))
+    rows.sort(key=lambda t: (-t[2], t[0]))
+    tau = rows[_PPS_K][2] if len(rows) > _PPS_K else None
+    want = {
+        ok: (w, p, w if tau is None else (w if w > tau else tau))
+        for ok, w, p in rows[:_PPS_K]
+    }
+    df = sample_priority_pps(spark, SF)
+    got = {r["o_orderkey"]: r for r in df.collect()}
+    assert set(got) == set(want)
+    for ok, (w, p, ew) in want.items():
+        r = got[ok]
+        assert r["weight"] == w
+        assert r["priority"] == p  # bit-exact IEEE agreement
+        assert r["est_weight"] == ew
+    # every sampled row's estimator weight is >= its raw weight, and
+    # the estimator total dominates the sampled-weight total (the DLT
+    # threshold construction)
+    assert all(r["est_weight"] >= r["weight"] for r in got.values())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hits_authorities_replay(spark):
+    """pandas replay of the 2-iteration integer HITS on the
+    customer-part bipartite graph at sf0.001."""
+    import pandas as pd
+
+    from project_final_parquet_spark.operators.pipeline15 import (
+        _HITS_TOP,
+        graph_hits_authorities,
+    )
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")[
+        ["o_orderkey", "o_custkey"]
+    ]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ]
+    e = (
+        orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")[
+            ["o_custkey", "l_partkey"]
+        ]
+        .drop_duplicates()
+        .rename(columns={"o_custkey": "cust", "l_partkey": "part"})
+    )
+    a1 = e.groupby("part").size().rename("a")
+    h1 = e.join(a1, on="part").groupby("cust")["a"].sum().rename("h")
+    a2 = e.join(h1, on="cust").groupby("part")["h"].sum().rename("auth2")
+    tbl = pd.concat([a1, a2], axis=1).reset_index()
+    tbl = tbl.sort_values(["auth2", "part"], ascending=[False, True])
+    want = [
+        (int(r.part), int(r.a), int(r.auth2))
+        for r in tbl.head(_HITS_TOP).itertuples()
+    ]
+    got = [
+        (r["partkey"], r["auth1"], r["auth2"])
+        for r in graph_hits_authorities(spark, SF).collect()
+    ]
+    assert got == want
