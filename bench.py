@@ -292,6 +292,15 @@ HEADLINE = [
     "events_first_session_profile",
     "orders_pareto_8020_point",
     "events_value_drawdown",
+    # round 11: the corpus-adaptive IVF index + widening batch
+    "sim_ivf_adaptive",
+    "sim_ivf_adaptive_occupancy",
+    "sim_ivf_adaptive_recall",
+    "ml_ndcg_at_k",
+    "ml_mcc_at_thresholds",
+    "text_dup_ngram_coverage",
+    "sample_priority_pps",
+    "graph_hits_authorities",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -80,6 +80,23 @@ def _ser(v: Any) -> Any:
     return v
 
 
+def _overlapping(entries, col: str, lo: Any, hi: Any):
+    """Manifest min/max pruning: the entries whose [min, max] on
+    ``col`` can overlap [lo, hi) — the SINGLE pruning rule every
+    predicate-ranged write path (delete_where, delete_where_dv's scan
+    AND its count-guard job, replace_where) reads its file set from,
+    so no path can scan wider than the manifest stats allow. Entries
+    with no stats for ``col`` are conservatively kept (schema
+    evolution: a file written before the column existed)."""
+    lo_s, hi_s = _ser(lo), _ser(hi)
+    return [
+        e
+        for e in entries
+        if col not in e.stats
+        or not (e.stats[col][0] >= hi_s or e.stats[col][1] < lo_s)
+    ]
+
+
 # Spark-side normalization of ``input_file_name()`` (a ``file:``-scheme
 # URI) back to the plain local path the manifest stores, so per-file
 # grouping can join task rows to FileEntry records without a driver
@@ -400,13 +417,7 @@ class LakeTable:
             else expected_parent
         )
         entries = self.manifest(parent)
-        lo_s, hi_s = _ser(lo), _ser(hi)
-        touched = [
-            e
-            for e in entries
-            if col not in e.stats
-            or not (e.stats[col][0] >= hi_s or e.stats[col][1] < lo_s)
-        ]
+        touched = _overlapping(entries, col, lo, hi)
         if not touched:
             return parent
         version = parent + 1
@@ -475,13 +486,7 @@ class LakeTable:
             else expected_parent
         )
         entries = self.manifest(parent)
-        lo_s, hi_s = _ser(lo), _ser(hi)
-        touched_paths = {
-            e.path
-            for e in entries
-            if col not in e.stats
-            or not (e.stats[col][0] >= hi_s or e.stats[col][1] < lo_s)
-        }
+        touched_paths = {e.path for e in _overlapping(entries, col, lo, hi)}
         if not touched_paths:
             return parent
         # TWO constant-count jobs over ALL touched files, both grouped
@@ -1010,13 +1015,7 @@ class LakeTable:
             else expected_parent
         )
         entries = self.manifest(parent)
-        lo_s, hi_s = _ser(lo), _ser(hi)
-        touched = [
-            e
-            for e in entries
-            if col not in e.stats
-            or not (e.stats[col][0] >= hi_s or e.stats[col][1] < lo_s)
-        ]
+        touched = _overlapping(entries, col, lo, hi)
         version = parent + 1
         out = self.data_dir / f"v{version}"
         if touched:

