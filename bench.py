@@ -301,6 +301,10 @@ HEADLINE = [
     "text_dup_ngram_coverage",
     "sample_priority_pps",
     "graph_hits_authorities",
+    "dq_ks_source_drift",
+    "events_value_bootstrap_ci",
+    "events_winsorized_mean",
+    "sample_neyman_allocation",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

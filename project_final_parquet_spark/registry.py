@@ -360,6 +360,10 @@ ROUND12_QUEUE: list[str] = [
     "text_dup_ngram_coverage",
     "sample_priority_pps",
     "graph_hits_authorities",
+    "dq_ks_source_drift",
+    "events_value_bootstrap_ci",
+    "events_winsorized_mean",
+    "sample_neyman_allocation",
 ]
 
 # Round-11 window (positions 1-50):
@@ -565,6 +569,7 @@ def _load_all() -> None:
         pipeline14,
         similarity11,
         pipeline15,
+        pipeline16,
     )
 
     _LOADED = True
