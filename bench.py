@@ -305,6 +305,7 @@ HEADLINE = [
     "events_value_bootstrap_ci",
     "events_winsorized_mean",
     "sample_neyman_allocation",
+    "dedup_minhash_adaptive_bands",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -364,6 +364,7 @@ ROUND12_QUEUE: list[str] = [
     "events_value_bootstrap_ci",
     "events_winsorized_mean",
     "sample_neyman_allocation",
+    "dedup_minhash_adaptive_bands",
 ]
 
 # Round-11 window (positions 1-50):
@@ -570,6 +571,7 @@ def _load_all() -> None:
         similarity11,
         pipeline15,
         pipeline16,
+        dedup4,
     )
 
     _LOADED = True
