@@ -656,3 +656,69 @@ def test_pagerank_round_plan_is_shuffle_stable(spark):
     assert f2.n_nested_loop_joins == 0
     from project_final_parquet_spark.plans import physical_plan as _pp
     assert "Scan parquet" not in _pp(p2)
+
+
+# --- round-11 additions -----------------------------------------------------
+
+
+def test_ks_source_drift_pushes_source_filter(spark):
+    """The two-source IN filter must reach the parquet scan (the
+    corpus is read once, pruned to the compared sources), and the
+    argmax is TakeOrdered(1), never a global sort."""
+    f = facts_of(spark, "dq_ks_source_drift")
+    assert any("source" in x and "In(" in x for x in f.pushed_filters) or any(
+        "In(source" in x for x in f.pushed_filters
+    )
+    assert f.has_take_ordered
+    assert all("text" not in s for s in f.read_schemas)  # pruned
+
+
+def test_ndcg_broadcasts_query_frame(spark):
+    """The 20-query eval frame must broadcast against the corpus; no
+    sort-merge join anywhere in the scoring path."""
+    f = facts_of(spark, "ml_ndcg_at_k")
+    assert f.n_nested_loop_joins >= 1  # broadcast cross join (eval frame)
+    assert f.n_sortmerge_joins == 0
+
+
+def test_hits_joins_are_hash_not_nested(spark):
+    """Both HITS iterations are hash joins against vertex-bounded
+    score frames, and the top-20 is TakeOrdered."""
+    f = facts_of(spark, "graph_hits_authorities")
+    assert f.n_nested_loop_joins == 0
+    assert f.has_take_ordered
+    assert f.n_joins >= 3  # orders⋈lineitem + two iteration joins + a1
+
+
+def test_bootstrap_ci_single_corpus_pass(spark):
+    """The B-replicate expansion must aggregate map-side: exactly one
+    exchange pair for the replicate rollup feeding the 20-row frame —
+    no shuffle of the raw ×B expansion."""
+    f = facts_of(spark, "events_value_bootstrap_ci")
+    assert f.n_hash_aggregates >= 2  # partial + final on the B keys
+    # the raw events scan reads only the two needed columns
+    assert all(
+        "props" not in s and "event_type" not in s for s in f.read_schemas
+    )
+
+
+def test_dup_ngram_prunes_to_text_columns(spark):
+    """The 5-gram pass reads only (doc_id, text); lang/source/n_chars
+    never leave the scan."""
+    f = facts_of(spark, "text_dup_ngram_coverage")
+    assert all("lang" not in s and "source" not in s for s in f.read_schemas)
+
+
+def test_minhash_adaptive_band_join_is_hash(spark):
+    """The band-key self-join must be a hash join (equi keys), not a
+    nested loop, and verification joins stay hash too."""
+    f = facts_of(spark, "dedup_minhash_adaptive_bands")
+    assert f.n_nested_loop_joins == 0
+    assert f.n_joins >= 3  # band self-join + two shingle-set joins
+
+
+def test_winsorized_mean_prunes_and_aggregates(spark):
+    """Only (event_id, value) reach the scan; bounds broadcast."""
+    f = facts_of(spark, "events_winsorized_mean")
+    assert all("event_type" not in s and "props" not in s for s in f.read_schemas)
+    assert f.n_sortmerge_joins == 0
