@@ -374,6 +374,27 @@ BATTERY15 = [
     "sim_ivf_adaptive_recall",     # 8-anchor exact-truth recall audit
 ]
 
+# --battery16: the round-11 widening + statistical batches next to the
+# adaptive MinHash banding. Expected shapes: broadcast-eval scoring and
+# tiny-key rollups (~linear); the bootstrap is a constant ×B map-side
+# expansion; the banding self-join's candidate volume is the quantity
+# the adaptive r ladder exists to bound (r steps 2→4 only past 4096
+# docs, so at these SFs both tiers run r=2 — the row is a regression
+# guard, the r-step proof lives in the staged-corpus replay test).
+BATTERY16 = [
+    "ml_ndcg_at_k",                  # 20-query broadcast eval scoring
+    "ml_mcc_at_thresholds",          # shared global score sort + 3-row agg
+    "text_dup_ngram_coverage",       # 5-gram key shuffle + join back
+    "sample_priority_pps",           # map-side priority + TakeOrdered(51)
+    "graph_hits_authorities",        # edge join + 2 iteration joins
+    "dq_ks_source_drift",            # value-key rollup + running window
+    "events_value_bootstrap_ci",     # x20 map-side Poisson expansion
+    "events_winsorized_mean",        # global rank + clamped second pass
+    "sample_neyman_allocation",      # |strata| moments rollup
+    "dedup_minhash_adaptive_bands",  # banded self-join + Jaccard verify
+    "dedup_near_minhash_lsh",        # fixed-banding control
+]
+
 
 def _stride(spark, name: str) -> int:
     if name == "events_user":
@@ -500,6 +521,8 @@ def main() -> None:
         battery = BATTERY14
     if "--battery15" in sys.argv:
         battery = BATTERY15
+    if "--battery16" in sys.argv:
+        battery = BATTERY16
     if "--battery10" in sys.argv:
         battery = BATTERY10
         from project_final_parquet_spark.operators.lake_queries import (
