@@ -24,6 +24,7 @@ from pyspark.sql import Window as W
 
 from ..registry import DSUM_SQL, dsum, query
 from ..tables import load
+from .vector_stats import PROBE_SCORED_CTES
 
 # --- exact two-sample Kolmogorov–Smirnov source drift -----------------------
 
@@ -490,3 +491,129 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc"),
     ).orderBy("event_type")
+
+
+# --- DeLong SE / CI for the probe AUC ---------------------------------------
+
+_Z975 = 1.959963984540054  # Phi^-1(0.975), precomputed literal
+
+
+@query(
+    "ml_auc_delong_ci",
+    oracle=f"""
+    WITH {PROBE_SCORED_CTES},
+    ranked AS (
+      SELECT label,
+             ROW_NUMBER() OVER (ORDER BY score, vec_id) AS rn,
+             SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY score, vec_id) AS cp
+      FROM scored
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m,
+        CAST(SUM(CASE WHEN label <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+        CAST(SUM(CASE WHEN label = 0 THEN rn - cp ELSE 0 END)
+             AS BIGINT) AS sa,
+        CAST(SUM(CASE WHEN label = 0 THEN (rn - cp) * (rn - cp)
+                      ELSE 0 END) AS BIGINT) AS sa2,
+        CAST(SUM(CASE WHEN label <> 0 THEN cp ELSE 0 END)
+             AS BIGINT) AS sb_below,
+        CAST(SUM(CASE WHEN label <> 0 THEN cp * cp ELSE 0 END)
+             AS BIGINT) AS sb2_below
+      FROM ranked
+    ),
+    stats AS (
+      SELECT m, nn,
+             CAST(sa AS DOUBLE) / (m * nn) AS auc,
+             (CAST(sa2 AS DOUBLE) - CAST(sa AS DOUBLE) * sa / m)
+               / (m - 1) / nn / nn AS s10,
+             ((CAST(sb2_below AS DOUBLE)
+               - CAST(sb_below AS DOUBLE) * sb_below / nn)
+              / (nn - 1)) / m / m AS s01
+      FROM agg
+    )
+    SELECT m AS n_pos, nn AS n_neg, auc,
+           sqrt(s10 / m + s01 / nn) AS se_delong,
+           auc - {_Z975!r} * sqrt(s10 / m + s01 / nn) AS ci_lo,
+           auc + {_Z975!r} * sqrt(s10 / m + s01 / nn) AS ci_hi
+    FROM stats
+    """,
+)
+def ml_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong standard error and 95% CI for the linear-probe AUC — the
+    ANALYTIC uncertainty companion to events_value_bootstrap_ci's
+    resampling approach (and the industry-standard way to say whether
+    two AUCs differ beyond noise). Placement counts come from the same
+    total (score, vec_id) order as ml_linear_probe_auc, so this
+    query's auc column is bit-identical to that query's: per positive,
+    a = negatives ranked strictly below; per negative, b = positives
+    ranked strictly below (V01 = 1 − b/m, whose variance equals b's —
+    the centering cancels). SE² = S10/m + S01/n with S10/S01 the
+    sample variances of the placement fractions (DeLong, DeLong &
+    Clarke-Pearson 1988).
+
+    Determinism: placement counts and both raw moments are exact
+    BIGINT sums (Σa² ≤ m·n² — switch the two moment columns to
+    DECIMAL(38,0) past ~10⁶ rows per class); the variance/SE
+    arithmetic is a fixed IEEE op sequence with the z-quantile as a
+    precomputed literal; sqrt is correctly rounded.
+
+    Scale: the shared global score sort (one range-partitioned sort of
+    doubles), one running-count window over it, one 1-row aggregate —
+    the ml_linear_probe_auc plan plus one window column."""
+    from pyspark.sql import Window as W
+
+    from .vector_stats import probe_scores
+
+    scored = probe_scores(spark, sf_dir)
+    order = W.orderBy("score", "vec_id")
+    ranked = scored.select(
+        "label",
+        F.row_number().over(order).alias("rn"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+        .over(order)
+        .alias("cp"),
+    )
+    pos, neg = F.col("label") == 0, F.col("label") != 0
+    a = F.col("rn") - F.col("cp")
+    agg = ranked.agg(
+        F.sum(F.when(pos, 1).otherwise(0)).cast("long").alias("m"),
+        F.sum(F.when(neg, 1).otherwise(0)).cast("long").alias("nn"),
+        F.sum(F.when(pos, a).otherwise(0)).cast("long").alias("sa"),
+        F.sum(F.when(pos, a * a).otherwise(0)).cast("long").alias("sa2"),
+        F.sum(F.when(neg, F.col("cp")).otherwise(0))
+        .cast("long")
+        .alias("sb_below"),
+        F.sum(F.when(neg, F.col("cp") * F.col("cp")).otherwise(0))
+        .cast("long")
+        .alias("sb2_below"),
+    )
+    auc = F.col("sa").cast("double") / (F.col("m") * F.col("nn"))
+    s10 = (
+        (
+            F.col("sa2").cast("double")
+            - F.col("sa").cast("double") * F.col("sa") / F.col("m")
+        )
+        / (F.col("m") - 1)
+        / F.col("nn")
+        / F.col("nn")
+    )
+    s01 = (
+        (
+            F.col("sb2_below").cast("double")
+            - F.col("sb_below").cast("double")
+            * F.col("sb_below")
+            / F.col("nn")
+        )
+        / (F.col("nn") - 1)
+    ) / F.col("m") / F.col("m")
+    se = F.sqrt(s10 / F.col("m") + s01 / F.col("nn"))
+    return agg.select(
+        F.col("m").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        auc.alias("auc"),
+        se.alias("se_delong"),
+        (auc - F.lit(_Z975) * se).alias("ci_lo"),
+        (auc + F.lit(_Z975) * se).alias("ci_hi"),
+    )

@@ -365,6 +365,7 @@ ROUND12_QUEUE: list[str] = [
     "events_winsorized_mean",
     "sample_neyman_allocation",
     "dedup_minhash_adaptive_bands",
+    "ml_auc_delong_ci",
 ]
 
 # Round-11 window (positions 1-50):

@@ -683,3 +683,52 @@ def test_minhash_adaptive_grows_and_matches_python_replay(spark, big_docs):
     planted_hits = sum(1 for i in range(200) if (i, i + 2500) in found)
     assert planted_hits >= 120  # banding recall floor (observed 140/200
     # at r=4, b=2 — the exact pair set is already pinned above)
+
+
+def test_delong_ci_replay_and_auc_consistency(spark):
+    """numpy replay of the DeLong SE (placement variances from the
+    same total order) + the pin that the auc column is byte-identical
+    to ml_linear_probe_auc's."""
+    import math as m
+
+    from project_final_parquet_spark.operators.pipeline16 import (
+        ml_auc_delong_ci,
+    )
+    from project_final_parquet_spark.operators.vector_stats import (
+        ml_linear_probe_auc,
+        probe_scores,
+    )
+
+    r = ml_auc_delong_ci(spark, SF).collect()[0]
+    base = ml_linear_probe_auc(spark, SF).collect()[0]
+    assert r["n_pos"] == base["n_pos"] and r["n_neg"] == base["n_neg"]
+    assert r["auc"] == base["auc"]  # identical rank-sum identity
+
+    rows = sorted(
+        (row["score"], row["vec_id"], row["label"])
+        for row in probe_scores(spark, SF).collect()
+    )
+    a_vals, b_vals = [], []
+    cp = 0
+    for i, (_, _, label) in enumerate(rows, start=1):
+        if label == 0:
+            cp += 1
+            a_vals.append(i - cp)  # negatives strictly below
+        else:
+            b_vals.append(cp)  # positives strictly below
+    mth, nn = len(a_vals), len(b_vals)
+    auc = sum(a_vals) / (mth * nn)
+    v10 = [a / nn for a in a_vals]
+    v01v = [b / nn if False else b for b in b_vals]
+    s10 = sum((v - auc) ** 2 for v in v10) / (mth - 1)
+    # V01 = 1 - b/m; var equals var of b/m (centering cancels)
+    bm = [b / mth for b in b_vals]
+    mb = sum(bm) / nn
+    s01 = sum((v - mb) ** 2 for v in bm) / (nn - 1)
+    se = m.sqrt(s10 / mth + s01 / nn)
+    assert abs(r["auc"] - auc) < 1e-12
+    assert abs(r["se_delong"] - se) < 1e-9
+    assert abs(r["ci_lo"] - (auc - 1.959963984540054 * se)) < 1e-9
+    assert abs(r["ci_hi"] - (auc + 1.959963984540054 * se)) < 1e-9
+    assert 0 < r["se_delong"] < 0.2
+    assert r["ci_lo"] < r["auc"] < r["ci_hi"]
