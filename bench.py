@@ -314,6 +314,7 @@ HEADLINE = [
     "sample_neyman_allocation",
     "dedup_minhash_adaptive_bands",
     "ml_auc_delong_ci",
+    "orders_spearman_price_items",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -617,3 +617,110 @@ def ml_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (auc - F.lit(_Z975) * se).alias("ci_lo"),
         (auc + F.lit(_Z975) * se).alias("ci_hi"),
     )
+
+
+# --- exact Spearman rank correlation ----------------------------------------
+
+
+@query(
+    "orders_spearman_price_items",
+    oracle="""
+    WITH per_order AS (
+      SELECT o.o_orderkey AS ok, o.o_totalprice AS price,
+             CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_items
+      FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_totalprice
+    ),
+    ranked AS (
+      SELECT ok,
+             -- tie-aware average rank, doubled to stay integer:
+             -- 2*avg_rank = rank() * 2 + (tie_count - 1)
+             CAST(2 * RANK() OVER (ORDER BY price)
+                  + COUNT(*) OVER (PARTITION BY price) - 1
+                  AS BIGINT) AS rx2,
+             CAST(2 * RANK() OVER (ORDER BY n_items)
+                  + COUNT(*) OVER (PARTITION BY n_items) - 1
+                  AS BIGINT) AS ry2
+      FROM per_order
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rx2) AS BIGINT) AS sx,
+             CAST(SUM(ry2) AS BIGINT) AS sy,
+             CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+             CAST(SUM(ry2 * ry2) AS BIGINT) AS syy,
+             CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy
+      FROM ranked
+    )
+    SELECT n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy)) AS spearman_rho
+    FROM agg
+    """,
+)
+def orders_spearman_price_items(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact tie-aware Spearman rank correlation between an order's
+    total price and its line-item count — the monotone-association
+    audit (does more items ⇒ more revenue, monotonically?) that
+    Pearson on raw values gets wrong under heavy tails and the naive
+    1 − 6Σd²/n(n²−1) formula gets wrong under ties. Spearman = Pearson
+    on tie-averaged ranks; since average ranks live on a half-integer
+    grid, both rank columns are DOUBLED (2·avg_rank = 2·rank() +
+    tie_count − 1, an identity of the tie group) so every moment is an
+    exact BIGINT and the common factor 2 cancels in the correlation.
+
+    Determinism: integer rank moments exact (Σ(2r)² ≤ 4n³ — switch to
+    DECIMAL(38,0) past ~10⁶ rows); the rho arithmetic is a fixed IEEE
+    sequence (two correctly-rounded sqrts, one division).
+
+    Scale: one co-partitioned orders⋈lineitem count rollup, two
+    range-partitioned rank windows over the |orders| frame, one 1-row
+    moment aggregate — no pairwise anything (Kendall would be O(n²)
+    here; Spearman is the rank-sort-bounded sibling)."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_totalprice").alias("price")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok")
+    )
+    per_order = (
+        orders.join(li.withColumn("one", F.lit(1)), "ok", "left")
+        .groupBy("ok", "price")
+        .agg(F.sum(F.coalesce(F.col("one"), F.lit(0)))
+             .cast("long").alias("n_items"))
+    )
+    rx2 = (
+        2 * F.rank().over(W.orderBy("price"))
+        + F.count(F.lit(1)).over(W.partitionBy("price"))
+        - 1
+    ).cast("long")
+    ry2 = (
+        2 * F.rank().over(W.orderBy("n_items"))
+        + F.count(F.lit(1)).over(W.partitionBy("n_items"))
+        - 1
+    ).cast("long")
+    ranked = per_order.select(rx2.alias("rx2"), ry2.alias("ry2"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy"),
+    )
+    num = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    )
+    den = F.sqrt(
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(
+        F.col("n").cast("double") * F.col("syy")
+        - F.col("sy").cast("double") * F.col("sy")
+    )
+    return agg.select("n", (num / den).alias("spearman_rho"))

@@ -366,6 +366,7 @@ ROUND12_QUEUE: list[str] = [
     "sample_neyman_allocation",
     "dedup_minhash_adaptive_bands",
     "ml_auc_delong_ci",
+    "orders_spearman_price_items",
 ]
 
 # Round-11 window (positions 1-50):

@@ -732,3 +732,85 @@ def test_delong_ci_replay_and_auc_consistency(spark):
     assert abs(r["ci_hi"] - (auc + 1.959963984540054 * se)) < 1e-9
     assert 0 < r["se_delong"] < 0.2
     assert r["ci_lo"] < r["auc"] < r["ci_hi"]
+
+
+def test_spearman_replay_vs_scipy_free(spark):
+    """Exact tie-aware Spearman replay at sf0.001: Pearson on
+    tie-averaged ranks, computed independently in pure Python."""
+    import pandas as pd
+
+    from project_final_parquet_spark.operators.pipeline16 import (
+        orders_spearman_price_items,
+    )
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")[
+        ["o_orderkey", "o_totalprice"]
+    ]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey"]]
+    counts = li.groupby("l_orderkey").size()
+    x, y = [], []
+    for ok, p in zip(orders["o_orderkey"], orders["o_totalprice"]):
+        x.append(float(p))
+        y.append(int(counts.get(ok, 0)))
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            r = (i + 1 + j + 1) / 2
+            for k2 in range(i, j + 1):
+                ranks[order[k2]] = r
+            i = j + 1
+        return ranks
+
+    rx, ry = avg_ranks(x), avg_ranks(y)
+    n = len(rx)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    import math as m
+
+    den = m.sqrt(sum((a - mx) ** 2 for a in rx)) * m.sqrt(
+        sum((b - my) ** 2 for b in ry)
+    )
+    want = num / den
+    r = orders_spearman_price_items(spark, SF).collect()[0]
+    assert r["n"] == n
+    assert abs(r["spearman_rho"] - want) < 1e-9
+    # synthetic o_totalprice is independent of line items, so the
+    # honest readout is ~0 association; the replay above is the pin
+    assert -1.0 <= r["spearman_rho"] <= 1.0
+
+
+def test_priority_pps_scale_invariance(spark, tmp_path):
+    """DLT property: multiplying every weight by a constant scales
+    every priority by the same constant, so the SELECTED SET is
+    invariant (est_weight scales linearly). Staged by rewriting the
+    orders table with 1000x prices."""
+    import pandas as pd
+
+    from project_final_parquet_spark.operators.pipeline15 import (
+        sample_priority_pps,
+    )
+
+    base = {r["o_orderkey"]: r for r in sample_priority_pps(spark, SF).collect()}
+    pdf = pd.read_parquet(f"{SF}/orders.parquet")
+    pdf["o_totalprice"] = pdf["o_totalprice"] * 1000.0
+    d = tmp_path / "scaled"
+    d.mkdir()
+    pdf.to_parquet(f"{d}/orders.parquet")
+    scaled = {
+        r["o_orderkey"]: r
+        for r in sample_priority_pps(spark, str(d)).collect()
+    }
+    assert set(scaled) == set(base)  # identical sample membership
+    for ok, r in scaled.items():
+        assert abs(r["weight"] - base[ok]["weight"] * 1000.0) < 1e-6
+        assert (
+            abs(r["est_weight"] - base[ok]["est_weight"] * 1000.0)
+            / r["est_weight"]
+            < 1e-12
+        )
