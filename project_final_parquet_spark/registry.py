@@ -369,20 +369,81 @@ ROUND12_QUEUE: list[str] = [
     "orders_spearman_price_items",
 ]
 
-# Round-11 window (positions 1-50):
+# Names registered after the round-12 gate window freezes: position 51+
+# this round, leading the round-13 rotation. Grows as round-12 operators
+# land; tests/test_registry_lint.py asserts it exactly equals the set of
+# registered queries with no driver evidence that are outside the window.
+ROUND13_QUEUE: list[str] = []
+
+# Round-12 window (positions 1-50):
+#   1-15  ROUND12_QUEUE verbatim — every round-11 in-round addition
+#         (the corpus-adaptive IVF triad, NDCG/MCC/DeLong-CI retrieval
+#         and classifier eval, priority sampling, KS drift, bootstrap
+#         CI, winsorized mean, Neyman allocation, adaptive banding,
+#         HITS, Spearman), all re-verified oracle-green by the r11
+#         judge, never driver-gated. After this round the driver union
+#         r1..r12 covers the whole registry as of the r12 freeze
+#         (419/419).
+#   16-19 the 4 youngest round-3 evidence rows (round-3-window order) —
+#         the last round-3 evidence anywhere in the ledger.
+#   20-50 freshness re-gates, oldest remaining driver evidence: the 31
+#         oldest round-4 rows, in round-4-window order (the 19 youngest
+#         round-4 rows remain for round 13's refill slots).
+# tests/test_registry_lint.py::test_round12_window_leads_with_queue
+# asserts all of this mechanically.
+_GATE_FIRST = [
+    *ROUND12_QUEUE,
+    # round-3 evidence (the 4 youngest — last r3 rows in the ledger)
+    "sample_negatives",
+    "dq_constraint_checks",
+    "dedup_containment",
+    "events_late_data_metrics",
+    # round-4 evidence (31 oldest, round-4 window order)
+    "text_inverted_index",
+    "dedup_cluster_components",
+    "events_asof_nearest",
+    "text_bigram_stats",
+    "events_user_rfm",
+    "ml_cluster_purity",
+    "events_winsorized_stats",
+    "events_time_weighted_avg",
+    "basket_part_pairs",
+    "ivm_merge_agg",
+    "sql_text_frontend",
+    "q64_groupwise_ols",
+    "events_quantile_normalize",
+    "events_longest_streak",
+    "pipeline_e2e_pretrain",
+    "events_abtest_lift",
+    "sim_matryoshka_prefix",
+    "events_active_users",
+    "events_seasonality_profile",
+    "text_prefix_autocomplete",
+    "events_pareto_concentration",
+    "q65_excess_share_suppliers",
+    "q66_waiting_suppliers",
+    "q67_dormant_rich_accounts",
+    "events_sessionize",
+    "events_rolling_distinct",
+    "pack_sequences",
+    "curriculum_order",
+    "scd2_point_in_time_join",
+    "text_boilerplate_ngrams",
+    "text_bpe_merge_pairs",
+]
+
+# Round-11 window (positions 1-50), kept for the ledger:
 #   1-33  ROUND11_QUEUE verbatim — every round-10 in-round addition
 #         (the corpus-adaptive LSH tier, mode/percent_rank SQL surface,
 #         rich-club/modularity graph audits, Pareto/Gini economics,
 #         gaps-and-islands), all local-oracle green at BOTH sf0.01 and
-#         sf0.001 in round 10, never driver-gated. After this round the
+#         sf0.001 in round 10, never driver-gated. After round 11 the
 #         driver union r1..r11 covers the whole pre-freeze registry
 #         (404/404).
 #   34-50 freshness re-gates, oldest driver evidence first: the 17
 #         oldest remaining round-3 rows (in round-3-window order; the
-#         4 youngest round-3 rows remain for round 12's refill slots).
-# tests/test_registry_lint.py::test_round11_window_leads_with_queue
-# asserts all of this mechanically.
-_GATE_FIRST = [
+#         4 youngest round-3 rows were left for round 12's refill slots).
+_R11_GATE_FIRST = [
     *ROUND11_QUEUE,
     # round-3 evidence (17 oldest remaining, round-3 window order)
     "events_percentiles_exact",

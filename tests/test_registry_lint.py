@@ -7,10 +7,10 @@ gate at least as strict as the driver on output shape:
 
 - no registered query emits an Array/Map/Struct output column
 - every registered query has a docstring; no oracle table typos
-- the round-11 gate window (first 50 of ``_GATE_FIRST``) leads with the
-  ROUND11_QUEUE verbatim and spends every refill slot on the oldest
-  remaining driver evidence (round-3 names, in their original window
-  order)
+- the round-12 gate window (first 50 of ``_GATE_FIRST``) leads with the
+  ROUND12_QUEUE verbatim and spends every refill slot on the oldest
+  remaining driver evidence (the last 4 round-3 names, then the oldest
+  round-4 names, in their original window order)
 - the registry docstring's eager-at-construction contract note names
   every query whose module-local call graph reaches localCheckpoint
 """
@@ -31,8 +31,8 @@ from project_final_parquet_spark.registry import (
     _GATE_FIRST,
     _load_all,
     _REGISTRY,
-    ROUND11_QUEUE,
     ROUND12_QUEUE,
+    ROUND13_QUEUE,
 )
 
 
@@ -73,31 +73,38 @@ def _latest_green(max_round: int | None = None) -> dict[str, int]:
     return latest
 
 
-def test_round11_window_leads_with_queue():
-    """The round-11 rotation contract, asserted mechanically:
+def test_round12_window_leads_with_queue():
+    """The round-12 rotation contract, asserted mechanically:
 
-    - positions 1-33 are ROUND11_QUEUE verbatim (the round-10 in-round
+    - positions 1-15 are ROUND12_QUEUE verbatim (the round-11 in-round
       additions, never driver-gated) — after this round the driver
-      union r1..r11 covers every pre-freeze registration (404/404);
-    - every never-driver-gated query (vs CORRECTNESS_r01..r10) is
-      either in the window or a declared post-freeze ROUND12_QUEUE
-      name, and ROUND12_QUEUE contains nothing else;
-    - refill slots re-gate the oldest evidence in the ledger: all 17
-      carry round-3 evidence (nothing fresher), and no round-1/round-2
-      evidence remains anywhere (rounds 7/9 refreshed it all).
+      union r1..r12 covers every pre-freeze registration (419/419);
+    - every never-driver-gated query (vs CORRECTNESS_r01..r11) is
+      either in the window or a declared post-freeze ROUND13_QUEUE
+      name, and ROUND13_QUEUE contains nothing else;
+    - refill slots re-gate the oldest evidence in the ledger: the 4
+      remaining round-3 rows first, then only round-4 rows (nothing
+      fresher), and no round-1/round-2/round-3-outside-window evidence
+      remains anywhere after this window runs.
     """
     _load_all()
-    latest_green = _latest_green(max_round=10)
+    latest_green = _latest_green(max_round=11)
     window = _GATE_FIRST[:50]
     assert len(window) == len(set(window)) == 50
-    assert window[: len(ROUND11_QUEUE)] == ROUND11_QUEUE
+    assert window[: len(ROUND12_QUEUE)] == ROUND12_QUEUE
     never_gated = {n for n in _REGISTRY if n not in latest_green}
-    assert set(ROUND12_QUEUE) == never_gated - set(window), (
-        "ROUND12_QUEUE must be exactly the never-driver-gated "
-        "registrations outside the round-11 window"
+    assert set(ROUND13_QUEUE) == never_gated - set(window), (
+        "ROUND13_QUEUE must be exactly the never-driver-gated "
+        "registrations outside the round-12 window"
     )
-    refills = window[len(ROUND11_QUEUE):]
-    fresh = {n: latest_green[n] for n in refills if latest_green[n] > 3}
+    refills = window[len(ROUND12_QUEUE):]
+    # the 4 round-3 stragglers lead the refills; everything after them
+    # carries round-4 evidence (the oldest remaining tier)
+    r3 = [n for n in refills if latest_green[n] == 3]
+    assert refills[: len(r3)] == r3 and len(r3) == 4, (
+        "the last 4 round-3 evidence rows must lead the refill slots"
+    )
+    fresh = {n: latest_green[n] for n in refills if latest_green[n] > 4}
     assert not fresh, f"refill slots wasted on fresh evidence: {fresh}"
     # no r1/r2-only names remain anywhere in the ledger
     leftover = {
