@@ -528,19 +528,31 @@ def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: exact integer sums; total (auth2 DESC, part) order on
     the limit.
 
-    Scale: the edge list is ONE orders⋈lineitem join + distinct; each
-    HITS iteration is one co-partitioned hash join against an
-    already-aggregated (key, score) frame — score frames are
-    vertex-bounded, never edge-bounded; the final top-20 is
-    TakeOrdered. Iterations are a fixed constant (2), not a
-    convergence loop — the lazy-plan twin of the eager pagerank."""
+    Scale: the edge list is ONE orders⋈lineitem join + distinct,
+    materialized once (localCheckpoint — the triangle_corners /
+    jaccard precedent, so this query executes its edge extraction at
+    construction): FOUR consumers read it (a1, h1, a2, and the final
+    a2⋈a1 re-probe of a1), and without the checkpoint each consumer
+    replays the orders⋈lineitem shuffle + distinct — the r11 VERDICT's
+    battery16 edge-rescan finding (3.7× at 10×; re-measured in SCALE.md
+    §round-12 after this fix). Each HITS iteration is then one
+    co-partitioned hash join against an already-aggregated (key, score)
+    frame — score frames are vertex-bounded, never edge-bounded; the
+    final top-20 is TakeOrdered. Iterations are a fixed constant (2),
+    not a convergence loop — matching the eager pagerank's per-round
+    materialization discipline."""
     orders = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("cust")
     )
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
     )
-    edges = orders.join(li, "ok").select("cust", "part").distinct()
+    edges = (
+        orders.join(li, "ok")
+        .select("cust", "part")
+        .distinct()
+        .localCheckpoint()  # 4 consumers (see docstring); cluster: checkpoint()
+    )
     a1 = edges.groupBy("part").agg(
         F.count(F.lit(1)).cast("long").alias("a")
     )

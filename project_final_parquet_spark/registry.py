@@ -37,7 +37,8 @@ graph_label_propagation, events_markov_stationary,
 embeddings_top_eigenvector, sim_pq_trained, sim_mmr_diversify,
 sample_kcenter_coreset, graph_kcore, pipeline_e2e_pretrain,
 graph_degree_assortativity, graph_bridge_edges, graph_wcc_sizes,
-graph_modularity_brands, graph_rich_club, pipeline_e2e_rag,
+graph_modularity_brands, graph_rich_club, graph_hits_authorities,
+pipeline_e2e_rag,
 and the corpus-adaptive LSH family
 (sim_range_search_adaptive, sim_pair_margin_adaptive,
 ml_knn_purity_adaptive, sample_hard_negatives_adaptive,
