@@ -1,0 +1,875 @@
+"""Round-12 widening batch 1: the classical nonparametric /
+categorical-association test battery a 100 TB curation pipeline runs
+when its parametric monitors (ANOVA, z-tests, chi2 screens) are not
+trustworthy — heavy tails, ordinal scales, unknown distributions:
+
+- ``events_winsorized_mean_binned`` — the r11 VERDICT's "sketch swap
+  point" made real: the winsorized mean recomputed from a fixed-width
+  value HISTOGRAM instead of a global row rank, so the sort is over
+  the bounded bin domain, never the row count (the scale twin of the
+  exact ``events_winsorized_mean``, which stays the oracle-exact form).
+- ``events_mann_whitney_u`` — exact tie-corrected rank-sum test between
+  two event types (the distribution-free two-sample location test).
+- ``events_wilcoxon_signed_rank`` — exact tie-corrected paired test of
+  per-user first-half vs second-half spend.
+- ``events_kendall_tau_hour`` — exact Kendall τ-b between hour-of-day
+  and value bucket from the contingency table (O(cells²), never O(n²)).
+- ``orders_theil_sen_trend`` — median-of-pairwise-slopes robust trend
+  of daily revenue (pair count is calendar-bounded: days², invariant
+  in corpus size).
+- ``text_hellinger_sources`` — Hellinger distance between per-source
+  document-length distributions for every source pair (the bounded
+  [0,1] drift metric that needs no logarithms).
+- ``dq_cramers_v_type_dow`` — Cramér's V effect size between
+  event_type and day-of-week (chi2 says WHETHER association exists;
+  V says whether it is big enough to matter).
+
+None of these exist in the reference (no statistics surface —
+SURVEY.md §2.1; its one query capability is selective decryption,
+src/parquet_reader.cpp:92-101); they extend the §2.3 statistics tier.
+
+Determinism conventions as everywhere (registry.py module note):
+exact BIGINT counts and integer 2×rank arithmetic for rank statistics
+(ties via average ranks kept integral by doubling), decimal sums for
+doubles, IEEE single-op divisions/sqrt in identical operation order on
+both engines, total orderings before any LIMIT, epoch-us integer time
+bucketing (events_heatmap_dow_hour precedent — no TZ, no calendar
+functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..registry import DSUM_SQL, dsum, query
+from ..tables import load
+
+_DAY_US = 86_400_000_000
+_HOUR_US = 3_600_000_000
+# TZ-free epoch micros for the non-events tables (pipeline13 precedent;
+# events ride the loader's ts_us companion instead)
+_EPOCH_US = "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', {col})"
+
+
+# --- histogram-binned winsorized mean (scale twin) ---------------------------
+
+_WCLIP_PCT = 100  # clip n // 100 from each side — 1%, as the exact twin
+
+
+@query(
+    "events_winsorized_mean_binned",
+    oracle=f"""
+    WITH per_bin AS (
+      SELECT CAST(FLOOR(value) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             SUM(CAST(value AS DECIMAL(38,10))) AS vsum
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) // {_WCLIP_PCT} AS BIGINT) AS c
+      FROM events
+    ),
+    cum AS (
+      SELECT bin, cnt, vsum, SUM(cnt) OVER (ORDER BY bin) AS cumc
+      FROM per_bin
+    ),
+    edges AS (
+      SELECT MIN(CASE WHEN cumc >= t.c + 1 THEN bin END) AS lo_bin,
+             MIN(CASE WHEN cumc >= t.n - t.c THEN bin END) AS hi_bin
+      FROM cum CROSS JOIN tot t
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN p.bin < e.lo_bin THEN p.cnt ELSE 0 END)
+             AS BIGINT) AS n_clipped_lo,
+        CAST(SUM(CASE WHEN p.bin > e.hi_bin THEN p.cnt ELSE 0 END)
+             AS BIGINT) AS n_clipped_hi,
+        CAST(CAST(SUM(CASE
+          WHEN p.bin < e.lo_bin
+            THEN CAST(p.cnt * e.lo_bin AS DECIMAL(38,10))
+          WHEN p.bin > e.hi_bin
+            THEN CAST(p.cnt * (e.hi_bin + 1) AS DECIMAL(38,10))
+          ELSE p.vsum END) AS VARCHAR) AS DOUBLE) AS wsum,
+        CAST(CAST(SUM(p.vsum) AS VARCHAR) AS DOUBLE) AS rsum,
+        MAX(e.lo_bin) AS lo_bin, MAX(e.hi_bin) AS hi_bin
+      FROM per_bin p CROSS JOIN edges e
+    )
+    SELECT t.n AS n_events, t.c AS clip_target_each_side,
+           a.n_clipped_lo, a.n_clipped_hi,
+           CAST(a.lo_bin AS DOUBLE) AS lo_edge,
+           CAST(a.hi_bin + 1 AS DOUBLE) AS hi_edge,
+           a.rsum / t.n AS raw_mean,
+           a.wsum / t.n AS winsorized_mean_binned
+    FROM agg a CROSS JOIN tot t
+    """,
+)
+def events_winsorized_mean_binned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1%-winsorized mean at HISTOGRAM resolution — the scale-safe twin
+    of ``events_winsorized_mean`` (pipeline16), whose docstring marks
+    its global row rank as the sketch swap point. Values are bucketed
+    into unit-width bins (bin = floor(value)); the clip edges are the
+    boundaries of the bins holding the (c+1)-th and (n−c)-th order
+    statistics (c = n//100), found from the bin-level cumulative count;
+    values OUTSIDE the edge bins clamp to the nearest edge, values
+    inside keep their exact sums. The result brackets the exact
+    winsorized mean within one bin width of tail mass — the standard
+    histogram-sketch trade, but DETERMINISTIC in both engines (unlike
+    approx_percentile / t-digest, whose sketches differ by engine).
+
+    Determinism: integer bins and counts, one window over the BIN
+    domain (total order on distinct bins), decimal sums with the
+    mixed CASE kept in DECIMAL(38,10) end to end (clamp products
+    cnt·edge are exact integers), two IEEE divisions.
+
+    Scale: the groupBy(bin) is map-side partial-agg into a
+    VALUE-DOMAIN-bounded key set (~600 bins here, bounded by max(value)
+    regardless of row count); the cumulative window sorts BINS, not
+    rows — vs the exact twin's n log n global row rank. Edges are a
+    1-row broadcast; the winsorized sum is a second pass over the bin
+    frame, not the events. At 100 TB this is the form that ships;
+    the exact twin stays as the small-sample oracle reference."""
+    events = load(spark, sf_dir, "events").select("value")
+    per_bin = events.groupBy(
+        F.floor(F.col("value")).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(38,10)")).alias("vsum"),
+    )
+    tot = events.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(f"count(1) div {_WCLIP_PCT}").cast("long").alias("c"),
+    )
+    cum = per_bin.withColumn(
+        "cumc", F.sum("cnt").over(W.orderBy("bin"))
+    )
+    edges = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(
+            F.when(F.col("cumc") >= F.col("c") + 1, F.col("bin"))
+        ).alias("lo_bin"),
+        F.min(
+            F.when(F.col("cumc") >= F.col("n") - F.col("c"), F.col("bin"))
+        ).alias("hi_bin"),
+    )
+    clamp_case = (
+        F.when(
+            F.col("bin") < F.col("lo_bin"),
+            (F.col("cnt") * F.col("lo_bin")).cast("decimal(38,10)"),
+        )
+        .when(
+            F.col("bin") > F.col("hi_bin"),
+            (F.col("cnt") * (F.col("hi_bin") + 1)).cast("decimal(38,10)"),
+        )
+        .otherwise(F.col("vsum"))
+    )
+    agg = per_bin.crossJoin(F.broadcast(edges)).agg(
+        F.sum(
+            F.when(F.col("bin") < F.col("lo_bin"), F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_clipped_lo"),
+        F.sum(
+            F.when(F.col("bin") > F.col("hi_bin"), F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_clipped_hi"),
+        F.sum(clamp_case).cast("double").alias("wsum"),
+        F.sum("vsum").cast("double").alias("rsum"),
+        F.max("lo_bin").alias("lo_bin"),
+        F.max("hi_bin").alias("hi_bin"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_events"),
+        F.col("c").alias("clip_target_each_side"),
+        "n_clipped_lo",
+        "n_clipped_hi",
+        F.col("lo_bin").cast("double").alias("lo_edge"),
+        (F.col("hi_bin") + 1).cast("double").alias("hi_edge"),
+        (F.col("rsum") / F.col("n")).alias("raw_mean"),
+        (F.col("wsum") / F.col("n")).alias("winsorized_mean_binned"),
+    )
+
+
+# --- exact Mann–Whitney U ----------------------------------------------------
+
+_MWU_A, _MWU_B = "click", "purchase"
+
+
+@query(
+    "events_mann_whitney_u",
+    oracle=f"""
+    WITH pool AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('{_MWU_A}', '{_MWU_B}')
+    ),
+    per_v AS (
+      SELECT value AS v,
+             CAST(SUM(CASE WHEN event_type = '{_MWU_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(COUNT(*) AS BIGINT) AS t
+      FROM pool GROUP BY value
+    ),
+    ranked AS (
+      SELECT v, a, t,
+             2 * (SUM(t) OVER (ORDER BY v) - t) + t + 1 AS r2
+      FROM per_v
+    ),
+    stats AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n1,
+             CAST(SUM(t - a) AS BIGINT) AS n2,
+             CAST(SUM(a * r2) AS BIGINT) AS r2a,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+      FROM ranked
+    )
+    SELECT n1, n2,
+           CAST(r2a - n1 * (n1 + 1) AS BIGINT) AS u2_stat,
+           CAST(r2a - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u_stat,
+           (CAST(r2a - n1 * (n1 + 1) AS DOUBLE) / 2.0
+              - CAST(n1 * n2 AS DOUBLE) / 2.0)
+           / sqrt(CAST(n1 * n2 AS DOUBLE)
+                  * (CAST(n1 + n2 + 1 AS DOUBLE)
+                     - CAST(tie3 AS DOUBLE)
+                       / (CAST(n1 + n2 AS DOUBLE)
+                          * CAST(n1 + n2 - 1 AS DOUBLE)))
+                  / 12.0) AS z_score
+    FROM stats
+    """,
+)
+def events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected Mann–Whitney U (Wilcoxon rank-sum) test of
+    the value distributions of '{A}' vs '{B}' events — the
+    distribution-free two-sample location test a pipeline reaches for
+    when events_abtest_lift's normal assumptions fail under heavy
+    tails. Average ranks for ties are kept INTEGER by the 2×rank
+    convention (r2 = 2·cum_before + t + 1 is twice the average rank of
+    a tie group), so U arrives exact (u2_stat = 2U as BIGINT) before
+    the one double division; the normal-approximation z uses the
+    standard tie-corrected variance n1·n2/12·((N+1) − Σ(t³−t)/(N(N−1))).
+
+    Determinism: integer rank arithmetic throughout; z is a fixed IEEE
+    op sequence (3 divisions, 1 sqrt) written identically in both
+    engines. (2U ≤ 2·n1·n2 — exact in BIGINT to ~2e9 rows per group,
+    the documented width bound of the integer rank tier.)
+
+    Scale: one groupBy(value) into the distinct-value domain with
+    map-side combine, one cumulative window over distinct values (the
+    KS-test shape — a range-partitioned sort of the value DOMAIN, the
+    price of any exact rank statistic), a 1-row reduce."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_MWU_A, _MWU_B)
+    )
+    per_v = ev.groupBy(F.col("value").alias("v")).agg(
+        F.sum(
+            F.when(F.col("event_type") == _MWU_A, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("a"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+    )
+    ranked = per_v.withColumn(
+        "r2",
+        2 * (F.sum("t").over(W.orderBy("v")) - F.col("t"))
+        + F.col("t")
+        + 1,
+    )
+    stats = ranked.agg(
+        F.sum("a").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("a")).cast("long").alias("n2"),
+        F.sum(F.col("a") * F.col("r2")).cast("long").alias("r2a"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        )
+        .cast("long")
+        .alias("tie3"),
+    )
+    u2 = F.col("r2a") - F.col("n1") * (F.col("n1") + 1)
+    u_stat = u2.cast("double") / 2.0
+    big_n = F.col("n1") + F.col("n2")
+    var_u = (
+        (F.col("n1") * F.col("n2")).cast("double")
+        * (
+            (big_n + 1).cast("double")
+            - F.col("tie3").cast("double")
+            / (big_n.cast("double") * (big_n - 1).cast("double"))
+        )
+        / 12.0
+    )
+    z = (
+        u_stat - (F.col("n1") * F.col("n2")).cast("double") / 2.0
+    ) / F.sqrt(var_u)
+    return stats.select(
+        "n1",
+        "n2",
+        u2.cast("long").alias("u2_stat"),
+        u_stat.alias("u_stat"),
+        z.alias("z_score"),
+    )
+
+
+events_mann_whitney_u.__doc__ = events_mann_whitney_u.__doc__.format(
+    A=_MWU_A, B=_MWU_B
+)
+
+
+# --- exact Wilcoxon signed-rank ----------------------------------------------
+
+
+@query(
+    "events_wilcoxon_signed_rank",
+    oracle=f"""
+    WITH d AS (
+      SELECT epoch_us(ts) // {_DAY_US} AS day, user_id, value FROM events
+    ),
+    d0 AS (SELECT MIN(day) AS d0 FROM d),
+    halves AS (
+      SELECT user_id,
+             CAST(CAST(SUM(CASE WHEN day < t.d0 + 15
+                    THEN CAST(value AS DECIMAL(38,10)) END)
+                  AS VARCHAR) AS DOUBLE)
+               / SUM(CASE WHEN day < t.d0 + 15 THEN 1 ELSE 0 END) AS m1,
+             CAST(CAST(SUM(CASE WHEN day >= t.d0 + 15
+                    THEN CAST(value AS DECIMAL(38,10)) END)
+                  AS VARCHAR) AS DOUBLE)
+               / SUM(CASE WHEN day >= t.d0 + 15 THEN 1 ELSE 0 END) AS m2,
+             SUM(CASE WHEN day < t.d0 + 15 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN day >= t.d0 + 15 THEN 1 ELSE 0 END) AS c2
+      FROM d CROSS JOIN d0 t GROUP BY user_id
+    ),
+    diffs AS (
+      SELECT ABS(m2 - m1) AS ad,
+             CASE WHEN m2 - m1 > 0 THEN 1 ELSE 0 END AS pos
+      FROM halves WHERE c1 > 0 AND c2 > 0 AND m2 - m1 <> 0
+    ),
+    per_v AS (
+      SELECT ad, CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(pos) AS BIGINT) AS p
+      FROM diffs GROUP BY ad
+    ),
+    ranked AS (
+      SELECT ad, t, p,
+             2 * (SUM(t) OVER (ORDER BY ad) - t) + t + 1 AS r2
+      FROM per_v
+    ),
+    stats AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n,
+             CAST(SUM(p * r2) AS BIGINT) AS w2p,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+      FROM ranked
+    )
+    SELECT n AS n_pairs,
+           CAST(w2p AS DOUBLE) / 2.0 AS w_plus,
+           (CAST(w2p AS DOUBLE) / 2.0
+              - CAST(n * (n + 1) AS DOUBLE) / 4.0)
+           / sqrt(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24.0
+                  - CAST(tie3 AS DOUBLE) / 48.0) AS z_score
+    FROM stats
+    """,
+)
+def events_wilcoxon_signed_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact tie-corrected Wilcoxon signed-rank test of per-user mean
+    spend, first half of the observed window vs second half (split at
+    min_day + 15) — the PAIRED complement to events_mann_whitney_u:
+    each user is their own control, so between-user variance cancels
+    and the test sees pure within-user drift. Users active in only one
+    half are excluded (no pair); zero diffs drop per the standard
+    procedure. W+ stays integral via the same 2×rank tie convention;
+    z uses the tie-corrected variance n(n+1)(2n+1)/24 − Σ(t³−t)/48.
+
+    Determinism: per-user half means are decimal-sum / count (one IEEE
+    division each); their difference and |d| are single IEEE ops;
+    integer rank arithmetic; z is a fixed op sequence. The half split
+    is integer epoch-day arithmetic off MIN(day) — no calendar
+    functions (heatmap precedent).
+
+    Scale: one user_id shuffle for the paired means (map-side partial
+    aggs), one groupBy over the distinct-|diff| domain, one cumulative
+    window over that domain (the rank-statistic price), 1-row out."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr(f"ts_us div {_DAY_US}").alias("day"), "user_id", "value"
+    )
+    d0 = ev.agg(F.min("day").alias("d0"))
+    first = F.col("day") < F.col("d0") + 15
+    halves = (
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(first, F.col("value").cast("decimal(38,10)"))
+                ).cast("double")
+                / F.sum(F.when(first, 1).otherwise(0))
+            ).alias("m1"),
+            (
+                F.sum(
+                    F.when(~first, F.col("value").cast("decimal(38,10)"))
+                ).cast("double")
+                / F.sum(F.when(~first, 1).otherwise(0))
+            ).alias("m2"),
+            F.sum(F.when(first, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(~first, 1).otherwise(0)).alias("c2"),
+        )
+    )
+    diffs = halves.filter(
+        (F.col("c1") > 0)
+        & (F.col("c2") > 0)
+        & (F.col("m2") - F.col("m1") != 0)
+    ).select(
+        F.abs(F.col("m2") - F.col("m1")).alias("ad"),
+        F.when(F.col("m2") - F.col("m1") > 0, 1).otherwise(0).alias("pos"),
+    )
+    per_v = diffs.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    ranked = per_v.withColumn(
+        "r2",
+        2 * (F.sum("t").over(W.orderBy("ad")) - F.col("t"))
+        + F.col("t")
+        + 1,
+    )
+    stats = ranked.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("p") * F.col("r2")).cast("long").alias("w2p"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        )
+        .cast("long")
+        .alias("tie3"),
+    )
+    w_plus = F.col("w2p").cast("double") / 2.0
+    n = F.col("n")
+    z = (
+        w_plus - (n * (n + 1)).cast("double") / 4.0
+    ) / F.sqrt(
+        (n * (n + 1) * (2 * n + 1)).cast("double") / 24.0
+        - F.col("tie3").cast("double") / 48.0
+    )
+    return stats.select(
+        n.alias("n_pairs"), w_plus.alias("w_plus"), z.alias("z_score")
+    )
+
+
+# --- exact Kendall tau-b from the contingency table --------------------------
+
+_TAU_VBIN = 50  # value-bucket width; buckets bounded by max(value)
+
+
+@query(
+    "events_kendall_tau_hour",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST((epoch_us(ts) // {_HOUR_US}) % 24 AS BIGINT) AS x,
+             CAST(FLOOR(value / {_TAU_VBIN}) AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT
+        CAST(SUM(CASE WHEN c2.y > c1.y THEN c1.c * c2.c ELSE 0 END)
+             AS BIGINT) AS conc,
+        CAST(SUM(CASE WHEN c2.y < c1.y THEN c1.c * c2.c ELSE 0 END)
+             AS BIGINT) AS disc
+      FROM cells c1 JOIN cells c2 ON c2.x > c1.x
+    ),
+    xt AS (
+      SELECT CAST(SUM(tx * (tx - 1) // 2) AS BIGINT) AS n1t FROM (
+        SELECT SUM(c) AS tx FROM cells GROUP BY x
+      )
+    ),
+    yt AS (
+      SELECT CAST(SUM(ty * (ty - 1) // 2) AS BIGINT) AS n2t FROM (
+        SELECT SUM(c) AS ty FROM cells GROUP BY y
+      )
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c) * (SUM(c) - 1) // 2 AS BIGINT) AS n0
+      FROM cells
+    )
+    SELECT t.n, p.conc AS concordant, p.disc AS discordant,
+           CAST(p.conc - p.disc AS DOUBLE)
+             / sqrt(CAST(t.n0 - x.n1t AS DOUBLE)
+                    * CAST(t.n0 - y.n2t AS DOUBLE)) AS tau_b
+    FROM pairs p CROSS JOIN xt x CROSS JOIN yt y CROSS JOIN tot t
+    """,
+)
+def events_kendall_tau_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall τ-b between hour-of-day and value bucket
+    (floor(value/{VBIN})) — the ordinal-association complement to
+    orders_spearman_price_items: τ counts concordant vs discordant
+    PAIRS, so it is exact on the CONTINGENCY TABLE: C and D are
+    cell-pair sums Σ c1·c2 over (x1<x2, y1≶y2), tie corrections come
+    from the marginals, and the n(n−1)/2 pair universe never
+    materializes. τ-b = (C−D)/√((n0−n1t)(n0−n2t)).
+
+    Determinism: all-integer until one division and one sqrt in fixed
+    order. (n0 = n(n−1)/2 is exact BIGINT to ~4e9 rows — the integer
+    tier's documented width bound; past that the marginal terms move
+    to doubles.)
+
+    Scale: one map-side groupBy into a DOMAIN-bounded cell set (24 ×
+    value-range/{VBIN} cells regardless of row count); the pair scan
+    is cells² (≤ ~70k products here) on a broadcast self-join; the
+    marginals are rollups of the same tiny frame. No row-level sort,
+    no row-pair join — the trick that makes τ computable at 100 TB."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.expr(f"ts_us div {_HOUR_US}") % 24).alias("x"),
+        F.floor(F.col("value") / _TAU_VBIN).cast("long").alias("y"),
+    )
+    cells = ev.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    c1, c2 = cells.alias("c1"), cells.alias("c2")
+    pairs = (
+        c1.join(F.broadcast(c2), F.col("c2.x") > F.col("c1.x"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("c2.y") > F.col("c1.y"),
+                    F.col("c1.c") * F.col("c2.c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("conc"),
+            F.sum(
+                F.when(
+                    F.col("c2.y") < F.col("c1.y"),
+                    F.col("c1.c") * F.col("c2.c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("disc"),
+        )
+    )
+    xt = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("tx"))
+        .agg(
+            F.sum(F.expr("tx * (tx - 1) div 2")).cast("long").alias("n1t")
+        )
+    )
+    yt = (
+        cells.groupBy("y")
+        .agg(F.sum("c").alias("ty"))
+        .agg(
+            F.sum(F.expr("ty * (ty - 1) div 2")).cast("long").alias("n2t")
+        )
+    )
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.expr("sum(c) * (sum(c) - 1) div 2").cast("long").alias("n0"),
+    )
+    tau = (F.col("conc") - F.col("disc")).cast("double") / F.sqrt(
+        (F.col("n0") - F.col("n1t")).cast("double")
+        * (F.col("n0") - F.col("n2t")).cast("double")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(xt))
+        .crossJoin(F.broadcast(yt))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.col("conc").alias("concordant"),
+            F.col("disc").alias("discordant"),
+            tau.alias("tau_b"),
+        )
+    )
+
+
+events_kendall_tau_hour.__doc__ = events_kendall_tau_hour.__doc__.replace(
+    "{VBIN}", str(_TAU_VBIN)
+)
+
+
+# --- Theil–Sen robust trend ---------------------------------------------------
+
+
+@query(
+    "orders_theil_sen_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // {_DAY_US} AS d,
+             {DSUM_SQL.format(expr="o_totalprice")} AS rev
+      FROM orders GROUP BY 1
+    ),
+    slopes AS (
+      SELECT (b.rev - a.rev) / CAST(b.d - a.d AS DOUBLE) AS s,
+             a.d AS d1, b.d AS d2
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    ranked AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s, d1, d2) AS rn,
+             COUNT(*) OVER () AS np
+      FROM slopes
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           CAST(MAX(np) AS BIGINT) AS n_pairs,
+           ({DSUM_SQL.format(
+               expr="CASE WHEN rn = (np + 1) // 2 OR rn = (np + 2) // 2 "
+                    "THEN s END"
+           )})
+             / COUNT(CASE WHEN rn = (np + 1) // 2 OR rn = (np + 2) // 2
+                          THEN s END) AS sen_slope_per_day
+    FROM ranked
+    """,
+)
+def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily order revenue: the MEDIAN of all
+    pairwise day-to-day slopes (rev_j − rev_i)/(d_j − d_i) — the
+    breakdown-point-29% trend estimate that one promotional spike
+    cannot move, where the OLS slope (q64_groupwise_ols) follows the
+    outlier. Median = mean of the two middle slopes under the total
+    (slope, d1, d2) order (equal middle VALUES regardless of the
+    tiebreaker, so the tiebreaker only pins the plan).
+
+    Determinism: daily revenue via decimal sums; each slope is one
+    IEEE division; the median picks by integer rank and averages via
+    the decimal-sum convention over ≤2 rows.
+
+    Scale: the pair universe is CALENDAR-bounded — days(days−1)/2
+    pairs (~2.9M for the 2405-day TPC-H span) regardless of corpus
+    size, so the self-join input is the tiny daily rollup and the
+    rank window sorts a corpus-size-INVARIANT set. The only
+    row-count-proportional work is the map-side daily aggregation."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.expr(
+            f"{_EPOCH_US.format(col='o_orderdate')} div {_DAY_US}"
+        ).alias("d"),
+        "o_totalprice",
+    )
+    daily = orders.groupBy("d").agg(dsum(F.col("o_totalprice")).alias("rev"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(F.broadcast(b), F.col("b.d") > F.col("a.d")).select(
+        (
+            (F.col("b.rev") - F.col("a.rev"))
+            / (F.col("b.d") - F.col("a.d")).cast("double")
+        ).alias("s"),
+        F.col("a.d").alias("d1"),
+        F.col("b.d").alias("d2"),
+    )
+    ranked = slopes.select(
+        "s",
+        F.row_number().over(W.orderBy("s", "d1", "d2")).alias("rn"),
+        F.count(F.lit(1))
+        .over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("np"),
+    )
+    mid = (F.col("rn") == F.expr("(np + 1) div 2")) | (
+        F.col("rn") == F.expr("(np + 2) div 2")
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        ranked.agg(
+            F.max("np").cast("long").alias("n_pairs"),
+            (
+                dsum(F.when(mid, F.col("s")))
+                / F.count(F.when(mid, F.col("s")))
+            ).alias("sen_slope_per_day"),
+        )
+        .crossJoin(F.broadcast(n_days))
+        .select("n_days", "n_pairs", "sen_slope_per_day")
+    )
+
+
+# --- Hellinger distance between source length profiles ------------------------
+
+_HELL_BIN = 100  # n_chars bin width
+
+
+@query(
+    "text_hellinger_sources",
+    oracle=f"""
+    WITH binned AS (
+      SELECT source, CAST(n_chars // {_HELL_BIN} AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM binned GROUP BY 1
+    ),
+    p AS (
+      SELECT b.source, b.bin, CAST(b.cnt AS DOUBLE) / t.n AS p
+      FROM binned b JOIN tot t ON b.source = t.source
+    ),
+    bc AS (
+      SELECT p1.source AS source_a, p2.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_bins_shared,
+             {DSUM_SQL.format(expr="sqrt(p1.p * p2.p)")} AS bc
+      FROM p p1 JOIN p p2
+        ON p1.bin = p2.bin AND p1.source < p2.source
+      GROUP BY p1.source, p2.source
+    )
+    SELECT source_a, source_b, n_bins_shared, bc,
+           sqrt(GREATEST(0.0, 1.0 - bc)) AS hellinger
+    FROM bc ORDER BY source_a, source_b
+    """,
+)
+def text_hellinger_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance between the document-length distributions
+    (n_chars in {BIN}-char bins) of every source pair: H = √(1 − BC),
+    BC = Σ√(p·q) — the bounded [0,1] distribution-drift metric that
+    needs NO logarithms (KL/JS would import engine-specific log
+    rounding; Hellinger's sqrt is a correctly-rounded IEEE op). Bins
+    present in only one source contribute 0 to BC (√(p·0)), so the
+    inner join on bin IS the full sum. The pairwise matrix ranks which
+    crawl sources look alike before mixing (mix_source_weights) and
+    flags the outlier source dq_ks_source_drift then tests pointwise.
+
+    Determinism: integer bins/counts, per-bin p = one IEEE division,
+    per-bin term = one product + one sqrt, decimal sum, then one
+    subtraction inside GREATEST (guards BC = 1 + half-ulp) and one
+    final sqrt — identical op order both engines.
+
+    Scale: one map-side groupBy into (source × length-domain/{BIN})
+    cells — domain-bounded, not row-bounded; per-source totals and the
+    pair join operate on that tiny frame (sources² · bins products).
+    Row-count-proportional work is only the first aggregation."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(f"n_chars div {_HELL_BIN}").cast("long").alias("bin"),
+    )
+    binned = docs.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = binned.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    p = binned.join(F.broadcast(tot), "source").select(
+        "source", "bin", (F.col("cnt").cast("double") / F.col("n")).alias("p")
+    )
+    p1, p2 = p.alias("p1"), p.alias("p2")
+    bc = (
+        p1.join(
+            F.broadcast(p2),
+            (F.col("p1.bin") == F.col("p2.bin"))
+            & (F.col("p1.source") < F.col("p2.source")),
+        )
+        .groupBy(
+            F.col("p1.source").alias("source_a"),
+            F.col("p2.source").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins_shared"),
+            dsum(F.sqrt(F.col("p1.p") * F.col("p2.p"))).alias("bc"),
+        )
+    )
+    return bc.select(
+        "source_a",
+        "source_b",
+        "n_bins_shared",
+        "bc",
+        F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - F.col("bc"))).alias(
+            "hellinger"
+        ),
+    ).orderBy("source_a", "source_b")
+
+
+text_hellinger_sources.__doc__ = text_hellinger_sources.__doc__.replace(
+    "{BIN}", str(_HELL_BIN)
+)
+
+
+# --- Cramér's V ---------------------------------------------------------------
+
+
+@query(
+    "dq_cramers_v_type_dow",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type AS x,
+             CAST((epoch_us(ts) // {_DAY_US} + 3) % 7 AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT x, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY x),
+    ct AS (SELECT y, CAST(SUM(o) AS BIGINT) AS col FROM cells GROUP BY y),
+    tot AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT x) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT y) AS BIGINT) AS ncol
+      FROM cells
+    ),
+    chi AS (
+      SELECT {DSUM_SQL.format(
+          expr="(CAST(c.o AS DOUBLE) "
+               "- (CAST(rt.r AS DOUBLE) / t.n) * ct.col) "
+               "* (CAST(c.o AS DOUBLE) "
+               "- (CAST(rt.r AS DOUBLE) / t.n) * ct.col) "
+               "/ ((CAST(rt.r AS DOUBLE) / t.n) * ct.col)"
+      )} AS chi2
+      FROM cells c
+      JOIN rt ON rt.x = c.x JOIN ct ON ct.y = c.y CROSS JOIN tot t
+    )
+    SELECT t.n, t.nr AS n_types, t.ncol AS n_dows, c.chi2,
+           sqrt(c.chi2 / (CAST(t.n AS DOUBLE)
+                          * LEAST(t.nr - 1, t.ncol - 1))) AS cramers_v
+    FROM chi c CROSS JOIN tot t
+    """,
+)
+def dq_cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength between event_type and
+    day-of-week (epoch-day % 7, Monday = 0): V = √(χ²/(n·min(r−1,c−1)))
+    over the r×c contingency table — the normalized [0,1] effect size
+    that answers what ml_feature_chi2_screen's raw χ² cannot: is the
+    type/weekday association big enough to stratify samplers by, or
+    merely significant because n is huge? (At 100 TB EVERYTHING is
+    significant; only effect sizes rank.)
+
+    Determinism: expected counts as the fixed sequence (r/n)·c — one
+    division then one product (r·c first could overflow BIGINT and
+    rounds differently); per-cell χ² terms in identical op order;
+    decimal sum; one division + sqrt at the end.
+
+    Scale: one map-side groupBy into ≤ types×7 cells; marginals and
+    the χ² reduce are rollups of that tiny frame — the only
+    row-proportional work is the first aggregation."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("x"),
+        ((F.expr(f"ts_us div {_DAY_US}") + 3) % 7).cast("long").alias("y"),
+    )
+    cells = ev.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rt = cells.groupBy("x").agg(F.sum("o").cast("long").alias("r"))
+    ct = cells.groupBy("y").agg(F.sum("o").cast("long").alias("col"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("x").cast("long").alias("nr"),
+        F.countDistinct("y").cast("long").alias("ncol"),
+    )
+    e = (F.col("r").cast("double") / F.col("n")) * F.col("col")
+    term = (
+        (F.col("o").cast("double") - e)
+        * (F.col("o").cast("double") - e)
+        / e
+    )
+    chi = (
+        cells.join(F.broadcast(rt), "x")
+        .join(F.broadcast(ct), "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(dsum(term).alias("chi2"))
+    )
+    v = F.sqrt(
+        F.col("chi2")
+        / (
+            F.col("n").cast("double")
+            * F.least(F.col("nr") - 1, F.col("ncol") - 1)
+        )
+    )
+    return chi.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.col("nr").alias("n_types"),
+        F.col("ncol").alias("n_dows"),
+        "chi2",
+        v.alias("cramers_v"),
+    )

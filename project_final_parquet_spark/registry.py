@@ -374,7 +374,15 @@ ROUND12_QUEUE: list[str] = [
 # this round, leading the round-13 rotation. Grows as round-12 operators
 # land; tests/test_registry_lint.py asserts it exactly equals the set of
 # registered queries with no driver evidence that are outside the window.
-ROUND13_QUEUE: list[str] = []
+ROUND13_QUEUE: list[str] = [
+    "events_winsorized_mean_binned",
+    "events_mann_whitney_u",
+    "events_wilcoxon_signed_rank",
+    "events_kendall_tau_hour",
+    "orders_theil_sen_trend",
+    "text_hellinger_sources",
+    "dq_cramers_v_type_dow",
+]
 
 # Round-12 window (positions 1-50):
 #   1-15  ROUND12_QUEUE verbatim — every round-11 in-round addition
@@ -635,6 +643,7 @@ def _load_all() -> None:
         similarity11,
         pipeline15,
         pipeline16,
+        pipeline17,
         dedup4,
     )
 
