@@ -382,6 +382,7 @@ ROUND13_QUEUE: list[str] = [
     "orders_theil_sen_trend",
     "text_hellinger_sources",
     "dq_cramers_v_type_dow",
+    "sim_ivf_sharded",
 ]
 
 # Round-12 window (positions 1-50):
@@ -641,6 +642,7 @@ def _load_all() -> None:
         similarity10,
         pipeline14,
         similarity11,
+        similarity12,
         pipeline15,
         pipeline16,
         pipeline17,
