@@ -109,6 +109,16 @@ def sim_pairs_label_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     (blocking bounds the pair space; cross-label near-dups are the ANN
     query's job).
 
+    EVAL-SCALE-ONLY (r11 VERDICT fence): label blocks grow linearly
+    with the corpus, so the within-block pair space grows
+    QUADRATICALLY — battery13 measured this tier 4.6–19.2× at 10×
+    data. It is retained as the oracle-diverse exact baseline that
+    recall audits compare against; the serving path at corpus scale is
+    the corpus-adaptive LSH tier (sim_pair_margin_adaptive /
+    sim_range_search_adaptive, similarity10 — ≤1.5× at 10×), whose
+    bucket width tracks √n. Run this form only on eval-sized slices
+    (the dedup_eval_recall sample-the-universe pattern).
+
     Plan note: each side's norm is computed ONCE per row before the
     join — O(N·dim) — instead of inside the pair expression —
     O(pairs·dim) (measured at sf0.1: 13.7 s → 5.9 s, bit-identical

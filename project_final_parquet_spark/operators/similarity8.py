@@ -103,9 +103,16 @@ def sample_hard_negatives_bucketed(
     the only shuffle is the hash join on the bucket key (fan-in
     bounded by bucket occupancy, tunable with plane count) plus the
     per-anchor top-1 window keyed by anchor. Never corpus², never a
-    driver-side pool. At the fixed plane count occupancy grows with
-    the corpus (battery13: 19.2x at 10x data); the corpus-scale form
-    is sample_hard_negatives_adaptive (similarity10.py)."""
+    driver-side pool.
+
+    EVAL-SCALE-ONLY (r11 VERDICT fence): at the FIXED plane count
+    occupancy grows linearly with the corpus, so bucket fan-in — and
+    this query's runtime — is superlinear (battery13: 19.2x at 10x
+    data). Retained as the fixed-structure baseline the adaptive twin
+    is audited against; the serving path at corpus scale is
+    sample_hard_negatives_adaptive (similarity10.py, plane count
+    tracks log2 √n — ≤1.5× at 10×). Run this form only on eval-sized
+    slices (the dedup_eval_recall sample-the-universe pattern)."""
     emb = load(spark, sf_dir, "embeddings")
     buck = emb.select(
         "vec_id",
@@ -206,10 +213,15 @@ def sim_reciprocal_nn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one bucket-key hash join bounded by bucket fan-in, one
     per-src window, then a co-partitioned self-join of |V| NN edges on
-    (src, dst). The quadratic step never materializes — but bucket
-    fan-in grows with the corpus at the fixed plane count (battery13:
-    8.9x at 10x data); the corpus-scale form is
-    sim_reciprocal_nn_adaptive (similarity10.py)."""
+    (src, dst). The quadratic step never materializes.
+
+    EVAL-SCALE-ONLY (r11 VERDICT fence): bucket fan-in grows linearly
+    with the corpus at the FIXED plane count, so runtime is superlinear
+    (battery13: 8.9x at 10x data). Retained as the fixed-structure
+    baseline the adaptive twin is audited against; the serving path at
+    corpus scale is sim_reciprocal_nn_adaptive (similarity10.py —
+    ≤1.5× at 10×). Run this form only on eval-sized slices (the
+    dedup_eval_recall sample-the-universe pattern)."""
     emb = load(spark, sf_dir, "embeddings")
     buck = emb.select(
         "vec_id",
