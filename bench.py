@@ -315,6 +315,15 @@ HEADLINE = [
     "dedup_minhash_adaptive_bands",
     "ml_auc_delong_ci",
     "orders_spearman_price_items",
+    # round 12: nonparametric stats batch + the sharded IVF
+    "events_winsorized_mean_binned",
+    "events_mann_whitney_u",
+    "events_wilcoxon_signed_rank",
+    "events_kendall_tau_hour",
+    "orders_theil_sen_trend",
+    "text_hellinger_sources",
+    "dq_cramers_v_type_dow",
+    "sim_ivf_sharded",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for
@@ -416,7 +425,22 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
-    deltas: dict = {"cache_state": cache_state}
+    # per-family subtotals (VERDICT r11 item 7): the headline total now
+    # mixes 250+ queries of very different weights, so round-over-round
+    # drift needs an attributable breakdown without the shared-name
+    # join. Family = first name segment (qNN → "sql").
+    families: dict[str, float] = {}
+    for _name, _sec in timings.items():
+        _key = _name.split("_", 1)[0]
+        if _key[:1] == "q" and _key[1:].isdigit():
+            _key = "sql"
+        families[_key] = round(families.get(_key, 0.0) + _sec, 3)
+    families = dict(sorted(families.items()))
+    # own EARLIER line: informative in the captured tail when space
+    # allows, never at the expense of the parseable final line
+    print(json.dumps({"families": families}, separators=(",", ":")))
+
+    deltas: dict = {"cache_state": cache_state, "families": families}
     prev = _latest_prev_bench()
     if prev is not None:
         prev_q = prev.get("queries", {})
