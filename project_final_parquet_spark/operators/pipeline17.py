@@ -873,3 +873,359 @@ def dq_cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi2",
         v.alias("cramers_v"),
     )
+
+
+# === batch 2: mixture monitoring, diversity, design-based estimation,
+# and the NTILE SQL surface ====================================================
+
+
+@query(
+    "events_type_mix_tv_drift",
+    oracle=f"""
+    WITH cnts AS (
+      SELECT epoch_us(ts) // {_DAY_US} AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM cnts),
+    types AS (SELECT DISTINCT event_type FROM cnts),
+    lattice AS (
+      SELECT g.day, t.event_type
+      FROM (SELECT unnest(range((SELECT d0 FROM days),
+                                (SELECT d1 FROM days) + 1)) AS day) g
+      CROSS JOIN types t
+    ),
+    tot AS (SELECT day, CAST(SUM(cnt) AS BIGINT) AS n FROM cnts GROUP BY 1),
+    p AS (
+      SELECT l.day, l.event_type,
+             CASE WHEN t.n IS NULL OR t.n = 0 THEN 0.0
+                  ELSE CAST(COALESCE(c.cnt, 0) AS DOUBLE) / t.n END AS p
+      FROM lattice l
+      LEFT JOIN cnts c ON c.day = l.day AND c.event_type = l.event_type
+      LEFT JOIN tot t ON t.day = l.day
+    ),
+    lagged AS (
+      SELECT day, event_type, p,
+             LAG(p) OVER (PARTITION BY event_type ORDER BY day) AS pp
+      FROM p
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           0.5 * {DSUM_SQL.format(expr="ABS(p - pp)")} AS tv_vs_prev
+    FROM lagged WHERE pp IS NOT NULL
+    GROUP BY day ORDER BY day
+    """,
+)
+def events_type_mix_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day total-variation distance of the event-type mixture:
+    TV(d, d−1) = ½ Σ_type |p_d − p_{d−1}| — the bounded [0,1] "how much
+    did today's traffic composition move" monitor (TV is the largest
+    possible probability disagreement over any event set, so a 0.1
+    means SOME segment shifted by 10 points). The type lattice is made
+    DENSE over the observed day range (missing (day,type) cells read
+    p = 0) so a type that disappears for a day registers as drift
+    instead of silently dropping out of the sum — the classic mixture-
+    monitor bug. Complements dq_distribution_drift (per-type tests)
+    with one composition-level number per day.
+
+    Determinism: integer epoch-day bucketing, p = one IEEE division
+    (empty days read 0), LAG over the dense per-type lattice, decimal
+    sum of |diffs| per day, one 0.5 product.
+
+    Scale: one map-side groupBy into (days × types) cells —
+    domain-bounded, not row-bounded; the lattice/lag/rollup all
+    operate on that tiny frame (the per-type LAG partitions by type,
+    no single-partition window)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr(f"ts_us div {_DAY_US}").alias("day"), "event_type"
+    )
+    cnts = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    days = cnts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    types = cnts.select("event_type").distinct()
+    lattice = (
+        days.select(
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+        )
+        .crossJoin(F.broadcast(types))
+    )
+    tot = cnts.groupBy("day").agg(F.sum("cnt").cast("long").alias("n"))
+    p = (
+        lattice.join(F.broadcast(cnts), ["day", "event_type"], "left")
+        .join(F.broadcast(tot), ["day"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.when(
+                F.col("n").isNull() | (F.col("n") == 0), F.lit(0.0)
+            )
+            .otherwise(
+                F.coalesce(F.col("cnt"), F.lit(0)).cast("double")
+                / F.col("n")
+            )
+            .alias("p"),
+        )
+    )
+    lagged = p.withColumn(
+        "pp", F.lag("p").over(W.partitionBy("event_type").orderBy("day"))
+    )
+    return (
+        lagged.filter(F.col("pp").isNotNull())
+        .groupBy("day")
+        .agg(
+            (F.lit(0.5) * dsum(F.abs(F.col("p") - F.col("pp")))).alias(
+                "tv_vs_prev"
+            )
+        )
+        .select(F.col("day").cast("long").alias("day"), "tv_vs_prev")
+        .orderBy("day")
+    )
+
+
+@query(
+    "events_user_type_simpson",
+    oracle=f"""
+    WITH per_ut AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n FROM per_ut GROUP BY 1
+    ),
+    simp AS (
+      SELECT t.user_id,
+             1.0 - {DSUM_SQL.format(
+                 expr="(CAST(p.cnt AS DOUBLE) / t.n) "
+                      "* (CAST(p.cnt AS DOUBLE) / t.n)"
+             )} AS simpson
+      FROM per_ut p JOIN tot t ON p.user_id = t.user_id
+      GROUP BY t.user_id, t.n
+    )
+    SELECT CAST(FLOOR(simpson * 100.0) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           {DSUM_SQL.format(expr="simpson")} / COUNT(*) AS avg_simpson
+    FROM simp GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_user_type_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity via the Simpson index
+    (1 − Σ p_type², the probability two of the user's events differ in
+    type), histogrammed in 0.01 bins over users — the log-free diversity
+    measure (Shannon entropy would import engine-specific log rounding;
+    Simpson is pure arithmetic). 0 = single-type users (bots, scrapers,
+    one-action drive-bys); → 0.8 = evenly mixed across 5 types. The
+    histogram is the audience-quality profile a sampler stratifies on;
+    complements events_type_hhi (HHI = 1 − Simpson at corpus grain).
+
+    Determinism: integer counts, per-user p² terms as fixed IEEE
+    sequences, decimal sums, floor binning of a double product.
+
+    Scale: one user_id-keyed groupBy with map-side combine into
+    (user × ≤types) rows, a per-user rollup, then a ≤11-bin histogram
+    — no windows, no joins beyond the user-key co-partitioned one."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    per_ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = per_ut.groupBy("user_id").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    pterm = (F.col("cnt").cast("double") / F.col("n")) * (
+        F.col("cnt").cast("double") / F.col("n")
+    )
+    simp = (
+        per_ut.join(tot, "user_id")
+        .groupBy("user_id", "n")
+        .agg((F.lit(1.0) - dsum(pterm)).alias("simpson"))
+    )
+    return (
+        simp.groupBy(
+            F.floor(F.col("simpson") * 100.0).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            (dsum(F.col("simpson")) / F.count(F.lit(1))).alias(
+                "avg_simpson"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+# Per-type sampling rates out of 16 (first hex digit of the salted id
+# hash): heavier types sampled lighter — the unequal-probability design
+# HT exists to invert.
+_HT_RATES = {"click": 2, "error": 8, "purchase": 4, "signup": 8, "view": 1}
+_HT_SALT = ":ht"
+
+
+_HT_CASE_SQL = "CASE " + " ".join(
+    f"WHEN event_type = '{t}' THEN {r}" for t, r in sorted(_HT_RATES.items())
+) + " END"
+
+
+@query(
+    "sample_horvitz_thompson",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, value,
+             substr(md5(CAST(event_id AS VARCHAR) || '{_HT_SALT}'), 1, 1)
+               AS hd,
+             {_HT_CASE_SQL} AS rate
+      FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN ascii(b.hd) - CASE WHEN b.hd >= 'a'
+                     THEN 87 ELSE 48 END < b.rate THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sampled,
+           {DSUM_SQL.format(expr="b.value")} AS true_total,
+           {DSUM_SQL.format(
+               expr="CASE WHEN ascii(b.hd) - CASE WHEN b.hd >= 'a' "
+                    "THEN 87 ELSE 48 END < b.rate "
+                    "THEN b.value * 16.0 / b.rate END"
+           )} AS ht_estimate
+    FROM base b
+    """,
+)
+def sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz–Thompson total estimator under an unequal-probability
+    hash design: each event type is kept at its own rate/16 (first hex
+    digit of md5(event_id‖salt) below the rate — the
+    sample_stratified_hash predicate family), and the HT estimator
+    Σ value/π_i over the SAMPLE unbiasedly recovers the population
+    total because each kept row stands for 16/rate rows of its type.
+    Emits both totals side by side — the design-based answer to "can
+    we run the revenue dashboard off the 12% sample?" that pairs with
+    sample_neyman_allocation (which chooses the rates) and
+    sample_priority_pps (the bounded-k alternative).
+
+    Determinism: hash predicate over md5-derived hex digits (map-only,
+    no RNG state — identical membership on any cluster and in the
+    oracle); per-row weight value·16/rate is two IEEE ops; decimal
+    sums.
+
+    Scale: ONE pass, entirely map-side until two scalar aggregates —
+    the predicate evaluates at the scan, so at 100 TB the sampled
+    branch reads like a filter with pushdown, and the estimator's
+    shuffle is 1 row per task."""
+    rate = F.create_map(
+        *[
+            x
+            for t, r in sorted(_HT_RATES.items())
+            for x in (F.lit(t), F.lit(r))
+        ]
+    )[F.col("event_type")]
+    hd = F.substring(
+        F.md5(F.concat(F.col("event_id").cast("string"), F.lit(_HT_SALT))),
+        1,
+        1,
+    )
+    hv = F.ascii(hd) - F.when(hd >= "a", 87).otherwise(48)
+    ev = load(spark, sf_dir, "events").select(
+        "value", rate.alias("rate"), hv.alias("hv")
+    )
+    kept = F.col("hv") < F.col("rate")
+    return ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_sampled"),
+        dsum(F.col("value")).alias("true_total"),
+        dsum(
+            F.when(kept, F.col("value") * 16.0 / F.col("rate"))
+        ).alias("ht_estimate"),
+    )
+
+
+@query(
+    "q75_ntile_revenue_quartiles",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS rev_dec
+      FROM orders GROUP BY 1
+    ),
+    tiled AS (
+      SELECT c.c_nationkey, r.rev_dec,
+             NTILE(4) OVER (
+               PARTITION BY c.c_nationkey
+               ORDER BY r.rev_dec, r.o_custkey) AS quartile
+      FROM rev r JOIN customer c ON c.c_custkey = r.o_custkey
+    )
+    SELECT n.n_name AS nation, CAST(t.quartile AS BIGINT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(t.rev_dec) AS VARCHAR) AS DOUBLE)
+             AS quartile_revenue
+    FROM tiled t JOIN nation n ON n.n_nationkey = t.c_nationkey
+    GROUP BY n.n_name, t.quartile
+    ORDER BY nation, quartile
+    """,
+)
+def q75_ntile_revenue_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NTILE window surface (the one ranking function the SQL tier had
+    not exercised — rank/dense_rank/percent_rank/cume_dist/row_number
+    are covered by q7/q74): customers split into revenue quartiles
+    WITHIN their nation, then each (nation, quartile) summarized. NTILE
+    assigns ⌈n/4⌉-sized buckets with earlier buckets taking the
+    remainder — identical semantics in Spark and DuckDB provided the
+    ORDER is total, hence the (rev, custkey) tiebreaker.
+
+    Determinism: per-customer revenue stays DECIMAL(38,10) end to end
+    — the ordering and the outer sum happen on the exact decimal, cast
+    to double only at the output edge. (Re-quantizing a COMPUTED double
+    back through decimal diverges between engines — Spark's
+    shortest-repr BigDecimal.valueOf vs DuckDB's exact-binary-expansion
+    rounding — the one unsafe spot in the DSUM convention, found by
+    this query's first oracle run; raw parquet doubles don't hit it
+    because their shortest repr fits inside 10 dp.) Total window
+    order; integer bucket arithmetic.
+
+    Scale: one o_custkey groupBy (map-side combinable), a broadcast
+    customer→nation join, and a window partitioned by NATION (25-way
+    parallel, each partition customer-count sized); output is
+    nations×4 rows."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias(
+            "rev_dec"
+        ),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    tiled = (
+        rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+        .select(
+            "c_nationkey",
+            "rev_dec",
+            F.ntile(4)
+            .over(
+                W.partitionBy("c_nationkey").orderBy(
+                    "rev_dec", "o_custkey"
+                )
+            )
+            .alias("quartile"),
+        )
+    )
+    return (
+        tiled.join(
+            F.broadcast(nation), tiled.c_nationkey == nation.n_nationkey
+        )
+        .groupBy(F.col("n_name").alias("nation"), "quartile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev_dec").cast("double").alias("quartile_revenue"),
+        )
+        .select(
+            "nation",
+            F.col("quartile").cast("long").alias("quartile"),
+            "n_customers",
+            "quartile_revenue",
+        )
+        .orderBy("nation", "quartile")
+    )

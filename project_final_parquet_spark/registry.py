@@ -383,6 +383,10 @@ ROUND13_QUEUE: list[str] = [
     "text_hellinger_sources",
     "dq_cramers_v_type_dow",
     "sim_ivf_sharded",
+    "events_type_mix_tv_drift",
+    "events_user_type_simpson",
+    "sample_horvitz_thompson",
+    "q75_ntile_revenue_quartiles",
 ]
 
 # Round-12 window (positions 1-50):

@@ -396,6 +396,28 @@ BATTERY16 = [
 ]
 
 
+# --battery17: the round-12 nonparametric-statistics batch next to its
+# scale controls, plus two re-measures the r11 VERDICT asked for.
+# Expected shapes: every stat query aggregates into a DOMAIN-bounded
+# frame (distinct values / bins / cells / calendar days) before any
+# sort or pair join, so ratios should be flat-to-mild; the binned
+# winsorized twin must beat the exact twin's 3.2× (battery16) because
+# its sort is over ~600 bins, not n rows; HITS re-measures after the
+# edge-list localCheckpoint (battery16: 3.7× with four edge replays).
+BATTERY17 = [
+    "events_winsorized_mean",         # exact twin (global rank) — control
+    "events_winsorized_mean_binned",  # histogram twin (bin-domain sort)
+    "events_mann_whitney_u",          # distinct-value rank window
+    "events_wilcoxon_signed_rank",    # user shuffle + |diff|-domain window
+    "events_kendall_tau_hour",        # domain-bounded cells + cells^2 pairs
+    "orders_theil_sen_trend",         # calendar-bounded pair join + rank
+    "text_hellinger_sources",         # (source x bin) cells + pair join
+    "dq_cramers_v_type_dow",          # contingency rollups
+    "sim_ivf_sharded",                # per-shard sqrt(n/S) cells + merge
+    "graph_hits_authorities",         # re-measure: checkpointed edge list
+]
+
+
 def _stride(spark, name: str) -> int:
     if name == "events_user":
         df = spark.read.parquet(f"{SRC_SF}/events.parquet")
@@ -523,6 +545,8 @@ def main() -> None:
         battery = BATTERY15
     if "--battery16" in sys.argv:
         battery = BATTERY16
+    if "--battery17" in sys.argv:
+        battery = BATTERY17
     if "--battery10" in sys.argv:
         battery = BATTERY10
         from project_final_parquet_spark.operators.lake_queries import (
