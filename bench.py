@@ -324,6 +324,10 @@ HEADLINE = [
     "text_hellinger_sources",
     "dq_cramers_v_type_dow",
     "sim_ivf_sharded",
+    "events_type_mix_tv_drift",
+    "events_user_type_simpson",
+    "sample_horvitz_thompson",
+    "q75_ntile_revenue_quartiles",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -433,3 +433,146 @@ def test_hits_edge_list_is_checkpointed(spark):
     )
     assert "ExistingRDD" in plan
     assert "orders.parquet" not in plan and "lineitem.parquet" not in plan
+
+
+# --- batch 2: mixture TV drift, Simpson, Horvitz–Thompson, NTILE --------------
+
+
+def test_type_mix_tv_drift_replay(spark):
+    """Dense-lattice replay at sf0.001: per-day TV against pandas, a
+    vanished type must still register as drift, and TV ∈ [0, 1]."""
+    from project_final_parquet_spark.operators.pipeline17 import (
+        events_type_mix_tv_drift,
+    )
+
+    pdf = _events_pdf()
+    pdf = pdf.assign(day=pdf["ts_us"] // _DAY_US)
+    days = range(int(pdf["day"].min()), int(pdf["day"].max()) + 1)
+    types = sorted(pdf["event_type"].unique())
+    probs = {}
+    for d in days:
+        g = pdf[pdf.day == d]
+        n = len(g)
+        probs[d] = {
+            t: (len(g[g.event_type == t]) / n if n else 0.0)
+            for t in types
+        }
+    want = {
+        d: 0.5 * sum(abs(probs[d][t] - probs[d - 1][t]) for t in types)
+        for d in days
+        if d - 1 in probs
+    }
+    got = {
+        r["day"]: r["tv_vs_prev"]
+        for r in events_type_mix_tv_drift(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for d, tv in want.items():
+        # decimal(38,10) per-term quantization vs the float replay
+        assert abs(got[d] - tv) < 1e-9, d
+        assert 0.0 <= got[d] <= 1.0
+
+
+def test_user_type_simpson_replay(spark):
+    """Per-user Simpson replay at sf0.001: exact bins/counts, decimal
+    averages within float tolerance, index bounded by 1 − 1/k."""
+    from project_final_parquet_spark.operators.pipeline17 import (
+        events_user_type_simpson,
+    )
+
+    pdf = _events_pdf()
+    simps = []
+    for _, g in pdf.groupby("user_id"):
+        n = len(g)
+        s = 1.0 - sum(
+            (c / n) ** 2 for c in g["event_type"].value_counts()
+        )
+        simps.append(s)
+    k = pdf["event_type"].nunique()
+    bins = {}
+    for s in simps:
+        b = int(np.floor(s * 100.0))
+        bins.setdefault(b, []).append(s)
+    rows = events_user_type_simpson(spark, SF).collect()
+    assert [r["bin"] for r in rows] == sorted(bins)
+    for r in rows:
+        vals = bins[r["bin"]]
+        assert r["n_users"] == len(vals)
+        assert abs(r["avg_simpson"] - sum(vals) / len(vals)) < 1e-9
+        assert 0.0 <= r["avg_simpson"] <= 1.0 - 1.0 / k + 1e-12
+
+
+def test_horvitz_thompson_replay(spark):
+    """Membership and estimator replay at sf0.001 with hashlib — the
+    same salted-md5 predicate, the same 16/rate weights."""
+    import hashlib
+
+    from project_final_parquet_spark.operators.pipeline17 import (
+        _HT_RATES,
+        _HT_SALT,
+        sample_horvitz_thompson,
+    )
+
+    pdf = _events_pdf()
+    kept_mask = []
+    for eid, et in zip(pdf["event_id"], pdf["event_type"]):
+        hd = hashlib.md5(f"{eid}{_HT_SALT}".encode()).hexdigest()[0]
+        kept_mask.append(int(hd, 16) < _HT_RATES[et])
+    kept_mask = np.array(kept_mask)
+    vals = pdf["value"].to_numpy()
+    rates = pdf["event_type"].map(_HT_RATES).to_numpy(np.float64)
+    ht = float((vals[kept_mask] * 16.0 / rates[kept_mask]).sum())
+    r = sample_horvitz_thompson(spark, SF).collect()[0]
+    assert r["n_total"] == len(pdf)
+    assert r["n_sampled"] == int(kept_mask.sum())
+    assert abs(r["true_total"] - vals.sum()) < 1e-6
+    assert abs(r["ht_estimate"] - ht) < 1e-6
+    # design sanity: the estimate sits within 3 "sigma-ish" of truth
+    # for this corpus (deterministic — a regression pin, not a flake)
+    assert abs(r["ht_estimate"] - r["true_total"]) / r["true_total"] < 0.25
+
+
+def test_ntile_quartiles_replay(spark):
+    """NTILE(4) replay at sf0.001: Spark/DuckDB bucket semantics
+    (⌈n/4⌉ early buckets) recomputed by hand in pandas."""
+    from project_final_parquet_spark.operators.pipeline17 import (
+        q75_ntile_revenue_quartiles,
+    )
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    nation = pd.read_parquet(f"{SF}/nation.parquet")
+    rev = (
+        orders.groupby("o_custkey")["o_totalprice"].sum().reset_index()
+    )
+    j = rev.merge(
+        cust[["c_custkey", "c_nationkey"]],
+        left_on="o_custkey",
+        right_on="c_custkey",
+    ).merge(
+        nation[["n_nationkey", "n_name"]],
+        left_on="c_nationkey",
+        right_on="n_nationkey",
+    )
+    want = {}
+    for nname, g in j.groupby("n_name"):
+        g = g.sort_values(["o_totalprice", "o_custkey"]).reset_index()
+        n = len(g)
+        base, extra = divmod(n, 4)
+        sizes = [base + (1 if i < extra else 0) for i in range(4)]
+        idx = 0
+        for qt, size in enumerate(sizes, start=1):
+            if size == 0:
+                continue
+            chunk = g.iloc[idx : idx + size]
+            want[(nname, qt)] = (
+                size,
+                float(chunk["o_totalprice"].sum()),
+            )
+            idx += size
+    rows = q75_ntile_revenue_quartiles(spark, SF).collect()
+    assert {(r["nation"], r["quartile"]) for r in rows} == set(want)
+    for r in rows:
+        n, tot = want[(r["nation"], r["quartile"])]
+        assert r["n_customers"] == n
+        assert abs(r["quartile_revenue"] - tot) < 1e-6

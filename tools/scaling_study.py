@@ -415,6 +415,10 @@ BATTERY17 = [
     "dq_cramers_v_type_dow",          # contingency rollups
     "sim_ivf_sharded",                # per-shard sqrt(n/S) cells + merge
     "graph_hits_authorities",         # re-measure: checkpointed edge list
+    "events_type_mix_tv_drift",       # (days x types) lattice + lag
+    "events_user_type_simpson",       # user rollup + 0.01-bin histogram
+    "sample_horvitz_thompson",        # map-only predicate + 1-row agg
+    "q75_ntile_revenue_quartiles",    # custkey rollup + nation windows
 ]
 
 
