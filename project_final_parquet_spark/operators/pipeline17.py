@@ -602,25 +602,29 @@ events_kendall_tau_hour.__doc__ = events_kendall_tau_hour.__doc__.replace(
              {DSUM_SQL.format(expr="o_totalprice")} AS rev
       FROM orders GROUP BY 1
     ),
+    nd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS np
+      FROM daily
+    ),
     slopes AS (
       SELECT (b.rev - a.rev) / CAST(b.d - a.d AS DOUBLE) AS s,
              a.d AS d1, b.d AS d2
       FROM daily a JOIN daily b ON b.d > a.d
     ),
     ranked AS (
-      SELECT s, ROW_NUMBER() OVER (ORDER BY s, d1, d2) AS rn,
-             COUNT(*) OVER () AS np
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s, d1, d2) AS rn
       FROM slopes
     )
-    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
-           CAST(MAX(np) AS BIGINT) AS n_pairs,
+    SELECT t.n_days, t.np AS n_pairs,
            ({DSUM_SQL.format(
-               expr="CASE WHEN rn = (np + 1) // 2 OR rn = (np + 2) // 2 "
+               expr="CASE WHEN rn = (t.np + 1) // 2 OR rn = (t.np + 2) // 2 "
                     "THEN s END"
            )})
-             / COUNT(CASE WHEN rn = (np + 1) // 2 OR rn = (np + 2) // 2
+             / COUNT(CASE WHEN rn = (t.np + 1) // 2 OR rn = (t.np + 2) // 2
                           THEN s END) AS sen_slope_per_day
-    FROM ranked
+    FROM ranked CROSS JOIN nd t
+    GROUP BY t.n_days, t.np
     """,
 )
 def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,27 +661,33 @@ def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.d").alias("d1"),
         F.col("b.d").alias("d2"),
     )
+    nd = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("count(1) * (count(1) - 1) div 2")
+        .cast("long")
+        .alias("np"),
+    )
     ranked = slopes.select(
         "s",
         F.row_number().over(W.orderBy("s", "d1", "d2")).alias("rn"),
-        F.count(F.lit(1))
-        .over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
-        .alias("np"),
     )
     mid = (F.col("rn") == F.expr("(np + 1) div 2")) | (
         F.col("rn") == F.expr("(np + 2) div 2")
     )
-    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
     return (
-        ranked.agg(
-            F.max("np").cast("long").alias("n_pairs"),
+        ranked.crossJoin(F.broadcast(nd))
+        .groupBy("n_days", "np")
+        .agg(
             (
                 dsum(F.when(mid, F.col("s")))
                 / F.count(F.when(mid, F.col("s")))
             ).alias("sen_slope_per_day"),
         )
-        .crossJoin(F.broadcast(n_days))
-        .select("n_days", "n_pairs", "sen_slope_per_day")
+        .select(
+            "n_days",
+            F.col("np").alias("n_pairs"),
+            "sen_slope_per_day",
+        )
     )
 
 
