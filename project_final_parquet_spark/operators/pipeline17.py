@@ -1239,3 +1239,322 @@ def q75_ntile_revenue_quartiles(
         )
         .orderBy("nation", "quartile")
     )
+
+
+# === batch 3: two-phase exact quantiles (Tukey fences) and the
+# nth_value window surface ====================================================
+
+
+@query(
+    "dq_tukey_outlier_fences",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    q AS (
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             MAX(CASE WHEN rn = (n + 3) // 4 THEN value END) AS q1,
+             MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN value END) AS q3
+      FROM ranked GROUP BY event_type
+    ),
+    f AS (
+      SELECT event_type, n, q1, q3, q3 - q1 AS iqr,
+             q1 - 1.5 * (q3 - q1) AS lo_fence,
+             q3 + 1.5 * (q3 - q1) AS hi_fence
+      FROM q
+    )
+    SELECT f.event_type, f.n, f.q1, f.q3, f.iqr, f.lo_fence, f.hi_fence,
+           CAST(SUM(CASE WHEN e.value < f.lo_fence THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_out_lo,
+           CAST(SUM(CASE WHEN e.value > f.hi_fence THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_out_hi
+    FROM events e JOIN f ON f.event_type = e.event_type
+    GROUP BY f.event_type, f.n, f.q1, f.q3, f.iqr, f.lo_fence, f.hi_fence
+    ORDER BY f.event_type
+    """,
+)
+def dq_tukey_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey outlier fences per event type: EXACT Q1/Q3 (order
+    statistics at ranks ⌈n/4⌉ and ⌈3n/4⌉ under the total
+    (value, event_id) order), fences at 1.5·IQR, and the row counts
+    outside them — the robust outlier audit that doesn't assume
+    normality (events_anomaly_zscore) or a daily grain
+    (events_anomaly_mad).
+
+    The Spark side computes the exact order statistics by TWO-PHASE
+    selection, not a per-type row sort: phase 1 buckets values into
+    unit-width bins and accumulates per-type bin counts (a bin-domain
+    window, the events_winsorized_mean_binned machinery); the bin
+    holding each quartile rank is located from the cumulative counts;
+    phase 2 sorts ONLY the rows of those located bins (per-type bin
+    occupancy ≈ n/bins rows) and picks the (r − cum_before)-th value.
+    The oracle computes the same order statistics the naive way (one
+    row_number per type) — same values, so the driver gate certifies
+    the two-phase selection exactly.
+
+    Determinism: integer ranks and bin arithmetic; quartiles are DATA
+    values (no interpolation); fences are fixed IEEE sequences
+    (q3 − q1, then ±1.5·iqr); outlier counts are exact comparisons.
+
+    Scale: phase 1 is a map-side (type × value-domain) rollup with a
+    bin-domain cumulative window (never a row sort); phase 2 sorts
+    ≤ 2·bins-occupancy rows per type; the outlier count is one more
+    map-side pass against the broadcast fence frame — each of the
+    three passes is scan-bound, shuffling only domain-bounded frames.
+    The naive form (the oracle's) puts each type's FULL row set
+    through one reducer — the skew trap this query exists to avoid."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    binned = ev.select(
+        "event_type",
+        F.floor(F.col("value")).cast("long").alias("bin"),
+    )
+    per_bin = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wb = W.partitionBy("event_type").orderBy("bin")
+    cum = per_bin.select(
+        "event_type",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wb).alias("cumc"),
+        F.sum("cnt")
+        .over(W.partitionBy("event_type"))
+        .alias("n"),
+    )
+    # quartile ranks (ceil(n/4), ceil(3n/4)) and the bins holding them
+    r1 = F.expr("(n + 3) div 4")
+    r3 = F.expr("(3 * n + 3) div 4")
+    qbins = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cumc") >= r1, F.col("bin"))).alias("b1"),
+        F.min(F.when(F.col("cumc") >= r3, F.col("bin"))).alias("b3"),
+    )
+    # cum_before for each located bin
+    cb = cum.select(
+        "event_type",
+        "bin",
+        (F.col("cumc") - F.col("cnt")).alias("before"),
+    )
+    q1cb = cb.select(
+        F.col("event_type").alias("t1"),
+        F.col("bin").alias("b1k"),
+        F.col("before").alias("before1"),
+    )
+    q3cb = cb.select(
+        F.col("event_type").alias("t3"),
+        F.col("bin").alias("b3k"),
+        F.col("before").alias("before3"),
+    )
+    qmeta = (
+        qbins.join(
+            F.broadcast(q1cb),
+            (qbins.event_type == F.col("t1")) & (qbins.b1 == F.col("b1k")),
+        )
+        .join(
+            F.broadcast(q3cb),
+            (qbins.event_type == F.col("t3")) & (qbins.b3 == F.col("b3k")),
+        )
+        .select("event_type", "n", "b1", "before1", "b3", "before3")
+    )
+    # phase 2: sort only the located bins' rows
+    wv = W.partitionBy("event_type", "bin").orderBy("value", "event_id")
+    bin_rows = (
+        ev.select(
+            "event_type",
+            "value",
+            "event_id",
+            F.floor(F.col("value")).cast("long").alias("bin"),
+        )
+        .join(
+            F.broadcast(
+                qmeta.select(
+                    "event_type", F.col("b1").alias("qb")
+                ).unionAll(
+                    qmeta.select("event_type", F.col("b3").alias("qb"))
+                ).distinct()
+            ),
+            ["event_type"],
+        )
+        .filter(F.col("bin") == F.col("qb"))
+        .select(
+            "event_type",
+            "bin",
+            "value",
+            "event_id",
+            F.row_number().over(wv).alias("brn"),
+        )
+    )
+    q1v = (
+        bin_rows.join(
+            F.broadcast(qmeta.select("event_type", "b1", "before1", "n")),
+            ["event_type"],
+        )
+        .filter(
+            (F.col("bin") == F.col("b1"))
+            & (
+                F.col("brn")
+                == F.expr("(n + 3) div 4") - F.col("before1")
+            )
+        )
+        .select("event_type", F.col("value").alias("q1"))
+    )
+    q3v = (
+        bin_rows.join(
+            F.broadcast(qmeta.select("event_type", "b3", "before3", "n")),
+            ["event_type"],
+        )
+        .filter(
+            (F.col("bin") == F.col("b3"))
+            & (
+                F.col("brn")
+                == F.expr("(3 * n + 3) div 4") - F.col("before3")
+            )
+        )
+        .select("event_type", F.col("value").alias("q3"))
+    )
+    fences = (
+        qmeta.select("event_type", "n")
+        .join(F.broadcast(q1v), ["event_type"])
+        .join(F.broadcast(q3v), ["event_type"])
+        .select(
+            "event_type",
+            "n",
+            "q1",
+            "q3",
+            (F.col("q3") - F.col("q1")).alias("iqr"),
+            (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias(
+                "lo_fence"
+            ),
+            (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias(
+                "hi_fence"
+            ),
+        )
+    )
+    return (
+        ev.join(F.broadcast(fences), ["event_type"])
+        .groupBy(
+            "event_type", "n", "q1", "q3", "iqr", "lo_fence", "hi_fence"
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("value") < F.col("lo_fence"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_out_lo"),
+            F.sum(
+                F.when(F.col("value") > F.col("hi_fence"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_out_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q76_nth_value_window",
+    oracle="""
+    WITH hist AS (
+      SELECT o.o_custkey,
+             COUNT(*) OVER w AS n_orders,
+             FIRST_VALUE(o.o_totalprice) OVER w AS first_price,
+             NTH_VALUE(o.o_totalprice, 2) OVER w AS second_price,
+             LAST_VALUE(o.o_totalprice) OVER w AS last_price,
+             ROW_NUMBER() OVER (
+               PARTITION BY o.o_custkey
+               ORDER BY epoch_us(o.o_orderdate), o.o_orderkey) AS rn
+      FROM orders o
+      WINDOW w AS (
+        PARTITION BY o.o_custkey
+        ORDER BY epoch_us(o.o_orderdate), o.o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ),
+    per_cust AS (
+      SELECT h.o_custkey, h.n_orders, h.first_price, h.second_price,
+             h.last_price
+      FROM hist h WHERE h.rn = 1 AND h.n_orders >= 2
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN p.second_price > p.first_price
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_second_higher,
+           CAST(SUM(CASE WHEN p.last_price > p.first_price
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_last_higher
+    FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+    GROUP BY c.c_mktsegment ORDER BY segment
+    """,
+)
+def q76_nth_value_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTH_VALUE / FIRST_VALUE / LAST_VALUE over the full-partition
+    frame (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING) — the
+    value-positional window surface the SQL tier had not exercised
+    (q54 covers IGNORE NULLS, q7/q74/q75 the ranking family): per
+    customer's chronological order history, does the SECOND order
+    already spend more than the first, and does the LAST? Rolled up to
+    upsell counts per market segment. LAST_VALUE and NTH_VALUE are the
+    functions whose default frame (up to CURRENT ROW) silently returns
+    the wrong answer — the explicit full frame is the point of the pin.
+
+    Determinism: total per-customer order (epoch-us date, orderkey);
+    integer counts only — price comparisons, no arithmetic.
+
+    Scale: ONE window over the o_custkey shuffle computes all four
+    positional values; the rn = 1 filter reduces to one row per
+    customer before the broadcast segment join and the ≤5-row
+    rollup."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.expr(_EPOCH_US.format(col="o_orderdate")).alias("ts"),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("ts", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    wr = W.partitionBy("o_custkey").orderBy("ts", "o_orderkey")
+    hist = orders.select(
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_orders"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    per_cust = hist.filter(
+        (F.col("rn") == 1) & (F.col("n_orders") >= 2)
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        per_cust.join(
+            F.broadcast(cust), per_cust.o_custkey == cust.c_custkey
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(
+                F.when(
+                    F.col("second_price") > F.col("first_price"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_second_higher"),
+            F.sum(
+                F.when(
+                    F.col("last_price") > F.col("first_price"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_last_higher"),
+        )
+        .orderBy("segment")
+    )

@@ -387,6 +387,8 @@ ROUND13_QUEUE: list[str] = [
     "events_user_type_simpson",
     "sample_horvitz_thompson",
     "q75_ntile_revenue_quartiles",
+    "dq_tukey_outlier_fences",
+    "q76_nth_value_window",
 ]
 
 # Round-12 window (positions 1-50):

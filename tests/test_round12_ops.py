@@ -576,3 +576,91 @@ def test_ntile_quartiles_replay(spark):
         n, tot = want[(r["nation"], r["quartile"])]
         assert r["n_customers"] == n
         assert abs(r["quartile_revenue"] - tot) < 1e-6
+
+
+# --- batch 3: Tukey fences (two-phase quantiles), nth_value -------------------
+
+
+def test_tukey_fences_replay(spark):
+    """Exact order-statistic replay at sf0.001 — the two-phase bin
+    selection must return the SAME quartile values as a plain per-type
+    sort, and the fence counts must be honest."""
+    from project_final_parquet_spark.operators.pipeline17 import (
+        dq_tukey_outlier_fences,
+    )
+
+    pdf = _events_pdf()
+    rows = {r["event_type"]: r for r in
+            dq_tukey_outlier_fences(spark, SF).collect()}
+    for et, g in pdf.groupby("event_type"):
+        v = np.sort(g["value"].to_numpy())
+        n = len(v)
+        q1 = v[(n + 3) // 4 - 1]
+        q3 = v[(3 * n + 3) // 4 - 1]
+        iqr = q3 - q1
+        lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        r = rows[et]
+        assert r["n"] == n
+        assert r["q1"] == q1 and r["q3"] == q3
+        assert abs(r["iqr"] - iqr) < 1e-12
+        assert r["n_out_lo"] == int((v < lo).sum())
+        assert r["n_out_hi"] == int((v > hi).sum())
+        assert r["q1"] <= r["q3"]
+
+
+def test_tukey_fences_no_per_type_row_sort(spark):
+    """The scale contract: phase 1 must not sort rows — the only row-
+    level sorts in the plan are the located-bin window (partitioned by
+    (type, bin), tiny) and whatever the final 5-row orderBy needs; a
+    per-type row_number over ALL rows (the oracle's naive shape) would
+    show a Window over a sort of the full scan. Pin: every Window in
+    the plan is partitioned (no empty PARTITION BY over row-level
+    input)."""
+    from project_final_parquet_spark.operators.pipeline17 import (
+        dq_tukey_outlier_fences,
+    )
+
+    plan = (
+        dq_tukey_outlier_fences(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the unpartitioned-window warning shape is "Window [...], []" —
+    # every window here must carry partition keys
+    import re
+
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"Window \[.*\], \[\]\s*$", ln.strip())
+    ]
+    assert bad == [], bad
+
+
+def test_nth_value_window_replay(spark):
+    """Positional-window replay at sf0.001: first/second/last order
+    price comparisons per customer, rolled up by segment."""
+    from project_final_parquet_spark.operators.pipeline17 import (
+        q76_nth_value_window,
+    )
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    want: dict[str, list[int]] = {}
+    seg = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    for ck, g in orders.groupby("o_custkey"):
+        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        if len(g) < 2:
+            continue
+        p = g["o_totalprice"].to_list()
+        s = want.setdefault(seg[ck], [0, 0, 0])
+        s[0] += 1
+        s[1] += int(p[1] > p[0])
+        s[2] += int(p[-1] > p[0])
+    rows = q76_nth_value_window(spark, SF).collect()
+    assert [r["segment"] for r in rows] == sorted(want)
+    for r in rows:
+        n, n2, nl = want[r["segment"]]
+        assert (r["n_customers"], r["n_second_higher"], r["n_last_higher"]) \
+            == (n, n2, nl)
