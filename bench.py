@@ -328,6 +328,8 @@ HEADLINE = [
     "events_user_type_simpson",
     "sample_horvitz_thompson",
     "q75_ntile_revenue_quartiles",
+    "dq_tukey_outlier_fences",
+    "q76_nth_value_window",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -419,6 +419,8 @@ BATTERY17 = [
     "events_user_type_simpson",       # user rollup + 0.01-bin histogram
     "sample_horvitz_thompson",        # map-only predicate + 1-row agg
     "q75_ntile_revenue_quartiles",    # custkey rollup + nation windows
+    "dq_tukey_outlier_fences",        # two-phase exact quantiles
+    "q76_nth_value_window",           # positional windows, one shuffle
 ]
 
 
