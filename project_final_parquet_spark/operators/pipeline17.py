@@ -593,6 +593,8 @@ events_kendall_tau_hour.__doc__ = events_kendall_tau_hour.__doc__.replace(
 
 # --- Theil–Sen robust trend ---------------------------------------------------
 
+_SEN_BIN = 1000.0  # slope-bin width for the two-phase median selection
+
 
 @query(
     "orders_theil_sen_trend",
@@ -642,9 +644,15 @@ def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the pair universe is CALENDAR-bounded — days(days−1)/2
     pairs (~2.9M for the 2405-day TPC-H span) regardless of corpus
-    size, so the self-join input is the tiny daily rollup and the
-    rank window sorts a corpus-size-INVARIANT set. The only
-    row-count-proportional work is the map-side daily aggregation."""
+    size, so the self-join input is the tiny daily rollup and every
+    downstream frame is corpus-size-INVARIANT. The median itself is
+    picked by TWO-PHASE selection (the dq_tukey_outlier_fences trick):
+    slope-bin counts + a bin-domain cumulative window locate the bins
+    holding the two middle ranks, and only THOSE bins' rows get a rank
+    window — no single-partition sort of the full pair set (the
+    oracle ranks globally; same order statistics, gate-certified).
+    The only row-count-proportional work is the map-side daily
+    aggregation."""
     orders = load(spark, sf_dir, "orders").select(
         F.expr(
             f"{_EPOCH_US.format(col='o_orderdate')} div {_DAY_US}"
@@ -652,14 +660,22 @@ def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     )
     daily = orders.groupBy("d").agg(dsum(F.col("o_totalprice")).alias("rev"))
-    a, b = daily.alias("a"), daily.alias("b")
-    slopes = a.join(F.broadcast(b), F.col("b.d") > F.col("a.d")).select(
-        (
-            (F.col("b.rev") - F.col("a.rev"))
-            / (F.col("b.d") - F.col("a.d")).cast("double")
+    a = daily.select(F.col("d").alias("d1"), F.col("rev").alias("rev1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("rev").alias("rev2"))
+    # try_divide, not /: Catalyst pushes the downstream sbin == qb
+    # predicate (which contains this division) INTO the day-pair BNL
+    # join, where conjunct order is not guaranteed — the division can
+    # evaluate before the d2 > d1 guard and ANSI aborts on the d2 = d1
+    # pairs. try_divide is push-down-safe (NULL there, filtered by the
+    # guard) and bit-identical to / on every surviving row, so the
+    # oracle's plain division still matches.
+    slopes = a.join(F.broadcast(b), F.col("d2") > F.col("d1")).select(
+        F.try_divide(
+            F.col("rev2") - F.col("rev1"),
+            (F.col("d2") - F.col("d1")).cast("double"),
         ).alias("s"),
-        F.col("a.d").alias("d1"),
-        F.col("b.d").alias("d2"),
+        "d1",
+        "d2",
     )
     nd = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
@@ -667,15 +683,57 @@ def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("np"),
     )
-    ranked = slopes.select(
-        "s",
-        F.row_number().over(W.orderBy("s", "d1", "d2")).alias("rn"),
+    # two-phase median selection (the dq_tukey_outlier_fences trick,
+    # applied to the slope frame): phase 1 buckets slopes into
+    # _SEN_BIN-wide bins and finds the bins holding the two middle
+    # ranks from the bin-domain cumulative counts; phase 2 ranks ONLY
+    # those bins' rows. bin = floor(s/W) is monotone in s and slope
+    # ties share a bin, so the selection is exact under the same
+    # (s, d1, d2) total order the oracle ranks globally — no 2.9M-row
+    # single-partition sort on the Spark side.
+    binned = slopes.withColumn(
+        "sbin", F.floor(F.col("s") / _SEN_BIN).cast("long")
     )
-    mid = (F.col("rn") == F.expr("(np + 1) div 2")) | (
-        F.col("rn") == F.expr("(np + 2) div 2")
+    per_bin = binned.groupBy("sbin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
+    cum = per_bin.select(
+        "sbin",
+        "cnt",
+        F.sum("cnt").over(W.orderBy("sbin")).alias("cumc"),
+    )
+    m1 = F.expr("(np + 1) div 2")
+    m2 = F.expr("(np + 2) div 2")
+    located = (
+        cum.crossJoin(F.broadcast(nd))
+        .groupBy("n_days", "np")
+        .agg(
+            F.min(F.when(F.col("cumc") >= m1, F.col("sbin"))).alias("b1"),
+            F.min(F.when(F.col("cumc") >= m2, F.col("sbin"))).alias("b2"),
+        )
+    )
+    before = cum.select(
+        F.col("sbin").alias("bb"),
+        (F.col("cumc") - F.col("cnt")).alias("cum_before"),
+    )
+    wv = W.partitionBy("sbin").orderBy("s", "d1", "d2")
+    mid_rows = (
+        binned.join(
+            F.broadcast(
+                located.select(F.col("b1").alias("qb")).unionAll(
+                    located.select(F.col("b2").alias("qb"))
+                ).distinct()
+            ),
+            F.col("sbin") == F.col("qb"),
+        )
+        .select("s", "d1", "d2", "sbin")
+        .withColumn("brn", F.row_number().over(wv))
+        .join(F.broadcast(before), F.col("sbin") == F.col("bb"))
+        .select("s", "sbin", (F.col("brn") + F.col("cum_before")).alias("rn"))
+    )
+    mid = (F.col("rn") == m1) | (F.col("rn") == m2)
     return (
-        ranked.crossJoin(F.broadcast(nd))
+        mid_rows.crossJoin(F.broadcast(nd))
         .groupBy("n_days", "np")
         .agg(
             (
