@@ -395,9 +395,6 @@ def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- near-dup cluster resolution (connected components) --------------------
 
-_CC_ITERS = 4  # pointer doubling => covers component diameter 2^4 = 16
-
-
 def _minhash_pairs_sql() -> str:
     """The minhash oracle as a nested subquery (DuckDB allows WITH inside
     a derived table)."""

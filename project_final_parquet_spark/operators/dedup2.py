@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 from ..ckpt import checkpoint, release
 from ..registry import query
 from ..tables import load
-from .dedup import _CC_ITERS, _minhash_pairs, _minhash_pairs_sql, connected_components
+from .dedup import (
+    _minhash_pairs,
+    _minhash_pairs_sql,
+    connected_components_converged,
+)
 
 
 @query(
@@ -68,7 +72,11 @@ def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per near-dup cluster: size, surviving representative (max
     n_chars, tie → min doc_id), and how many members get dropped.
     Executes the CC iterations at construction (see registry contract
-    note on iterative queries)."""
+    note on iterative queries). CC runs to the FIXED POINT
+    (``connected_components_converged``, the dedup_cluster_components
+    form — exact min-reachable labels regardless of round count; this
+    corpus converges in 2 rounds where the fixed form always paid 4,
+    r12 sweep finding)."""
     pairs = checkpoint(
         _minhash_pairs(spark, sf_dir, persist=False, ordered=False)
         .select("doc_a", "doc_b")
@@ -78,7 +86,8 @@ def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).withColumnsRenamed({"doc_a": "u", "doc_b": "v"})
-    labels = connected_components(edges, _CC_ITERS).select(
+    cc_labels, _rounds = connected_components_converged(edges)
+    labels = cc_labels.select(
         F.col("u").alias("doc_id"), F.col("label").alias("component_id")
     )
     release(pairs)  # final CC frame is materialized; pairs superseded

@@ -617,7 +617,7 @@ def pipeline_e2e_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver. This is the lifecycle a 100 TB corpus actually runs, end to
     end in one lazy job (iterative CC executes at construction, per the
     registry contract)."""
-    from .dedup import _CC_ITERS, _minhash_pairs, connected_components
+    from .dedup import _minhash_pairs, connected_components_converged
 
     docs = load(spark, sf_dir, "documents")
 
@@ -630,7 +630,11 @@ def pipeline_e2e_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).withColumnsRenamed({"doc_a": "u", "doc_b": "v"})
-    labels = connected_components(edges, _CC_ITERS).select(
+    # fixed-point CC (the dedup_cluster_components form): exact
+    # min-reachable labels, 2 rounds at this corpus vs the fixed
+    # form's always-4 (r12 sweep finding)
+    cc_labels, _cc_rounds = connected_components_converged(edges)
+    labels = cc_labels.select(
         F.col("u").alias("doc_id"), F.col("label").alias("component_id")
     )
     release(pairs)  # final CC frame is materialized; pairs superseded
