@@ -664,3 +664,44 @@ def test_nth_value_window_replay(spark):
         n, n2, nl = want[r["segment"]]
         assert (r["n_customers"], r["n_second_higher"], r["n_last_higher"]) \
             == (n, n2, nl)
+
+
+# --- plan pins: batch-2 scale contracts ---------------------------------------
+
+
+def test_horvitz_thompson_plan_is_one_scan(spark):
+    """The design contract: map-only predicate + partial aggregation —
+    ONE parquet scan, ONE exchange (the final 1-row gather), no sort,
+    no join, no window anywhere in the plan."""
+    from project_final_parquet_spark.operators.pipeline17 import (
+        sample_horvitz_thompson,
+    )
+
+    plan = (
+        sample_horvitz_thompson(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan  # map-side combine before the gather
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "Window", "Sort "):
+        assert op not in plan, op
+
+
+def test_tv_drift_scan_prunes_and_broadcasts(spark):
+    """The mixture monitor reads only (ts, event_type) from events and
+    keeps every post-rollup join broadcast (the lattice frames are
+    domain-bounded): no sort-merge join may appear."""
+    from project_final_parquet_spark.operators.pipeline17 import (
+        events_type_mix_tv_drift,
+    )
+
+    plan = (
+        events_type_mix_tv_drift(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "value" not in plan.split("ReadSchema")[1].split("\n")[0]
