@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..ckpt import checkpoint
 from ..registry import DSUM_SQL, dsum, query
 from ..tables import load
 
@@ -669,13 +670,21 @@ def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs. try_divide is push-down-safe (NULL there, filtered by the
     # guard) and bit-identical to / on every surviving row, so the
     # oracle's plain division still matches.
-    slopes = a.join(F.broadcast(b), F.col("d2") > F.col("d1")).select(
-        F.try_divide(
-            F.col("rev2") - F.col("rev1"),
-            (F.col("d2") - F.col("d1")).cast("double"),
-        ).alias("s"),
-        "d1",
-        "d2",
+    # materialized ONCE (localCheckpoint — so this query executes at
+    # construction, see the registry eager-contract note): both
+    # selection phases below read the slope frame, and it is
+    # calendar-bounded (days² ≈ 2.9M rows at any corpus size), so the
+    # materialization is a fixed ~tens-of-MB cost that halves the BNL
+    # join work
+    slopes = checkpoint(
+        a.join(F.broadcast(b), F.col("d2") > F.col("d1")).select(
+            F.try_divide(
+                F.col("rev2") - F.col("rev1"),
+                (F.col("d2") - F.col("d1")).cast("double"),
+            ).alias("s"),
+            "d1",
+            "d2",
+        )
     )
     nd = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),

@@ -38,6 +38,7 @@ embeddings_top_eigenvector, sim_pq_trained, sim_mmr_diversify,
 sample_kcenter_coreset, graph_kcore, pipeline_e2e_pretrain,
 graph_degree_assortativity, graph_bridge_edges, graph_wcc_sizes,
 graph_modularity_brands, graph_rich_club, graph_hits_authorities,
+orders_theil_sen_trend (calendar-bounded slope-frame checkpoint),
 pipeline_e2e_rag,
 and the corpus-adaptive LSH family
 (sim_range_search_adaptive, sim_pair_margin_adaptive,
