@@ -330,6 +330,8 @@ HEADLINE = [
     "q75_ntile_revenue_quartiles",
     "dq_tukey_outlier_fences",
     "q76_nth_value_window",
+    "sim_ivf_sharded_occupancy",
+    "sim_ivf_sharded_recall",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -211,3 +211,264 @@ def sim_ivf_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 sim_ivf_sharded.__doc__ = sim_ivf_sharded.__doc__.replace(
     "{S}", str(_NSHARDS)
 ).replace("{NP}", str(_NPROBE))
+
+
+@query(
+    "sim_ivf_sharded_occupancy",
+    oracle=f"""
+    WITH nc AS ({_SNC_SQL}),
+    celled AS (
+      SELECT vec_id % {_NSHARDS} AS shard,
+             {_acell_sql('embedding')} AS cell
+      FROM embeddings CROSS JOIN nc
+    ),
+    occ AS (
+      SELECT shard, cell, CAST(COUNT(*) AS BIGINT) AS n FROM celled
+      GROUP BY shard, cell
+    )
+    SELECT (SELECT CAST(m AS BIGINT) FROM nc) AS cell_bits,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(LENGTH(BIN(n)) AS BIGINT) AS occ_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n) AS BIGINT) AS n_vectors,
+           CAST(MAX(n) AS BIGINT) AS max_occ
+    FROM occ GROUP BY shard, occ_bits ORDER BY shard, occ_bits
+    """,
+)
+def sim_ivf_sharded_occupancy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Observability for the SHARDED adaptive IVF: per-shard
+    cell-occupancy histogram in power-of-2 bins — the
+    sim_ivf_adaptive_occupancy cost model with the shard dimension
+    kept, because sharding changes WHAT can go wrong: a healthy index
+    has every shard's occupancy concentrated near (n/S)/2^m ≈ √(n/S),
+    and a fat top bin in ONE shard (a skewed shard key, or one shard's
+    vector distribution defeating the shared planes) is invisible in a
+    global histogram but is exactly the straggler that serves that
+    shard's probes slowly. Per-query scan cost is Σ_shards
+    nprobe·occupancy — this table IS that model, per shard.
+
+    Scale: map-side (shard, cell) assignment, one composite-key count,
+    one ≤ S·log(max) row rollup."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = _corpus_count(spark, sf_dir)
+    m = adaptive_cell_bits((n + _NSHARDS - 1) // _NSHARDS)
+    celled = emb.select(
+        (F.col("vec_id") % _NSHARDS).alias("shard"),
+        _acell_expr(F.col("embedding"), m).alias("cell"),
+    )
+    occ = celled.groupBy("shard", "cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        occ.groupBy(
+            "shard",
+            F.length(F.bin(F.col("n"))).cast("long").alias("occ_bits"),
+        )
+        .agg(
+            F.lit(m).cast("long").alias("cell_bits"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("n").cast("long").alias("n_vectors"),
+            F.max("n").cast("long").alias("max_occ"),
+        )
+        .select(
+            "cell_bits",
+            F.col("shard").cast("long").alias("shard"),
+            "occ_bits",
+            "n_cells",
+            "n_vectors",
+            "max_occ",
+        )
+        .orderBy("shard", "occ_bits")
+    )
+
+
+_RECALL_K = 10
+_N_ANCHORS = 8  # constant anchor set => the audit stays linear in n
+
+
+@query(
+    "sim_ivf_sharded_recall",
+    oracle=f"""
+    WITH nc AS ({_SNC_SQL}),
+    celled AS (
+      SELECT vec_id, embedding,
+             vec_id % {_NSHARDS} AS shard,
+             {_acell_sql('embedding')} AS cell,
+             {_NORM_SQL.format(dim=_DIM, a='embedding')} AS nrm
+      FROM embeddings CROSS JOIN nc
+    ),
+    cent AS (
+      SELECT shard, cell, j,
+             (CAST(SUM(CAST(floor(CAST(embedding[j+1] AS DOUBLE)
+                   * {_CENT_SCALE}.0) AS BIGINT)) AS DOUBLE)
+              / {_CENT_SCALE}.0) / COUNT(*) AS c
+      FROM celled CROSS JOIN (SELECT unnest(range({_DIM})) AS j) dims
+      GROUP BY shard, cell, j
+    ),
+    anchors AS (SELECT * FROM celled WHERE vec_id < {_N_ANCHORS}),
+    adist AS (
+      SELECT a.vec_id AS anchor, cent.shard, cent.cell,
+             SUM(CAST(floor(
+               (cent.c - CAST(a.embedding[cent.j+1] AS DOUBLE))
+               * (cent.c - CAST(a.embedding[cent.j+1] AS DOUBLE))
+               * {_DIST_SCALE}.0) AS BIGINT)) AS d2
+      FROM anchors a CROSS JOIN cent
+      GROUP BY a.vec_id, cent.shard, cent.cell
+    ),
+    probed AS (
+      SELECT anchor, shard, cell FROM (
+        SELECT anchor, shard, cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY anchor, shard ORDER BY d2, cell) AS rn
+        FROM adist
+      ) WHERE rn <= {_NPROBE}
+    ),
+    scored AS (
+      SELECT a.vec_id AS anchor, c.vec_id AS cand,
+             EXISTS (SELECT 1 FROM probed p
+                     WHERE p.anchor = a.vec_id
+                       AND p.shard = c.shard AND p.cell = c.cell)
+               AS in_probe,
+             {_DOT_SQL.format(dim=_DIM, a='a.embedding', b='c.embedding')}
+               / (a.nrm * c.nrm) AS cosine
+      FROM anchors a JOIN celled c ON c.vec_id <> a.vec_id
+    ),
+    ranked AS (
+      SELECT anchor, cand, in_probe, ROW_NUMBER() OVER (
+               PARTITION BY anchor ORDER BY cosine DESC, cand) AS rn
+      FROM scored
+    )
+    SELECT (SELECT CAST(m AS BIGINT) FROM nc) AS cell_bits,
+           anchor,
+           CAST(SUM(CASE WHEN in_probe THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_candidates,
+           CAST(SUM(CASE WHEN in_probe AND rn <= {_RECALL_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST((1000000 * SUM(CASE WHEN in_probe AND rn <= {_RECALL_K}
+                                    THEN 1 ELSE 0 END)) // {_RECALL_K}
+                AS BIGINT) AS recall_ppm
+    FROM ranked GROUP BY anchor ORDER BY anchor
+    """,
+)
+def sim_ivf_sharded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the sharded IVF: for the constant 8-anchor set,
+    exact top-10 cosine truth vs the candidate set of the PER-SHARD
+    nprobe={NP} probes (S·{NP} cells per anchor) — per anchor,
+    candidate-set size and exact recall@10 in ppm. Closes the
+    speed/recall loop for the sharded tier the way
+    sim_ivf_adaptive_recall closes it for the unsharded index; the
+    interesting comparison the pair enables: sharding probes S× more
+    cells (each √S× smaller), so at equal scan budget its recall
+    should dominate the unsharded nprobe={NP} — this query makes that
+    measurable instead of argued.
+
+    Scale: exact truth is 8·n map-side scoring against broadcast
+    anchors (the price of ground truth); probes are 8·S·2^m centroid
+    distances over broadcast frames with a PER-(anchor, shard) rank
+    window (8·S-way parallel); one 8-partition rank window;
+    |anchors| output rows. Integer ppm output."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = _corpus_count(spark, sf_dir)
+    m = adaptive_cell_bits((n + _NSHARDS - 1) // _NSHARDS)
+    celled = emb.select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") % _NSHARDS).alias("shard"),
+        _acell_expr(F.col("embedding"), m).alias("cell"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    dims = celled.select(
+        "vec_id", "shard", "cell", F.posexplode("embedding").alias("j", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = dims.groupBy("shard", "cell", "j").agg(
+        (
+            (F.sum(F.floor(F.col("val") * _CENT_SCALE)).cast("double")
+             / _CENT_SCALE)
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    adims = dims.filter(F.col("vec_id") < _N_ANCHORS).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("j").alias("aj"),
+        F.col("val").alias("av"),
+    )
+    adist = (
+        cent.join(F.broadcast(adims), cent.j == F.col("aj"))
+        .groupBy("anchor", "shard", "cell")
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("c") - F.col("av"))
+                    * (F.col("c") - F.col("av"))
+                    * _DIST_SCALE
+                )
+            ).alias("d2")
+        )
+    )
+    wp = W.partitionBy("anchor", "shard").orderBy("d2", "cell")
+    probed = (
+        adist.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _NPROBE)
+        .select(
+            F.col("anchor").alias("p_anchor"),
+            F.col("shard").alias("p_shard"),
+            F.col("cell").alias("p_cell"),
+            F.lit(1).alias("probe_hit"),
+        )
+    )
+    anchors = celled.filter(F.col("vec_id") < _N_ANCHORS).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    scored = (
+        celled.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor"))
+        .join(
+            F.broadcast(probed),
+            (F.col("anchor") == F.col("p_anchor"))
+            & (F.col("shard") == F.col("p_shard"))
+            & (F.col("cell") == F.col("p_cell")),
+            "left",
+        )
+        .select(
+            "anchor",
+            F.col("vec_id").alias("cand"),
+            F.coalesce(F.col("probe_hit"), F.lit(0)).alias("in_probe"),
+            (
+                _dot(F.col("ea"), F.col("embedding"))
+                / (F.col("na") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("anchor").orderBy(F.desc("cosine"), "cand")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    in_cand = F.when(F.col("in_probe") == 1, 1).otherwise(0)
+    is_hit = F.when(
+        (F.col("in_probe") == 1) & (F.col("rn") <= _RECALL_K), 1
+    ).otherwise(0)
+    return (
+        ranked.groupBy("anchor")
+        .agg(
+            F.lit(m).cast("long").alias("cell_bits"),
+            F.sum(in_cand).cast("long").alias("n_candidates"),
+            F.sum(is_hit).cast("long").alias("n_hits"),
+        )
+        .select(
+            "cell_bits",
+            "anchor",
+            "n_candidates",
+            "n_hits",
+            F.expr(f"1000000 * n_hits div {_RECALL_K}")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("anchor")
+    )
+
+
+sim_ivf_sharded_recall.__doc__ = sim_ivf_sharded_recall.__doc__.replace(
+    "{NP}", str(_NPROBE)
+)

@@ -390,6 +390,8 @@ ROUND13_QUEUE: list[str] = [
     "q75_ntile_revenue_quartiles",
     "dq_tukey_outlier_fences",
     "q76_nth_value_window",
+    "sim_ivf_sharded_occupancy",
+    "sim_ivf_sharded_recall",
 ]
 
 # Round-12 window (positions 1-50):

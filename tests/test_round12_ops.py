@@ -705,3 +705,86 @@ def test_tv_drift_scan_prunes_and_broadcasts(spark):
     )
     assert "SortMergeJoin" not in plan
     assert "value" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+# --- sharded IVF triad: occupancy + recall audits ------------------------------
+
+
+def test_ivf_sharded_occupancy_accounts_per_shard(spark, shard_corpus):
+    """The per-shard occupancy histogram must partition the corpus
+    exactly: per-shard cell and vector totals equal the numpy
+    replay's, and every shard appears."""
+    from tests.test_round11_ops import _np_cells
+    from project_final_parquet_spark.operators.similarity12 import (
+        sim_ivf_sharded_occupancy,
+    )
+
+    d, vecs = shard_corpus
+    n = len(vecs)
+    m = adaptive_cell_bits((n + _NSHARDS - 1) // _NSHARDS)
+    rows = sim_ivf_sharded_occupancy(spark, d).collect()
+    assert all(r["cell_bits"] == m for r in rows)
+    shards = np.arange(n) % _NSHARDS
+    cells = _np_cells(vecs, m)
+    assert {r["shard"] for r in rows} == set(range(_NSHARDS))
+    for s in range(_NSHARDS):
+        _, counts = np.unique(cells[shards == s], return_counts=True)
+        srows = [r for r in rows if r["shard"] == s]
+        assert sum(r["n_vectors"] for r in srows) == int(
+            (shards == s).sum()
+        )
+        assert sum(r["n_cells"] for r in srows) == len(counts)
+        assert max(r["max_occ"] for r in srows) == counts.max()
+
+
+def test_ivf_sharded_recall_replay(spark, shard_corpus):
+    """Per-anchor recall through the per-shard probes vs the numpy
+    replay — candidate counts are the S·NPROBE probed cells'
+    populations (minus self), hits the exact top-10 members inside."""
+    from tests.test_round11_ops import _np_cells
+    from project_final_parquet_spark.operators.similarity12 import (
+        sim_ivf_sharded_recall,
+    )
+
+    d, vecs = shard_corpus
+    n = len(vecs)
+    m = adaptive_cell_bits((n + _NSHARDS - 1) // _NSHARDS)
+    got = {
+        r["anchor"]: r for r in sim_ivf_sharded_recall(spark, d).collect()
+    }
+    assert len(got) == 8
+    v = vecs.astype(np.float64)
+    shards = np.arange(n) % _NSHARDS
+    cells = _np_cells(vecs, m)
+    norms = np.linalg.norm(v, axis=1)
+    for a in range(8):
+        probed = set()
+        for s in range(_NSHARDS):
+            d2s = {}
+            for cell in np.unique(cells[shards == s]):
+                sub = v[(shards == s) & (cells == cell)]
+                cent = (
+                    np.floor(sub * _CENT_SCALE).sum(axis=0)
+                    / _CENT_SCALE
+                    / len(sub)
+                )
+                d2s[int(cell)] = int(
+                    np.floor((cent - v[a]) ** 2 * _DIST_SCALE).sum()
+                )
+            for cell in sorted(d2s, key=lambda c: (d2s[c], c))[:_NPROBE]:
+                probed.add((s, cell))
+        in_probe = np.array(
+            [(int(shards[i]), int(cells[i])) in probed for i in range(n)]
+        )
+        cos = (v @ v[a]) / (norms * norms[a])
+        order = sorted(
+            (i for i in range(n) if i != a), key=lambda i: (-cos[i], i)
+        )
+        top10 = set(order[:10])
+        r = got[a]
+        assert r["cell_bits"] == m
+        assert r["n_candidates"] == int(in_probe.sum()) - (
+            1 if in_probe[a] else 0
+        )
+        assert r["n_hits"] == sum(1 for i in top10 if in_probe[i])
+        assert r["recall_ppm"] == 1000000 * r["n_hits"] // 10

@@ -421,6 +421,8 @@ BATTERY17 = [
     "q75_ntile_revenue_quartiles",    # custkey rollup + nation windows
     "dq_tukey_outlier_fences",        # two-phase exact quantiles
     "q76_nth_value_window",           # positional windows, one shuffle
+    "sim_ivf_sharded_occupancy",      # per-shard cost model
+    "sim_ivf_sharded_recall",         # 8-anchor sharded recall audit
 ]
 
 
