@@ -332,6 +332,8 @@ HEADLINE = [
     "q76_nth_value_window",
     "sim_ivf_sharded_occupancy",
     "sim_ivf_sharded_recall",
+    "orders_laspeyres_price_index",
+    "dq_completeness_profile",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

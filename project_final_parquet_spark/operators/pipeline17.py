@@ -1625,3 +1625,205 @@ def q76_nth_value_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# === batch 4: price-index economics and column-completeness DQ ===============
+
+_PERIOD_US = 30 * _DAY_US  # 30-day periods: TZ-free integer bucketing
+
+# The basket sums aggregate PRODUCTS OF COMPUTED DOUBLES (unit price ×
+# base quantity); the decimal-sum convention is unsafe there (the q75
+# re-quantization divergence), so they use the floor-scaled integer
+# convention instead (pipeline8 _fsum): floor of a double is exact and
+# identical cross-engine, and the integer sum is order-independent.
+_FSCALE = 1_000_000.0
+_FSUM_SQL = (
+    "(CAST(CAST(SUM(CAST(FLOOR(({expr}) * 1000000.0) "
+    "AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1000000.0)"
+)
+
+
+def _fsum(col):
+    return (
+        F.sum(F.floor(col * _FSCALE).cast("decimal(38,0)"))
+        .cast("double")
+        / _FSCALE
+    )
+
+
+@query(
+    "orders_laspeyres_price_index",
+    oracle=f"""
+    WITH pp AS (
+      SELECT l_partkey AS part,
+             epoch_us(l_shipdate) // {_PERIOD_US} AS period,
+             {DSUM_SQL.format(expr="l_extendedprice")}
+               / {DSUM_SQL.format(expr="l_quantity")} AS price,
+             {DSUM_SQL.format(expr="l_quantity")} AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    b AS (SELECT MIN(period) AS p0 FROM pp),
+    base AS (
+      SELECT pp.part, pp.price AS price0, pp.qty AS qty0
+      FROM pp CROSS JOIN b WHERE pp.period = b.p0
+    )
+    SELECT CAST(pp.period AS BIGINT) AS period,
+           CAST(COUNT(*) AS BIGINT) AS n_parts_matched,
+           {_FSUM_SQL.format(expr="pp.price * base.qty0")}
+             / {_FSUM_SQL.format(expr="base.price0 * base.qty0")}
+             AS laspeyres_index
+    FROM pp JOIN base ON base.part = pp.part
+    GROUP BY pp.period ORDER BY period
+    """,
+)
+def orders_laspeyres_price_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Laspeyres price index per 30-day period: Σ p_t·q₀ / Σ p₀·q₀ over
+    the parts traded in BOTH the base period (the earliest) and period
+    t — "what would the base period's basket cost at today's prices",
+    the fixed-basket inflation measure (CPI's formula). Unit price per
+    (part, period) is the quantity-weighted average
+    Σ extendedprice / Σ quantity. The basket join is what separates
+    this from a naive average-price trend: mix shift (buying different
+    parts) cannot masquerade as price movement.
+
+    Determinism: the (part, period) rollup decimal-sums RAW parquet
+    doubles (safe); the basket sums aggregate PRODUCTS of computed
+    doubles, so they use the floor-scaled integer convention (module
+    note above — the decimal convention diverges cross-engine on
+    computed doubles, the q75 lesson); unit price and the index are
+    single IEEE divisions; period bucketing is TZ-free integer
+    epoch-us arithmetic (heatmap convention, no calendar functions —
+    a 30-day period, not a calendar month).
+
+    Scale: one map-side (part × period) rollup (domain-bounded: parts
+    × ~80 periods); the base basket broadcasts (parts-bounded); the
+    index is a per-period rollup of that frame. Row-proportional work
+    is only the first aggregation over lineitem."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"),
+        F.expr(
+            f"{_EPOCH_US.format(col='l_shipdate')} div {_PERIOD_US}"
+        ).alias("period"),
+        "l_extendedprice",
+        "l_quantity",
+    )
+    pp = li.groupBy("part", "period").agg(
+        (
+            dsum(F.col("l_extendedprice")) / dsum(F.col("l_quantity"))
+        ).alias("price"),
+        dsum(F.col("l_quantity")).alias("qty"),
+    )
+    b = pp.agg(F.min("period").alias("p0"))
+    base = (
+        pp.crossJoin(F.broadcast(b))
+        .filter(F.col("period") == F.col("p0"))
+        .select(
+            F.col("part").alias("bpart"),
+            F.col("price").alias("price0"),
+            F.col("qty").alias("qty0"),
+        )
+    )
+    return (
+        pp.join(F.broadcast(base), pp.part == F.col("bpart"))
+        .groupBy("period")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts_matched"),
+            (
+                _fsum(F.col("price") * F.col("qty0"))
+                / _fsum(F.col("price0") * F.col("qty0"))
+            ).alias("laspeyres_index"),
+        )
+        .select(
+            F.col("period").cast("long").alias("period"),
+            "n_parts_matched",
+            "laspeyres_index",
+        )
+        .orderBy("period")
+    )
+
+
+@query(
+    "dq_completeness_profile",
+    oracle="""
+    SELECT 'lang' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(SUM(CASE WHEN lang = '' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_empty,
+           CAST(SUM(CASE WHEN lang IS NOT NULL AND lang <> ''
+                    AND trim(lang) = '' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blank
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN source = '' THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN source IS NOT NULL AND source <> ''
+                    AND trim(source) = '' THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'text', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN text IS NOT NULL AND text <> ''
+                    AND trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    ORDER BY column_name
+    """,
+)
+def dq_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column completeness profile of the documents table: per string
+    column, NULL / empty-string / whitespace-only counts — the three
+    DIFFERENT absences an ingest bug produces (a JSON null, a missing
+    field serialized as '', a whitespace-padded extract), which every
+    downstream length/quality filter treats differently. Completes the
+    DQ dimension set next to dq_constraint_checks (integrity),
+    dq_uniqueness_audit (uniqueness), dq_schema_drift (structure) and
+    the freshness/distribution monitors.
+
+    Determinism: exact counts over exact string predicates.
+
+    Scale: ONE pass — all three columns profile in the same map-side
+    conditional aggregation (the UNION in the oracle is presentation;
+    the Spark plan computes one 9-aggregate scan and unpivots the
+    1-row result), 3 output rows."""
+    docs = load(spark, sf_dir, "documents")
+
+    def _counts(c: str):
+        col = F.col(c)
+        return [
+            F.count(F.lit(1)).cast("long").alias(f"{c}_rows"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}_null"),
+            F.sum(F.when(col == "", 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}_empty"),
+            F.sum(
+                F.when(
+                    col.isNotNull()
+                    & (col != "")
+                    & (F.trim(col) == ""),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"{c}_blank"),
+        ]
+
+    one = docs.agg(
+        *(_counts("lang") + _counts("source") + _counts("text"))
+    )
+    stacked = one.select(
+        F.expr(
+            "stack(3, "
+            "'lang', lang_rows, lang_null, lang_empty, lang_blank, "
+            "'source', source_rows, source_null, source_empty, source_blank, "
+            "'text', text_rows, text_null, text_empty, text_blank) "
+            "AS (column_name, n_rows, n_null, n_empty, n_blank)"
+        )
+    )
+    return stacked.orderBy("column_name")

@@ -392,6 +392,8 @@ ROUND13_QUEUE: list[str] = [
     "q76_nth_value_window",
     "sim_ivf_sharded_occupancy",
     "sim_ivf_sharded_recall",
+    "orders_laspeyres_price_index",
+    "dq_completeness_profile",
 ]
 
 # Round-12 window (positions 1-50):

@@ -788,3 +788,122 @@ def test_ivf_sharded_recall_replay(spark, shard_corpus):
         )
         assert r["n_hits"] == sum(1 for i in top10 if in_probe[i])
         assert r["recall_ppm"] == 1000000 * r["n_hits"] // 10
+
+
+# --- batch 4: Laspeyres index, completeness profile ---------------------------
+
+
+def test_laspeyres_replay(spark):
+    """Fixed-basket index replay at sf0.001 with the same floor-scaled
+    sums; index of the base period itself must be exactly 1.0."""
+    from project_final_parquet_spark.operators.pipeline17 import (
+        _PERIOD_US,
+        orders_laspeyres_price_index,
+    )
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    period = (
+        li["l_shipdate"].astype("datetime64[us]").astype("int64")
+        // _PERIOD_US
+    )
+    li = li.assign(period=period)
+    pp = (
+        li.groupby(["l_partkey", "period"])
+        .agg(ep=("l_extendedprice", "sum"), q=("l_quantity", "sum"))
+        .reset_index()
+    )
+    pp["price"] = pp["ep"] / pp["q"]
+    p0 = pp["period"].min()
+    base = pp[pp.period == p0].set_index("l_partkey")
+
+    def fsum(x):
+        return np.floor(x * 1e6).sum() / 1e6
+
+    want = {}
+    for per, g in pp.groupby("period"):
+        g = g[g["l_partkey"].isin(base.index)]
+        if len(g) == 0:
+            continue
+        q0 = base.loc[g["l_partkey"], "q"].to_numpy()
+        pr0 = base.loc[g["l_partkey"], "price"].to_numpy()
+        want[per] = (
+            len(g),
+            fsum(g["price"].to_numpy() * q0) / fsum(pr0 * q0),
+        )
+    rows = orders_laspeyres_price_index(spark, SF).collect()
+    assert [r["period"] for r in rows] == sorted(want)
+    for r in rows:
+        n, idx = want[r["period"]]
+        assert r["n_parts_matched"] == n
+        assert abs(r["laspeyres_index"] - idx) < 1e-9
+    base_row = [r for r in rows if r["period"] == p0][0]
+    assert base_row["laspeyres_index"] == 1.0
+
+
+def test_completeness_profile_counts(spark):
+    """Counts replay at sf0.001 plus a staged table where all three
+    absence kinds are present and must be told apart."""
+    from project_final_parquet_spark.operators.pipeline17 import (
+        dq_completeness_profile,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    rows = {
+        r["column_name"]: r
+        for r in dq_completeness_profile(spark, SF).collect()
+    }
+    assert set(rows) == {"lang", "source", "text"}
+    for c in rows:
+        s = pdf[c]
+        assert rows[c]["n_rows"] == len(pdf)
+        assert rows[c]["n_null"] == int(s.isna().sum())
+        assert rows[c]["n_empty"] == int((s == "").sum())
+        assert rows[c]["n_blank"] == int(
+            (s.notna() & (s != "") & (s.str.strip() == "")).sum()
+        )
+
+
+def test_completeness_profile_distinguishes_absences(spark, tmp_path_factory):
+    """NULL vs '' vs whitespace-only must land in different counters."""
+    from project_final_parquet_spark.operators.pipeline17 import (
+        dq_completeness_profile,
+    )
+
+    d = tmp_path_factory.mktemp("comp")
+    # NB: trim() strips only SPACES in both engines (not tabs), so the
+    # "blank" class is space-padding specifically
+    data = [
+        (0, "x", "src0", "real text", 9),
+        (1, None, "", "  ", 2),
+        (2, "", "   ", None, 0),
+    ]
+    spark.createDataFrame(
+        data, "doc_id long, lang string, source string, text string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    rows = {
+        r["column_name"]: r
+        for r in dq_completeness_profile(spark, str(d)).collect()
+    }
+    assert (rows["lang"]["n_null"], rows["lang"]["n_empty"],
+            rows["lang"]["n_blank"]) == (1, 1, 0)
+    assert (rows["source"]["n_null"], rows["source"]["n_empty"],
+            rows["source"]["n_blank"]) == (0, 1, 1)
+    assert (rows["text"]["n_null"], rows["text"]["n_empty"],
+            rows["text"]["n_blank"]) == (1, 0, 1)
+
+
+def test_completeness_profile_is_one_scan(spark):
+    """All three columns profile in ONE pass: a single parquet scan and
+    a single exchange in the executed plan."""
+    from project_final_parquet_spark.operators.pipeline17 import (
+        dq_completeness_profile,
+    )
+
+    plan = (
+        dq_completeness_profile(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange") <= 2  # 1-row gather + 3-row sort

@@ -423,6 +423,8 @@ BATTERY17 = [
     "q76_nth_value_window",           # positional windows, one shuffle
     "sim_ivf_sharded_occupancy",      # per-shard cost model
     "sim_ivf_sharded_recall",         # 8-anchor sharded recall audit
+    "orders_laspeyres_price_index",   # (part x period) rollup + basket
+    "dq_completeness_profile",        # one 12-agg scan + 3-row unpivot
 ]
 
 
