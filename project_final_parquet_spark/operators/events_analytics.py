@@ -916,9 +916,14 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("dur_us").alias("total_held_us"),
             wsum.alias("weighted_sum"),
-            (
-                wsum
-                / (F.sum("dur_us").cast("double") / F.lit(3600000000.0))
+            # try_divide (r13 division audit): a user whose holds all
+            # have zero duration (legal — back-to-back events) makes
+            # the hour total exactly 0.0 with a non-null 0.0 numerator
+            # and ANSI would abort on the 0/0; TWAP is undefined there
+            # => NULL (DuckDB double /0 is natively NULL).
+            F.try_divide(
+                wsum,
+                F.sum("dur_us").cast("double") / F.lit(3600000000.0),
             ).alias("twap"),
         )
         .orderBy("user_id")

@@ -325,10 +325,16 @@ def text_bpe_fertility_by_lang(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("ws").cast("long").alias("ws_tokens"),
             F.sum("bpe").cast("long").alias("bpe_tokens"),
-            (F.sum("bpe").cast("double") / F.sum("ws")).alias("fertility"),
-            (F.sum("n_chars").cast("double") / F.sum("bpe")).alias(
-                "chars_per_token"
+            # try_divide (r13 division audit): a language bucket of
+            # all-empty documents zeroes the token sums (legal input);
+            # NULL, not an ANSI abort (DuckDB double /0 is natively
+            # NULL).
+            F.try_divide(F.sum("bpe").cast("double"), F.sum("ws")).alias(
+                "fertility"
             ),
+            F.try_divide(
+                F.sum("n_chars").cast("double"), F.sum("bpe")
+            ).alias("chars_per_token"),
         )
         .orderBy("lang")
     )

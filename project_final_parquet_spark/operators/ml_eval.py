@@ -187,8 +187,15 @@ def ml_confusion_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~sel & pos, 1).otherwise(0)).cast("long").alias("fn"),
         F.sum(F.when(~sel & ~pos, 1).otherwise(0)).cast("long").alias("tn"),
     )
-    prec = F.col("tp").cast("double") / F.col("n_sel")
-    rec = F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
+    # try_divide (r13 division audit): n_sel = n·pct div 100 is 0 on a
+    # sub-100-row corpus, and tp+fn = 0 when no positive labels exist —
+    # both legal; the metrics are undefined there => NULL (DuckDB's
+    # native double division-by-zero NULL). Inside the f1 branch tp>0
+    # implies n_sel >= tp > 0 and tp+fn > 0, so prec+rec stays safe.
+    prec = F.try_divide(F.col("tp").cast("double"), F.col("n_sel"))
+    rec = F.try_divide(
+        F.col("tp").cast("double"), F.col("tp") + F.col("fn")
+    )
     f1 = F.when(F.col("tp") == 0, F.lit(None).cast("double")).otherwise(
         F.lit(2.0) * prec * rec / (prec + rec)
     )
@@ -530,19 +537,28 @@ def pipeline_e2e_eval_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cp_at_p"),
     )
-    auc = (
-        F.col("p") * (F.col("n") + 1)
-        - F.col("rank_sum_desc")
-        - F.expr("(p * (p + 1)) div 2")
-    ).cast("double") / (F.col("p") * F.col("nn"))
+    # try_divide (r13 division audit): a single-class corpus (p = 0 or
+    # nn = 0 — legal) zeroes the p·nn and p denominators and ANSI
+    # would abort; the rank metrics are undefined there => NULL
+    # (DuckDB's native double division-by-zero NULL).
+    auc = F.try_divide(
+        (
+            F.col("p") * (F.col("n") + 1)
+            - F.col("rank_sum_desc")
+            - F.expr("(p * (p + 1)) div 2")
+        ).cast("double"),
+        F.col("p") * F.col("nn"),
+    )
     vals = agg.select(
         auc.alias("v_auc"),
-        (F.col("ap_sum") / F.col("p")).alias("v_ap"),
-        (F.col("ks_num").cast("double") / (F.col("p") * F.col("nn"))).alias(
-            "v_ks"
-        ),
+        F.try_divide(F.col("ap_sum"), F.col("p")).alias("v_ap"),
+        F.try_divide(
+            F.col("ks_num").cast("double"), F.col("p") * F.col("nn")
+        ).alias("v_ks"),
         F.col("best_f1").alias("v_f1"),
-        (F.col("cp_at_p").cast("double") / F.col("p")).alias("v_rp"),
+        F.try_divide(F.col("cp_at_p").cast("double"), F.col("p")).alias(
+            "v_rp"
+        ),
         (F.col("p").cast("double") / F.col("n")).alias("v_br"),
     )
     return vals.select(
@@ -617,7 +633,12 @@ def ml_expected_calibration_error(
     conf = scored.crossJoin(F.broadcast(mm)).select(
         "label",
         "vec_id",
-        ((F.col("score") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias(
+        # try_divide (r13 division audit): constant scores (legal —
+        # e.g. a degenerate probe) zero the min-max range; NULL, not
+        # an ANSI abort (DuckDB double /0 is natively NULL).
+        F.try_divide(
+            F.col("score") - F.col("lo"), F.col("hi") - F.col("lo")
+        ).alias(
             "c"
         ),
     )
@@ -714,7 +735,12 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf = scored.crossJoin(F.broadcast(mm)).select(
         "vec_id",
         F.when(F.col("label") == 0, 1.0).otherwise(0.0).alias("y"),
-        ((F.col("score") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias(
+        # try_divide (r13 division audit): constant scores (legal —
+        # e.g. a degenerate probe) zero the min-max range; NULL, not
+        # an ANSI abort (DuckDB double /0 is natively NULL).
+        F.try_divide(
+            F.col("score") - F.col("lo"), F.col("hi") - F.col("lo")
+        ).alias(
             "c"
         ),
     )

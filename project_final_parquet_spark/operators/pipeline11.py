@@ -1373,13 +1373,18 @@ def events_weekday_weekend_lift(
             F.sum(F.when(F.col("is_we"), 1).otherwise(0))
             .cast("long")
             .alias("weekend_events"),
-            (
-                dsum(F.when(~F.col("is_we"), F.col("value")))
-                / F.sum(F.when(~F.col("is_we"), 1).otherwise(0))
+            # try_divide (r13 division audit): a type seen only on
+            # weekdays (or only weekends) zeroes one side's count —
+            # legal. The NULL numerator already short-circuits ANSI
+            # (NULL/0 is NULL, verified), so this is belt-and-
+            # suspenders against a future non-null numerator edit.
+            F.try_divide(
+                dsum(F.when(~F.col("is_we"), F.col("value"))),
+                F.sum(F.when(~F.col("is_we"), 1).otherwise(0)),
             ).alias("weekday_avg_value"),
-            (
-                dsum(F.when(F.col("is_we"), F.col("value")))
-                / F.sum(F.when(F.col("is_we"), 1).otherwise(0))
+            F.try_divide(
+                dsum(F.when(F.col("is_we"), F.col("value"))),
+                F.sum(F.when(F.col("is_we"), 1).otherwise(0)),
             ).alias("weekend_avg_value"),
         )
         .orderBy("event_type")

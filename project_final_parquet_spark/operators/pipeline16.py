@@ -589,26 +589,45 @@ def ml_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sb2_below"),
     )
-    auc = F.col("sa").cast("double") / (F.col("m") * F.col("nn"))
-    s10 = (
-        (
-            F.col("sa2").cast("double")
-            - F.col("sa").cast("double") * F.col("sa") / F.col("m")
-        )
-        / (F.col("m") - 1)
-        / F.col("nn")
-        / F.col("nn")
+    # try_divide throughout (r13 division audit): a single-class or
+    # single-example class (m or nn in {0, 1} — legal on a skewed
+    # corpus) zeroes m·nn, m−1, or nn−1 and ANSI would abort; the SE
+    # is undefined there => NULL, matching DuckDB's native double
+    # division-by-zero NULL. Same op sequence (each / becomes one
+    # try_divide), bit-identical on every nonzero denominator.
+    auc = F.try_divide(
+        F.col("sa").cast("double"), F.col("m") * F.col("nn")
     )
-    s01 = (
-        (
-            F.col("sb2_below").cast("double")
-            - F.col("sb_below").cast("double")
-            * F.col("sb_below")
-            / F.col("nn")
-        )
-        / (F.col("nn") - 1)
-    ) / F.col("m") / F.col("m")
-    se = F.sqrt(s10 / F.col("m") + s01 / F.col("nn"))
+    s10 = F.try_divide(
+        F.try_divide(
+            F.try_divide(
+                F.col("sa2").cast("double")
+                - F.try_divide(
+                    F.col("sa").cast("double") * F.col("sa"), F.col("m")
+                ),
+                F.col("m") - 1,
+            ),
+            F.col("nn"),
+        ),
+        F.col("nn"),
+    )
+    s01 = F.try_divide(
+        F.try_divide(
+            F.try_divide(
+                F.col("sb2_below").cast("double")
+                - F.try_divide(
+                    F.col("sb_below").cast("double") * F.col("sb_below"),
+                    F.col("nn"),
+                ),
+                F.col("nn") - 1,
+            ),
+            F.col("m"),
+        ),
+        F.col("m"),
+    )
+    se = F.sqrt(
+        F.try_divide(s10, F.col("m")) + F.try_divide(s01, F.col("nn"))
+    )
     return agg.select(
         F.col("m").alias("n_pos"),
         F.col("nn").alias("n_neg"),
@@ -723,4 +742,8 @@ def orders_spearman_price_items(
         F.col("n").cast("double") * F.col("syy")
         - F.col("sy").cast("double") * F.col("sy")
     )
-    return agg.select("n", (num / den).alias("spearman_rho"))
+    # try_divide (r13 division audit): a CONSTANT column (every order
+    # the same price, or every order one item — legal) zeroes den and
+    # ANSI would abort; rho is undefined there => NULL, matching
+    # DuckDB's native double division-by-zero NULL.
+    return agg.select("n", F.try_divide(num, den).alias("spearman_rho"))

@@ -136,8 +136,15 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ne = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
-    r = (m * F.col("sxy") - sx * sy) / F.sqrt(
-        (m * F.col("sxx") - sx * sx) * (m * F.col("syy") - sy * sy)
+    # try_divide (r13 division audit): a REGULAR graph (all degrees
+    # equal — legal, e.g. disjoint-pair baskets) zeroes the variance
+    # terms and ANSI would abort; r is undefined there => NULL, which
+    # DuckDB's native double division-by-zero already yields.
+    r = F.try_divide(
+        m * F.col("sxy") - sx * sy,
+        F.sqrt(
+            (m * F.col("sxx") - sx * sx) * (m * F.col("syy") - sy * sy)
+        ),
     )
     return (
         mom.crossJoin(F.broadcast(nv))
@@ -146,10 +153,9 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vertices",
             "n_edges",
             "max_degree",
-            (
-                F.lit(2).cast("double")
-                * F.col("n_edges")
-                / F.col("n_vertices")
+            F.try_divide(
+                F.lit(2).cast("double") * F.col("n_edges"),
+                F.col("n_vertices"),
             ).alias("avg_degree"),
             r.alias("assortativity_r"),
         )
@@ -337,7 +343,13 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("y")).alias("sy_a"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    theta = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    # try_divide (r13 division audit): a CONSTANT pre-period covariate
+    # (e.g. zero pre-period activity for every user — legal) zeroes
+    # var(x) and ANSI would abort; theta is undefined there => NULL,
+    # matching DuckDB's native double division-by-zero NULL.
+    theta = F.try_divide(
+        n * F.col("sxy") - sx * sy, n * F.col("sxx") - sx * sx
+    )
     mean_x_a = F.col("sx_a") / F.col("n_users")
     mean_y_a = F.col("sy_a") / F.col("n_users")
     return (

@@ -200,15 +200,20 @@ def q59_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
-    var_x = (sxx - sx * sx / n) / (n - 1)
+    # try_divide (r13 division audit): a 1-row group zeroes n−1 and a
+    # constant column zeroes the correlation denominator — both legal;
+    # the moments are undefined there => NULL, matching DuckDB's
+    # native double division-by-zero NULL. n itself is a group count
+    # (>= 1 structurally), so sx/n stays a plain division.
+    var_x = F.try_divide(sxx - sx * sx / n, n - 1)
     return s.select(
         "l_returnflag",
         n.cast("long").alias("n_rows"),
         (sx / n).alias("mean_qty"),
         F.sqrt(var_x).alias("stddev_qty"),
-        (
-            (sxy - sx * sy / n)
-            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        F.try_divide(
+            sxy - sx * sy / n,
+            F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n),
         ).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
 
@@ -638,7 +643,11 @@ def q64_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sxy"),
     )
     n, sx, sxx, sy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "sxy"))
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # try_divide (r13 division audit): a group with CONSTANT x (every
+    # line the same quantity — legal) zeroes n·sxx − sx² and ANSI
+    # would abort; the slope is undefined there => NULL, matching
+    # DuckDB's native double division-by-zero NULL.
+    slope = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
     return s.select(
         "l_returnflag",
         n.cast("long").alias("n_rows"),

@@ -282,19 +282,28 @@ def _collect_pq_init(emb: DataFrame) -> list[list[float]]:
     return [[float(x) for x in r["embedding"]] for r in rows]
 
 
-def _seqfold_sq_np(vmat, off: int, cw):
-    """Sequential left-fold of (v_j − c_j)² over the _SUB dims starting
+def _make_seqfold(sub: int):
+    """Sequential left-fold of (v_j − c_j)² over ``sub`` dims starting
     at ``off``, vectorized across rows. The loop order makes every
     per-row add happen in index order from a 0.0 seed — bitwise the
     engines' list_aggregate / F.aggregate fold, which numpy's pairwise
-    ``.sum(axis=1)`` would NOT reproduce."""
+    ``.sum(axis=1)`` would NOT reproduce.
+
+    FACTORY (r13 fix): the fold is built NESTED so the worker stages
+    that call it pickle it BY VALUE — a module-level function would be
+    pickled by reference to this package, which does not exist on the
+    driver's Python workers (the round-4 vanilla-session lesson; found
+    again here by the r13 gate-window vanilla drive)."""
     import numpy as _np
 
-    acc = _np.zeros(vmat.shape[0], dtype=_np.float64)
-    for j in range(_SUB):
-        d = vmat[:, off + j] - cw[j]
-        acc = acc + d * d
-    return acc
+    def seqfold(vmat, off: int, cw):
+        acc = _np.zeros(vmat.shape[0], dtype=_np.float64)
+        for j in range(sub):
+            d = vmat[:, off + j] - cw[j]
+            acc = acc + d * d
+        return acc
+
+    return seqfold
 
 
 def _pq_stats_stage(init_books: list[list[list[float]]]):
@@ -309,6 +318,7 @@ def _pq_stats_stage(init_books: list[list[list[float]]]):
 
     books = [_np.array(b, dtype=_np.float64) for b in init_books]
     tscale = float(_TSCALE)
+    seqfold = _make_seqfold(_SUB)  # nested => pickled by value
 
     def stage(batches):
         for pdf in batches:
@@ -322,7 +332,7 @@ def _pq_stats_stage(init_books: list[list[list[float]]]):
                 off = t * _SUB
                 dists = _np.empty((vmat.shape[0], _K), dtype=_np.float64)
                 for k in range(_K):
-                    dists[:, k] = _seqfold_sq_np(vmat, off, books[t][k])
+                    dists[:, k] = seqfold(vmat, off, books[t][k])
                 assign = _np.argmin(dists, axis=1)  # first min == oracle
                 sv = _np.floor(
                     vmat[:, off : off + _SUB] * tscale
@@ -406,6 +416,7 @@ def _pq_encode_stage(tbooks: list[list[list[float]]], qv: list[float]):
     import pandas as _pd
 
     books = [_np.array(b, dtype=_np.float64) for b in tbooks]
+    seqfold = _make_seqfold(_SUB)  # nested => pickled by value
     luts = []
     for t in range(_M):
         off = t * _SUB
@@ -430,7 +441,7 @@ def _pq_encode_stage(tbooks: list[list[list[float]]], qv: list[float]):
                 off = t * _SUB
                 dists = _np.empty((vmat.shape[0], _K), dtype=_np.float64)
                 for k in range(_K):
-                    dists[:, k] = _seqfold_sq_np(vmat, off, books[t][k])
+                    dists[:, k] = seqfold(vmat, off, books[t][k])
                 codes.append(_np.argmin(dists, axis=1))
             adc = luts[0][codes[0]]
             for t in range(1, _M):  # left-assoc, the oracle's text order

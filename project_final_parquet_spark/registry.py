@@ -396,7 +396,65 @@ ROUND13_QUEUE: list[str] = [
     "dq_completeness_profile",
 ]
 
-# Round-12 window (positions 1-50):
+# Names registered after the round-13 gate window freezes: position 51+
+# this round, leading the round-14 rotation. Grows as round-13 operators
+# land; tests/test_registry_lint.py asserts it exactly equals the set of
+# registered queries with no driver evidence that are outside the window.
+ROUND14_QUEUE: list[str] = []
+
+# Round-13 window (positions 1-50):
+#   1-18  ROUND13_QUEUE verbatim — every round-12 in-round addition
+#         (the nonparametric/robust-stats tier, the sharded-IVF triad,
+#         NTILE/NTH_VALUE SQL, Laspeyres index, completeness profile),
+#         all re-verified oracle-green by the r12 judge, never
+#         driver-gated. After this round the driver union r1..r13
+#         covers the whole registry as of the r13 freeze (437/437).
+#   19-37 freshness re-gates, oldest driver evidence first: the 19
+#         youngest round-4 rows (round-4-window order) — the last
+#         round-4 evidence anywhere in the ledger.
+#   38-50 the 13 oldest round-5 rows (round-5-window order; the other
+#         37 round-5 rows remain for round 14's refill slots).
+# tests/test_registry_lint.py::test_round13_window_leads_with_queue
+# asserts all of this mechanically.
+_GATE_FIRST = [
+    *ROUND13_QUEUE,
+    # round-4 evidence (19 youngest — last r4 rows in the ledger)
+    "events_ewma",
+    "q68_revenue_mom_change",
+    "embeddings_norm_audit",
+    "q69_variant_shred",
+    "src_federated_union",
+    "bootstrap_token_stats",
+    "sim_pq_trained",
+    "dedup_semantic",
+    "src_bucketed_join",
+    "sample_weighted_reservoir",
+    "snapshot_diff",
+    "stream_custom_state",
+    "mm_real_decode_stats",
+    "q1_pricing_summary",
+    "dedup_exact",
+    "dedup_near_minhash_lsh",
+    "sim_topk_cosine",
+    "ml_kmeans",
+    "enc_roundtrip_agg",
+    # round-5 evidence (13 oldest, round-5 window order)
+    "sample_temperature_mix",
+    "events_funnel_windowed",
+    "cdc_merge_on_read",
+    "text_tfidf_topterms",
+    "embeddings_dim_stats",
+    "events_user_path_topk",
+    "dq_freshness_by_type",
+    "text_cooccurrence_lift",
+    "sim_knn_graph",
+    "layout_compaction_plan",
+    "text_quality_gate",
+    "embeddings_top_eigenvector",
+    "q70_recursive_org_rollup",
+]
+
+# Round-12 window (positions 1-50), kept for the ledger:
 #   1-15  ROUND12_QUEUE verbatim — every round-11 in-round addition
 #         (the corpus-adaptive IVF triad, NDCG/MCC/DeLong-CI retrieval
 #         and classifier eval, priority sampling, KS drift, bootstrap
@@ -410,9 +468,7 @@ ROUND13_QUEUE: list[str] = [
 #   20-50 freshness re-gates, oldest remaining driver evidence: the 31
 #         oldest round-4 rows, in round-4-window order (the 19 youngest
 #         round-4 rows remain for round 13's refill slots).
-# tests/test_registry_lint.py::test_round12_window_leads_with_queue
-# asserts all of this mechanically.
-_GATE_FIRST = [
+_R12_GATE_FIRST = [
     *ROUND12_QUEUE,
     # round-3 evidence (the 4 youngest — last r3 rows in the ledger)
     "sample_negatives",

@@ -7,10 +7,10 @@ gate at least as strict as the driver on output shape:
 
 - no registered query emits an Array/Map/Struct output column
 - every registered query has a docstring; no oracle table typos
-- the round-12 gate window (first 50 of ``_GATE_FIRST``) leads with the
-  ROUND12_QUEUE verbatim and spends every refill slot on the oldest
-  remaining driver evidence (the last 4 round-3 names, then the oldest
-  round-4 names, in their original window order)
+- the round-13 gate window (first 50 of ``_GATE_FIRST``) leads with the
+  ROUND13_QUEUE verbatim and spends every refill slot on the oldest
+  remaining driver evidence (the last 19 round-4 names, then the oldest
+  round-5 names, in their original window order)
 - the registry docstring's eager-at-construction contract note names
   every query whose module-local call graph reaches localCheckpoint
 """
@@ -31,8 +31,8 @@ from project_final_parquet_spark.registry import (
     _GATE_FIRST,
     _load_all,
     _REGISTRY,
-    ROUND12_QUEUE,
     ROUND13_QUEUE,
+    ROUND14_QUEUE,
 )
 
 
@@ -73,44 +73,44 @@ def _latest_green(max_round: int | None = None) -> dict[str, int]:
     return latest
 
 
-def test_round12_window_leads_with_queue():
-    """The round-12 rotation contract, asserted mechanically:
+def test_round13_window_leads_with_queue():
+    """The round-13 rotation contract, asserted mechanically:
 
-    - positions 1-15 are ROUND12_QUEUE verbatim (the round-11 in-round
+    - positions 1-18 are ROUND13_QUEUE verbatim (the round-12 in-round
       additions, never driver-gated) — after this round the driver
-      union r1..r12 covers every pre-freeze registration (419/419);
-    - every never-driver-gated query (vs CORRECTNESS_r01..r11) is
-      either in the window or a declared post-freeze ROUND13_QUEUE
-      name, and ROUND13_QUEUE contains nothing else;
-    - refill slots re-gate the oldest evidence in the ledger: the 4
-      remaining round-3 rows first, then only round-4 rows (nothing
-      fresher), and no round-1/round-2/round-3-outside-window evidence
-      remains anywhere after this window runs.
+      union r1..r13 covers every pre-freeze registration (437/437);
+    - every never-driver-gated query (vs CORRECTNESS_r01..r12) is
+      either in the window or a declared post-freeze ROUND14_QUEUE
+      name, and ROUND14_QUEUE contains nothing else;
+    - refill slots re-gate the oldest evidence in the ledger: the 19
+      remaining round-4 rows first, then only round-5 rows (nothing
+      fresher), and no round-1/2/3-evidence rows remain anywhere in
+      the ledger after this window runs.
     """
     _load_all()
-    latest_green = _latest_green(max_round=11)
+    latest_green = _latest_green(max_round=12)
     window = _GATE_FIRST[:50]
     assert len(window) == len(set(window)) == 50
-    assert window[: len(ROUND12_QUEUE)] == ROUND12_QUEUE
+    assert window[: len(ROUND13_QUEUE)] == ROUND13_QUEUE
     never_gated = {n for n in _REGISTRY if n not in latest_green}
-    assert set(ROUND13_QUEUE) == never_gated - set(window), (
-        "ROUND13_QUEUE must be exactly the never-driver-gated "
-        "registrations outside the round-12 window"
+    assert set(ROUND14_QUEUE) == never_gated - set(window), (
+        "ROUND14_QUEUE must be exactly the never-driver-gated "
+        "registrations outside the round-13 window"
     )
-    refills = window[len(ROUND12_QUEUE):]
-    # the 4 round-3 stragglers lead the refills; everything after them
-    # carries round-4 evidence (the oldest remaining tier)
-    r3 = [n for n in refills if latest_green[n] == 3]
-    assert refills[: len(r3)] == r3 and len(r3) == 4, (
-        "the last 4 round-3 evidence rows must lead the refill slots"
+    refills = window[len(ROUND13_QUEUE):]
+    # the 19 round-4 stragglers lead the refills; everything after them
+    # carries round-5 evidence (the oldest remaining tier)
+    r4 = [n for n in refills if latest_green[n] == 4]
+    assert refills[: len(r4)] == r4 and len(r4) == 19, (
+        "the last 19 round-4 evidence rows must lead the refill slots"
     )
-    fresh = {n: latest_green[n] for n in refills if latest_green[n] > 4}
+    fresh = {n: latest_green[n] for n in refills if latest_green[n] > 5}
     assert not fresh, f"refill slots wasted on fresh evidence: {fresh}"
-    # no r1/r2-only names remain anywhere in the ledger
+    # no r1/r2/r3-only names remain anywhere in the ledger
     leftover = {
         n
         for n, rnd in latest_green.items()
-        if rnd <= 2 and n in _REGISTRY
+        if rnd <= 3 and n in _REGISTRY
     }
     assert leftover == set(), leftover
 
