@@ -433,6 +433,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # families + their shared-name deltas ride the FINAL contract
+        # line (VERDICT r12 item 8: they must parse from the recorded
+        # BENCH tail; extra keys are contract-safe, and the degrade
+        # loop below makes room by dropping rotated query detail).
+        "families": None,  # filled after the subtotal pass below
     }
 
     # per-family subtotals (VERDICT r11 item 7): the headline total now
@@ -446,7 +451,10 @@ def main() -> None:
             _key = "sql"
         families[_key] = round(families.get(_key, 0.0) + _sec, 3)
     families = dict(sorted(families.items()))
-    # own EARLIER line: informative in the captured tail when space
+    # 1-decimal on the FINAL line (full precision stays on the earlier
+    # line + last_run.json): ~100B saved = ~10 more query details kept
+    out["families"] = {k: round(v, 1) for k, v in families.items()}
+    # own EARLIER line too: informative in the captured tail when space
     # allows, never at the expense of the parseable final line
     print(json.dumps({"families": families}, separators=(",", ":")))
 
@@ -458,6 +466,23 @@ def main() -> None:
             name: round(sec - prev_q[name], 3)
             for name, sec in timings.items()
             if name in prev_q
+        }
+        # per-family delta over SHARED names only (VERDICT r12 item 8):
+        # the attributable drift map, small enough for the final line
+        fam_delta: dict[str, float] = {}
+        for name, sec in timings.items():
+            if name not in prev_q:
+                continue
+            _k = name.split("_", 1)[0]
+            if _k[:1] == "q" and _k[1:].isdigit():
+                _k = "sql"
+            fam_delta[_k] = round(
+                fam_delta.get(_k, 0.0) + (sec - prev_q[name]), 3
+            )
+        deltas["families_delta_vs_prev"] = dict(sorted(fam_delta.items()))
+        out["families_delta_vs_prev"] = {
+            k: round(v, 1)
+            for k, v in deltas["families_delta_vs_prev"].items()
         }
         # total delta over the INTERSECTION of query sets, so adding new
         # headline queries doesn't read as a regression

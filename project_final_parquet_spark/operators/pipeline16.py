@@ -136,9 +136,12 @@ def dq_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n1",
             "n2",
             F.col("d_num").cast("long").alias("d_num"),
-            (
-                F.col("d_num").cast("double")
-                / (F.col("n1") * F.col("n2"))
+            # try_divide (r13 division audit): an absent source
+            # (n1 or n2 = 0 — legal) zeroes n1·n2; D is undefined
+            # there => NULL (DuckDB double /0 is natively NULL).
+            F.try_divide(
+                F.col("d_num").cast("double"),
+                F.col("n1") * F.col("n2"),
             ).alias("ks_stat"),
             F.col("v").cast("long").alias("at_value"),
         )

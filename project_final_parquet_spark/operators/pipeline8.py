@@ -134,12 +134,19 @@ def events_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ssb = sb - s_ * (s_ / n)
     ssw = ss - sb
+    # try_divide (r13 division audit): a single-dow corpus (k = 1), a
+    # one-day-per-dow corpus (n = k), or zero within-group variance
+    # (ssw = 0 — every dow's days identical) are all legal and zero a
+    # denominator; F is undefined there => NULL, matching DuckDB's
+    # native double division-by-zero NULL.
     return tot.select(
         n.alias("n_days"),
         k.alias("k_groups"),
         ssb.alias("ss_between"),
         ssw.alias("ss_within"),
-        ((ssb / (k - 1)) / (ssw / (n - k))).alias("f_stat"),
+        F.try_divide(
+            F.try_divide(ssb, k - 1), F.try_divide(ssw, n - k)
+        ).alias("f_stat"),
     )
 
 

@@ -1,9 +1,9 @@
 """Full-registry scale sweep: run EVERY registered query at a given SF.
 
-The bench harness times the 43 HEADLINE queries; this tool executes the
-whole registry (212 queries) through the noop sink at an arbitrary SF
-dir — by default sf0.1, 10x the correctness-gate scale — and prints a
-per-query timing table plus the slowest N. Purpose: catch a
+The bench harness times the HEADLINE queries; this tool executes the
+whole registry through the noop sink at an arbitrary SF dir — by
+default sf0.1, 10x the correctness-gate scale — and prints a per-query
+timing table plus the slowest N. Purpose: catch a
 non-headline query whose plan degrades super-linearly with data size
 (e.g. an accidental unpartitioned window or a candidate blow-up) BEFORE
 it matters, and record full-surface evidence that the engine's entire
@@ -36,16 +36,39 @@ def main() -> None:
     spark = get_spark(app_name="sweep_registry")
     queries = all_queries()
 
-    # warm-up outside the measured window
-    queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Warm-up outside the measured window (VERDICT r12 item 5: the r12
+    # sweep charged position 1 the whole session's codegen/JIT warm-up —
+    # sim_ivf_adaptive read 16.5 s in-sweep vs 2-3 s isolated). One
+    # aggregation plan alone does not warm enough of the stack, so run
+    # a representative trio: whole-stage-codegen agg + sort, a
+    # broadcast-join + window, and a Python-worker (pandas UDF) plan so
+    # the worker pool and Arrow path are live before timing starts.
+    for warm in ("q1_pricing_summary", "q7_top3_orders_per_customer",
+                 "embeddings_dim_stats"):
+        if warm in queries:
+            queries[warm](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+    def _isolate() -> None:
+        # bench.py's isolation verbatim: leftover localCheckpoint
+        # blocks pile up across a long run and tax late queries with
+        # GC/memory pressure (graph_pagerank 14.5 s mid-suite vs 6.4 s
+        # isolated); clearCache + deterministic unpersist + a JVM full
+        # GC before each timed query keeps readings honest.
+        gc.collect()
+        spark.catalog.clearCache()
+        try:
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+            spark._jvm.System.gc()
+        except Exception:
+            pass  # private API; isolation degrades gracefully
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in queries.items():
-        gc.collect()
-        spark.catalog.clearCache()
+        _isolate()
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
