@@ -334,6 +334,15 @@ HEADLINE = [
     "sim_ivf_sharded_recall",
     "orders_laspeyres_price_index",
     "dq_completeness_profile",
+    # round-13 additions: trend/randomness tests, robust shape,
+    # dispersion, index numbers, embedding-geometry audit, GROUP BY ALL
+    "orders_mann_kendall_trend",
+    "orders_runs_test_median",
+    "events_bowley_skewness",
+    "events_poisson_dispersion",
+    "orders_paasche_fisher_index",
+    "embeddings_covariance_audit",
+    "q77_group_by_all",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

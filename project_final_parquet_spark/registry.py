@@ -39,6 +39,8 @@ sample_kcenter_coreset, graph_kcore, pipeline_e2e_pretrain,
 graph_degree_assortativity, graph_bridge_edges, graph_wcc_sizes,
 graph_modularity_brands, graph_rich_club, graph_hits_authorities,
 orders_theil_sen_trend (calendar-bounded slope-frame checkpoint),
+embeddings_covariance_audit (dims²-bounded Gram-partials checkpoint —
+9 plan consumers would each replay the scan + mapInPandas),
 pipeline_e2e_rag,
 and the corpus-adaptive LSH family
 (sim_range_search_adaptive, sim_pair_margin_adaptive,
@@ -400,7 +402,15 @@ ROUND13_QUEUE: list[str] = [
 # this round, leading the round-14 rotation. Grows as round-13 operators
 # land; tests/test_registry_lint.py asserts it exactly equals the set of
 # registered queries with no driver evidence that are outside the window.
-ROUND14_QUEUE: list[str] = []
+ROUND14_QUEUE: list[str] = [
+    "orders_mann_kendall_trend",
+    "orders_runs_test_median",
+    "events_bowley_skewness",
+    "events_poisson_dispersion",
+    "orders_paasche_fisher_index",
+    "embeddings_covariance_audit",
+    "q77_group_by_all",
+]
 
 # Round-13 window (positions 1-50):
 #   1-18  ROUND13_QUEUE verbatim — every round-12 in-round addition
@@ -713,6 +723,7 @@ def _load_all() -> None:
         pipeline15,
         pipeline16,
         pipeline17,
+        pipeline18,
         dedup4,
     )
 

@@ -51,7 +51,14 @@ def static_problems() -> list[str]:
                 re.I,
             ):
                 frag = m.group(0)
-                if "DECIMAL" in frag.upper() and "VARCHAR" not in frag.upper():
+                # STRING is the cross-engine alias of the same text
+                # round-trip (q77's shared-text SQL — Spark's parser
+                # rejects bare VARCHAR)
+                if (
+                    "DECIMAL" in frag.upper()
+                    and "VARCHAR" not in frag.upper()
+                    and "STRING" not in frag.upper()
+                ):
                     problems.append(
                         f"{name}: oracle casts a DECIMAL sum directly to "
                         f"DOUBLE (use the DSUM_SQL VARCHAR round-trip): "

@@ -428,6 +428,23 @@ BATTERY17 = [
 ]
 
 
+# --battery18: the round-13 widening batch. Expected shapes: every
+# query aggregates into a DOMAIN-bounded frame before any sort or
+# pair join (calendar days for the trend/runs tests, unit bins for
+# Bowley, (type x day) cells for dispersion, (part x period) for the
+# index family, 2144 Gram partial keys for the covariance audit), so
+# ratios should be flat-to-mild like battery17's.
+BATTERY18 = [
+    "orders_mann_kendall_trend",     # calendar-bounded day-pair join
+    "orders_runs_test_median",       # day-domain rank + lag windows
+    "events_bowley_skewness",        # two-phase 3-quantile selection
+    "events_poisson_dispersion",     # (type x day) cells + |types| agg
+    "orders_paasche_fisher_index",   # Laspeyres frame + 2 more baskets
+    "embeddings_covariance_audit",   # constant-size Gram partials
+    "q77_group_by_all",              # GROUP BY ALL hash aggregate
+]
+
+
 def _stride(spark, name: str) -> int:
     if name == "events_user":
         df = spark.read.parquet(f"{SRC_SF}/events.parquet")
@@ -549,6 +566,8 @@ def main() -> None:
             evo_lake(spark, d)
     if "--battery13" in sys.argv:
         battery = BATTERY13
+    if "--battery18" in sys.argv:
+        battery = BATTERY18
     if "--battery14" in sys.argv:
         battery = BATTERY14
     if "--battery15" in sys.argv:
