@@ -343,6 +343,8 @@ HEADLINE = [
     "orders_paasche_fisher_index",
     "embeddings_covariance_audit",
     "q77_group_by_all",
+    "dq_fd_violation_profile",
+    "text_rake_keyphrases",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -898,3 +898,210 @@ def q77_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p18_lineitem"
     )
     return spark.sql(_Q77_SQL.format(table="p18_lineitem"))
+
+
+# --- functional-dependency violation audit ---------------------------------------
+
+# (table, lhs, rhs) triples under audit: two hard FDs that MUST hold
+# (key-determined) and three soft FDs a curation pipeline watches for
+# drift (a source that starts mixing languages, a brand spanning new
+# types, a segment spreading across nations).
+_FDS = [
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("documents", "source", "lang"),
+    ("part", "p_brand", "p_type"),
+    ("customer", "c_mktsegment", "c_nationkey"),
+]
+
+_FD_ONE_SQL = """
+    SELECT '{table}.{lhs}->{rhs}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_keys,
+           CAST(MAX(k) AS BIGINT) AS max_rhs_per_key
+    FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS k
+          FROM {table} GROUP BY {lhs})
+"""
+
+
+@query(
+    "dq_fd_violation_profile",
+    oracle=" UNION ALL ".join(
+        _FD_ONE_SQL.format(table=t, lhs=l, rhs=r) for t, l, r in _FDS
+    )
+    + " ORDER BY fd",
+)
+def dq_fd_violation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over declared (lhs → rhs) pairs:
+    per FD, the number of lhs keys, how many keys see MORE than one
+    rhs value (violations), and the worst key's rhs fan-out — the
+    schema-semantics DQ check that catches what per-column profiling
+    (profile_table) and referential checks (dq_constraint_checks)
+    cannot: a crawler source that starts mixing languages, a brand
+    spanning new part types, an upstream join that quietly
+    denormalized a key. Hard FDs (key-determined: nation, orders rows
+    here) must report 0 violations; soft FDs are drift monitors whose
+    violation COUNT is the tracked metric.
+
+    Determinism: exact COUNT(DISTINCT) per key (BIGINT), fixed FD
+    label strings, total ORDER BY fd.
+
+    Scale: each FD is one map-side-combinable groupBy(lhs) +
+    count-distinct(rhs) — for low-cardinality rhs the partial
+    aggregation collapses at the mappers; the union is |FDs| rows.
+    No joins, no windows."""
+    frames = []
+    for table, lhs, rhs in _FDS:
+        per_key = (
+            load(spark, sf_dir, table)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).cast("long").alias("k"))
+        )
+        frames.append(
+            per_key.agg(
+                F.lit(f"{table}.{lhs}->{rhs}").alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum(F.when(F.col("k") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating_keys"),
+                F.max("k").cast("long").alias("max_rhs_per_key"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("fd")
+
+
+# --- RAKE keyphrase extraction ----------------------------------------------------
+
+# delimiters: the corpus' function words (plus classic fillers that are
+# harmless no-ops if absent) — RAKE phrases are the maximal runs
+# BETWEEN stopwords/punctuation (Rose et al. 2010)
+_RAKE_STOPS = "the|a|an|of|and|to|in|is|it|for|on|as|at|by|or"
+_RAKE_MAX_WORDS = 4
+_RAKE_TOP = 15
+
+
+@query(
+    "text_rake_keyphrases",
+    oracle=rf"""
+    WITH t AS (
+      SELECT regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]+', '.', 'g'),
+               '\b({_RAKE_STOPS})\b', '.', 'g') AS t3
+      FROM documents
+    ),
+    pinst AS (
+      SELECT phrase FROM (
+        SELECT trim(regexp_replace(
+                 unnest(string_split(t3, '.')), ' +', ' ', 'g')) AS phrase
+        FROM t
+      ) WHERE phrase <> ''
+        AND len(string_split(phrase, ' ')) <= {_RAKE_MAX_WORDS}
+    ),
+    winst AS (
+      SELECT unnest(string_split(phrase, ' ')) AS w,
+             CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen
+      FROM pinst
+    ),
+    wscore AS (
+      SELECT w,
+             CAST(SUM(plen) AS DOUBLE) / COUNT(*) AS score
+      FROM winst GROUP BY w
+    ),
+    phrases AS (
+      SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM pinst GROUP BY phrase
+    ),
+    pw AS (
+      SELECT p.phrase, p.n_occ,
+             unnest(string_split(p.phrase, ' ')) AS w
+      FROM phrases p
+    )
+    SELECT pw.phrase, pw.n_occ,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           {DSUM_SQL.format(expr="ws.score")} AS rake_score
+    FROM pw JOIN wscore ws ON ws.w = pw.w
+    GROUP BY pw.phrase, pw.n_occ
+    ORDER BY rake_score DESC, phrase LIMIT {_RAKE_TOP}
+    """,
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the document
+    corpus: candidate phrases are the maximal word runs between
+    stopwords/punctuation; each word scores degree/frequency (degree =
+    Σ length of the phrases it appears in — co-occurrence weight;
+    frequency = its occurrence count), and a phrase scores the sum of
+    its words' scores. Top-{TOP} phrases of ≤ {MW} words — the
+    unsupervised keyphrase surface a corpus-exploration / topic-label
+    pipeline runs where TF-IDF (text_tfidf_topterms) returns WORDS,
+    not multi-word concepts. Log-free by construction.
+
+    Determinism: identical tokenization pipeline in both engines
+    (lowercase → punctuation runs → '.', stopword tokens → '.', split
+    on '.', whitespace-collapse + trim); freq/degree are exact BIGINTs
+    so each word score is ONE double division on identical operands;
+    the per-phrase sum of word scores uses the decimal convention
+    (scores bounded by the {MW}-word phrase cap — far inside the
+    safe-magnitude bound); total (score DESC, phrase) order.
+
+    Scale: phrase extraction is map-side regex work; the two rollups
+    shuffle (word) and (phrase) keys — both vocabulary-bounded, far
+    smaller than the corpus; the word-score join probes a broadcast
+    vocabulary frame. No windows, no self-joins."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.lower(F.col("text")).alias("t")
+    )
+    t3 = F.regexp_replace(
+        F.regexp_replace(F.col("t"), "[^a-z0-9 ]+", "."),
+        rf"\b({_RAKE_STOPS})\b",
+        ".",
+    )
+    pinst = (
+        docs.select(F.explode(F.split(t3, "[.]")).alias("raw"))
+        .select(
+            F.trim(F.regexp_replace(F.col("raw"), " +", " ")).alias(
+                "phrase"
+            )
+        )
+        .filter(
+            (F.col("phrase") != "")
+            & (F.size(F.split(F.col("phrase"), " ")) <= _RAKE_MAX_WORDS)
+        )
+    )
+    winst = pinst.select(
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+        F.size(F.split(F.col("phrase"), " ")).cast("long").alias("plen"),
+    )
+    wscore = winst.groupBy("w").agg(
+        (
+            F.sum("plen").cast("double") / F.count(F.lit(1))
+        ).alias("score")
+    )
+    phrases = pinst.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    pw = phrases.select(
+        "phrase",
+        "n_occ",
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+    )
+    return (
+        pw.join(F.broadcast(wscore), "w")
+        .groupBy("phrase", "n_occ")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            dsum(F.col("score")).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(_RAKE_TOP)
+    )
+
+
+text_rake_keyphrases.__doc__ = (
+    text_rake_keyphrases.__doc__
+    .replace("{TOP}", str(_RAKE_TOP))
+    .replace("{MW}", str(_RAKE_MAX_WORDS))
+)

@@ -410,6 +410,8 @@ ROUND14_QUEUE: list[str] = [
     "orders_paasche_fisher_index",
     "embeddings_covariance_audit",
     "q77_group_by_all",
+    "dq_fd_violation_profile",
+    "text_rake_keyphrases",
 ]
 
 # Round-13 window (positions 1-50):

@@ -327,3 +327,74 @@ def test_new_ops_degenerate_constant_series(spark, tmp_path_factory):
     rt = orders_runs_test_median(spark, str(d)).collect()[0]
     assert rt["n_classified"] == 0
     assert rt["z_runs"] is None
+
+
+# --- FD violation profile ----------------------------------------------------------
+
+
+def test_fd_violation_profile_replay(spark):
+    from project_final_parquet_spark.operators.pipeline18 import (
+        _FDS,
+        dq_fd_violation_profile,
+    )
+
+    rows = {r["fd"]: r for r in dq_fd_violation_profile(spark, SF).collect()}
+    assert len(rows) == len(_FDS)
+    for table, lhs, rhs in _FDS:
+        pdf = pd.read_parquet(f"{SF}/{table}.parquet")
+        k = pdf.groupby(lhs)[rhs].nunique()
+        r = rows[f"{table}.{lhs}->{rhs}"]
+        assert r["n_keys"] == len(k)
+        assert r["n_violating_keys"] == int((k > 1).sum())
+        assert r["max_rhs_per_key"] == int(k.max())
+    # the hard (key-determined) FDs must hold on clean data
+    assert rows["nation.n_nationkey->n_regionkey"]["n_violating_keys"] == 0
+    assert rows["orders.o_orderkey->o_custkey"]["n_violating_keys"] == 0
+    # the soft source->lang FD is violated in this corpus by design
+    assert rows["documents.source->lang"]["n_violating_keys"] > 0
+
+
+# --- RAKE keyphrases ------------------------------------------------------------------
+
+
+def test_rake_replay(spark):
+    import re
+
+    from project_final_parquet_spark.operators.pipeline18 import (
+        _RAKE_MAX_WORDS,
+        _RAKE_STOPS,
+        _RAKE_TOP,
+        text_rake_keyphrases,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")["text"]
+    pinst = []
+    for t in docs:
+        t3 = re.sub(rf"\b({_RAKE_STOPS})\b", ".", re.sub(r"[^a-z0-9 ]+", ".", t.lower()))
+        for raw in t3.split("."):
+            phrase = re.sub(" +", " ", raw).strip()
+            if phrase and len(phrase.split(" ")) <= _RAKE_MAX_WORDS:
+                pinst.append(phrase)
+    freq: dict = {}
+    deg: dict = {}
+    for p in pinst:
+        ws = p.split(" ")
+        for w in ws:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(ws)
+    score = {w: deg[w] / freq[w] for w in freq}
+    n_occ: dict = {}
+    for p in pinst:
+        n_occ[p] = n_occ.get(p, 0) + 1
+    cand = [
+        (p, c, len(p.split(" ")), sum(score[w] for w in p.split(" ")))
+        for p, c in n_occ.items()
+    ]
+    cand.sort(key=lambda t: (-t[3], t[0]))
+    got = text_rake_keyphrases(spark, SF).collect()
+    assert len(got) == min(_RAKE_TOP, len(cand))
+    for w, r in zip(cand[:_RAKE_TOP], got):
+        assert r["phrase"] == w[0]
+        assert r["n_occ"] == w[1]
+        assert r["n_words"] == w[2]
+        assert abs(r["rake_score"] - w[3]) < 1e-9

@@ -442,6 +442,8 @@ BATTERY18 = [
     "orders_paasche_fisher_index",   # Laspeyres frame + 2 more baskets
     "embeddings_covariance_audit",   # constant-size Gram partials
     "q77_group_by_all",              # GROUP BY ALL hash aggregate
+    "dq_fd_violation_profile",       # 5 groupBy+countDistinct rollups
+    "text_rake_keyphrases",          # regex map-side + vocab rollups
 ]
 
 
