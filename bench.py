@@ -345,6 +345,15 @@ HEADLINE = [
     "q77_group_by_all",
     "dq_fd_violation_profile",
     "text_rake_keyphrases",
+    # round-13 batch 3: the classical-test tier completion
+    "events_kruskal_wallis",
+    "events_friedman_dow",
+    "events_cochran_armitage_hour",
+    "dq_grubbs_extreme_day",
+    "events_levene_brown_forsythe",
+    "orders_hodges_lehmann",
+    "events_ljung_box",
+    "orders_durbin_watson",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

@@ -45,6 +45,7 @@ from pyspark.sql import Window as W
 
 from ..ckpt import checkpoint
 from ..registry import DSUM_SQL, dsum, query
+from ..registry import OFOLD_SQL, ofold
 from ..tables import load
 
 _DAY_US = 86_400_000_000
@@ -938,12 +939,13 @@ text_hellinger_sources.__doc__ = text_hellinger_sources.__doc__.replace(
       FROM cells
     ),
     chi AS (
-      SELECT {_FSUM_SQL.format(
-          expr="(CAST(c.o AS DOUBLE) "
+      SELECT {OFOLD_SQL.format(
+          term="(CAST(c.o AS DOUBLE) "
                "- (CAST(rt.r AS DOUBLE) / t.n) * ct.col) "
                "* (CAST(c.o AS DOUBLE) "
                "- (CAST(rt.r AS DOUBLE) / t.n) * ct.col) "
-               "/ ((CAST(rt.r AS DOUBLE) / t.n) * ct.col)"
+               "/ ((CAST(rt.r AS DOUBLE) / t.n) * ct.col)",
+          key="c.x, c.y",
       )} AS chi2
       FROM cells c
       JOIN rt ON rt.x = c.x JOIN ct ON ct.y = c.y CROSS JOIN tot t
@@ -965,10 +967,13 @@ def dq_cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: expected counts as the fixed sequence (r/n)·c — one
     division then one product (r·c first could overflow BIGINT and
-    rounds differently); per-cell χ² terms in identical op order;
-    FLOOR-SCALED integer sum (module note — χ² terms grow ~n with the
-    corpus, past the |v| ≳ 1e6 bound where the decimal re-quantization
-    diverges cross-engine); one division + sqrt at the end.
+    rounds differently); per-cell χ² terms in identical op order; the
+    cell sum follows the ORDERED-FOLD convention over the (type, dow)
+    cell key (registry.py — χ² terms grow ~n with the corpus, past
+    BOTH the decimal re-quantization bound AND, at extreme corpus
+    sizes, the floor()→LONG saturation bound the floor-scaled
+    convention carries; the fold has neither, and the cell domain is
+    ≤ types×7); one division + sqrt at the end.
 
     Scale: one map-side groupBy into ≤ types×7 cells; marginals and
     the χ² reduce are rollups of that tiny frame — the only
@@ -997,7 +1002,7 @@ def dq_cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.join(F.broadcast(rt), "x")
         .join(F.broadcast(ct), "y")
         .crossJoin(F.broadcast(tot))
-        .agg(_fsum(term).alias("chi2"))
+        .agg(ofold(term, F.col("x"), F.col("y")).alias("chi2"))
     )
     v = F.sqrt(
         F.col("chi2")

@@ -39,6 +39,8 @@ sample_kcenter_coreset, graph_kcore, pipeline_e2e_pretrain,
 graph_degree_assortativity, graph_bridge_edges, graph_wcc_sizes,
 graph_modularity_brands, graph_rich_club, graph_hits_authorities,
 orders_theil_sen_trend (calendar-bounded slope-frame checkpoint),
+orders_hodges_lehmann (calendar-bounded Walsh-pair-frame checkpoint,
+the same two-phase-median shape),
 embeddings_covariance_audit (dims²-bounded Gram-partials checkpoint —
 9 plan consumers would each replay the scan + mapInPandas),
 pipeline_e2e_rag,
@@ -412,6 +414,14 @@ ROUND14_QUEUE: list[str] = [
     "q77_group_by_all",
     "dq_fd_violation_profile",
     "text_rake_keyphrases",
+    "events_kruskal_wallis",
+    "events_friedman_dow",
+    "events_cochran_armitage_hour",
+    "dq_grubbs_extreme_day",
+    "events_levene_brown_forsythe",
+    "orders_hodges_lehmann",
+    "events_ljung_box",
+    "orders_durbin_watson",
 ]
 
 # Round-13 window (positions 1-50):
@@ -727,6 +737,7 @@ def _load_all() -> None:
         pipeline17,
         pipeline18,
         dedup4,
+        pipeline19,
     )
 
     _LOADED = True
@@ -746,6 +757,43 @@ def dsum(col):
 # not correctly rounded (verified: 289473120.0300000000 → …03000003), but
 # DECIMAL→VARCHAR→DOUBLE is, and matches Spark's BigDecimal.doubleValue.
 DSUM_SQL = "CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+
+
+# ORDERED-FOLD convention (round 13, pipeline19 module note): the
+# cross-engine-deterministic sum of DOUBLE terms over a BOUNDED key
+# domain (group keys, calendar days, contingency cells). Both engines
+# reduce the key-ordered term list with the same left-to-right IEEE
+# sequence; a cumulative WINDOW sum is NOT portable (DuckDB evaluates
+# windowed SUM by segment tree), and the floor-scaled convention
+# saturates at Spark floor(double)->LONG = 9.2e18. COALESCE NULL terms
+# to 0.0 at call sites (Spark collect_list drops NULLs, DuckDB list()
+# keeps them).
+OFOLD_SQL = (
+    "list_reduce(list_prepend(0.0, list({term} ORDER BY {key})),"
+    " (acc, x) -> acc + x)"
+)
+
+
+def ofold(term, *keys):
+    """Ordered sequential fold of `term` (a double Column) over the
+    ascending (*keys) order — the Spark twin of OFOLD_SQL."""
+    from pyspark.sql import functions as F
+
+    return F.aggregate(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        *[k.alias(f"k{i}") for i, k in enumerate(keys)],
+                        term.alias("t"),
+                    )
+                )
+            ),
+            lambda s: s["t"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def davg(col):

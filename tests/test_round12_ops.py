@@ -301,22 +301,22 @@ def test_hellinger_replay(spark):
 
 def test_cramers_v_replay(spark):
     """Contingency replay at sf0.001 with the same (r/n)·c expected-
-    count op order and the same floor-scaled 1e-6 term quantization
-    (χ² terms scale with the corpus, so they ride the _fsum
-    convention); V bounded in [0, 1]."""
+    count op order and the same ORDERED-FOLD cell-sum order (χ² terms
+    scale with the corpus past both the decimal and the floor-scaled
+    widths, so the cell sum rides the fold convention — registry.py,
+    r13); V bounded in [0, 1]."""
     pdf = _events_pdf()
     x = pdf["event_type"].to_numpy()
     y = ((pdf["ts_us"] // _DAY_US + 3) % 7).to_numpy(np.int64)
     ct = pd.crosstab(pd.Series(x), pd.Series(y))
     n = int(ct.values.sum())
-    fsum = 0
-    for xi in ct.index:
-        for yi in ct.columns:
+    chi2 = 0.0
+    for xi in sorted(ct.index):  # the fold order: (type, dow) asc
+        for yi in sorted(ct.columns):
             o = float(ct.loc[xi, yi])
             e = (float(ct.loc[xi].sum()) / n) * float(ct[yi].sum())
             if e > 0:
-                fsum += math.floor((o - e) * (o - e) / e * 1e6)
-    chi2 = fsum / 1e6
+                chi2 += (o - e) * (o - e) / e
     v = np.sqrt(chi2 / (n * min(ct.shape[0] - 1, ct.shape[1] - 1)))
     r = dq_cramers_v_type_dow(spark, SF).collect()[0]
     assert r["n"] == n

@@ -447,6 +447,25 @@ BATTERY18 = [
 ]
 
 
+# --battery19: the round-13 classical-test batch. Expected shapes:
+# every query reduces map-side into a bounded domain (distinct values
+# for KW, (week x 7) for Friedman, 24 hours for Cochran-Armitage, the
+# calendar for Grubbs/Ljung-Box/Durbin-Watson, unit value bins for the
+# Brown-Forsythe medians, day-pairs for Hodges-Lehmann), so ratios
+# should be flat-to-mild; HL carries the theil_sen-style fixed
+# pair-universe cost.
+BATTERY19 = [
+    "events_kruskal_wallis",         # (type x value) cells + rank cum
+    "events_friedman_dow",           # (week x 7) blocked ranks
+    "events_cochran_armitage_hour",  # 24-row hour domain + 5-agg
+    "dq_grubbs_extreme_day",         # 2 day-domain passes + top-1
+    "events_levene_brown_forsythe",  # two-phase medians + group folds
+    "orders_hodges_lehmann",         # day-pair Walsh frame, two-phase
+    "events_ljung_box",              # one lag window + 8-fold reduce
+    "orders_durbin_watson",          # exact OLS + residual folds
+]
+
+
 def _stride(spark, name: str) -> int:
     if name == "events_user":
         df = spark.read.parquet(f"{SRC_SF}/events.parquet")
@@ -570,6 +589,8 @@ def main() -> None:
         battery = BATTERY13
     if "--battery18" in sys.argv:
         battery = BATTERY18
+    if "--battery19" in sys.argv:
+        battery = BATTERY19
     if "--battery14" in sys.argv:
         battery = BATTERY14
     if "--battery15" in sys.argv:
@@ -590,6 +611,9 @@ def main() -> None:
             dv_lake(spark, d)
             dvc_lake(spark, d)
             bloom_lake(spark, d)
+    if "--only" in sys.argv:
+        keep = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        battery = [n for n in battery if n in keep]
     results: dict[str, dict[str, float]] = {}
     for name in battery:
         results[name] = {}
@@ -615,7 +639,11 @@ def main() -> None:
         )
     if "--json" in sys.argv:
         out = sys.argv[sys.argv.index("--json") + 1]
-        Path(out).write_text(json.dumps(results, indent=1))
+        merged: dict[str, dict[str, float]] = {}
+        if "--only" in sys.argv and Path(out).exists():
+            merged = json.loads(Path(out).read_text())  # subset runs merge
+        merged.update(results)
+        Path(out).write_text(json.dumps(merged, indent=1))
 
 
 if __name__ == "__main__":
