@@ -354,6 +354,12 @@ HEADLINE = [
     "orders_hodges_lehmann",
     "events_ljung_box",
     "orders_durbin_watson",
+    # round-13 batch 4: the effect-size / scale-test tier
+    "events_mood_median_test",
+    "events_cliffs_delta",
+    "orders_page_trend_test",
+    "events_brunner_munzel",
+    "orders_sen_slope_ci",
 ]
 
 # The driver keeps the last 2000 bytes of stdout; leave headroom for

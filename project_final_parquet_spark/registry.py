@@ -41,6 +41,8 @@ graph_modularity_brands, graph_rich_club, graph_hits_authorities,
 orders_theil_sen_trend (calendar-bounded slope-frame checkpoint),
 orders_hodges_lehmann (calendar-bounded Walsh-pair-frame checkpoint,
 the same two-phase-median shape),
+orders_sen_slope_ci (the same slope-frame checkpoint as
+orders_theil_sen_trend),
 embeddings_covariance_audit (dims²-bounded Gram-partials checkpoint —
 9 plan consumers would each replay the scan + mapInPandas),
 pipeline_e2e_rag,
@@ -422,6 +424,11 @@ ROUND14_QUEUE: list[str] = [
     "orders_hodges_lehmann",
     "events_ljung_box",
     "orders_durbin_watson",
+    "events_mood_median_test",
+    "events_cliffs_delta",
+    "orders_page_trend_test",
+    "events_brunner_munzel",
+    "orders_sen_slope_ci",
 ]
 
 # Round-13 window (positions 1-50):
@@ -738,6 +745,7 @@ def _load_all() -> None:
         pipeline18,
         dedup4,
         pipeline19,
+        pipeline20,
     )
 
     _LOADED = True

@@ -466,6 +466,20 @@ BATTERY19 = [
 ]
 
 
+# --battery20: the round-13 effect-size / scale-test batch. Same
+# expected shapes as battery19: bounded domains (global value bins for
+# the Mood median, distinct-value cells for Cliff's delta and
+# Brunner-Munzel, the (week x 7) grid for Page, the day-pair slope
+# frame for the Sen CI).
+BATTERY20 = [
+    "events_mood_median_test",       # global two-phase median + k-fold
+    "events_cliffs_delta",           # value-domain contingency windows
+    "orders_page_trend_test",        # (week x 7) blocked mid-ranks
+    "events_brunner_munzel",         # 3 windows + 2 folds on values
+    "orders_sen_slope_ci",           # pair frame + two-phase 2 ranks
+]
+
+
 def _stride(spark, name: str) -> int:
     if name == "events_user":
         df = spark.read.parquet(f"{SRC_SF}/events.parquet")
@@ -591,6 +605,8 @@ def main() -> None:
         battery = BATTERY18
     if "--battery19" in sys.argv:
         battery = BATTERY19
+    if "--battery20" in sys.argv:
+        battery = BATTERY20
     if "--battery14" in sys.argv:
         battery = BATTERY14
     if "--battery15" in sys.argv:
