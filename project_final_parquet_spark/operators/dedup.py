@@ -463,30 +463,48 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def _cc_round(
+    edges: DataFrame, labels: DataFrame, carry_prev: bool = False
+) -> DataFrame:
     """One pointer-doubling round: hop one edge, then jump
-    label := min(label, label(label)). Returns a checkpointed frame."""
+    label := min(label, label(label)). Returns a checkpointed frame.
+
+    ``carry_prev`` additionally carries the round's INPUT label as a
+    ``prev`` column, so the convergence probe is a filter over the
+    already-checkpointed output blocks instead of a join of two label
+    frames (optimization r13 — one fewer shuffle join + job per round;
+    the label values themselves are untouched)."""
     neighbor_min = (
-        edges.join(labels.withColumnRenamed("u", "v"), "v")
+        edges.join(labels.select("u", "label").withColumnRenamed("u", "v"), "v")
         .groupBy("u")
         .agg(F.min("label").alias("nlabel"))
     )
-    hopped = labels.join(neighbor_min, "u", "left").select(
-        "u",
+    hop_cols = [
+        F.col("u"),
         F.least(
             F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
         ).alias("label"),
-    )
+    ]
+    if carry_prev:
+        hop_cols.append(F.col("label").alias("prev"))
+    hopped = labels.select("u", "label").join(
+        neighbor_min, "u", "left"
+    ).select(*hop_cols)
     via = hopped.select(
         F.col("u").alias("lbl_node"), F.col("label").alias("lbl_label")
     )
+    out_cols = [
+        F.col("u"),
+        F.least(
+            F.col("label"),
+            F.coalesce(F.col("lbl_label"), F.col("label")),
+        ).alias("label"),
+    ]
+    if carry_prev:
+        out_cols.append(F.col("prev"))
     return checkpoint(
         hopped.join(via, hopped.label == via.lbl_node, "left").select(
-            "u",
-            F.least(
-                F.col("label"),
-                F.coalesce(F.col("lbl_label"), F.col("label")),
-            ).alias("label"),
+            *out_cols
         )
     )
 
@@ -519,26 +537,26 @@ def connected_components_converged(
     ``max_iters`` (pointer doubling ⇒ diameter 2^max_iters; 32 covers any
     graph that fits on disk). Returns (labels, rounds_executed).
 
-    The per-round convergence probe is one anti-join count over the
-    (small, checkpointed) label frame — negligible next to the round's
-    edge joins at any scale, and what prevents the fixed-iteration
-    variant's silent-split failure mode on diameter > 2^iters graphs."""
+    The per-round convergence probe is a filter over the round's OWN
+    checkpointed output (each round carries its input label as ``prev``
+    — optimization r13; previously a join of consecutive label frames,
+    one extra shuffle join + job per round) — negligible next to the
+    round's edge joins at any scale, and what prevents the fixed-
+    iteration variant's silent-split failure mode on diameter > 2^iters
+    graphs."""
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     rounds = 0
     for _ in range(max_iters):
-        new_labels = _cc_round(edges, labels)
+        new_labels = _cc_round(edges, labels, carry_prev=True)
         rounds += 1
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-        )
-        converged = changed.isEmpty()
+        converged = new_labels.filter(
+            F.col("label") != F.col("prev")
+        ).isEmpty()
         release(labels)  # round N-1 superseded (probe above consumed it)
         labels = new_labels
         if converged:
             break
-    return labels, rounds
+    return labels.select("u", "label"), rounds
 
 
 # --- blocked n-gram Jaccard ------------------------------------------------

@@ -155,15 +155,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("cid_b"),
         F.col("nrm").alias("nb"),
     )
-    cosine = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    pairs = (
+    # vectorized pair-cosine kernel (vecmath.py, optimization r13)
+    from .vecmath import with_pair_cosine
+
+    pairs = with_pair_cosine(
         a.join(
             b,
             (a.cluster == b.cid_b) & (F.col("dup_of") < F.col("vec_id")),
-        )
-        .select("vec_id", "cluster", "dup_of", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= _TAU)
-    )
+        ),
+        keep=["vec_id", "cluster", "dup_of"],
+    ).filter(F.col("cosine") >= _TAU)
     wb = Window.partitionBy("vec_id").orderBy("dup_of")
     return (
         pairs.withColumn("rn", F.row_number().over(wb))

@@ -218,10 +218,19 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-ranking: exact cosine top-24
     shortlist vs the vec_id=0 query, then greedy k=8 picks maximizing
     0.75·rel − 0.25·max-sim-to-selected (tie → lower vec_id). The
-    corpus-scale step is the TakeOrdered shortlist; shortlist + m×m
-    pair sims are localCheckpointed once and the 8 greedy steps run
-    over those 24-row frames (executes at construction — see the
-    registry iterative-query contract note)."""
+    corpus-scale step is the TakeOrdered shortlist; the greedy runs
+    DRIVER-SIDE over the collected m=24-row shortlist (executes at
+    construction — see the registry driver-side-state contract note,
+    the ml_kmeans centroid precedent): the shortlist is CONSTANT-sized
+    at any corpus scale, and the old per-pick Spark loop was pure job
+    latency — measured 10.0 s / 44 jobs at sf0.1 vs ~1 s for the same
+    arithmetic in the driver (optimization r13, guide §1.2 step 1:
+    7×3 scheduled jobs over 24-row frames was the wrong distributed
+    algorithm for a constant-size greedy). Bit-equality is preserved:
+    the Python greedy replays the identical IEEE left-fold dot /
+    norm / 0.75·rel − 0.25·maxsim arithmetic (Python floats ARE IEEE
+    binary64, each op correctly rounded exactly like the JVM), and the
+    oracle twin is untouched — the gate hash-checks it."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"), _norm(F.col("embedding")).alias("nq")
@@ -229,79 +238,70 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = _dot(F.col("embedding"), F.col("qv")) / (
         _norm(F.col("embedding")) * F.col("nq")
     )
-    sl = checkpoint(
+    sl_rows = (
         emb.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != 0)
-        .select(
-            "vec_id",
-            "embedding",
-            _norm(F.col("embedding")).alias("nv"),
-            rel.alias("rel"),
-        )
+        .select("vec_id", "embedding", rel.alias("rel"))
         .orderBy(F.desc("rel"), "vec_id")
         .limit(_MMR_M)
+        .collect()
     )
-    a = sl.select(
-        F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
-        F.col("nv").alias("na"),
-    )
-    b = sl.select(
-        F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"),
-        F.col("nv").alias("nb"),
-    )
-    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    # m×m shortlist sim matrix: the nested-loop join is intentional and
-    # bounded by m=24 rows per side, never the corpus.
-    pairs = checkpoint(
-        a.join(b, F.col("va") != F.col("vb")).select(
-            "va", "vb", sim.alias("sim")
-        )
-    )
+    picked = _driver_mmr(sl_rows, _MMR_K)
+    return spark.createDataFrame(
+        picked, "pick_order long, vec_id long, mmr_score double"
+    ).orderBy("pick_order")
 
-    lam, oml = F.lit(float(_LAM)), F.lit(float(_ONE_MINUS_LAM))
-    first = checkpoint(
-        sl.select("vec_id", (lam * F.col("rel")).alias("mmr_score"))
-        .orderBy(F.desc("mmr_score"), "vec_id")
-        .limit(1)
-        .withColumn("pick_order", F.lit(1).cast("long"))
-    )
-    picks = [first]
-    picked_ids = first.select("vec_id")
-    for i in range(2, _MMR_K + 1):
-        maxsim = (
-            pairs.join(
-                picked_ids.withColumnRenamed("vec_id", "vb"), "vb"
-            )
-            .groupBy("va")
-            .agg(F.max("sim").alias("maxsim"))
-        )
-        cand = sl.join(picked_ids, "vec_id", "left_anti")
-        p = checkpoint(
-            cand.join(maxsim, cand.vec_id == maxsim.va)
-            .select(
-                "vec_id",
-                (lam * F.col("rel") - oml * F.col("maxsim")).alias(
-                    "mmr_score"
-                ),
-            )
-            .orderBy(F.desc("mmr_score"), "vec_id")
-            .limit(1)
-            .withColumn("pick_order", F.lit(i).cast("long"))
-        )
-        picks.append(p)
-        picked_ids = picked_ids.union(p.select("vec_id"))
 
-    # the greedy is done: only the 1-row pick checkpoints back the
-    # returned union — the shortlist and sim matrix are superseded
-    release(sl, pairs)
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.union(p)
-    return out.select("pick_order", "vec_id", "mmr_score").orderBy(
-        "pick_order"
-    )
+def _driver_mmr(sl_rows, k: int) -> list[tuple[int, int, float]]:
+    """Greedy MMR over a collected constant-size shortlist — the exact
+    IEEE arithmetic of the old per-pick Spark loop (left-fold dot,
+    correctly-rounded sqrt/mul/sub, max over picked sims, tie → lower
+    vec_id), replayed in the driver. Rows carry (vec_id, embedding,
+    rel)."""
+    import math
+
+    ids = [r["vec_id"] for r in sl_rows]
+    rels = {r["vec_id"]: r["rel"] for r in sl_rows}
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in sl_rows}
+
+    def _pydot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y  # the zip_with/aggregate left fold
+        return acc
+
+    norms = {v: math.sqrt(_pydot(vecs[v], vecs[v])) for v in ids}
+    sims = {
+        (va, vb): _pydot(vecs[va], vecs[vb]) / (norms[va] * norms[vb])
+        for va in ids
+        for vb in ids
+        if va != vb
+    }
+
+    lam, oml = float(_LAM), float(_ONE_MINUS_LAM)
+    picked: list[tuple[int, int, float]] = []  # (pick_order, vec_id, score)
+    picked_ids: list[int] = []
+    for i in range(1, k + 1):
+        best = None
+        for v in ids:
+            if v in picked_ids:
+                continue
+            if i == 1:
+                score = lam * rels[v]
+            else:
+                score = lam * rels[v] - oml * max(
+                    sims[(v, p)] for p in picked_ids
+                )
+            # tie → lower vec_id (the ORDER BY mmr_score DESC, vec_id)
+            if best is None or score > best[1] or (
+                score == best[1] and v < best[0]
+            ):
+                best = (v, score)
+        if best is None:
+            break
+        picked.append((i, best[0], best[1]))
+        picked_ids.append(best[0])
+    return picked
 
 
 # --- k-center coreset selection ---------------------------------------------
@@ -561,77 +561,25 @@ def pipeline_e2e_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
     and λ arithmetic, the shared fold for every dot/norm — identical
     in DuckDB's unrolled greedy (MATERIALIZED chained CTEs, as
     sim_mmr_diversify's oracle)."""
-    fused = checkpoint(sim_hybrid_rrf(spark, sf_dir))
     emb = load(spark, sf_dir, "embeddings")
     # the MMR slate is the fused top-15 RESTRICTED to docs that have an
     # embedding row (lexical-only BM25 hits have no vector to diversify
-    # against) — the oracle's sl CTE applies the same join explicitly
-    sl = checkpoint(
-        fused.select(
+    # against) — the oracle's sl CTE applies the same join explicitly.
+    # ONE action runs the whole BM25+cosine+RRF chain and collects the
+    # constant-size slate; the greedy runs driver-side (the
+    # sim_mmr_diversify shape — was 46 scheduled jobs of 15-row frames,
+    # optimization r13)
+    sl_rows = (
+        sim_hybrid_rrf(spark, sf_dir)
+        .select(
             F.col("doc_id").alias("vec_id"),
             (F.col("rrf_score") * F.lit(30.0)).alias("rel"),
         )
         .join(emb.select("vec_id", "embedding"), "vec_id")
-        .select(
-            "vec_id",
-            "rel",
-            "embedding",
-            _norm(F.col("embedding")).alias("nv"),
-        )
+        .select("vec_id", "rel", "embedding")
+        .collect()
     )
-    a = sl.select(
-        F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
-        F.col("nv").alias("na"),
-    )
-    b = sl.select(
-        F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"),
-        F.col("nv").alias("nb"),
-    )
-    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    # 15×15 slate sim matrix: bounded nested-loop join, never corpus
-    pairs = checkpoint(
-        a.join(b, F.col("va") != F.col("vb")).select(
-            "va", "vb", sim.alias("sim")
-        )
-    )
-    lam, oml = F.lit(float(_LAM)), F.lit(float(_ONE_MINUS_LAM))
-    first = checkpoint(
-        sl.select("vec_id", (lam * F.col("rel")).alias("mmr_score"))
-        .orderBy(F.desc("mmr_score"), "vec_id")
-        .limit(1)
-        .withColumn("pick_order", F.lit(1).cast("long"))
-    )
-    picks = [first]
-    picked_ids = first.select("vec_id")
-    for i in range(2, _RAG_OUT + 1):
-        maxsim = (
-            pairs.join(picked_ids.withColumnRenamed("vec_id", "vb"), "vb")
-            .groupBy("va")
-            .agg(F.max("sim").alias("maxsim"))
-        )
-        cand = sl.join(picked_ids, "vec_id", "left_anti")
-        p = checkpoint(
-            cand.join(maxsim, cand.vec_id == maxsim.va)
-            .select(
-                "vec_id",
-                (lam * F.col("rel") - oml * F.col("maxsim")).alias(
-                    "mmr_score"
-                ),
-            )
-            .orderBy(F.desc("mmr_score"), "vec_id")
-            .limit(1)
-            .withColumn("pick_order", F.lit(i).cast("long"))
-        )
-        picks.append(p)
-        picked_ids = picked_ids.union(p.select("vec_id"))
-    # the greedy is done: only the 1-row pick checkpoints back the
-    # returned union — slate, sim matrix and fused frame are superseded
-    release(fused, sl, pairs)
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.union(p)
-    return out.select(
-        "pick_order", F.col("vec_id").alias("doc_id"), "mmr_score"
+    picked = _driver_mmr(sl_rows, _RAG_OUT)
+    return spark.createDataFrame(
+        picked, "pick_order long, doc_id long, mmr_score double"
     ).orderBy("pick_order")

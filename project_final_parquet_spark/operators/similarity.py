@@ -122,9 +122,12 @@ def sim_pairs_label_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan note: each side's norm is computed ONCE per row before the
     join — O(N·dim) — instead of inside the pair expression —
     O(pairs·dim) (measured at sf0.1: 13.7 s → 5.9 s, bit-identical
-    values since the per-row norm is the same left-fold). The dot stays
-    a HOF fold: unrolling it into 64 explicit products was 3× SLOWER
-    (the 128-deep expression tree defeats codegen)."""
+    values since the per-row norm is the same left-fold). The pair dot
+    itself runs in the vectorized mapInArrow kernel (vecmath.py,
+    optimization r13): Catalyst's interpreted HOF fold was the per-task
+    bottleneck (unrolling it into 64 explicit products was 3× SLOWER —
+    the 128-deep expression tree defeats codegen; the NumPy kernel
+    replays the identical IEEE fold at a fraction of the cost)."""
     emb = load(spark, sf_dir, "embeddings")
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
@@ -138,10 +141,13 @@ def sim_pairs_label_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         _norm(F.col("embedding")).alias("nb"),
     )
-    cosine = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    from .vecmath import with_pair_cosine
+
+    pairs = a.join(
+        b, (a.label == b.label_b) & (F.col("vec_a") < F.col("vec_b"))
+    )
     return (
-        a.join(b, (a.label == b.label_b) & (F.col("vec_a") < F.col("vec_b")))
-        .select("vec_a", "vec_b", "label", cosine.alias("cosine"))
+        with_pair_cosine(pairs, keep=["vec_a", "vec_b", "label"])
         .filter(F.col("cosine") >= 0.35)
         .orderBy("vec_a", "vec_b")
     )

@@ -56,6 +56,7 @@ from .similarity import (
     _norm,
     _plane_coeff,
 )
+from .vecmath import with_pair_cosine
 
 _TARGET_OCC = 32  # expected vectors per bucket the index aims for
 _MAX_PLANES = 24  # oracle literal width; 2^24 buckets ≈ 537M vectors
@@ -217,19 +218,20 @@ def sim_range_search_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    cosine = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    pairs = a.join(
+        b,
+        (F.col("bucket") == F.col("bucket_b"))
+        & (F.col("vec_a") < F.col("vec_b")),
+    )
+    # vectorized pair-cosine kernel (vecmath.py, optimization r13)
     return (
-        a.join(
-            b,
-            (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
+        with_pair_cosine(pairs, keep=["bucket", "vec_a", "vec_b"])
         .select(
             F.lit(k).cast("long").alias("n_planes"),
             F.col("bucket").cast("long").alias("bucket"),
             "vec_a",
             "vec_b",
-            cosine.alias("cosine"),
+            "cosine",
         )
         .filter(F.col("cosine") >= F.expr(_RANGE_TAU))
         .orderBy("vec_a", "vec_b")
@@ -322,17 +324,14 @@ def sim_pair_margin_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
         F.col("bucket").alias("cb"),
     )
-    cosine = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    scored = (
+    pair = (
         _probes(buck, k)
         .join(cand, F.col("cb") == F.col("pb"))
         .filter(F.col("cid") != F.col("anchor"))
-        .select(
-            "anchor",
-            (F.col("clabel") == F.col("anchor_label")).alias("same"),
-            cosine.alias("cosine"),
-        )
+        .withColumn("same", F.col("clabel") == F.col("anchor_label"))
     )
+    # vectorized pair-cosine kernel (vecmath.py, optimization r13)
+    scored = with_pair_cosine(pair, keep=["anchor", "same"])
     per_anchor = scored.groupBy("anchor").agg(
         F.max(F.when(F.col("same"), F.col("cosine"))).alias("pos"),
         F.max(F.when(~F.col("same"), F.col("cosine"))).alias("neg"),
@@ -411,15 +410,12 @@ def ml_knn_purity_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
         F.col("bucket").alias("cb"),
     )
-    cosine = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    scored = (
+    # vectorized pair-cosine kernel (vecmath.py, optimization r13)
+    scored = with_pair_cosine(
         _probes(buck, k)
         .join(cand, F.col("cb") == F.col("pb"))
-        .filter(F.col("nn") != F.col("anchor"))
-        .select(
-            "anchor", "anchor_label", "nn", "nn_label",
-            cosine.alias("cosine"),
-        )
+        .filter(F.col("nn") != F.col("anchor")),
+        keep=["anchor", "anchor_label", "nn", "nn_label"],
     )
     w1 = W.partitionBy("anchor").orderBy(F.desc("cosine"), "nn")
     nn1 = (
@@ -498,18 +494,15 @@ def sample_hard_negatives_adaptive(
         F.col("nrm").alias("nb"),
         F.col("bucket").alias("cb"),
     )
-    cosine = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    scored = (
+    # vectorized pair-cosine kernel (vecmath.py, optimization r13)
+    scored = with_pair_cosine(
         _probes(buck, k)
         .join(cand, F.col("cb") == F.col("pb"))
         .filter(
             (F.col("negative_label") != F.col("anchor_label"))
             & (F.col("negative") != F.col("anchor"))
-        )
-        .select(
-            "anchor", "anchor_label", "negative", "negative_label",
-            cosine.alias("cosine"),
-        )
+        ),
+        keep=["anchor", "anchor_label", "negative", "negative_label"],
     )
     w = W.partitionBy("anchor").orderBy(F.desc("cosine"), "negative")
     return (
@@ -581,16 +574,12 @@ def sim_reciprocal_nn_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
         F.col("bucket").alias("cb"),
     )
-    scored = (
-        probes.join(cand, F.col("cb") == F.col("pb"))
-        .filter(F.col("dst") != F.col("src"))
-        .select(
-            "src",
-            "dst",
-            (
-                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-            ).alias("cosine"),
-        )
+    # vectorized pair-cosine kernel (vecmath.py, optimization r13)
+    scored = with_pair_cosine(
+        probes.join(cand, F.col("cb") == F.col("pb")).filter(
+            F.col("dst") != F.col("src")
+        ),
+        keep=["src", "dst"],
     )
     w = W.partitionBy("src").orderBy(F.desc("cosine"), "dst")
     nn = (
@@ -685,19 +674,15 @@ def sim_ann_recall_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
         F.col("bucket").alias("bc"),
     )
-    scored = (
+    # vectorized pair-cosine kernel (vecmath.py, optimization r13)
+    scored = with_pair_cosine(
         cand.crossJoin(F.broadcast(anchors))
         .filter(F.col("cand") != F.col("anchor"))
-        .select(
-            "anchor",
-            "cand",
-            F.bit_count(
-                F.col("ba").bitwiseXOR(F.col("bc"))
-            ).alias("hamming"),
-            (
-                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-            ).alias("cosine"),
-        )
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ba").bitwiseXOR(F.col("bc"))),
+        ),
+        keep=["anchor", "cand", "hamming"],
     )
     w = W.partitionBy("anchor").orderBy(F.desc("cosine"), "cand")
     ranked = scored.withColumn("rn", F.row_number().over(w))
@@ -782,14 +767,17 @@ def dedup_embedding_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    cosine = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    # vectorized pair-cosine kernel (vecmath.py, optimization r13)
     pairs = (
-        a.join(
-            b,
-            (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("keeper") < F.col("dropped")),
+        with_pair_cosine(
+            a.join(
+                b,
+                (F.col("bucket") == F.col("bucket_b"))
+                & (F.col("keeper") < F.col("dropped")),
+            ),
+            keep=["keeper", "dropped"],
         )
-        .filter(cosine >= F.expr(_DEDUP_TAU))
+        .filter(F.col("cosine") >= F.expr(_DEDUP_TAU))
         .select("keeper", "dropped")
     )
     return (

@@ -453,17 +453,12 @@ def sim_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    scored = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "dst",
-            (
-                _dot(F.col("ea"), F.col("eb"))
-                / (F.col("na") * F.col("nb"))
-            ).alias("cosine"),
-        )
+    # vectorized pair-cosine kernel (vecmath.py, optimization r13)
+    from .vecmath import with_pair_cosine
+
+    scored = with_pair_cosine(
+        a.crossJoin(F.broadcast(b)).filter(F.col("src") != F.col("dst")),
+        keep=["src", "dst"],
     )
     w = W.partitionBy("src").orderBy(F.desc("cosine"), "dst")
     nn = (
@@ -549,19 +544,16 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("ep"),
         _norm(F.col("embedding")).alias("np_"),
     )
-    scored = (
-        a.crossJoin(F.broadcast(pool))
-        .filter(F.col("negative_label") != F.col("anchor_label"))
-        .select(
-            "anchor",
-            "anchor_label",
-            "negative",
-            "negative_label",
-            (
-                _dot(F.col("ea"), F.col("ep"))
-                / (F.col("na") * F.col("np_"))
-            ).alias("cosine"),
-        )
+    # vectorized pair-cosine kernel (vecmath.py, optimization r13)
+    from .vecmath import with_pair_cosine
+
+    scored = with_pair_cosine(
+        a.crossJoin(F.broadcast(pool)).filter(
+            F.col("negative_label") != F.col("anchor_label")
+        ),
+        keep=["anchor", "anchor_label", "negative", "negative_label"],
+        eb="ep",
+        nb="np_",
     )
     w = W.partitionBy("anchor").orderBy(F.desc("cosine"), "negative")
     return (

@@ -40,6 +40,7 @@ from .similarity import (
     _norm,
     _NORM_SQL,
 )
+from .vecmath import with_pair_cosine
 
 # radius-1 multiprobe: the home bucket plus each 1-bit flip. Mask 0 is
 # the home probe; masks 1<<p flip plane p. Distinct masks => a
@@ -139,21 +140,17 @@ def sample_hard_negatives_bucketed(
         F.col("nrm").alias("nn_"),
         "bucket",
     )
-    scored = (
-        probes.join(cand, probes.pb == cand.bucket)
-        .filter(
-            (F.col("negative_label") != F.col("anchor_label"))
-            & (F.col("negative") != F.col("anchor"))
-        )
-        .select(
-            "anchor",
-            "anchor_label",
-            "negative",
-            "negative_label",
-            (
-                _dot(F.col("ea"), F.col("ep")) / (F.col("na") * F.col("nn_"))
-            ).alias("cosine"),
-        )
+    pair = probes.join(cand, probes.pb == cand.bucket).filter(
+        (F.col("negative_label") != F.col("anchor_label"))
+        & (F.col("negative") != F.col("anchor"))
+    )
+    # vectorized pair-cosine kernel (vecmath.py, optimization r13):
+    # bit-identical left-fold dot, ~4-8x cheaper than the Catalyst HOF
+    scored = with_pair_cosine(
+        pair,
+        keep=["anchor", "anchor_label", "negative", "negative_label"],
+        eb="ep",
+        nb="nn_",
     )
     w = W.partitionBy("anchor").orderBy(F.desc("cosine"), "negative")
     return (
@@ -245,16 +242,11 @@ def sim_reciprocal_nn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
         "bucket",
     )
-    scored = (
-        probes.join(cand, probes.pb == cand.bucket)
-        .filter(F.col("dst") != F.col("src"))
-        .select(
-            "src",
-            "dst",
-            (
-                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-            ).alias("cosine"),
-        )
+    scored = with_pair_cosine(
+        probes.join(cand, probes.pb == cand.bucket).filter(
+            F.col("dst") != F.col("src")
+        ),
+        keep=["src", "dst"],
     )
     w = W.partitionBy("src").orderBy(F.desc("cosine"), "dst")
     nn = (

@@ -29,6 +29,7 @@ from .similarity import (
     _norm,
     _NORM_SQL,
 )
+from .vecmath import with_pair_cosine
 
 _RANGE_TAU = "0.35"  # literal shared by both engines
 
@@ -168,18 +169,19 @@ def sim_range_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    cosine = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    pairs = a.join(
+        b,
+        (F.col("bucket") == F.col("bucket_b"))
+        & (F.col("vec_a") < F.col("vec_b")),
+    )
+    # vectorized pair-cosine kernel (vecmath.py, optimization r13)
     return (
-        a.join(
-            b,
-            (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
+        with_pair_cosine(pairs, keep=["bucket", "vec_a", "vec_b"])
         .select(
             F.col("bucket").cast("long").alias("bucket"),
             "vec_a",
             "vec_b",
-            cosine.alias("cosine"),
+            "cosine",
         )
         .filter(F.col("cosine") >= F.expr(_RANGE_TAU))
         .orderBy("vec_a", "vec_b")
@@ -292,16 +294,15 @@ def sim_pair_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
         F.col("bucket").alias("cb"),
     )
-    cosine = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    scored = (
+    pair = (
         probes.join(cand, F.col("cb") == F.col("pb"))
         .filter(F.col("cid") != F.col("anchor"))
-        .select(
-            "anchor",
-            (F.col("clabel") == F.col("anchor_label")).alias("same"),
-            cosine.alias("cosine"),
+        .withColumn(
+            "same", F.col("clabel") == F.col("anchor_label")
         )
     )
+    # vectorized pair-cosine kernel (vecmath.py, optimization r13)
+    scored = with_pair_cosine(pair, keep=["anchor", "same"])
     per_anchor = scored.groupBy("anchor").agg(
         F.max(F.when(F.col("same"), F.col("cosine"))).alias("pos"),
         F.max(F.when(~F.col("same"), F.col("cosine"))).alias("neg"),
@@ -411,11 +412,12 @@ def ml_knn_label_purity_bucketed(
     )
     from pyspark.sql.window import Window as W
 
-    cosine = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    scored = (
-        probes.join(cand, F.col("cb") == F.col("pb"))
-        .filter(F.col("nn") != F.col("anchor"))
-        .select("anchor", "anchor_label", "nn", "nn_label", cosine.alias("cosine"))
+    # vectorized pair-cosine kernel (vecmath.py, optimization r13)
+    scored = with_pair_cosine(
+        probes.join(cand, F.col("cb") == F.col("pb")).filter(
+            F.col("nn") != F.col("anchor")
+        ),
+        keep=["anchor", "anchor_label", "nn", "nn_label"],
     )
     w1 = W.partitionBy("anchor").orderBy(F.desc("cosine"), "nn")
     nn1 = (
