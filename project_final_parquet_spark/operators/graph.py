@@ -155,11 +155,20 @@ def _pagerank_ranks(
     fixed point takes ~700 rounds — which is why the gated query keeps
     the fixed-round form and this is the production entry point."""
     damp, tele = float(_DAMP), float(_TELEPORT)
+    # degree folded into the edge list ONCE (optimization r13): the
+    # lazy deg aggregate was replayed inside every round's contrib join
+    # AND every round's rank rebuild (~2 recomputes x rounds); now one
+    # materialization serves all rounds and the per-round plan drops
+    # from two joins + agg to one join + agg. Rank values unchanged —
+    # the same rank/deg arithmetic reads deg from the materialized
+    # frame.
+    deg = checkpoint(deg)
+    edges_deg = checkpoint(edges.join(deg, "u"))
     ranks = deg.select("u", F.lit(1.0).alias("rank"))
     rounds = 0
     budget = iters if iters is not None else max_iters
     for _ in range(budget):
-        contrib = edges.join(ranks, "u").join(deg, "u").select(
+        contrib = edges_deg.join(ranks, "u").select(
             F.col("v").alias("dst"),
             F.floor(
                 F.col("rank")
@@ -200,6 +209,9 @@ def _pagerank_ranks(
         else:
             release(ranks)
             ranks = new_ranks
+    # the final rank frame is materialized; the degree-folded edge list
+    # and degree frame no longer back the returned plan
+    release(edges_deg, deg)
     return ranks, rounds
 
 

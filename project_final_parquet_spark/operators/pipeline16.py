@@ -267,19 +267,24 @@ def events_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rep_mean",
         F.row_number().over(W.orderBy("rep_mean", "b")).alias("rn"),
     )
-    lo = ranked.filter(F.col("rn") == 2).select(
-        F.col("rep_mean").alias("ci_lo")
-    )
-    hi = ranked.filter(F.col("rn") == _BOOT_B - 1).select(
-        F.col("rep_mean").alias("ci_hi")
+    # BOTH order statistics from ONE consumer of the ranked replicate
+    # frame (optimization r13): the old lo/hi filter branches each
+    # replayed the x B md5 expansion + rollup when the exchange was not
+    # reused across the two broadcast subtrees — a conditional
+    # aggregate over the 20-row frame reads it once. Values unchanged:
+    # min() over exactly one non-NULL row per bound.
+    ci = ranked.agg(
+        F.min(F.when(F.col("rn") == 2, F.col("rep_mean"))).alias("ci_lo"),
+        F.min(
+            F.when(F.col("rn") == _BOOT_B - 1, F.col("rep_mean"))
+        ).alias("ci_hi"),
     )
     pt = events.agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         (dsum(F.col("value")) / F.count(F.lit(1))).alias("mean_value"),
     )
     return (
-        pt.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
+        pt.crossJoin(F.broadcast(ci))
         .select(
             "n_events",
             "mean_value",

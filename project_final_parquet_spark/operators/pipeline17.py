@@ -1781,11 +1781,21 @@ def orders_laspeyres_price_index(
         "l_extendedprice",
         "l_quantity",
     )
-    pp = li.groupBy("part", "period").agg(
-        (
-            dsum(F.col("l_extendedprice")) / dsum(F.col("l_quantity"))
-        ).alias("price"),
-        dsum(F.col("l_quantity")).alias("qty"),
+    # the (part × period) rollup has THREE consumers (base-period min,
+    # base basket, the per-period join) whose column-pruned subtrees
+    # are NOT identical, so AQE exchange reuse never fires and lineitem
+    # was scanned + decimal-aggregated 3× (measured final plan:
+    # 3 scans, 0 reuse). Materialize it ONCE (optimization r13 — the
+    # theil_sen slope-frame precedent; executes at construction, see
+    # the registry eager-contract note); the frame is domain-bounded
+    # (parts × 30-day periods), far under the lineitem pass it saves.
+    pp = checkpoint(
+        li.groupBy("part", "period").agg(
+            (
+                dsum(F.col("l_extendedprice")) / dsum(F.col("l_quantity"))
+            ).alias("price"),
+            dsum(F.col("l_quantity")).alias("qty"),
+        )
     )
     b = pp.agg(F.min("period").alias("p0"))
     base = (

@@ -605,11 +605,16 @@ def orders_paasche_fisher_index(
         "l_extendedprice",
         "l_quantity",
     )
-    pp = li.groupBy("part", "period").agg(
-        (
-            dsum(F.col("l_extendedprice")) / dsum(F.col("l_quantity"))
-        ).alias("price"),
-        dsum(F.col("l_quantity")).alias("qty"),
+    # materialized ONCE for its three non-reuse-eligible consumers —
+    # the orders_laspeyres_price_index rationale verbatim (optimization
+    # r13; executes at construction, registry eager-contract note)
+    pp = checkpoint(
+        li.groupBy("part", "period").agg(
+            (
+                dsum(F.col("l_extendedprice")) / dsum(F.col("l_quantity"))
+            ).alias("price"),
+            dsum(F.col("l_quantity")).alias("qty"),
+        )
     )
     b = pp.agg(F.min("period").alias("p0"))
     base = (

@@ -431,14 +431,23 @@ def q42_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("exact_parts"))
     )
+    # ONE exact-percentile buffer for both envelope bounds
+    # (optimization r13): two scalar percentile() aggregates each
+    # collected the full per-group value buffer; the array form
+    # computes both order statistics from a single buffer — same
+    # algorithm, identical values, half the aggregation state.
     agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias(
             "approx_median"
         ),
-        F.percentile(price, F.lit(0.45)).alias("lo"),
-        F.percentile(price, F.lit(0.55)).alias("hi"),
+        F.percentile(
+            price, F.array(F.lit(0.45), F.lit(0.55))
+        ).alias("lohi"),
     ).join(F.broadcast(exact), "l_returnflag")
+    agg = agg.withColumn("lo", F.col("lohi")[0]).withColumn(
+        "hi", F.col("lohi")[1]
+    )
     return agg.select(
         "l_returnflag",
         "exact_parts",

@@ -384,59 +384,56 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nv"))
     seed = n.filter(F.col("vec_id") == 0)
 
-    def dist_to(pick):
-        p = pick.select(
-            F.col("embedding").alias("pe"), F.col("nv").alias("pn")
-        )
-        return p, 1 - _dot(F.col("embedding"), F.col("pe")) / (
-            F.col("nv") * F.col("pn")
-        )
+    def dist_to_row(pick_row):
+        # the picked vector re-enters the plan as LITERALS (its exact
+        # collected doubles — optimization r13): the old shape
+        # checkpointed the 1-row pick and broadcast-joined it into the
+        # corpus frame, paying a checkpoint job + broadcast exchange +
+        # anti-join per round; a TakeOrdered(1).first() collect of the
+        # constant-size pick plus a literal-array distance and a
+        # vec_id != literal filter computes the identical IEEE values
+        # with NO join anywhere in the loop (31 -> ~17 jobs).
+        pe = F.array(*[F.lit(float(x)) for x in pick_row["embedding"]])
+        pn = F.lit(float(pick_row["nv"]))
+        return 1 - _dot(F.col("embedding"), pe) / (F.col("nv") * pn)
 
-    p, d = dist_to(seed)
+    seed_row = seed.first()
+    if seed_row is None:  # degenerate slice without the seed vector
+        return spark.createDataFrame(
+            [], "pick_order long, vec_id long, radius double"
+        )
     # m is CORPUS-sized (vec_id, embedding, nv, mind) — each round's
     # checkpoint supersedes the previous one, so release as we go and
-    # free the last one after the final pick; only the 1-row pick
-    # checkpoints back the returned plan (ckpt.py)
+    # free the last one after the final pick; the returned frame is
+    # built from the driver-collected constant-size pick rows
     m = checkpoint(
-        n.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(p))
-        .select("vec_id", "embedding", "nv", d.alias("mind"))
+        n.filter(F.col("vec_id") != 0).select(
+            "vec_id", "embedding", "nv", dist_to_row(seed_row).alias("mind")
+        )
     )
-    rows = [
-        seed.select(
-            F.lit(1).cast("long").alias("pick_order"),
-            F.col("vec_id").cast("long").alias("vec_id"),
-            F.lit(0.0).alias("radius"),
-        )
-    ]
+    picks = [(1, int(seed_row["vec_id"]), 0.0)]
     for i in range(2, _KC_K + 1):
-        pick = checkpoint(m.orderBy(F.desc("mind"), "vec_id").limit(1))
-        rows.append(
-            pick.select(
-                F.lit(i).cast("long").alias("pick_order"),
-                F.col("vec_id").cast("long").alias("vec_id"),
-                F.col("mind").alias("radius"),
-            )
-        )
+        pick_row = m.orderBy(F.desc("mind"), "vec_id").limit(1).first()
+        if pick_row is None:  # fewer vectors than picks
+            break
+        picks.append((i, int(pick_row["vec_id"]), float(pick_row["mind"])))
         if i < _KC_K:
-            p, d = dist_to(pick)
             prev_m = m
             m = checkpoint(
-                m.join(pick.select("vec_id"), "vec_id", "left_anti")
-                .crossJoin(F.broadcast(p))
-                .select(
+                m.filter(F.col("vec_id") != int(pick_row["vec_id"])).select(
                     "vec_id",
                     "embedding",
                     "nv",
-                    F.least(F.col("mind"), d).alias("mind"),
+                    F.least(
+                        F.col("mind"), dist_to_row(pick_row)
+                    ).alias("mind"),
                 )
             )
             release(prev_m)
     release(m)
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("pick_order")
+    return spark.createDataFrame(
+        picks, "pick_order long, vec_id long, radius double"
+    ).orderBy("pick_order")
 
 
 # --- end-to-end RAG retrieval flagship --------------------------------------

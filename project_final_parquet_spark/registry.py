@@ -43,6 +43,9 @@ orders_hodges_lehmann (calendar-bounded Walsh-pair-frame checkpoint,
 the same two-phase-median shape),
 orders_sen_slope_ci (the same slope-frame checkpoint as
 orders_theil_sen_trend),
+orders_laspeyres_price_index and orders_paasche_fisher_index (the
+(part × period) price rollup materialized once for its three
+non-reuse-eligible consumers — optimization r13),
 embeddings_covariance_audit (dims²-bounded Gram-partials checkpoint —
 9 plan consumers would each replay the scan + mapInPandas),
 pipeline_e2e_rag,
