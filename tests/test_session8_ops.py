@@ -166,16 +166,16 @@ def test_kcenter_invariants(spark, sf_dir):
 
 
 def test_kcenter_plan_reads_checkpoints_not_parquet(spark):
-    """The returned frame unions the seed row (one vec_id=0 pushed-
-    filter parquet read) with the 7 checkpointed single-row picks;
-    nothing downstream may re-run a corpus pass (the greedy already
-    paid its k passes at construction)."""
+    """The returned frame is built purely from the driver-collected
+    constant-size pick rows (optimization r13: the greedy's k corpus
+    passes are paid at construction; the picks are collected and the
+    result is a local-rows frame) — nothing downstream may re-run a
+    corpus pass, so the final plan contains NO parquet scan at all."""
     df = all_queries()["sample_kcenter_coreset"](spark, BIG_SF)
     p = physical_plan(df)
     tree = p.split("\n\n(1)")[0]  # formatted details repeat node names
-    assert tree.count("Scan parquet") == 1  # the seed branch only
-    assert "EqualTo(vec_id,0)" in p  # and it is a pushed single-row read
-    assert tree.count("Scan ExistingRDD") == 7
+    assert tree.count("Scan parquet") == 0  # no corpus re-read
+    assert tree.count("Scan ExistingRDD") == 1  # the local pick rows
 
 
 # --- events_forecast_backtest ------------------------------------------------
