@@ -184,12 +184,8 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir, persist=False)
 
 
-def _minhash_candidates(docs: DataFrame, persist: bool = False):
-    """Signature + banding + candidate stages over an arbitrary docs
-    frame (doc_id, text). Returns (sig, cand): the signature frame
-    (doc_id, sh, sig) and the UNVERIFIED candidate pairs — split out so
-    dedup_eval_recall can measure the candidate stage against exact
-    ground truth on the same universe."""
+def _minhash_sig(docs: DataFrame) -> DataFrame:
+    """Lazy signature frame (doc_id, sh, sig) over a docs frame."""
     sh = docs.select("doc_id", _shingles3(_toks()).alias("sh"))
     base = sh.select(
         "doc_id",
@@ -204,15 +200,32 @@ def _minhash_candidates(docs: DataFrame, persist: bool = False):
         # F.transform pass the element INDEX into it
         return lambda h: ((h % _MH_P) * _MH_A[s] + _MH_B[s]) % _MH_P
 
-    sig = base.select(
+    return base.select(
         "doc_id",
         "sh",
         F.array(
             *[F.array_min(F.transform("bh", _perm(s))) for s in range(_MINHASH_K)]
         ).alias("sig"),
     )
+
+
+def _minhash_candidates(docs: DataFrame, persist: bool = False):
+    """Signature + banding + candidate stages over an arbitrary docs
+    frame (doc_id, text). Returns (sig, cand): the signature frame
+    (doc_id, sh, sig) and the UNVERIFIED candidate pairs — split out so
+    dedup_eval_recall can measure the candidate stage against exact
+    ground truth on the same universe. (The eager multi-pass-consumer
+    form lives in _minhash_pairs_materialized, which checkpoints the
+    sig frame itself — kept OUT of this function so the registry lint's
+    call-graph analysis classifies the one-shot consumers as lazy.)"""
+    sig = _minhash_sig(docs)
     if persist:
         sig = sig.persist()
+    return sig, _minhash_cand_from_sig(sig)
+
+
+def _minhash_cand_from_sig(sig: DataFrame) -> DataFrame:
+    """Banding + bucket self-join candidate pairs from a sig frame."""
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -240,7 +253,7 @@ def _minhash_candidates(docs: DataFrame, persist: bool = False):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return sig, cand
+    return cand
 
 
 def _minhash_pairs(
@@ -265,6 +278,40 @@ def _minhash_pairs(
         .filter(F.col("jaccard") >= _JACCARD_T)
     )
     return out.orderBy("doc_a", "doc_b") if ordered else out
+
+
+def _minhash_pairs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed verified (doc_a, doc_b) pairs for the multi-pass
+    consumers (the connected-components clustering queries). The
+    signature frame is checkpointed FIRST: its three column-pruned
+    consumers (the banding explode and both verify sides) are not
+    structurally identical, so AQE exchange reuse never serves them and
+    the shingle→md5→minhash expression tree was evaluated three times
+    inside the pair materialization (the laspeyres finding, applied
+    here — measured 2.6 s → 1.4 s at sf0.1, identical pairs;
+    optimization r13). Sig blocks are released as soon as the pair
+    frame is materialized, so peak resident state is unchanged. The
+    one-shot LAZY form (_minhash_pairs, persist=False) stays optimal
+    for the single-pass gated queries — one pipelined job beats an
+    extra materialization barrier there (the original round-2
+    measurement, still true)."""
+    docs = load(spark, sf_dir, "documents")
+    sig = checkpoint(_minhash_sig(docs))
+    cand = _minhash_cand_from_sig(sig)
+    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    pairs = checkpoint(
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= _JACCARD_T)
+        .select("doc_a", "doc_b")
+    )
+    release(sig)
+    return pairs
 
 
 # --- SimHash near-dup ------------------------------------------------------
@@ -447,10 +494,9 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the local form; cluster jobs use checkpoint() on fault-tolerant
     # storage. NOTE: this query therefore executes during construction
     # (see registry.py on iterative queries).
-    pairs = checkpoint(
-        _minhash_pairs(spark, sf_dir, persist=False, ordered=False)
-        .select("doc_a", "doc_b")
-    )
+    # sig-checkpointed pair materialization (optimization r13 — the
+    # shingle→minhash tree is evaluated once, not three times)
+    pairs = _minhash_pairs_materialized(spark, sf_dir)
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnsRenamed({"doc_a": "u", "doc_b": "v"})

@@ -23,7 +23,7 @@ from ..ckpt import checkpoint, release
 from ..registry import query
 from ..tables import load
 from .dedup import (
-    _minhash_pairs,
+    _minhash_pairs_materialized,
     _minhash_pairs_sql,
     connected_components_converged,
 )
@@ -77,10 +77,9 @@ def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     form — exact min-reachable labels regardless of round count; this
     corpus converges in 2 rounds where the fixed form always paid 4,
     r12 sweep finding)."""
-    pairs = checkpoint(
-        _minhash_pairs(spark, sf_dir, persist=False, ordered=False)
-        .select("doc_a", "doc_b")
-    )
+    # sig-checkpointed pair materialization (optimization r13 — the
+    # shingle→minhash tree is evaluated once, not three times)
+    pairs = _minhash_pairs_materialized(spark, sf_dir)
     edges = pairs.union(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")

@@ -617,14 +617,16 @@ def pipeline_e2e_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver. This is the lifecycle a 100 TB corpus actually runs, end to
     end in one lazy job (iterative CC executes at construction, per the
     registry contract)."""
-    from .dedup import _minhash_pairs, connected_components_converged
+    from .dedup import (
+        _minhash_pairs_materialized,
+        connected_components_converged,
+    )
 
     docs = load(spark, sf_dir, "documents")
 
-    pairs = checkpoint(
-        _minhash_pairs(spark, sf_dir, persist=False, ordered=False)
-        .select("doc_a", "doc_b")
-    )
+    # sig-checkpointed pair materialization (optimization r13 — the
+    # shingle→minhash tree is evaluated once, not three times)
+    pairs = _minhash_pairs_materialized(spark, sf_dir)
     edges = pairs.union(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
