@@ -180,8 +180,44 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((h%P)*a+b mod P) is the classic MinHash construction — 8× fewer
     md5 calls than per-seed hashing. Banding keeps the self-join to
     bucket-mates. Candidate recall is 1-(1-j^R)^B — ≈1 for the
-    ~0.99-Jaccard clusters in this corpus."""
-    return _minhash_pairs(spark, sf_dir, persist=False)
+    ~0.99-Jaccard clusters in this corpus.
+
+    Signature frame checkpointed once (optimization r14, see
+    _minhash_sig_materialized): EXECUTES the signature pass at
+    construction."""
+    docs = load(spark, sf_dir, "documents")
+    sig = _minhash_sig_materialized(docs)
+    cand = _minhash_cand_from_sig(sig)
+    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_sig_materialized(docs: DataFrame) -> DataFrame:
+    """Checkpointed signature frame (doc_id, sh, sig) for the one-shot
+    pair pipelines. Their plans reference the sig tree FOUR times (both
+    sides of the band-bucket self-join + both exact-Jaccard verify
+    sides), and the column-pruned subtrees are not structurally
+    identical, so AQE exchange reuse never serves them — the
+    shingle→md5→minhash tree was evaluated 4× per query. Re-measured
+    r14 (interleaved same-session A/B at sf0.1, min of 4):
+    lazy 2.55 s vs sig-checkpointed 1.42 s for the
+    dedup_near_minhash_lsh shape, 2.63 vs 2.13 for the adaptive-bands
+    shape — the r2 'pipelined one-shot beats materialization' decision
+    inverted once the tree had four consumers instead of three.
+    Queries built on this helper EXECUTE the signature pass at
+    construction (registry contract note); the blocks back the
+    returned plan, so they are not released here."""
+    return checkpoint(_minhash_sig(docs))
 
 
 def _minhash_sig(docs: DataFrame) -> DataFrame:
@@ -256,30 +292,6 @@ def _minhash_cand_from_sig(sig: DataFrame) -> DataFrame:
     return cand
 
 
-def _minhash_pairs(
-    spark: SparkSession, sf_dir: str, persist: bool, ordered: bool = True
-) -> DataFrame:
-    """MinHash+LSH pair pipeline. ``persist`` materializes the signature
-    frame for multi-pass consumers within the pipeline itself; a one-shot
-    cold run is faster WITHOUT it (materialization blocks pipelining).
-    ``ordered=False`` drops the output sort for consumers that reshuffle
-    anyway (the connected-components iteration)."""
-    docs = load(spark, sf_dir, "documents")
-    sig, cand = _minhash_candidates(docs, persist=persist)
-    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    out = (
-        cand.join(x, "doc_a")
-        .join(y, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= _JACCARD_T)
-    )
-    return out.orderBy("doc_a", "doc_b") if ordered else out
-
-
 def _minhash_pairs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed verified (doc_a, doc_b) pairs for the multi-pass
     consumers (the connected-components clustering queries). The
@@ -290,11 +302,10 @@ def _minhash_pairs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the pair materialization (the laspeyres finding, applied
     here — measured 2.6 s → 1.4 s at sf0.1, identical pairs;
     optimization r13). Sig blocks are released as soon as the pair
-    frame is materialized, so peak resident state is unchanged. The
-    one-shot LAZY form (_minhash_pairs, persist=False) stays optimal
-    for the single-pass gated queries — one pipelined job beats an
-    extra materialization barrier there (the original round-2
-    measurement, still true)."""
+    frame is materialized, so peak resident state is unchanged. (The
+    one-shot pair queries now go through _minhash_sig_materialized for
+    the same reason — the r2 'pipelined beats materialized' decision
+    was re-measured and inverted in r14.)"""
     docs = load(spark, sf_dir, "documents")
     sig = checkpoint(_minhash_sig(docs))
     cand = _minhash_cand_from_sig(sig)
@@ -574,14 +585,50 @@ def connected_components(edges: DataFrame, iters: int) -> DataFrame:
     return labels
 
 
+def _cc_hop(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label HOP as union-combine (optimization r14): neighbor
+    messages (u, label(v)) from one edge join UNION the identity rows,
+    folded by ONE map-side-combinable min aggregate. The r13 form
+    combined self and neighbor minima with an extra labels⋈neighbor_min
+    join — two joins + one agg per hop where one join + one agg
+    suffices; the aggregate also carries ``prev`` (the ROUND's input
+    label, riding only on the identity rows — exactly one per u) so the
+    convergence probe stays a filter over the checkpointed output."""
+    lbl_t = labels.schema["label"].dataType
+    msgs = edges.join(
+        labels.select(F.col("u").alias("v"), "label"), "v"
+    ).select("u", "label", F.lit(None).cast(lbl_t).alias("prev"))
+    return (
+        msgs.unionByName(labels.select("u", "label", "prev"))
+        .groupBy("u")
+        .agg(F.min("label").alias("label"), F.max("prev").alias("prev"))
+    )
+
+
 def connected_components_converged(
-    edges: DataFrame, max_iters: int = 32
+    edges: DataFrame, max_iters: int = 32, hops_per_round: int = 1
 ) -> tuple[DataFrame, int]:
     """Convergence-detecting connected components: iterate until a round
     changes NO label (labels only ever decrease under min-propagation, so
     an unchanged round is a fixed point = exact components), bounded by
-    ``max_iters`` (pointer doubling ⇒ diameter 2^max_iters; 32 covers any
-    graph that fits on disk). Returns (labels, rounds_executed).
+    ``max_iters`` rounds. Returns (labels, rounds_executed).
+
+    Each round is ``hops_per_round`` min-label hops (union-combine, see
+    ``_cc_hop``) followed by one pointer-doubling jump
+    (label := min(label, label(label))), checkpointed once per ROUND.
+    The r14 measurement behind the knob: on the co-purchase graph the
+    jump is nearly idle (labels point at LOCAL minima whose own labels
+    improve only by edge propagation — simulated on the real sf0.1
+    graph, extra jumps leave the round count at 7), so the round count
+    is governed by edge hops: 1 hop/round = 7 rounds, 3 hops/round = 3
+    rounds with FEWER total joins (12 vs 21) and 3 checkpoints +
+    probes instead of 7. Iterative round latency (scheduling, barrier,
+    materialization) is the dominant cost class locally and a real
+    barrier cost at any scale, so callers with non-trivial-diameter
+    graphs pass hops_per_round=3; the near-dup clustering callers
+    (diameter ≤ ~2 pair clusters) keep 1. Convergence detection makes
+    every setting exact — hops_per_round trades per-round work against
+    round count, never correctness.
 
     The per-round convergence probe is a filter over the round's OWN
     checkpointed output (each round carries its input label as ``prev``
@@ -590,10 +637,44 @@ def connected_components_converged(
     round's edge joins at any scale, and what prevents the fixed-
     iteration variant's silent-split failure mode on diameter > 2^iters
     graphs."""
-    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    labels: DataFrame | None = None
     rounds = 0
     for _ in range(max_iters):
-        new_labels = _cc_round(edges, labels, carry_prev=True)
+        if labels is None:
+            # round 1, hop 1 on identity labels: label(v) IS v, so the
+            # hop collapses to one aggregate over the edge list — no
+            # join, and it subsumes the old select(u).distinct() init
+            cur = (
+                edges.groupBy("u")
+                .agg(F.min("v").alias("_nm"))
+                .select(
+                    "u",
+                    F.least(F.col("u"), F.col("_nm")).alias("label"),
+                    F.col("u").alias("prev"),
+                )
+            )
+            extra_hops = hops_per_round - 1
+        else:
+            cur = labels.select(
+                "u", "label", F.col("label").alias("prev")
+            )
+            extra_hops = hops_per_round
+        for _h in range(extra_hops):
+            cur = _cc_hop(edges, cur)
+        # pointer-doubling jump on the freshest table, then materialize
+        via = cur.select(
+            F.col("u").alias("lbl_node"), F.col("label").alias("lbl_label")
+        )
+        new_labels = checkpoint(
+            cur.join(via, cur.label == via.lbl_node, "left").select(
+                "u",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("lbl_label"), F.col("label")),
+                ).alias("label"),
+                "prev",
+            )
+        )
         rounds += 1
         converged = new_labels.filter(
             F.col("label") != F.col("prev")
@@ -822,9 +903,14 @@ def dedup_minhash_estimate_error(
 
     Scale: rides the minhash pipeline exactly (one md5 per shingle,
     K universal hashes, band-bucket self-join); the audit adds one
-    8-term integer comparison per candidate pair and a 1-row fold."""
+    8-term integer comparison per candidate pair and a 1-row fold.
+
+    Signature frame checkpointed once (optimization r14, see
+    _minhash_sig_materialized): EXECUTES the signature pass at
+    construction."""
     docs = load(spark, sf_dir, "documents")
-    sig, cand = _minhash_candidates(docs)
+    sig = _minhash_sig_materialized(docs)
+    cand = _minhash_cand_from_sig(sig)
     x = sig.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh").alias("sh_a"),

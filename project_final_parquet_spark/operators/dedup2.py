@@ -312,11 +312,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination actually hunts for: benchmark items are near-fully
     CONTAINED in training docs whose overall Jaccard is small. Same
     bucketed candidate generation as the dedup family (never all-pairs);
-    scoring adds two divisions per candidate."""
-    from .dedup import _minhash_candidates
+    scoring adds two divisions per candidate.
+
+    Signature frame checkpointed once (optimization r14, see
+    dedup._minhash_sig_materialized): EXECUTES the signature pass at
+    construction."""
+    from .dedup import _minhash_cand_from_sig, _minhash_sig_materialized
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sig, cand = _minhash_candidates(docs)
+    sig = _minhash_sig_materialized(docs)
+    cand = _minhash_cand_from_sig(sig)
     x = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     y = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

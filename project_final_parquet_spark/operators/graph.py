@@ -26,7 +26,7 @@ connected_components_converged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..ckpt import checkpoint, release
@@ -110,18 +110,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = checkpoint(
-        pair.union(
-            pair.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
+    edges = pair.union(
+        pair.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-
-    ranks, _rounds = _pagerank_ranks(edges, deg, iters=_ITERS)
-    # the final rank frame is materialized; the edge list (the big
-    # block) no longer backs the returned plan — free it now rather
-    # than leaving it to GC + ContextCleaner (ckpt.py)
-    release(edges)
+    # edges stays LAZY here: _pagerank_ranks folds the degree in with
+    # one window pass and materializes exactly once (optimization r14;
+    # previously edges ckpt → deg agg → edges⋈deg ckpt = two
+    # materializations of the |2E| frame plus a join)
+    ranks, _rounds = _pagerank_ranks(edges, iters=_ITERS)
 
     return (
         ranks.select(
@@ -138,7 +134,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pagerank_ranks(
     edges: DataFrame,
-    deg: DataFrame,
     *,
     iters: int | None = None,
     eps: float | None = None,
@@ -155,15 +150,22 @@ def _pagerank_ranks(
     fixed point takes ~700 rounds — which is why the gated query keeps
     the fixed-round form and this is the production entry point."""
     damp, tele = float(_DAMP), float(_TELEPORT)
-    # degree folded into the edge list ONCE (optimization r13): the
-    # lazy deg aggregate was replayed inside every round's contrib join
-    # AND every round's rank rebuild (~2 recomputes x rounds); now one
-    # materialization serves all rounds and the per-round plan drops
-    # from two joins + agg to one join + agg. Rank values unchanged —
-    # the same rank/deg arithmetic reads deg from the materialized
-    # frame.
-    deg = checkpoint(deg)
-    edges_deg = checkpoint(edges.join(deg, "u"))
+    # degree folded into the edge list ONCE (optimization r13), and —
+    # r14 — folded by a COUNT WINDOW over the edge shuffle itself
+    # instead of a separate deg aggregate + join: the |2E| edge frame
+    # is now materialized exactly once (was twice: raw edges ckpt,
+    # then edges⋈deg ckpt), and the tiny per-vertex deg frame is an
+    # aggregate over the materialized blocks. Rank values unchanged —
+    # the same rank/deg arithmetic reads the identical integer degree.
+    edges_deg = checkpoint(
+        edges.withColumn(
+            "deg",
+            F.count(F.lit(1)).over(Window.partitionBy("u")),
+        )
+    )
+    deg = checkpoint(
+        edges_deg.groupBy("u").agg(F.min("deg").alias("deg"))
+    )
     ranks = deg.select("u", F.lit(1.0).alias("rank"))
     rounds = 0
     budget = iters if iters is not None else max_iters
@@ -234,14 +236,10 @@ def graph_pagerank_converged(
         )
         .distinct()
     )
-    edges = checkpoint(
-        pair.union(
-            pair.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
+    edges = pair.union(
+        pair.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    ranks, rounds = _pagerank_ranks(edges, deg, eps=eps, max_iters=max_iters)
-    release(edges)
+    ranks, rounds = _pagerank_ranks(edges, eps=eps, max_iters=max_iters)
     return (
         ranks.select(
             F.col("u").alias("node_id"),
@@ -843,8 +841,16 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     copurchase_edges derivation + the degree-ordered triangle join,
     arboricity-bounded fan-out), plus one map-side-combinable per-node
     count; the top-20 is TakeOrderedAndProject, never a global sort
-    materialization."""
-    edges = copurchase_edges(spark, sf_dir)
+    materialization.
+
+    Edge list checkpointed once (optimization r14): the degree frame,
+    the triangle enumeration (which itself references the edges four
+    times through the degree orientation), and the coefficient join
+    are column-pruned consumers AQE reuse never serves — the
+    before-plan re-derived copurchase_edges from parquet 34 times.
+    EXECUTES the edge derivation at construction (registry contract
+    note)."""
+    edges = checkpoint(copurchase_edges(spark, sf_dir))
     deg = (
         edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..ckpt import checkpoint
 from ..registry import DSUM_SQL, dsum, query
 from .graph import copurchase_edges
 
@@ -81,8 +82,15 @@ def graph_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     the neighbor-degree sum is ONE hash join of the adjacency list
     against the (vertex, degree) frame — co-partitioned on the vertex
     key, Σd rows total, never a 2-hop blow-up. The curve frame is at
-    most |distinct degrees| rows."""
-    edges = copurchase_edges(spark, sf_dir)
+    most |distinct degrees| rows.
+
+    The edge list is checkpointed once (optimization r14): the plan
+    references the adjacency through deg, dn AND the join input —
+    column-pruned subtrees AQE exchange reuse never serves (the r13
+    laspeyres finding), so the before-plan re-derived copurchase_edges
+    from parquet 12 times. EXECUTES the edge derivation at
+    construction (registry contract note)."""
+    edges = checkpoint(copurchase_edges(spark, sf_dir))
     adj = edges.select(F.col("a").alias("v"), F.col("b").alias("nbr")).unionAll(
         edges.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
     )
@@ -145,8 +153,15 @@ def graph_katz_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both joins are adjacency-vs-vertex-frame hash joins
     co-partitioned on the vertex key (Σd rows shuffled per step —
     the PageRank contribution shape); the result is TakeOrdered
-    top-20, no global sort materialized."""
-    edges = copurchase_edges(spark, sf_dir)
+    top-20, no global sort materialized.
+
+    Edge list checkpointed once (optimization r14): deg feeds w2, w2
+    feeds w3, and the final three-way join references deg AND w2 AND
+    w3 — nested column-pruned consumers that re-derived the edge list
+    from parquet 24 times in the before-plan (AQE exchange reuse never
+    fires across them, the r13 laspeyres finding). EXECUTES the edge
+    derivation at construction (registry contract note)."""
+    edges = checkpoint(copurchase_edges(spark, sf_dir))
     adj = edges.select(F.col("a").alias("v"), F.col("b").alias("nbr")).unionAll(
         edges.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
     )
@@ -227,7 +242,11 @@ def graph_wcc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    labels, _rounds = connected_components_converged(adj)
+    # hops_per_round=3: the co-purchase graph has non-trivial component
+    # diameter (≤ 14-node components at sf0.1 — 7 one-hop rounds), and
+    # the round count, not per-round bytes, is what wcc pays for
+    # (optimization r14; measured 7 → 3 rounds, see dedup.py)
+    labels, _rounds = connected_components_converged(adj, hops_per_round=3)
     release(edges)
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("component_size")

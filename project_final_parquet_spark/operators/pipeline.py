@@ -651,13 +651,15 @@ def pipeline_e2e_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    survivors = ranked.filter(F.col("rn") == 1).select("doc_id")
-    singletons = docs.select("doc_id").join(
-        labels.select("doc_id"), "doc_id", "left_anti"
-    )
-    kept = survivors.union(singletons)
-
-    filtered = docs.join(kept, "doc_id").filter(
+    # keep-set inverted to a DROP-set (optimization r14): kept =
+    # survivors ∪ (docs ∖ labels) is exactly docs ∖ {cluster members
+    # with rn > 1} — labels ⊆ docs, every cluster keeps its rn=1 row —
+    # so the manifest needs TWO passes over documents (the light
+    # (doc_id, n_chars) ranking pass and the full filter pass) instead
+    # of three, and the dropped side of the anti-join is only the
+    # duplicate rows, far smaller than the keep-set at any scale.
+    dropped = ranked.filter(F.col("rn") > 1).select("doc_id")
+    filtered = docs.join(dropped, "doc_id", "left_anti").filter(
         F.col("n_chars").between(80, 520)
     )
     hp = F.substring(

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..ckpt import checkpoint
 from ..registry import query, dsum, DSUM_SQL
 from ..tables import load
 from .graph import copurchase_edges
@@ -246,8 +247,14 @@ def graph_resource_allocation_linkpred(
     probe of the tiny co-bought-twice edge list, and the top-20 is
     TakeOrderedAndProject. At a skewed 100× graph the wedge bound is
     capped the same way the triangle family is — drop max-degree
-    middles first (they contribute least to RA by construction)."""
-    edges = copurchase_edges(spark, sf_dir)
+    middles first (they contribute least to RA by construction).
+
+    Edge list checkpointed once (optimization r14): the two wedge
+    sides, the degree frame, and the non-edge anti-join are four
+    column-pruned consumers that re-derived copurchase_edges from
+    parquet 14 times in the before-plan. EXECUTES the edge derivation
+    at construction (registry contract note)."""
+    edges = checkpoint(copurchase_edges(spark, sf_dir))
     adj = edges.select(
         F.col("a").alias("v"), F.col("b").alias("w")
     ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
@@ -592,8 +599,13 @@ def graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     is TakeOrderedAndProject. At skewed production scale the same
     query runs on the degree-capped edge list (drop super-hub middles,
     the standard reach-estimate concession) — the plan shape is
-    unchanged."""
-    edges = copurchase_edges(spark, sf_dir)
+    unchanged.
+
+    Edge list checkpointed once (optimization r14): both wedge sides,
+    the reach union, and the degree join re-derived copurchase_edges
+    from parquet 16 times in the before-plan. EXECUTES the edge
+    derivation at construction (registry contract note)."""
+    edges = checkpoint(copurchase_edges(spark, sf_dir))
     adj = edges.select(
         F.col("a").alias("v"), F.col("b").alias("w")
     ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
@@ -1187,11 +1199,16 @@ def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: integer degrees, integer buckets.
 
     Scale: one edge-endpoint rollup + a ~log(max_degree)-key
-    aggregate; nothing grows with |V| after the degree count."""
+    aggregate; nothing grows with |V| after the degree count.
+
+    Endpoint rollup via explode, not union (optimization r14): the
+    unionAll's two sides each re-derived copurchase_edges from parquet
+    (4 scans in the before-plan); exploding array(a, b) emits both
+    endpoints from ONE evaluation of the edge subtree and keeps the
+    query fully lazy — same multiset, identical degrees."""
     edges = copurchase_edges(spark, sf_dir)
     deg = (
-        edges.select(F.col("a").alias("v"))
-        .unionAll(edges.select(F.col("b").alias("v")))
+        edges.select(F.explode(F.array("a", "b")).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )

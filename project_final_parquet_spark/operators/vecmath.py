@@ -47,34 +47,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
 
-def _mat(col, n_rows: int):
-    """(n, dim) float64 matrix from an Arrow list<float32> column —
-    flatten() honors offsets on sliced arrays; the float32→float64
-    astype is exact."""
-    import numpy as np
-
-    flat = col.flatten()
-    vals = flat.to_numpy(zero_copy_only=False).astype(np.float64)
-    if n_rows == 0:
-        return vals.reshape(0, 0)
-    return vals.reshape(n_rows, -1)
-
-
-def seq_dot(a_mat, b_mat):
-    """Sequential left-fold dot over the dim axis, vectorized across
-    rows — per row the exact IEEE op sequence of the Catalyst fold."""
-    import numpy as np
-
-    n, dim = a_mat.shape
-    acc = np.zeros(n, dtype=np.float64)
-    # contiguous per-dimension rows: one cache-friendly stream per j
-    at = np.ascontiguousarray(a_mat.T)
-    bt = np.ascontiguousarray(b_mat.T)
-    for j in range(dim):
-        acc += at[j] * bt[j]
-    return acc
-
-
 def with_pair_cosine(
     df: DataFrame,
     keep: list[str],
@@ -92,6 +64,14 @@ def with_pair_cosine(
     norms are still computed once per ROW, before the join, in the
     JVM). Only ``keep`` + the four kernel columns cross the Python
     boundary; ``keep`` columns pass through untouched.
+
+    Degenerate inputs (optimization r14, ADVICE r13): a NULL kernel
+    input (embedding or norm) or a ZERO norm product yields a NULL
+    cosine — the HOF fold's null propagation and Catalyst's
+    divide-by-zero-is-null semantics, instead of the IEEE ±inf/NaN
+    NumPy would emit (NaN sorts first in desc top-k on Spark: silent
+    corruption). For non-null, nonzero-norm rows — the entire real
+    corpus — every cosine remains bit-for-bit the HOF value.
     """
     src = df.select(*keep, ea, na, eb, nb)
     fields = [src.schema[c] for c in keep]
@@ -112,13 +92,23 @@ def with_pair_cosine(
             vals = flat.to_numpy(zero_copy_only=False).astype(np.float64)
             return vals.reshape(n_rows, -1)
 
-        for batch in batches:
-            n = batch.num_rows
-            if n == 0:
-                continue
+        def compute(b, n):
+            """(cosine values, null-out mask) for a batch with NO null
+            kernel inputs. The divisor-zero mask nulls the cosine where
+            na*nb == 0: Catalyst's Divide is not IEEE — a zero divisor
+            is NULL (non-ANSI) or a DIVIDE_BY_ZERO abort (ANSI), never
+            ±inf/NaN, and a NaN cosine would sort FIRST in every
+            desc(cosine) top-k (Spark treats NaN as greater than any
+            double) — so leaking IEEE division here turns a loud
+            degenerate-input failure into silent result corruption
+            (ADVICE r13). Null is the production-safe choice of the two
+            Catalyst behaviors: a null score drops out of every
+            cosine >= tau filter and desc sort instead of killing a
+            100 TB job. A NaN/inf NORM (from non-finite embedding
+            values) is a nonzero divisor in both engines and flows
+            through as IEEE division, exactly as the HOF fold did."""
             cols = {
-                name: batch.column(i)
-                for i, name in enumerate(batch.schema.names)
+                name: b.column(i) for i, name in enumerate(b.schema.names)
             }
             at = np.ascontiguousarray(mat(cols[ea], n).T)
             bt = np.ascontiguousarray(mat(cols[eb], n).T)
@@ -129,11 +119,41 @@ def with_pair_cosine(
                 acc += at[j] * bt[j]
             na_v = cols[na].to_numpy(zero_copy_only=False)
             nb_v = cols[nb].to_numpy(zero_copy_only=False)
+            divisor = na_v * nb_v
+            dz = divisor == 0.0
             with np.errstate(divide="ignore", invalid="ignore"):
-                cos = acc / (na_v * nb_v)
+                cos = acc / divisor
+            return cos, dz
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            kcols = [batch.column(i) for i in range(batch.num_columns)]
+            null_rows = np.zeros(n, dtype=bool)
+            for c in kcols[n_keep:]:  # the four kernel input columns
+                if c.null_count:
+                    null_rows |= ~c.is_valid().to_numpy(
+                        zero_copy_only=False
+                    )
+            if null_rows.any():
+                # a null list slot would be DROPPED by flatten(),
+                # misaligning every subsequent row (or crashing the
+                # reshape) — compute on the valid subset and null the
+                # rest, the HOF fold's null-propagation semantics
+                idx = np.flatnonzero(~null_rows)
+                cos = np.zeros(n, dtype=np.float64)
+                null_out = null_rows.copy()
+                if idx.size:
+                    sub = batch.take(pa.array(idx))
+                    cos_sub, dz_sub = compute(sub, idx.size)
+                    cos[idx] = cos_sub
+                    null_out[idx] |= dz_sub
+            else:
+                cos, null_out = compute(batch, n)
             yield pa.RecordBatch.from_arrays(
-                [cols[k] for k in keep]
-                + [pa.array(cos, type=pa.float64())],
+                [batch.column(i) for i in range(n_keep)]
+                + [pa.array(cos, type=pa.float64(), mask=null_out)],
                 schema=pa.schema(
                     [batch.schema.field(i) for i in range(n_keep)]
                     + [pa.field(out, pa.float64())]

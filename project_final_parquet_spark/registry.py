@@ -38,6 +38,14 @@ embeddings_top_eigenvector, sim_pq_trained, sim_mmr_diversify,
 sample_kcenter_coreset, graph_kcore, pipeline_e2e_pretrain,
 graph_degree_assortativity, graph_bridge_edges, graph_wcc_sizes,
 graph_modularity_brands, graph_rich_club, graph_hits_authorities,
+graph_avg_neighbor_degree, graph_katz_3step, graph_local_clustering,
+graph_resource_allocation_linkpred, graph_2hop_reach (shared
+co-purchase edge list checkpointed once for plans whose column-pruned
+consumers re-derived it from parquet 12-34 times — optimization r14),
+dedup_near_minhash_lsh, dedup_minhash_adaptive_bands,
+dedup_minhash_estimate_error, dedup_containment (minhash signature
+frame checkpointed once for the four-consumer pair pipelines —
+optimization r14, measured 2.55→1.42 s),
 orders_theil_sen_trend (calendar-bounded slope-frame checkpoint),
 orders_hodges_lehmann (calendar-bounded Walsh-pair-frame checkpoint,
 the same two-phase-median shape),

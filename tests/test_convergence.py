@@ -89,9 +89,8 @@ def test_pagerank_eps_stop_bounds_final_error(spark, sf_dir):
     )
     edges = pair.union(
         pair.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    longer, _ = _pagerank_ranks(edges, deg, iters=rounds + 5)
+    )
+    longer, _ = _pagerank_ranks(edges, iters=rounds + 5)
     ref = {r.u: r.rank for r in longer.collect()}
     assert all(abs(ref[n] - got[n]) < 6.7 * eps for n in got)
 

@@ -116,3 +116,71 @@ def test_kernel_empty_frame(spark, pair_df):
     out = with_pair_cosine(empty, keep=["pair_id"])
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["pair_id", "cosine"]
+
+
+def test_zero_norm_vector_yields_null_cosine(spark):
+    """An all-zeros float32 vector makes na*nb == 0; Catalyst's Divide
+    is NULL (non-ANSI) / DIVIDE_BY_ZERO (ANSI) there, never IEEE
+    ±inf/NaN — and a NaN cosine would sort FIRST in every desc top-k
+    (optimization r14, ADVICE r13 medium). The kernel must emit NULL
+    for the degenerate row and stay bit-identical on its neighbors in
+    the same Arrow batch."""
+    rng = random.Random(7)
+    good_a, good_b = _rand_vec(rng), _rand_vec(rng)
+    zero = [0.0] * DIM
+    df = spark.createDataFrame(
+        [(0, good_a, good_b), (1, zero, good_b), (2, zero, zero),
+         (3, good_b, good_a)],
+        "pair_id long, ea array<float>, eb array<float>",
+    )
+
+    def norm(c):
+        return F.sqrt(hof_dot(c, c))
+
+    src = df.select(
+        "pair_id", "ea", "eb", norm(F.col("ea")).alias("na"),
+        norm(F.col("eb")).alias("nb"),
+    )
+    got = {
+        r["pair_id"]: r["cosine"]
+        for r in with_pair_cosine(src, keep=["pair_id"]).collect()
+    }
+    assert got[1] is None and got[2] is None
+    for pid, va, vb in ((0, good_a, good_b), (3, good_b, good_a)):
+        acc = 0.0
+        for x, y in zip(va, vb):
+            acc = acc + float(x) * float(y)
+        expect = acc / (math.sqrt(_self_fold(va)) * math.sqrt(_self_fold(vb)))
+        assert struct.pack("d", expect) == struct.pack("d", got[pid])
+
+
+def test_null_embedding_yields_null_cosine(spark):
+    """A NULL embedding list must null that row's cosine — NOT shift
+    every subsequent row (Arrow flatten() silently drops null list
+    slots, so an unguarded reshape would misalign or crash — ADVICE
+    r13 low). Valid rows in the same batch stay bit-identical."""
+    rng = random.Random(11)
+    va, vb = _rand_vec(rng), _rand_vec(rng)
+    df = spark.createDataFrame(
+        [(0, va, vb), (1, None, vb), (2, va, None), (3, vb, va)],
+        "pair_id long, ea array<float>, eb array<float>",
+    )
+
+    def norm(c):
+        return F.sqrt(hof_dot(c, c))
+
+    src = df.select(
+        "pair_id", "ea", "eb", norm(F.col("ea")).alias("na"),
+        norm(F.col("eb")).alias("nb"),
+    )
+    got = {
+        r["pair_id"]: r["cosine"]
+        for r in with_pair_cosine(src, keep=["pair_id"]).collect()
+    }
+    assert got[1] is None and got[2] is None
+    for pid, xa, xb in ((0, va, vb), (3, vb, va)):
+        acc = 0.0
+        for x, y in zip(xa, xb):
+            acc = acc + float(x) * float(y)
+        expect = acc / (math.sqrt(_self_fold(xa)) * math.sqrt(_self_fold(xb)))
+        assert struct.pack("d", expect) == struct.pack("d", got[pid])
