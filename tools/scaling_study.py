@@ -480,6 +480,31 @@ BATTERY20 = [
 ]
 
 
+# --battery21: the round-14 optimization targets. Expected shapes:
+# the CC rewrite keeps rounds logarithmic in diameter (wcc ratio set
+# by the edge derivation, ~linear); the checkpointed graph family is
+# linear in |E|; the minhash sig checkpoint is linear in docs; the
+# pair-cosine/projection Arrow kernels are linear in pair/row volume
+# (this battery doubles as the 8-vs-32-core scale evidence when run
+# under SPARK_GRAFT_CPUS=8).
+BATTERY21 = [
+    "graph_wcc_sizes",               # multi-hop CC rounds
+    "graph_pagerank",                # window-folded degree
+    "graph_katz_3step",              # ckpt'd edge list
+    "graph_avg_neighbor_degree",     # ckpt'd edge list
+    "graph_2hop_reach",              # ckpt'd edge list
+    "graph_local_clustering",        # ckpt'd edge list + triangles
+    "graph_resource_allocation_linkpred",
+    "dedup_near_minhash_lsh",        # sig checkpoint
+    "dedup_minhash_adaptive_bands",  # sig checkpoint
+    "pipeline_e2e_pretrain",         # drop-set anti-join manifest
+    "sim_random_projection",         # Arrow projection kernel
+    "sim_pairs_label_block",         # Arrow pair-cosine kernel
+    "sample_hard_negatives_bucketed",  # Arrow pair-cosine kernel
+    "sim_reciprocal_nn_bucketed",    # kernel + top-1 window
+]
+
+
 def _stride(spark, name: str) -> int:
     if name == "events_user":
         df = spark.read.parquet(f"{SRC_SF}/events.parquet")
@@ -615,6 +640,8 @@ def main() -> None:
         battery = BATTERY16
     if "--battery17" in sys.argv:
         battery = BATTERY17
+    if "--battery21" in sys.argv:
+        battery = BATTERY21
     if "--battery10" in sys.argv:
         battery = BATTERY10
         from project_final_parquet_spark.operators.lake_queries import (
